@@ -1,0 +1,62 @@
+"""SparkSession construction with scale-ready defaults.
+
+Mirrors the intent of the reference's session factory
+(`spark_jobs/utils/spark_session.py:31-54` — AQE on, coalesce+skew
+handling, Kryo) without the S3A/Delta coupling. On a real cluster the
+same builder works unchanged; only `master` and memory sizing differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs that MUST hold for deterministic, oracle-comparable
+#: results. Applied to any session handed to the query layer (the
+#: driver may pass us a session we did not build).
+RUNTIME_CONFS = {
+    # Pin UTC so epoch↔timestamp↔date derivations match the DuckDB
+    # oracle bit-for-bit regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime in this build — non-fatal.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "rtfril-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — on a
+    real cluster set it (or let AQE coalesce) to ~2-3× total cores.
+    """
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,66 @@
+"""Batch table sources.
+
+The reference reads Delta (`spark_jobs/utils/delta_utils.py:72-75`);
+the engine's batch source is format-agnostic: parquet for the driver
+testdata, Delta when the `delta` package is present. Reads are plain
+`spark.read` so Catalyst keeps predicate pushdown / column pruning /
+partition pruning — never collect-then-filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Driver testdata catalog (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame (parquet layout)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_delta(spark: SparkSession, path: str, version: int | None = None, timestamp: str | None = None) -> DataFrame:
+    """Delta batch read incl. time travel (`delta_utils.py:72-92`).
+
+    Falls back with ImportError when delta-spark is absent (this
+    container); the API shape is kept so cluster deployments work.
+    """
+    reader = spark.read.format("delta")
+    if version is not None:
+        reader = reader.option("versionAsOf", str(version))
+    if timestamp is not None:
+        reader = reader.option("timestampAsOf", timestamp)
+    return reader.load(path)
+
+
+def write_batch(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Partitioned batch write (`delta_utils.py:27-39` semantics).
+
+    Partitioning by a low-cardinality date column is the engine's
+    primary 100 TB pruning lever; callers should `repartition` on the
+    partition column first to avoid small-file explosions.
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
