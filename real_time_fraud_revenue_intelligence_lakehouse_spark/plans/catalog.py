@@ -4,6 +4,11 @@ driver testdata (TESTDATA.md / FIXTURES.md §5).
 Each entry registers the PySpark form AND its DuckDB oracle SQL. The
 fraud-domain semantics (cleansing rules, tier ladders, rate guards,
 velocity windows, …) are exercised on the TPC-H-ish stand-in columns.
+
+This module holds the flagship + shared SQL fragments; themed
+siblings (catalog_cleanse, catalog_joins, catalog_gold,
+catalog_quality, catalog_ext, catalog_stream) register the rest and
+are imported at the bottom of this file.
 """
 
 from __future__ import annotations
@@ -94,3 +99,9 @@ def q_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "fulfilled_rate", rate(F.col("fulfilled_orders"), F.col("total_orders"))
     )
+
+
+# Themed catalog modules (each registers queries on import).
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa: E402,F401
+    catalog_cleanse,
+)

@@ -22,6 +22,11 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The testdata's events.ts is parquet TIMESTAMP(NANOS), which
+    # Spark has no native type for — read as epoch-nanos long and
+    # convert in sources.tables.read_table (µs truncation, matching
+    # DuckDB's internal µs representation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

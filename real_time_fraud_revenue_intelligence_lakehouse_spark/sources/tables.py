@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: Driver testdata catalog (TESTDATA.md).
@@ -29,8 +31,19 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table as a DataFrame (parquet layout)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one testdata table as a DataFrame (parquet layout).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as an
+    epoch-nanos long, which is normalized here to a µs-truncated
+    TimestampType (exactly what DuckDB's µs-internal reader yields,
+    so oracle comparisons line up).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div: ns ≈ 1.7e18 overflows double-exact range.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_delta(spark: SparkSession, path: str, version: int | None = None, timestamp: str | None = None) -> DataFrame:

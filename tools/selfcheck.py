@@ -39,7 +39,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             return float(v)
         if hasattr(v, "isoformat"):
-            return v.isoformat()
+            # date vs midnight-timestamp: pandas surfaces DuckDB DATE as
+            # datetime64 and Spark DateType as datetime.date — same value.
+            return v.isoformat().removesuffix("T00:00:00")
         if isinstance(v, (list, tuple)):
             return tuple(norm(x) for x in v)
         try:
