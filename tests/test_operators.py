@@ -1,0 +1,60 @@
+"""Operator-level tests: velocity dual-form equality (SURVEY §7 risk
+item) and MERGE upsert semantics/idempotency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.merge import merge_upsert
+from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.velocity import (
+    velocity_rangeframe,
+    velocity_selfjoin,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+
+def test_velocity_forms_agree(spark, sf_dir):
+    """Range-frame window ≡ reference's band self-join on real data,
+    including duplicate-timestamp and window-boundary behavior."""
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = velocity_rangeframe(e, "user_id", "ts").select(
+        "event_id", "velocity_1h", "velocity_24h", "velocity_7d"
+    )
+    b = velocity_selfjoin(e, "user_id", "ts", ["event_id", "user_id", "ts"]).select(
+        "event_id", "velocity_1h", "velocity_24h", "velocity_7d"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_velocity_strict_interval(spark):
+    """[ts-W, ts): row exactly W ms earlier counts; same-ms peer does
+    not; the row itself does not."""
+    rows = [
+        (1, 100, 1_000_000),  # base
+        (2, 100, 1_000_000),  # same-ms peer of 1
+        (3, 100, 1_000_000 + 3_600_000),  # exactly 1h later: includes ts-W row
+        (4, 100, 1_000_000 + 3_600_001),  # 1h+1ms later: row1/2 fall out
+    ]
+    df = spark.createDataFrame(rows, "event_id INT, user_id INT, ms LONG").select(
+        "event_id", "user_id", F.timestamp_millis(F.col("ms")).alias("ts")
+    )
+    got = {
+        r["event_id"]: r["velocity_1h"]
+        for r in velocity_rangeframe(df, "user_id", "ts", {"1h": 3_600_000}).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 2, 4: 1}
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "k INT, v STRING")
+    got = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "C"}  # update, keep, insert
+
+
+def test_merge_upsert_idempotent(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "k INT, v STRING")
+    once = merge_upsert(target, source, ["k"])
+    twice = merge_upsert(once, source, ["k"])
+    assert sorted(once.collect()) == sorted(twice.collect())

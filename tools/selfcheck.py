@@ -55,7 +55,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
     rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
     rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
-    return pd.DataFrame(rows, columns=list(df.columns))
+    # Return rows+columns, NOT a rebuilt DataFrame — pandas would
+    # coerce None back to NaN in float columns and nan != nan.
+    return rows, list(df.columns)
 
 
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
@@ -66,9 +68,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         issues.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
         return issues
-    s, o = canon(sdf), canon(odf)
-    for col in s.columns:
-        sv, ov = s[col].tolist(), o[col].tolist()
+    (srows, scols), (orows, ocols) = canon(sdf), canon(odf)
+    for ci, col in enumerate(scols):
+        sv = [r[ci] for r in srows]
+        ov = [r[ocols.index(col)] for r in orows]
         if sv == ov:
             continue
         # diagnose: float drift vs hard mismatch
