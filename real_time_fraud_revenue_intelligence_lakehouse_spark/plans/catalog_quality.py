@@ -1,0 +1,140 @@
+"""M4 — data-quality queries (SURVEY §2.10).
+
+The full validation suite as one declared query (q_dq_suite) plus
+the FK/anti-join check separately (orphan rows, not just the count,
+so the oracle verifies the join itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.quality import (
+    check_accepted_values,
+    check_expression,
+    check_fk,
+    check_min_rows,
+    check_not_null,
+    check_range,
+    check_unique,
+    run_suite,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+
+@query(
+    "q_dq_suite",
+    oracle="""
+    WITH raw AS (
+      SELECT 'not_null_o_orderkey' AS check_name,
+             (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS violations
+      UNION ALL SELECT 'not_null_o_custkey',
+             (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+      UNION ALL SELECT 'unique_o_orderkey',
+             (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
+      UNION ALL SELECT 'range_o_totalprice',
+             (SELECT count(*) FROM orders WHERE o_totalprice < 0 OR o_totalprice > 1000000)
+      UNION ALL SELECT 'accepted_values_o_orderstatus',
+             (SELECT count(*) FROM orders
+              WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL)
+      UNION ALL SELECT 'min_rows_orders_1000',
+             (SELECT CASE WHEN count(*) >= 1000 THEN 0 ELSE 1 END FROM orders)
+      UNION ALL SELECT 'fk_orders_customer',
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      UNION ALL SELECT 'fk_lineitem_orders',
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL SELECT 'nonneg_amounts',
+             (SELECT count(*) FROM orders WHERE NOT (o_totalprice >= 0))
+      UNION ALL SELECT 'sanity_fulfilled_rate',
+             (SELECT CASE WHEN count(CASE WHEN o_orderstatus='F' THEN 1 END) * 1.0
+                               / (count(*) + 0.001) BETWEEN 0.001 AND 0.99
+                          THEN 0 ELSE 1 END FROM orders)
+    )
+    SELECT check_name, cast(violations as bigint) AS violations,
+           violations = 0 AS passed
+    FROM raw
+    """,
+    tags=("quality",),
+)
+def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 15-check validation runner + dbt generic tests
+    (`validate.py:67-171`, `schema.yml`) as one unioned Spark result:
+    not_null, unique, range, accepted_values, min_rows, FK
+    relationships (anti-join), non-negative amounts, fraud-rate-style
+    sanity bounds (`validate.py:152-171`)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+    fulfilled_rate = (
+        F.count(F.when(F.col("o_orderstatus") == "F", True)) * 1.0
+        / (F.count(F.lit(1)) + 0.001)
+    )
+    sanity = o.agg(
+        F.when(fulfilled_rate.between(0.001, 0.99), 0).otherwise(1).cast("long").alias("violations")
+    ).select(F.lit("sanity_fulfilled_rate").alias("check_name"), "violations")
+    return run_suite(
+        [
+            check_not_null(o, "o_orderkey"),
+            check_not_null(o, "o_custkey"),
+            check_unique(o, "o_orderkey"),
+            check_range(o, "o_totalprice", 0, 1_000_000),
+            check_accepted_values(o, "o_orderstatus", ["O", "F", "P"]),
+            check_min_rows(o, 1000, "min_rows_orders_1000"),
+            check_fk(o, c, "o_custkey", "c_custkey", "fk_orders_customer"),
+            check_fk(li, o, "l_orderkey", "o_orderkey", "fk_lineitem_orders"),
+            check_expression(o, F.col("o_totalprice") >= 0, "nonneg_amounts"),
+            sanity,
+        ]
+    )
+
+
+@query(
+    "q_dq_fk_orphans",
+    oracle="""
+    WITH small_part AS (SELECT p_partkey FROM part WHERE p_size <= 10),
+         reliable_supp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+    SELECT DISTINCT l.l_orderkey, l.l_partkey, l.l_suppkey,
+      NOT EXISTS (SELECT 1 FROM small_part p WHERE p.p_partkey = l.l_partkey)
+        AS missing_part,
+      NOT EXISTS (SELECT 1 FROM reliable_supp s WHERE s.s_suppkey = l.l_suppkey)
+        AS missing_supp
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM small_part p WHERE p.p_partkey = l.l_partkey)
+       OR NOT EXISTS (SELECT 1 FROM reliable_supp s WHERE s.s_suppkey = l.l_suppkey)
+    """,
+    tags=("quality", "join"),
+)
+def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan ROWS (not just counts) across two
+    FKs — dbt relationships as left-anti joins. The parents are
+    *filtered* dimension subsets (small parts, non-negative-balance
+    suppliers) so the anti-join genuinely produces rows on clean TPC-H
+    data; flags say which FK failed. At scale the parent key sets are
+    tiny projections — Spark broadcasts them; a left-anti broadcast
+    join is a single pass over the fact with no shuffle."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    no_part = li.join(F.broadcast(p), "l_partkey", "left_anti").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.lit(True).alias("missing_part"), F.lit(False).alias("missing_supp"),
+    )
+    no_supp = li.join(F.broadcast(s), "l_suppkey", "left_anti").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.lit(False).alias("missing_part"), F.lit(True).alias("missing_supp"),
+    )
+    both = no_part.unionByName(no_supp).groupBy(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    ).agg(
+        F.max("missing_part").alias("missing_part"),
+        F.max("missing_supp").alias("missing_supp"),
+    )
+    return both

@@ -1,0 +1,51 @@
+"""Unit tests for the data-quality operator suite (SURVEY §2.10, M4).
+
+Tiny literal DataFrames, known violation counts — the per-operator
+layer the reference lacks (its Spark transforms are untested, SURVEY
+§5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.quality import (
+    check_accepted_values,
+    check_expression,
+    check_fk,
+    check_min_rows,
+    check_not_null,
+    check_range,
+    check_unique,
+    run_suite,
+)
+
+
+def _violations(df) -> int:
+    return df.collect()[0]["violations"]
+
+
+def test_quality_checks(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (2, 200.0, "bad"), (None, 50.0, None)],
+        "k INT, amount DOUBLE, status STRING",
+    )
+    assert _violations(check_not_null(df, "k")) == 1
+    assert _violations(check_unique(df, "k")) == 1  # k=2 twice → 3 non-null - 2 distinct
+    assert _violations(check_range(df, "amount", 0, 100)) == 2  # -5, 200
+    assert _violations(check_min_rows(df, 4, "min4")) == 0
+    assert _violations(check_min_rows(df, 5, "min5")) == 1
+    assert _violations(check_accepted_values(df, "status", ["ok"])) == 2  # bad + null
+    assert _violations(check_expression(df, F.col("amount") > 0, "pos")) == 1  # -5
+
+
+def test_quality_fk(spark):
+    child = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "id INT, fk INT")
+    parent = spark.createDataFrame([(10,), (20,)], "pk INT")
+    assert _violations(check_fk(child, parent, "fk", "pk", "fk_test")) == 1
+
+
+def test_quality_suite_shape(spark):
+    df = spark.createDataFrame([(1,), (None,)], "k INT")
+    out = run_suite([check_not_null(df, "k"), check_unique(df, "k")]).collect()
+    by_name = {r["check_name"]: (r["violations"], r["passed"]) for r in out}
+    assert by_name == {"not_null_k": (1, False), "unique_k": (0, True)}
