@@ -107,4 +107,5 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_gold,
     catalog_joins,
     catalog_quality,
+    catalog_stream,
 )

@@ -1,0 +1,258 @@
+"""Structured Streaming ingest — the bronze layer re-expressed.
+
+The reference ingests 6 Kafka topics into Bronze Delta
+(`spark_jobs/bronze/ingest_stream.py:42-114`): explicit-schema
+`from_json` parse, Kafka metadata projection, audit-column stamping,
+epoch-ms → `event_date` partition derivation, append sink with
+checkpoint. This module keeps those exact semantics but makes the
+*source* pluggable: Kafka in production, file streams in tests (the
+container has no broker). Also implements the doc-only capabilities
+the reference never shipped (SURVEY §2.11): `withWatermark` late-data
+handling, tumbling/session window aggregation, streaming dedup, and
+foreachBatch→MERGE for streaming-silver.
+
+Scale notes: a file/Kafka stream parallelizes by source partition;
+the stateful operators (windows, dedup) shuffle on their keys per
+micro-batch and keep state in the state store — watermarks bound that
+state, which is what makes 100 TB/day ingest sustainable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Explicit source-of-truth schema for the events stream — the engine
+#: never infers streaming schemas (`spark_jobs/utils/schemas.py:24-154`
+#: convention: one fixed StructType per topic).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: Schema for the JSON payload carried in ``props`` (S2 analog).
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    max_offsets_per_trigger: int = 50_000,
+) -> DataFrame:
+    """Kafka streaming source with the reference's options
+    (`ingest_stream.py:42-54`): earliest offsets, bounded triggers,
+    tolerant of broker data loss. Config-swappable, not test-required
+    (no broker in this container)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source (test/dev stand-in for Kafka).
+    Explicit schema — file streams cannot infer. `maxFilesPerTrigger`
+    is the file-source backpressure analog of maxOffsetsPerTrigger."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.format(fmt).load(path)
+
+
+def parse_kafka_payload(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """S2+S3: `from_json(value.cast(string), schema)` flattened to
+    `data.*`, raw payload preserved, Kafka metadata as `_kafka_*`
+    columns (`ingest_stream.py:57-83`)."""
+    return raw.select(
+        F.col("key").cast("string").alias("_kafka_key"),
+        F.col("topic").alias("_kafka_topic"),
+        F.col("partition").alias("_kafka_partition"),
+        F.col("offset").alias("_kafka_offset"),
+        F.col("timestamp").alias("_kafka_timestamp"),
+        F.col("value").cast("string").alias("_raw_payload"),
+        F.from_json(F.col("value").cast("string"), schema).alias("data"),
+    ).select("_kafka_key", "_kafka_topic", "_kafka_partition", "_kafka_offset",
+             "_kafka_timestamp", "_raw_payload", "data.*")
+
+
+def stamp_bronze(
+    df: DataFrame,
+    ts_col: str = "ts",
+    source_system: str = "events-stream",
+    pipeline_version: str = "1.0.0",
+) -> DataFrame:
+    """S4+S5: audit columns + partition-date derivation
+    (`ingest_stream.py:84-96`). ``event_date`` comes from the event
+    timestamp (not arrival time) so reprocessing lands rows in the
+    same partition — the idempotency property the reference's
+    partitioning depends on."""
+    return (
+        df.withColumn("_bronze_loaded_at", F.current_timestamp())
+        .withColumn("_source_system", F.lit(source_system))
+        .withColumn("_pipeline_version", F.lit(pipeline_version))
+        .withColumn("event_date", F.col(ts_col).cast("date"))
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """The documented-but-never-implemented 10-minute watermark
+    (`SYSTEM_DESIGN.md:364-371`; SURVEY §2.11 — adopt)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def dedup_stream(df: DataFrame, keys: list[str], within_watermark: bool = True) -> DataFrame:
+    """Streaming dedup on event keys — the `(_kafka_topic, offset)`
+    analog. `dropDuplicatesWithinWatermark` bounds state by the
+    watermark horizon (unbounded key-state is the classic streaming
+    OOM at scale)."""
+    if within_watermark:
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    extra_keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Tumbling-window aggregate (`q_stream_tumbling` semantics):
+    works identically on a batch or streaming DataFrame — the engine's
+    batch oracle checks the same plan the stream runs."""
+    keys = [F.window(F.col(ts_col), window_len).alias("win")] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[c for c in out.columns if c != "win"],
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Session-window aggregate (gap-based; SURVEY §2.11 stretch).
+    `F.session_window` merges events separated by < gap into one
+    session per key — Spark's native stateful session operator."""
+    gkeys = [F.session_window(F.col(ts_col), gap).alias("win")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    out = df.groupBy(*gkeys).agg(*aggs)
+    return out.select(
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        *[c for c in out.columns if c != "win"],
+    )
+
+
+def start_append_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+):
+    """S6: the bronze append sink (`ingest_stream.py:99-114`) —
+    checkpointed, partitioned, append-only. Delta in production;
+    parquet here. `availableNow` drains all pending input then stops
+    (the testable trigger)."""
+    writer = (
+        df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", path)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def start_foreach_batch_merge(
+    df: DataFrame,
+    spark: SparkSession,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+    available_now: bool = False,
+):
+    """Streaming-silver via foreachBatch→MERGE — the reference's own
+    "planned improvement" (`SYSTEM_DESIGN.md:850`). Each micro-batch
+    is first deduped to the latest row per key (row_number over
+    ``order_col``), then upserted into the target. With delta-spark
+    installed this is a real MERGE; the fallback rewrites parquet via
+    the engine's anti-join upsert (correct, but full-rewrite — Delta
+    is the production path at scale)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.merge import merge_upsert
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch = batch.dropDuplicates(keys)
+        try:
+            from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.merge import delta_merge_upsert
+
+            delta_merge_upsert(spark, target_path, batch, keys)
+            return
+        except ImportError:
+            pass
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch, keys)
+        else:
+            merged = batch
+        staged = target_path + "._staged"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        os.replace(staged, target_path)
+
+    writer = df.writeStream.foreachBatch(_process).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

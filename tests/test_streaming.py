@@ -1,0 +1,176 @@
+"""Structured Streaming tests — deterministic file micro-batches.
+
+Stream-only semantics (watermark late-drop, checkpointed append,
+foreachBatch merge) aren't DuckDB-oracle-checkable (SURVEY §7 risks);
+these tests drive them with known file sequences instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.ingest import (
+    EVENTS_SCHEMA,
+    read_file_stream,
+    stamp_bronze,
+    start_append_sink,
+    start_foreach_batch_merge,
+    tumbling_agg,
+    with_watermark,
+)
+
+
+def _write_json(path: str, rows: list[dict], mtime: float) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def _ev(i, ts, user=1, etype="click", value=1.0):
+    return {
+        "event_id": i, "ts": ts, "user_id": user,
+        "event_type": etype, "value": value, "props": "{}",
+    }
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    """The tumbling plan produces identical results via writeStream
+    and via plain batch execution (same-plan guarantee behind
+    q_stream_tumbling's batch oracle)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        _ev(1, "2024-01-01 10:05:00"),
+        _ev(2, "2024-01-01 10:50:00"),
+        _ev(3, "2024-01-01 11:10:00"),
+        _ev(4, "2024-01-01 11:20:00"),
+    ]
+    _write_json(str(src / "a.json"), rows, time.time())
+
+    stream = tumbling_agg(read_file_stream(spark, str(src)), "1 hour")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].isoformat(): r["n_events"]
+        for r in spark.table("tumbling_smoke").collect()
+    }
+    batch = tumbling_agg(spark.read.schema(EVENTS_SCHEMA).json(str(src)), "1 hour")
+    want = {r["window_start"].isoformat(): r["n_events"] for r in batch.collect()}
+    assert got == want == {"2024-01-01T10:00:00": 2, "2024-01-01T11:00:00": 2}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 10-min watermark: a row
+    arriving after the watermark passed its window end is dropped
+    (the SYSTEM_DESIGN.md:364-371 behavior the reference never
+    shipped). Two micro-batches via maxFilesPerTrigger=1."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    now = time.time()
+    # mb0: two rows in [10:00, 11:00) and one at 12:30 → watermark
+    # advances to 12:20, past the 11:00 window end.
+    _write_json(
+        str(src / "b1.json"),
+        [_ev(1, "2024-01-01 10:05:00"), _ev(2, "2024-01-01 10:50:00"),
+         _ev(3, "2024-01-01 12:30:00")],
+        now - 120,
+    )
+    # mb1: fresh row only; the [10,11) window finalizes (emit 2) here
+    # because Spark's late-event filter lags the eviction watermark by
+    # one batch (watermarkForLateEvents = previous batch's watermark).
+    _write_json(str(src / "b2.json"), [_ev(5, "2024-01-01 12:40:00")], now - 60)
+    # mb2: a LATE row for the closed window + a fresh row. Without the
+    # watermark drop this would re-open [10,11) and append-emit a
+    # spurious second row for that window.
+    _write_json(
+        str(src / "b3.json"),
+        [_ev(4, "2024-01-01 10:55:00"), _ev(6, "2024-01-01 12:50:00")],
+        now,
+    )
+    stream = tumbling_agg(
+        with_watermark(read_file_stream(spark, str(src), max_files_per_trigger=1)),
+        "1 hour",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("late_drop").collect()
+    emitted = [(r["window_start"].isoformat(), r["n_events"]) for r in rows]
+    # The 10:00 window finalized ONCE with 2 rows — late event 4 was
+    # dropped and did not re-open the window.
+    assert emitted.count(("2024-01-01T10:00:00", 2)) == 1
+    assert len([e for e in emitted if e[0] == "2024-01-01T10:00:00"]) == 1
+    # The 12:00 window never finalized (watermark never passed 13:00).
+    assert all(e[0] != "2024-01-01T12:00:00" for e in emitted)
+
+
+def test_bronze_append_sink_and_stamping(spark, tmp_path):
+    """End-to-end bronze: file stream → stamp → partitioned append
+    sink with checkpoint (ingest_stream.py:84-114 semantics)."""
+    src, out, ckpt = tmp_path / "s", tmp_path / "bronze", tmp_path / "ckpt"
+    src.mkdir()
+    _write_json(
+        str(src / "a.json"),
+        [_ev(1, "2024-01-01 10:05:00"), _ev(2, "2024-01-02 09:00:00")],
+        time.time(),
+    )
+    stamped = stamp_bronze(read_file_stream(spark, str(src)))
+    q = start_append_sink(
+        stamped, str(out), str(ckpt), partition_by=["event_date"], available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2
+    assert {r["event_date"].isoformat() for r in got.select("event_date").collect()} == {
+        "2024-01-01", "2024-01-02",
+    }
+    assert got.filter(F.col("_source_system") == "events-stream").count() == 2
+    # Partition directories exist → event-date pruning works on read.
+    assert (out / "event_date=2024-01-01").exists()
+
+
+def test_foreach_batch_merge_upserts(spark, tmp_path):
+    """Streaming-silver: two micro-batches of upserts land in the
+    target with latest-per-key semantics and idempotent keys."""
+    src, tgt, ckpt = tmp_path / "s2", tmp_path / "silver", tmp_path / "ckpt2"
+    src.mkdir()
+    now = time.time()
+    _write_json(
+        str(src / "b1.json"),
+        [_ev(1, "2024-01-01 10:00:00", value=1.0), _ev(2, "2024-01-01 10:01:00", value=2.0)],
+        now - 60,
+    )
+    _write_json(
+        str(src / "b2.json"),
+        # update for key 1 (later ts) + new key 3
+        [_ev(1, "2024-01-01 11:00:00", value=10.0), _ev(3, "2024-01-01 11:01:00", value=3.0)],
+        now,
+    )
+    q = start_foreach_batch_merge(
+        read_file_stream(spark, str(src), max_files_per_trigger=1),
+        spark,
+        str(tgt),
+        keys=["event_id"],
+        checkpoint=str(ckpt),
+        order_col="ts",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(str(tgt)).collect()}
+    assert got == {1: 10.0, 2: 2.0, 3: 3.0}
