@@ -1,0 +1,170 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, cheapest first — the standard corpus-dedup funnel:
+
+1. **Exact** — hash-groupBy on the normalized-text fingerprint; one
+   shuffle on a 128-bit key, no comparisons.
+2. **MinHash + LSH** — shingle → k-permutation MinHash → banded
+   bucket-join; candidate pairs verified with exact Jaccard. The only
+   pairwise work happens inside LSH buckets, so cost scales with
+   collision volume, not n².
+3. **SimHash** — 16-bit frequency-weighted bit votes; near-dups are
+   Hamming-close signatures (bit_count(xor) ≤ d), joinable by
+   signature halves.
+4. **n-gram Jaccard** — exact token-set similarity; the ground truth
+   the approximate tiers are measured against (sampled — O(n²)).
+
+All signatures are row-local Catalyst expressions (ext/text.py); the
+joins are the only shuffles. At 100 TB: fingerprint dedup is one
+shuffle; LSH explodes each doc into `bands` rows (4×) and shuffles
+those — still linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import (
+    LSH_BANDS,
+    MINHASH_K,
+    SIMHASH_BITS,
+    fingerprint,
+    hash60,
+    lsh_band_keys,
+    minhash_signature,
+    norm_text,
+    tokens,
+)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Map every doc to its canonical (minimum-id) representative by
+    normalized-text fingerprint. `is_dup` marks rows a dedup pass
+    would drop. Window over the fingerprint = one hash shuffle."""
+    w = Window.partitionBy("fp")
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+        .select(id_col, "fp", "canonical_id", "group_size", "is_dup")
+    )
+
+
+def jaccard(tokens_a, tokens_b):
+    """Exact token-set Jaccard of two (already-distinct) arrays."""
+    inter = F.size(F.array_intersect(tokens_a, tokens_b))
+    union = F.size(F.array_union(tokens_a, tokens_b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Brute-force pairwise token-set Jaccard ≥ threshold.
+
+    O(n²) by construction — the exactness baseline for the LSH tier,
+    run on a deterministic `id % sample_mod == 0` sample. Never run
+    unsampled at scale; that's what LSH is for."""
+    t = df.select(
+        F.col(id_col), F.array_distinct(tokens(norm_text(F.col(text_col)))).alias("toks")
+    )
+    if sample_mod is not None:
+        t = t.filter(F.col(id_col) % sample_mod == 0)
+    a = t.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with
+    exact Jaccard ≥ threshold.
+
+    Plan: one scan computes (signature, band keys, distinct tokens);
+    posexplode to (doc, band_idx, key); self-join on the band bucket;
+    distinct pairs; verify. The verify join carries the token arrays
+    with the pair rows, so no extra lookup join is needed."""
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens(norm_text(F.col(text_col)))).alias("toks"),
+        lsh_band_keys(minhash_signature(F.col(text_col), k=k), bands=bands, k=k).alias(
+            "bands"
+        ),
+    )
+    exploded = base.select(
+        id_col, "toks", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), "band_idx", "band_key"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), "band_idx", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "toks_a", "toks_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Frequency-weighted SimHash: every token occurrence votes ±1 per
+    bit according to its 60-bit hash; bit = 1 where the vote sum is
+    positive. Explode + one groupBy shuffle on the doc id — at scale
+    prefer running it fused with other per-doc aggregations."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(norm_text(F.col(text_col)))).alias("tok")
+    ).withColumn("h", hash60(F.col("tok")))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    bits: int = SIMHASH_BITS, sample_mod: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    Sampled brute-force form; the scale path blocks on signature
+    halves (two docs within d bits share at least one exact half when
+    d < bits/2 — pigeonhole)."""
+    s = simhash(df, id_col, text_col, bits)
+    if sample_mod is not None:
+        s = s.filter(F.col(id_col) % sample_mod == 0)
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

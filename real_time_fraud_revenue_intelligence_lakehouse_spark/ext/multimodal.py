@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `BinaryType` columns
+with a typed metadata struct — the lakehouse pattern for multimodal
+training data (the bytes stay opaque to Catalyst; metadata drives
+partitioning, filtering, and sampling). The *decode* step (real image
+/ audio libs) is NOT available in this container, so:
+
+- the Spark-side plumbing — schema, batch iteration, Arrow transfer,
+  UDF signatures, output schema — is REAL and tested;
+- the codec call itself is stubbed: `decode_features` computes
+  deterministic byte-level features, and raising `real_decode=True`
+  hits the clearly-marked NotImplementedError seam where PIL /
+  torchaudio / ffmpeg would plug in.
+
+Scale: `mapInPandas` streams Arrow record batches through one Python
+worker per core with constant memory; binary payloads never pass
+through the driver. Decode-heavy stages should `repartition` to the
+cluster's GPU/CPU budget first and write back columnar features, not
+raw bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: Metadata struct carried next to every binary payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+#: Output schema of the (stubbed) decode/feature-extract stage.
+DECODE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("last_byte", T.IntegerType()),
+        T.StructField("byte_sum_mod", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build the multimodal column pair from the documents table:
+    payload = UTF-8 bytes of the text (deterministic stand-in for
+    image/audio bytes), metadata = typed struct with fake-but-
+    deterministic dimensions derived from a 60-bit content hash."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        hash60(F.col(text_col)).alias("_h"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.encode(F.col("_txt"), "UTF-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.col("_txt")).cast("long").alias("byte_len"),
+            F.when(F.col(id_col) % 2 == 0, "image/png").otherwise("audio/wav").alias("mime"),
+            (F.col("_h") % 1920).cast("int").alias("width"),
+            # integer div — h exceeds double mantissa, so no `/`
+            F.expr("(_h div 1920) % 1080").cast("int").alias("height"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Feature-extract over binary payloads via mapInPandas.
+
+    Arrow-batched: each partition arrives as an iterator of pandas
+    DataFrames; we emit one feature row per payload. ``real_decode``
+    marks the seam where an actual codec (PIL, torchaudio, ffmpeg)
+    would decode `payload` — unavailable in this container.
+    """
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real codec decode (PIL/torchaudio/ffmpeg) is stubbed in "
+                    "this environment; deterministic byte features only"
+                )
+            payloads = batch["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "byte_len": payloads.map(len),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1),
+                    "byte_sum_mod": payloads.map(lambda b: sum(b) % 997),
+                    "n_frames": payloads.map(lambda b: len(b) % 10 + 1),
+                }
+            )
+
+    return df.mapInPandas(extract, DECODE_FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling stand-in: keep every ``every_n``-th payload by
+    content hash — the shape of a video frame-sampling stage (filter
+    before decode, so skipped frames never reach the codec)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+
+    return df.filter(hash60(F.base64(F.col("payload"))) % every_n == 0)

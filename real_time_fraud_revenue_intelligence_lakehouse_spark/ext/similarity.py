@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers (BASELINE.json extension surface):
+
+- **Brute-force cosine top-k** — the exactness baseline: query set ×
+  corpus cross join, JVM-native dot products via `zip_with` +
+  `aggregate` (no Python boundary), `row_number` top-k. O(|Q|·n) —
+  fine when |Q| is small or n is pre-filtered.
+- **Hyperplane-LSH ANN** — sign-bit bucketing against a deterministic
+  set of pseudo-random hyperplanes (seeded from md5, so the oracle
+  can reproduce them bit-for-bit). Candidates = same-bucket rows;
+  search cost drops to the bucket's share of the corpus. The recall /
+  cost trade is the number of planes (here 6 ⇒ 64 buckets).
+
+At 100 TB: the corpus side partitions by bucket (or IVF cell) so each
+query only shuffles to its candidate partitions; the brute-force tier
+becomes a broadcast of the (small) query set against a bucketed scan.
+All arithmetic is double-precision with sequential folds, matching
+DuckDB's list_dot_product accumulation order for oracle parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Multi-table LSH geometry: L tables of r planes each. A table's
+#: bucket must match on ALL r sign bits (AND); a candidate needs to
+#: match in ANY table (OR) — the classic amplification that trades
+#: index size (L copies) for recall. For sign-random-projection the
+#: per-plane agreement probability is 1 − θ/π, so r and L set the
+#: recall curve; r=4, L=8 gives ~0.5-0.8 on mid-similarity neighbors.
+N_TABLES = 8
+PLANES_PER_TABLE = 4
+EMBED_DIM = 64
+
+
+def _plane_value(table: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1):
+    md5-seeded so Python, Spark literals, and oracle SQL agree."""
+    h = hashlib.md5(f"plane:{table}:{plane}:{dim}".encode()).hexdigest()
+    return (int(h[:15], 16) % 2000) / 1000.0 - 1.0
+
+
+def hyperplanes(
+    table: int, n_planes: int = PLANES_PER_TABLE, dim: int = EMBED_DIM
+) -> list[list[float]]:
+    return [[_plane_value(table, p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def as_double(vec: Column) -> Column:
+    """float32 → float64 once, so all downstream arithmetic is double
+    (Spark would otherwise multiply in single precision, drifting from
+    the oracle's double accumulation)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product: aggregate(zip_with(a,b,*), +)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query vector. Ties break on corpus id so
+    results are deterministic; similarity is rounded *before* ranking
+    so the order the oracle sees is the order Spark ranked by."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            det_round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine_sim", "rank")
+    )
+
+
+def lsh_table_bucket(vec: Column, table: int) -> Column:
+    """One table's bucket id: sign bits of r plane dots, offset into
+    the table's own id space (table * 2^r + bits) so bucket ids never
+    collide across tables."""
+    planes = hyperplanes(table)
+    out = F.lit(table * (1 << len(planes)))
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(v) for v in plane])
+        out = out + F.when(dot(vec, lit) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def lsh_buckets(vec: Column, n_tables: int = N_TABLES) -> Column:
+    """All L bucket ids for a vector (one per table)."""
+    return F.array(*[lsh_table_bucket(vec, t) for t in range(n_tables)])
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to LSH
+    candidates — rows sharing a bucket with the query in ANY of the L
+    tables. The bucket explode (L rows per vector) + equi-join
+    replaces the cross join; candidates dedup before scoring so each
+    pair is scored once. At 100 TB the corpus side is written
+    bucket-partitioned, so a query touches only its L buckets'
+    partitions."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", F.explode(lsh_buckets(F.col("qv"), n_tables)))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", F.explode(lsh_buckets(F.col("cv"), n_tables)))
+    cand = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "qv", "match_id", "cv")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "match_id",
+        det_round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,186 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Engine extensions beyond the reference (BASELINE.json): language-ID
+(stopword n-gram heuristic), quality scoring (length / punctuation /
+stopword / uniqueness ratios), token counting (whitespace and a
+BPE-ish regex), and document fingerprinting (normalization hash,
+MinHash signatures, SimHash).
+
+All relational-core operators are JVM-native Catalyst expressions —
+zero Python UDFs — so they stay inside whole-stage codegen and scale
+to 100 TB document corpora: every function here is row-local (narrow,
+no shuffle) except SimHash's optional explode path.
+
+Hashing convention: portable 60-bit integers via
+``conv(substr(md5(x), 1, 15), 16, 10)`` — bit-identical in DuckDB
+(``('0x' || substr(md5(x),1,15))::BIGINT``), which is what makes the
+MinHash/SimHash oracles exact. md5 is the *portable* choice for the
+oracle gate; at production scale swap ``HASH64 = xxhash64`` (one
+line) for ~5× cheaper hashing with identical plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Shared constants (catalog_ext embeds the same values in oracle SQL).
+# --------------------------------------------------------------------------
+
+#: Tiny per-language stopword lists for the n-gram lang-ID heuristic.
+#: Order = deterministic tie-break priority (first wins).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"),
+}
+
+#: MinHash defaults: k salted-hash permutations, banded for LSH.
+MINHASH_K = 8
+LSH_BANDS = 4  # rows per band = MINHASH_K // LSH_BANDS = 2
+
+SIMHASH_BITS = 16
+
+TOKEN_SPLIT = r"\s+"
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+PUNCT_RE = r"[^\w\s]"
+
+
+def norm_text(c: Column) -> Column:
+    """Normalization for fingerprinting: lowercase, trim, collapse
+    whitespace — dedup should not distinguish formatting variants."""
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of the trimmed text."""
+    return F.split(F.trim(c), TOKEN_SPLIT)
+
+
+def hash60(c: Column) -> Column:
+    """Portable 60-bit hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def token_count_ws(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def token_count_bpe(c: Column) -> Column:
+    """BPE-ish token count: word runs + individual punctuation marks
+    (the pre-tokenizer split GPT-style BPE vocabularies assume)."""
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def punct_ratio(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(PUNCT_RE)) / F.greatest(F.length(c), F.lit(1))
+
+
+def unique_token_ratio(c: Column) -> Column:
+    t = tokens(c)
+    return F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1))
+
+
+def stopword_hits(c: Column, words: tuple[str, ...]) -> Column:
+    """How many distinct stopwords from ``words`` appear in the text
+    (set semantics — matches DuckDB list_intersect(list_distinct…))."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(norm_text(c))),
+            F.array(*[F.lit(w) for w in words]),
+        )
+    )
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-vote language ID: argmax of per-language distinct-
+    stopword hits, 'und' (undetermined) when no list scores > 0.
+    Ties break by LANG_STOPWORDS insertion order (deterministic)."""
+    scores = [(lang, stopword_hits(c, ws)) for lang, ws in LANG_STOPWORDS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # Build the WHEN ladder in reverse so earlier languages win ties.
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(c: Column) -> Column:
+    """Composite document-quality score in [0, 1]:
+
+        0.4·min(n_tokens/64, 1)     length credit
+      + 0.3·(1 − min(4·punct_ratio, 1))  punctuation penalty
+      + 0.3·unique_token_ratio      repetition penalty
+
+    The weights are engine policy (the reference has no text layer);
+    what matters is determinism and SQL-expressibility.
+    """
+    length_credit = F.least(token_count_ws(c) / F.lit(64.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(F.lit(4.0) * punct_ratio(c), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_credit
+        + F.lit(0.3) * punct_pen
+        + F.lit(0.3) * unique_token_ratio(c)
+    )
+
+
+def fingerprint(c: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return F.md5(norm_text(c))
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (space-joined); empty array when the
+    text has fewer than ``n`` tokens."""
+    t = tokens(norm_text(c))
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def minhash_signature(c: Column, k: int = MINHASH_K, n: int = 3) -> Column:
+    """k-permutation MinHash signature over token shingles.
+
+    Permutation j re-salts the shingle (`md5(j || ':' || shingle)`) —
+    portable across engines, unlike seeded xxhash. Row-local: no
+    shuffle, no state; the signature is the only thing that leaves
+    the row, so at 100 TB the corpus is scanned exactly once.
+    """
+    sh = shingles(c, n)
+
+    def salted(j: int):
+        # NB: the lambda must stay single-arg — PySpark passes the
+        # element *index* as a second argument to two-arg lambdas.
+        prefix = f"{j}:"
+        return lambda s: hash60(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, salted(j))).alias(f"mh{j}") for j in range(k)]
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int = LSH_BANDS, k: int = MINHASH_K) -> Column:
+    """Band the signature for LSH: band key = joined slice of the
+    signature. Docs sharing ANY band key become candidate pairs —
+    the classic r-rows-per-band AND/OR construction."""
+    r = k // bands
+    return F.array(
+        *[
+            F.concat_ws(",", *[sig[b * r + i].cast("string") for i in range(r)]).alias(
+                f"band{b}"
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash_bit_vote(token_hash: Column, bit: int) -> Column:
+    """±1 vote of one token's hash for one SimHash bit."""
+    return F.when(F.shiftright(token_hash, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -1,0 +1,486 @@
+"""M6 — LLM-pipeline extension queries (SURVEY §7 M6, BASELINE.json).
+
+Text analysis, dedup (exact / MinHash-LSH / SimHash / Jaccard), and
+embedding similarity (brute-force + hyperplane-LSH ANN) over the
+`documents` and `embeddings` tables. Every oracle below is *generated
+from the same constants* the Spark operators use (stopword lists,
+MinHash salts, LSH planes), so the DuckDB SQL reproduces the exact
+bit patterns — including the 60-bit md5 hashes and the pseudo-random
+hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import dedup as D
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity as S
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+# ---- SQL fragment builders (DuckDB twins of ext/text.py) -----------------
+
+NORM = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+TOKS = "regexp_split_to_array(trim({c}), '\\s+')"
+H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+R = "(floor(({c}) * {s} + 0.5) / {s})"  # det_round twin
+
+
+def _r(expr: str, digits: int = 4) -> str:
+    return R.format(c=expr, s=float(10**digits))
+
+
+NTOKS = TOKS.format(c="{c}")
+UNIQ_RATIO = (
+    f"len(list_distinct({TOKS.format(c='{c}')})) / greatest(len({TOKS.format(c='{c}')}), 1)"
+)
+PUNCT_RATIO = "len(regexp_extract_all({c}, '[^\\w\\s]')) / greatest(length({c}), 1)"
+
+# Shingle array (3-gram over normalized tokens), with the <3-token
+# single-shingle fallback ext/text.shingles uses.
+SHINGLES = (
+    "CASE WHEN len({t}) >= 3 THEN "
+    "list_transform(range(len({t}) - 2), i -> array_to_string(({t})[i+1:i+3], ' ')) "
+    "ELSE [array_to_string({t}, ' ')] END"
+)
+
+
+def _mh_sql(j: int, sh: str = "sh") -> str:
+    """MinHash permutation j: min over salted 60-bit shingle hashes."""
+    salted = H60.format(x="'%d:' || s" % j)
+    return f"list_min(list_transform({sh}, s -> {salted}))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({TOKS.format(c='text')}) AS n_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe,
+           {_r(UNIQ_RATIO.format(c='text'))} AS unique_ratio,
+           {_r(PUNCT_RATIO.format(c='text'))} AS punct_ratio
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (whitespace + BPE-ish regex) and the
+    uniqueness/punctuation ratios quality scoring builds on. Pure
+    row-local projection — one scan, no shuffle, codegen-friendly."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        X.token_count_ws(t).alias("n_tokens"),
+        X.token_count_bpe(t).alias("n_tokens_bpe"),
+        det_round(X.unique_token_ratio(t), 4).alias("unique_ratio"),
+        det_round(X.punct_ratio(t), 4).alias("punct_ratio"),
+    )
+
+
+def _lang_hits_sql(words: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    toks = TOKS.format(c=NORM.format(c="text"))
+    return f"len(list_intersect(list_distinct({toks}), {arr}))"
+
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN h_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in X.LANG_STOPWORDS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_lang_hits_sql(ws)} AS h_{lang}' for lang, ws in X.LANG_STOPWORDS.items())}
+      FROM documents
+    ),
+    best AS (
+      SELECT *, greatest({', '.join(f'h_{lang}' for lang in X.LANG_STOPWORDS)}) AS best
+      FROM hits
+    )
+    SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM best
+    """,
+    tags=("ext", "text"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID next to the table's ground-truth
+    `lang` column. Deterministic argmax with first-language-wins tie
+    break; 'und' when no stopword list matches. Row-local."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           {_r(
+               f"0.4 * least(len({TOKS.format(c='text')}) / 64.0, 1.0)"
+               f" + 0.3 * (1.0 - least(4.0 * ({PUNCT_RATIO.format(c='text')}), 1.0))"
+               f" + 0.3 * ({UNIQ_RATIO.format(c='text')})"
+           )} AS quality
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite length/punctuation/uniqueness quality score in [0,1]
+    (ext/text.quality_score) — the filter stage of a training-data
+    pipeline ranks or thresholds on this."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", det_round(X.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents)
+    SELECT doc_id,
+           md5({NORM.format(c='text')}) AS fp,
+           CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END AS n_shingles
+    FROM documents JOIN t USING (doc_id)
+    """,
+    tags=("ext", "text"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (md5 of lowercased collapsed text)
+    plus shingle cardinality — the exact-dedup key and the MinHash
+    input size."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp"),
+        F.size(X.shingles(F.col("text"))).alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5({NORM.format(c='text')}) AS fp FROM documents)
+    SELECT doc_id, fp,
+           min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+           count(*) OVER (PARTITION BY fp) AS group_size,
+           doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+    FROM fp
+    """,
+    tags=("ext", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: every doc mapped to its canonical minimum-id
+    representative by fingerprint. One hash shuffle on the 128-bit
+    key; the drop set is `is_dup`. (`dropDuplicates` gives the same
+    keep-set but nondeterministically — canonical-min is the
+    reproducible form.)"""
+    return D.exact_dedup_groups(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({TOKS.format(c=NORM.format(c='text'))}) AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.toks, b.toks))
+             / greatest(len(list_distinct(a.toks || b.toks)), 1) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))
+             / greatest(len(list_distinct(a.toks || b.toks)), 1) >= 0.4
+    """,
+    tags=("ext", "dedup"),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ 0.4 on a deterministic 10%
+    sample — the ground truth the MinHash tier approximates. O(n²)
+    on the sample by design (ext/dedup.jaccard_pairs docstring)."""
+    return D.jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.4, sample_mod=10,
+    )
+
+
+_SIG_COLS = ", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(X.MINHASH_K))
+
+
+@query(
+    "q_minhash_signature",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES.format(t='toks')} AS sh FROM t)
+    SELECT doc_id, {_SIG_COLS} FROM sh
+    """,
+    tags=("ext", "dedup"),
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 MinHash signature per document, one column per
+    permutation. Bit-identical across engines (portable salted-md5
+    60-bit hashing — ext/text.py module docstring)."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = X.minhash_signature(F.col("text"))
+    return d.select(
+        "doc_id", *[sig[j].alias(f"mh{j}") for j in range(X.MINHASH_K)]
+    )
+
+
+def _bands_sql() -> str:
+    r = X.MINHASH_K // X.LSH_BANDS
+    parts = []
+    for b in range(X.LSH_BANDS):
+        key = " || ',' || ".join(f"mh{b * r + i}::VARCHAR" for i in range(r))
+        parts.append(
+            f"SELECT doc_id, toks, {b} AS band_idx, {key} AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "q_lsh_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct(toks) AS toks, {SHINGLES.format(t='toks')} AS sh FROM t),
+    sig AS (SELECT doc_id, toks, {_SIG_COLS} FROM sh),
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(ta.toks, tb.toks))
+             / greatest(len(list_distinct(ta.toks || tb.toks)), 1) AS jaccard
+    FROM cand
+    JOIN sh ta ON ta.doc_id = id_a
+    JOIN sh tb ON tb.doc_id = id_b
+    WHERE len(list_intersect(ta.toks, tb.toks))
+             / greatest(len(list_distinct(ta.toks || tb.toks)), 1) >= 0.5
+    """,
+    tags=("ext", "dedup"),
+)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, banded 4×2, verified with exact
+    Jaccard ≥ 0.5. The full scale path: signatures row-local, bucket
+    self-join only within band collisions (ext/dedup.minhash_lsh_pairs).
+    The oracle reproduces the whole construction in SQL."""
+    return D.minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+_V_COLS = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(X.SIMHASH_BITS)
+)
+_BIT_SUM = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(X.SIMHASH_BITS)
+)
+
+
+@query(
+    "q_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKS.format(c=NORM.format(c='text'))}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {H60.format(x='tok')} AS h FROM tok),
+    votes AS (SELECT doc_id, {_V_COLS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_BIT_SUM} AS BIGINT) AS simhash FROM votes
+    """,
+    tags=("ext", "dedup"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit frequency-weighted SimHash per document (explode →
+    per-bit ±1 vote sums → bit assembly). One groupBy shuffle on
+    doc_id; at scale fuse with other per-doc aggregations."""
+    return D.simhash(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKS.format(c=NORM.format(c='text'))}) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {H60.format(x='tok')} AS h FROM tok),
+    votes AS (SELECT doc_id, {_V_COLS} FROM h GROUP BY doc_id),
+    s AS (
+      SELECT doc_id, CAST({_BIT_SUM} AS BIGINT) AS simhash FROM votes
+      WHERE doc_id % 5 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("ext", "dedup"),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 3 on a 20% sample
+    (brute-force form; the scale path blocks on signature halves —
+    ext/dedup.simhash_pairs)."""
+    return D.simhash_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3, sample_mod=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+_DBL = "list_transform({v}, x -> x::DOUBLE)"
+
+
+@query(
+    "q_embed_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DBL.format(v='embedding')} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, c.vec_id AS match_id,
+             {_r(_COS.format(a='qv', b='c.v'), 6)} AS cosine_sim
+      FROM q, e c WHERE c.vec_id <> query_id
+    )
+    SELECT query_id, match_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, match_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity"),
+)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5 —
+    JVM-native dot products (zip_with + sequential fold), similarity
+    rounded before ranking so ordering is deterministic, ties broken
+    by match id. The exactness baseline for the ANN tier."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def _table_bucket_sql(table: int) -> str:
+    """One LSH table's bucket id as SQL (mirror of lsh_table_bucket)."""
+    planes = S.hyperplanes(table)
+    terms = [str(table * (1 << len(planes)))]
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _buckets_sql() -> str:
+    return "[" + ", ".join(_table_bucket_sql(t) for t in range(S.N_TABLES)) + "]"
+
+
+@query(
+    "q_ann_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DBL.format(v='embedding')} AS v FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v, CAST(unnest({_buckets_sql()}) AS BIGINT) AS bucket FROM e
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+      FROM bucketed q JOIN bucketed c USING (bucket)
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             {_r(_COS.format(a='eq.v', b='ec.v'), 6)} AS cosine_sim
+      FROM cand
+      JOIN e eq ON eq.vec_id = query_id
+      JOIN e ec ON ec.vec_id = match_id
+    )
+    SELECT query_id, match_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, match_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("ext", "similarity"),
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-table hyperplane LSH (8 md5-seeded
+    tables × 4 planes): exact ranking over candidates that share ANY
+    table bucket with the query — OR-amplified recall, AND-sharpened
+    buckets. The bucket equi-join replaces the cross join — the
+    100 TB path. Recall vs the brute-force tier is asserted in
+    tests/test_ext.py."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return S.ann_topk(e, e.filter(F.col("vec_id") < 20), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, text, {H60.format(x='text')} AS h FROM documents)
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           CAST(h % 1920 AS INT) AS width,
+           CAST((h // 1920) % 1080 AS INT) AS height
+    FROM h
+    """,
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata for opaque binary media columns
+    (ext/multimodal.attach_binary): byte length + content-hash-derived
+    dimensions. The struct is flattened here so the oracle can check
+    each field; production keeps it nested for schema hygiene."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.multimodal import attach_binary
+
+    d = attach_binary(read_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "media_meta.*")
+
+
+@query("q_multimodal_decode", tags=("ext", "multimodal"))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode/feature-extract over binary payloads via
+    Arrow-batched mapInPandas (ext/multimodal.decode_features). No
+    SQL oracle — the Python batch boundary is the point; value
+    parity with JVM-side expressions is asserted in tests/test_ext.py."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.multimodal import (
+        attach_binary,
+        decode_features,
+    )
+
+    return decode_features(attach_binary(read_table(spark, sf_dir, "documents")))
