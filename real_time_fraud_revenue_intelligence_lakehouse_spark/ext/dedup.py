@@ -31,10 +31,9 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import (
     SIMHASH_BITS,
     fingerprint,
     hash60,
-    lsh_band_keys,
-    minhash_signature,
     norm_text,
     tokens,
+    with_minhash,
 )
 
 
@@ -95,33 +94,46 @@ def minhash_lsh_pairs(
     """Near-dup candidate pairs via banded MinHash LSH, verified with
     exact Jaccard ≥ threshold.
 
-    Plan: one scan computes (signature, band keys, distinct tokens);
-    posexplode to (doc, band_idx, key); self-join on the band bucket;
-    distinct pairs; verify. The verify join carries the token arrays
-    with the pair rows, so no extra lookup join is needed."""
-    base = df.select(
+    Plan: one scan computes (signature, band keys, distinct tokens)
+    via staged projections (ext/text.with_minhash — each stage
+    evaluated once per row); posexplode to (doc, band_idx, key);
+    self-join on the band bucket over *ids only* (candidate volume is
+    the quadratic part — keep those rows narrow); dedup pairs; THEN
+    attach token arrays once per unique pair for the Jaccard verify.
+    At 100 TB the bucket join dominates; pathological buckets (stop
+    shingles) should be capped or salted before the self-join."""
+    r = k // bands
+    sig = with_minhash(df.select(F.col(id_col), F.col(text_col)), id_col, text_col, k=k)
+    base = sig.select(
         F.col(id_col),
-        F.array_distinct(tokens(norm_text(F.col(text_col)))).alias("toks"),
-        lsh_band_keys(minhash_signature(F.col(text_col), k=k), bands=bands, k=k).alias(
-            "bands"
-        ),
+        F.array(
+            *[
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
+                )
+                for b in range(bands)
+            ]
+        ).alias("bands"),
     )
-    exploded = base.select(
-        id_col, "toks", F.posexplode("bands").alias("band_idx", "band_key")
-    )
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), "band_idx", "band_key"
-    )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), "band_idx", "band_key"
-    )
+    exploded = base.select(id_col, F.posexplode("bands").alias("band_idx", "band_key"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     cand = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "toks_a", "toks_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return cand.select(
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens(norm_text(F.col(text_col)))).alias("toks"),
+    )
+    pairs = cand.join(
+        toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")), "id_a"
+    ).join(
+        toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")), "id_b"
+    )
+    return pairs.select(
         "id_a", "id_b", jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 

@@ -132,17 +132,30 @@ def fingerprint(c: Column) -> Column:
     return F.md5(norm_text(c))
 
 
-def shingles(c: Column, n: int = 3) -> Column:
-    """Token n-gram shingles (space-joined); empty array when the
-    text has fewer than ``n`` tokens."""
-    t = tokens(norm_text(c))
+def shingles_of(t: Column, n: int = 3) -> Column:
+    """Token n-gram shingles from an (ideally already-projected)
+    token-array column; single whole-text shingle when the text has
+    fewer than ``n`` tokens.
+
+    Uses O(1) ``element_at`` lookups instead of ``slice`` — and the
+    caller should pass a *materialized column reference*, not a
+    nested expression: higher-order functions run interpreted (no
+    whole-stage codegen), so a nested `split(...)` here would be
+    re-evaluated once per shingle (measured 10× wall-clock at sf0.1).
+    """
     return F.when(
         F.size(t) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience form for
+    one-shot uses; hot paths should stage tokens first (with_minhash)."""
+    return shingles_of(tokens(norm_text(c)), n)
 
 
 def minhash_signature(c: Column, k: int = MINHASH_K, n: int = 3) -> Column:
@@ -154,15 +167,41 @@ def minhash_signature(c: Column, k: int = MINHASH_K, n: int = 3) -> Column:
     the row, so at 100 TB the corpus is scanned exactly once.
     """
     sh = shingles(c, n)
-
-    def salted(j: int):
-        # NB: the lambda must stay single-arg — PySpark passes the
-        # element *index* as a second argument to two-arg lambdas.
-        prefix = f"{j}:"
-        return lambda s: hash60(F.concat(F.lit(prefix), s))
-
     return F.array(
         *[F.array_min(F.transform(sh, salted(j))).alias(f"mh{j}") for j in range(k)]
+    )
+
+
+def salted(j: int):
+    """Permutation-j shingle hasher. NB: the lambda must stay
+    single-arg — PySpark passes the element *index* as a second
+    argument to two-arg lambdas."""
+    prefix = f"{j}:"
+    return lambda s: hash60(F.concat(F.lit(prefix), s))
+
+
+def with_minhash(df, id_col: str, text_col: str, k: int = MINHASH_K, n: int = 3):
+    """MinHash signature table ``(id_col, mh0..mh{k-1})`` via
+    explode → hash → min-aggregate.
+
+    Why not nested array expressions (minhash_signature)? Catalyst's
+    CollapseProject re-inlines projected expressions into every
+    consumer, so a signature referenced by 8 band keys recomputes the
+    whole shingle pipeline 8× (measured 10× wall-clock at sf0.1).
+    `explode` is a generator — evaluated exactly once per row — and
+    the min-agg is map-side-combinable, so each shingle is hashed
+    exactly k times and the shuffle carries k longs per doc. Linear,
+    parallel, and the idiomatic Spark shape for 100 TB corpora.
+    """
+    staged = df.select(F.col(id_col), tokens(norm_text(F.col(text_col))).alias("_toks"))
+    sh_rows = staged.select(
+        F.col(id_col), F.explode(shingles_of(F.col("_toks"), n)).alias("_s")
+    )
+    hashed = sh_rows.select(
+        id_col, *[salted(j)(F.col("_s")).alias(f"_h{j}") for j in range(k)]
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{j}").alias(f"mh{j}") for j in range(k)]
     )
 
 

@@ -165,12 +165,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization fingerprint (md5 of lowercased collapsed text)
     plus shingle cardinality — the exact-dedup key and the MinHash
-    input size."""
+    input size. Cardinality is arithmetic (size−n+1), not a
+    materialized shingle array."""
     d = read_table(spark, sf_dir, "documents")
+    n_toks = F.size(X.tokens(X.norm_text(F.col("text"))))
     return d.select(
         "doc_id",
         X.fingerprint(F.col("text")).alias("fp"),
-        F.size(X.shingles(F.col("text"))).alias("n_shingles"),
+        F.when(n_toks >= 3, n_toks - 2).otherwise(F.lit(1)).alias("n_shingles"),
     )
 
 
@@ -241,12 +243,11 @@ _SIG_COLS = ", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(X.MINHASH_K))
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=8 MinHash signature per document, one column per
     permutation. Bit-identical across engines (portable salted-md5
-    60-bit hashing — ext/text.py module docstring)."""
-    d = read_table(spark, sf_dir, "documents")
-    sig = X.minhash_signature(F.col("text"))
-    return d.select(
-        "doc_id", *[sig[j].alias(f"mh{j}") for j in range(X.MINHASH_K)]
-    )
+    60-bit hashing — ext/text.py module docstring). Explode →
+    min-agg form: each shingle hashed exactly k times, map-side
+    combine, k longs per doc on the shuffle."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.with_minhash(d, "doc_id", "text")
 
 
 def _bands_sql() -> str:
