@@ -1,0 +1,103 @@
+"""Physical-plan quality assertions — the 100 TB discipline, frozen.
+
+Each test pins a plan property that matters at scale and would
+silently regress otherwise: predicate pushdown reaching the parquet
+scan, column pruning, broadcast joins on dimension lookups (incl.
+anti-joins), velocity-as-window (one shuffle, not three self-joins),
+and partial (map-side) aggregation before the exchange.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = registry.all_queries()
+
+    def plan_of(name: str) -> str:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    return plan_of
+
+
+def test_filters_push_down_to_scan(plans):
+    p = plans("q_clean_filter")
+    assert "PushedFilters: [" in p
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "IsNotNull(o_orderkey)" in pushed
+    assert "GreaterThan(o_totalprice,0.0)" in pushed
+
+
+def test_column_pruning_reaches_scan(plans):
+    """q_topk projects 2 columns; the scan must not read all 9."""
+    p = plans("q_topk")
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_custkey" in schema and "o_totalprice" in schema
+    assert "o_comment" not in schema and "o_clerk" not in schema
+
+
+def test_dim_lookups_broadcast(plans):
+    """part/supplier lookups must be broadcast, never shuffled."""
+    p = plans("q_lookup_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_fk_anti_joins_broadcast(plans):
+    p = plans("q_dq_fk_orphans")
+    assert p.count("BroadcastHashJoin LeftAnti") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_velocity_is_single_window_not_self_joins(plans):
+    """SURVEY §2.3 J2: the reference's 3× band self-join re-expressed
+    as ONE range-frame window — one exchange on user_id, zero joins."""
+    p = plans("q_velocity_window")
+    assert "Window" in p
+    assert "Join" not in p
+    # formatted mode prints each node twice (tree + detail): count the
+    # tree entries only.
+    assert p.count("+- Exchange") == 1
+
+
+def test_revenue_daily_has_partial_aggregation(plans):
+    """Map-side combine before the shuffle: HashAggregate must appear
+    both below and above the Exchange."""
+    p = plans("q_revenue_daily")
+    lines = [l for l in p.splitlines() if l.strip().startswith(("+- HashAggregate", "+- Exchange", "HashAggregate", "Exchange"))]
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_relational_core_has_no_python_boundary(plans):
+    """Zero Python UDFs in the relational core (SURVEY §2.13 policy):
+    no BatchEvalPython / ArrowEvalPython nodes anywhere. (The only
+    sanctioned Python stage is q_multimodal_decode's mapInPandas.)"""
+    for q in ("q_revenue_daily", "q_clean_filter", "q_join_left",
+              "q_lookup_join", "q_lsh_pairs", "q_embed_topk"):
+        p = plans(q)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{q} crossed into Python"
+        )
+    assert "MapInPandas" in plans("q_multimodal_decode")
+
+
+def test_lsh_candidate_join_is_narrow(plans):
+    """The LSH self-join must shuffle only (id, band) rows — token
+    arrays attach after pair dedup (the sf0.1 197s→3s lesson)."""
+    p = plans("q_lsh_pairs")
+    # the band-bucket join appears before any token-array column
+    join_pos = p.find("Join")
+    assert join_pos != -1
+    assert "toks" not in p[:join_pos]
