@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,6 +108,26 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine_sim", "rank")
     )
+
+
+def cosine_pandas_udf():
+    """Arrow-vectorized cosine as a pandas UDF — the profiling
+    alternative to the JVM fold for very wide vectors (NumPy SIMD dot
+    beats an interpreted HOF fold past ~1k dims; at 64 dims the JVM
+    path wins by skipping the Python hop). Returns a scalar pandas
+    UDF (a, b) -> double; parity with :func:`cosine` is asserted in
+    tests/test_ext.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.stack(a.to_numpy())
+        bv = np.stack(b.to_numpy())
+        num = (av * bv).sum(axis=1)
+        den = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
+        return pd.Series(num / den)
+
+    return _cos
 
 
 def lsh_table_bucket(vec: Column, table: int) -> Column:

@@ -85,6 +85,22 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert hits / bf.count() >= 0.5
 
 
+def test_cosine_pandas_udf_parity(spark, sf_dir):
+    """The Arrow/NumPy cosine path must agree with the JVM fold to
+    float tolerance (different accumulation orders, same math)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    a = e.select(F.col("vec_id").alias("ia"), S.as_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), S.as_double(F.col("embedding")).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib")).limit(200)
+    cos_udf = S.cosine_pandas_udf()
+    rows = pairs.select(
+        S.cosine(F.col("va"), F.col("vb")).alias("jvm"),
+        cos_udf(F.col("va"), F.col("vb")).alias("py"),
+    ).collect()
+    assert rows
+    assert all(abs(r["jvm"] - r["py"]) < 1e-9 for r in rows)
+
+
 def test_cosine_self_similarity(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(5)
     v = S.as_double(F.col("embedding"))

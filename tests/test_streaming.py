@@ -145,6 +145,34 @@ def test_bronze_append_sink_and_stamping(spark, tmp_path):
     assert (out / "event_date=2024-01-01").exists()
 
 
+def test_multi_stream_concurrency(spark, tmp_path):
+    """S7 (`ingest_stream.py:126-138`): N independent streams run
+    concurrently in one session; the driver awaits them as a group.
+    Two file streams → two sinks, both drain under availableNow."""
+    outs = []
+    for topic in ("orders_t", "payments_t"):
+        src = tmp_path / f"src_{topic}"
+        src.mkdir()
+        _write_json(
+            str(src / "a.json"),
+            [_ev(1, "2024-01-01 10:00:00", etype=topic),
+             _ev(2, "2024-01-01 11:00:00", etype=topic)],
+            time.time(),
+        )
+        out, ckpt = tmp_path / f"out_{topic}", tmp_path / f"ck_{topic}"
+        q = start_append_sink(
+            stamp_bronze(read_file_stream(spark, str(src)), source_system=topic),
+            str(out), str(ckpt), available_now=True,
+        )
+        outs.append((topic, out, q))
+    for _, _, q in outs:
+        q.awaitTermination(120)
+    for topic, out, _ in outs:
+        got = spark.read.parquet(str(out))
+        assert got.count() == 2
+        assert got.filter(F.col("_source_system") == topic).count() == 2
+
+
 def test_foreach_batch_merge_upserts(spark, tmp_path):
     """Streaming-silver: two micro-batches of upserts land in the
     target with latest-per-key semantics and idempotent keys."""
