@@ -109,5 +109,6 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_ext,
     catalog_incremental,
     catalog_quality,
+    catalog_scoring,
     catalog_stream,
 )
