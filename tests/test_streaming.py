@@ -173,6 +173,51 @@ def test_multi_stream_concurrency(spark, tmp_path):
         assert got.filter(F.col("_source_system") == topic).count() == 2
 
 
+def test_stateful_running_profiles(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across
+    micro-batches (state survives batch boundaries and new keys join
+    cleanly)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+    now = time.time()
+    _write_json(
+        str(src / "b1.json"),
+        [_ev(1, "2024-01-01 10:00:00", user=7, value=2.0),
+         _ev(2, "2024-01-01 10:01:00", user=7, value=3.0),
+         _ev(3, "2024-01-01 10:02:00", user=9, value=5.0)],
+        now - 60,
+    )
+    _write_json(
+        str(src / "b2.json"),
+        [_ev(4, "2024-01-01 11:00:00", user=7, value=10.0),
+         _ev(5, "2024-01-01 11:01:00", user=11, value=1.0)],
+        now,
+    )
+    out = running_user_profiles(
+        read_file_stream(spark, str(src), max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r["user_id"], r["batch_events"], r["total_events"], r["total_value"])
+        for r in spark.table("profiles").collect()
+    ]
+    assert (7, 2, 2, 5.0) in rows          # user 7 after batch 1
+    assert (7, 1, 3, 15.0) in rows         # user 7 after batch 2 (state carried)
+    assert (9, 1, 1, 5.0) in rows          # user 9, batch 1 only
+    assert (11, 1, 1, 1.0) in rows         # new key in batch 2
+
+
 def test_foreach_batch_merge_upserts(spark, tmp_path):
     """Streaming-silver: two micro-batches of upserts land in the
     target with latest-per-key semantics and idempotent keys."""
