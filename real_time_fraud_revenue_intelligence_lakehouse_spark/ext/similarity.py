@@ -130,6 +130,88 @@ def cosine_pandas_udf():
     return _cos
 
 
+CENTROID_MOD = 37  # every 37th vector seeds an IVF centroid
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by
+    cosine (rounded before ranking; centroid-id tie-break). The
+    centroid side is broadcast — it's tiny by construction — so
+    assignment is a single narrow pass over the corpus."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    v = vectors.select(F.col(id_col), as_double(F.col("embedding")).alias("v"))
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "centroid_id",
+        det_round(cosine(F.col("v"), F.col("cv")), round_digits).alias("centroid_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("centroid_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select(id_col, "centroid_id", "crank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_mod: int = CENTROID_MOD,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single
+    nearest centroid's cell; a query probes its ``nprobe`` nearest
+    cells and ranks exactly within them.
+
+    Centroids are data-derived deterministically (every
+    ``centroid_mod``-th vector) — a stand-in for k-means that keeps
+    the oracle reproducible; swap the centroid source for trained
+    centroids without touching the search. At 100 TB the corpus is
+    written partitioned by centroid_id, so a query scans nprobe/|C|
+    of the data — the classic IVF cost model."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    centroids = corpus.filter(F.col(id_col) % centroid_mod == 0)
+    corpus_cells = ivf_assignments(corpus, centroids, nprobe=1, id_col=id_col).select(
+        F.col(id_col).alias("match_id"), "centroid_id"
+    )
+    query_cells = ivf_assignments(queries, centroids, nprobe=nprobe, id_col=id_col).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col("embedding")).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("match_id"), as_double(F.col("embedding")).alias("cv"))
+    cand = (
+        query_cells.join(corpus_cells, "centroid_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .distinct()
+    )
+    scored = cand.join(q, "query_id").join(c, "match_id").select(
+        "query_id",
+        "match_id",
+        det_round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine_sim", "rank")
+    )
+
+
 def lsh_table_bucket(vec: Column, table: int) -> Column:
     """One table's bucket id: sign bits of r plane dots, offset into
     the table's own id space (table * 2^r + bits) so bucket ids never

@@ -444,6 +444,53 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk(e, e.filter(F.col("vec_id") < 20), k=5)
 
 
+@query(
+    "q_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DBL.format(v='embedding')} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % {S.CENTROID_MOD} = 0),
+    assign AS (
+      SELECT vec_id, centroid_id, crank FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_r(_COS.format(a='e.v', b='cent.cv'), 6)} DESC, cent.centroid_id
+               ) AS crank
+        FROM e, cent
+      )
+    ),
+    corpus_cells AS (SELECT vec_id AS match_id, centroid_id FROM assign WHERE crank = 1),
+    query_cells AS (SELECT vec_id AS query_id, centroid_id FROM assign
+                    WHERE crank <= 2 AND vec_id < 20),
+    cand AS (
+      SELECT DISTINCT query_id, match_id
+      FROM query_cells JOIN corpus_cells USING (centroid_id)
+      WHERE query_id <> match_id
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             {_r(_COS.format(a='eq.v', b='ec.v'), 6)} AS cosine_sim
+      FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = match_id
+    )
+    SELECT query_id, match_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, match_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("ext", "similarity"),
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic data-derived centroids
+    (every 37th vector), corpus partitioned into nearest-centroid
+    cells, queries probe their 2 nearest cells and rank exactly
+    within them. The cell join replaces the cross join; at scale the
+    corpus is stored partitioned by centroid so a query reads
+    nprobe/|C| of the data (ext/similarity.ivf_topk)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < 20), k=5, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

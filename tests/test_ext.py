@@ -85,6 +85,18 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert hits / bf.count() >= 0.5
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=2 over ~14 cells: recall floor vs exact top-5.
+    (Probing 2/14 cells ≈ 14% of the corpus; near neighbors
+    concentrate in near cells, so recall lands far above that.)"""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    bf = S.brute_force_topk(e, q, k=5).select("query_id", "match_id")
+    ivf = S.ivf_topk(e, q, k=5, nprobe=2).select("query_id", "match_id")
+    hits = bf.join(ivf, ["query_id", "match_id"]).count()
+    assert hits / bf.count() >= 0.3
+
+
 def test_cosine_pandas_udf_parity(spark, sf_dir):
     """The Arrow/NumPy cosine path must agree with the JVM fold to
     float tolerance (different accumulation orders, same math)."""
