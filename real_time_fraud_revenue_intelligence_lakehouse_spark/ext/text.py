@@ -158,20 +158,6 @@ def shingles(c: Column, n: int = 3) -> Column:
     return shingles_of(tokens(norm_text(c)), n)
 
 
-def minhash_signature(c: Column, k: int = MINHASH_K, n: int = 3) -> Column:
-    """k-permutation MinHash signature over token shingles.
-
-    Permutation j re-salts the shingle (`md5(j || ':' || shingle)`) —
-    portable across engines, unlike seeded xxhash. Row-local: no
-    shuffle, no state; the signature is the only thing that leaves
-    the row, so at 100 TB the corpus is scanned exactly once.
-    """
-    sh = shingles(c, n)
-    return F.array(
-        *[F.array_min(F.transform(sh, salted(j))).alias(f"mh{j}") for j in range(k)]
-    )
-
-
 def salted(j: int):
     """Permutation-j shingle hasher. NB: the lambda must stay
     single-arg — PySpark passes the element *index* as a second
@@ -203,23 +189,3 @@ def with_minhash(df, id_col: str, text_col: str, k: int = MINHASH_K, n: int = 3)
     return hashed.groupBy(id_col).agg(
         *[F.min(f"_h{j}").alias(f"mh{j}") for j in range(k)]
     )
-
-
-def lsh_band_keys(sig: Column, bands: int = LSH_BANDS, k: int = MINHASH_K) -> Column:
-    """Band the signature for LSH: band key = joined slice of the
-    signature. Docs sharing ANY band key become candidate pairs —
-    the classic r-rows-per-band AND/OR construction."""
-    r = k // bands
-    return F.array(
-        *[
-            F.concat_ws(",", *[sig[b * r + i].cast("string") for i in range(r)]).alias(
-                f"band{b}"
-            )
-            for b in range(bands)
-        ]
-    )
-
-
-def simhash_bit_vote(token_hash: Column, bit: int) -> Column:
-    """±1 vote of one token's hash for one SimHash bit."""
-    return F.when(F.shiftright(token_hash, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -1,0 +1,40 @@
+"""Partitioned batch writes → partition-pruned reads (the SCALE.md
+storage-layout claim, demonstrated end-to-end)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import write_batch
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("order_year", F.year("o_orderdate"))
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_batch(orders, out, mode="overwrite", partition_by=["order_year"])
+
+    # physical layout: one directory per year
+    years = sorted(
+        p.name for p in (tmp_path / "orders_by_year").iterdir() if p.name.startswith("order_year=")
+    )
+    assert len(years) >= 5
+
+    back = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    # the year predicate must land in PartitionFilters (pruning), not
+    # as a post-scan Filter over all partitions
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "order_year" in pf_line and "1997" in pf_line
+
+    # and the values round-trip
+    want = orders.filter(F.col("order_year") == 1997).count()
+    assert back.count() == want > 0
