@@ -110,5 +110,6 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_incremental,
     catalog_quality,
     catalog_scoring,
+    catalog_sql,
     catalog_stream,
 )

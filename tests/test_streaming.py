@@ -145,6 +145,62 @@ def test_bronze_append_sink_and_stamping(spark, tmp_path):
     assert (out / "event_date=2024-01-01").exists()
 
 
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """S6's exactly-once contract: stop a checkpointed query, add new
+    input, restart with the SAME checkpoint — already-committed files
+    are not reprocessed, new files are, nothing duplicates."""
+    src, out, ckpt = tmp_path / "rsrc", tmp_path / "rout", tmp_path / "rck"
+    src.mkdir()
+    _write_json(str(src / "b1.json"), [_ev(1, "2024-01-01 10:00:00"),
+                                       _ev(2, "2024-01-01 10:01:00")], time.time())
+
+    def run_once():
+        q = start_append_sink(
+            stamp_bronze(read_file_stream(spark, str(src))),
+            str(out), str(ckpt), available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 2
+    # second input lands while the query is DOWN
+    _write_json(str(src / "b2.json"), [_ev(3, "2024-01-01 10:02:00")], time.time())
+    run_once()  # restart from checkpoint
+    ids = sorted(
+        r["event_id"] for r in spark.read.parquet(str(out)).select("event_id").collect()
+    )
+    assert ids == [1, 2, 3]  # 1,2 not reprocessed; 3 picked up
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dedup_stream: a duplicate event_id arriving in a later
+    micro-batch (within the watermark horizon) is dropped."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.ingest import dedup_stream
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    now = time.time()
+    _write_json(str(src / "b1.json"), [_ev(1, "2024-01-01 10:00:00"),
+                                       _ev(2, "2024-01-01 10:00:30")], now - 60)
+    _write_json(str(src / "b2.json"), [_ev(1, "2024-01-01 10:00:00"),   # dup of 1
+                                       _ev(3, "2024-01-01 10:01:00")], now)
+    deduped = dedup_stream(
+        with_watermark(read_file_stream(spark, str(src), max_files_per_trigger=1),
+                       delay="1 hour"),
+        ["event_id"],
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.table("dedup_smoke").collect())
+    assert ids == [1, 2, 3]
+
+
 def test_multi_stream_concurrency(spark, tmp_path):
     """S7 (`ingest_stream.py:126-138`): N independent streams run
     concurrently in one session; the driver awaits them as a group.
