@@ -132,6 +132,29 @@ def fingerprint(c: Column) -> Column:
     return F.md5(norm_text(c))
 
 
+#: Rolling-hash parameters (Rabin–Karp polynomial over tokens).
+ROLL_BASE = 31
+ROLL_MOD = (1 << 31) - 1  # Mersenne prime; base·mod stays < 2^63
+
+
+def rolling_hash(c: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over normalized tokens, h = fold(h·B + hash(tok) mod P).
+
+    Distinguishes permutations the set/minhash fingerprints collapse
+    (same tokens, different order ⇒ different hash). Sequential fold
+    ⇒ deterministic; DuckDB's `list_reduce` (which seeds with the
+    first element) matches Spark's `aggregate` with zero init because
+    0·B + t₁ = t₁. Row-local, no shuffle.
+    """
+    hashed = F.transform(tokens(norm_text(c)), lambda t: hash60(t) % ROLL_MOD)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_BASE + t) % ROLL_MOD,
+    )
+
+
 def shingles_of(t: Column, n: int = 3) -> Column:
     """Token n-gram shingles from an (ideally already-projected)
     token-array column; single whole-text shingle when the text has

@@ -176,6 +176,28 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLL_TOKS = f"list_transform({TOKS.format(c=NORM.format(c='text'))}, t -> {H60.format(x='t')} % 2147483647)"
+
+
+@query(
+    "q_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce({_ROLL_TOKS}, (acc, t) -> (acc * 31 + t) % 2147483647)
+             AS roll_hash
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document
+    (ext/text.rolling_hash) — same polynomial fold in both engines
+    (DuckDB list_reduce seeds with the first element; Spark aggregate
+    seeds with 0 — identical because 0·B + t₁ = t₁)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.rolling_hash(F.col("text")).alias("roll_hash"))
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

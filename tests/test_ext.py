@@ -60,6 +60,26 @@ def test_lsh_finds_planted_near_dups(spark):
     assert lsh <= planted | set(), "no false pairs should pass Jaccard verification"
 
 
+def test_rolling_hash_is_order_sensitive(spark):
+    """Same token multiset, different order ⇒ different rolling hash
+    (what the set-based fingerprints collapse); same text modulo
+    whitespace/case ⇒ same hash."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import rolling_hash
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),      # permutation of 1
+            (3, "  Alpha   BETA gamma "),  # normalization variant of 1
+        ],
+    )
+    h = {r["doc_id"]: r["rh"] for r in df.select(
+        "doc_id", rolling_hash(F.col("text")).alias("rh")).collect()}
+    assert h[1] != h[2]
+    assert h[1] == h[3]
+
+
 def test_simhash_close_for_near_dup(spark):
     df = _docs(
         spark,
