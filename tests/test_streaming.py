@@ -145,6 +145,51 @@ def test_bronze_append_sink_and_stamping(spark, tmp_path):
     assert (out / "event_date=2024-01-01").exists()
 
 
+def test_session_windows_in_stream(spark, tmp_path):
+    """Gap-based session windows under writeStream (the batch form is
+    oracle-checked as q_session_window): a 5-min gap splits a user's
+    events into sessions; sessions finalize (append-emit) once the
+    watermark passes their end."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.ingest import session_agg
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    now = time.time()
+    _write_json(
+        str(src / "b1.json"),
+        [_ev(1, "2024-01-01 10:00:00", user=7),
+         _ev(2, "2024-01-01 10:02:00", user=7),   # same session (gap < 5m)
+         _ev(3, "2024-01-01 10:30:00", user=7),   # new session
+         _ev(4, "2024-01-01 11:00:00", user=1)],  # advances watermark
+        now - 60,
+    )
+    # second batch pushes the watermark far enough to finalize all
+    # user-7 sessions (late-filter lags one batch behind eviction).
+    _write_json(str(src / "b2.json"), [_ev(5, "2024-01-01 11:30:00", user=1)], now)
+    stream = session_agg(
+        with_watermark(read_file_stream(spark, str(src), max_files_per_trigger=1)),
+        gap="5 minutes",
+        keys=["user_id"],
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat(), r["n_events"])
+        for r in spark.table("sessions").collect()
+        if r["user_id"] == 7
+    )
+    assert got == [
+        (7, "2024-01-01T10:00:00", "2024-01-01T10:07:00", 2),
+        (7, "2024-01-01T10:30:00", "2024-01-01T10:35:00", 1),
+    ]
+
+
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     """S6's exactly-once contract: stop a checkpointed query, add new
     input, restart with the SAME checkpoint — already-committed files
