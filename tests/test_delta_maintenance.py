@@ -24,6 +24,20 @@ def test_maintenance_sql_strings():
     assert vacuum_sql("/data/t", 24) == "VACUUM delta.`/data/t` RETAIN 24 HOURS"
 
 
+def test_avro_parse_gates_cleanly_without_jar(spark):
+    """No spark-avro jar here: the Avro ingest path must raise its
+    explicit gate error at analysis time, not a raw AnalysisException
+    deep in a stream."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.avro import (
+        AvroUnavailableError,
+        parse_avro_payload,
+    )
+
+    raw = spark.createDataFrame([(bytearray(b"x"),)], "value BINARY")
+    with pytest.raises(AvroUnavailableError):
+        parse_avro_payload(raw)
+
+
 def test_delta_ops_gate_cleanly_without_delta(spark):
     """No delta-spark in this container: every op must raise the
     explicit gate error, not an AttributeError mid-flight."""
