@@ -212,6 +212,83 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as DataFrame ops → (centroid_id, embedding).
+
+    Deterministic seeding (first k vectors by id); each iteration is
+    (1) nearest-centroid assignment via a broadcast cross join and
+    (2) element-wise mean by posexplode → groupBy(centroid, dim) →
+    re-assemble with an order-pinned sort. The driver loop only
+    schedules jobs — data never leaves the cluster, and each
+    iteration's shuffle is |corpus|·dim rows of (long, long, double).
+    Cache the corpus projection before calling when iterating more
+    than once or twice.
+
+    Trained centroids drop into :func:`ivf_topk` in place of the
+    modulo-seeded ones (same (id, embedding) shape); they are NOT
+    used by the oracle-checked query because float means depend on
+    partition order — training quality is pinned by the inertia test
+    in tests/test_ext.py instead."""
+    v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    w_seed = Window.orderBy(F.col(id_col))
+    cent = (
+        v.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= k)
+        .select((F.col("_rn") - 1).alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            "centroid_id",
+            cosine(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        wa = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+        assign = (
+            scored.withColumn("_r", F.row_number().over(wa))
+            .filter(F.col("_r") == 1)
+            .select(id_col, "centroid_id")
+        )
+        dims = (
+            v.join(assign, id_col)
+            .select("centroid_id", F.posexplode("v").alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+        )
+        cent = (
+            dims.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pairs"), lambda p: p["m"]).alias("cv"),
+            )
+        )
+    return cent.select("centroid_id", F.col("cv").alias(vec_col)).withColumnRenamed(
+        "centroid_id", id_col
+    )
+
+
+def kmeans_inertia(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> float:
+    """Mean (1 − cosine-to-nearest-centroid) over the corpus — the
+    quantity k-means iterations must not increase."""
+    v = corpus.select(F.col(id_col).alias("_vid"), as_double(F.col("embedding")).alias("v"))
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    best = (
+        v.crossJoin(F.broadcast(c))
+        .select("_vid", cosine(F.col("v"), F.col("cv")).alias("sim"))
+        .groupBy("_vid")
+        .agg(F.max("sim").alias("best"))
+    )
+    return float(best.agg(F.avg(F.lit(1.0) - F.col("best"))).collect()[0][0])
+
+
 def lsh_table_bucket(vec: Column, table: int) -> Column:
     """One table's bucket id: sign bits of r plane dots, offset into
     the table's own id space (table * 2^r + bits) so bucket ids never

@@ -105,6 +105,21 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert hits / bf.count() >= 0.5
 
 
+def test_kmeans_improves_inertia_and_plugs_into_ivf(spark, sf_dir):
+    """Lloyd iterations must not worsen the clustering objective, and
+    trained centroids must drop into ivf_assignments unchanged."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = S.kmeans_centroids(e, k=8, iters=0)
+    trained = S.kmeans_centroids(e, k=8, iters=2)
+    i0 = S.kmeans_inertia(e, seed)
+    i2 = S.kmeans_inertia(e, trained)
+    assert i2 <= i0 + 1e-9, (i0, i2)
+    cells = S.ivf_assignments(e, trained, nprobe=1)
+    assert cells.count() == e.count()
+    n_cells = cells.select("centroid_id").distinct().count()
+    assert 1 < n_cells <= 8
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF with nprobe=2 over ~14 cells: recall floor vs exact top-5.
     (Probing 2/14 cells ≈ 14% of the corpus; near neighbors
