@@ -60,6 +60,33 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None, times
     return reader.load(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    user: str | None = None,
+    password: str | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """S12: the reference's warehouse hop
+    (`revenue_aggregations.py:36-43` — `df.write.jdbc(url, "gold.<t>",
+    mode="overwrite", properties)`). The engine replaces Postgres with
+    Spark SQL views for querying (SURVEY §3.3), so this exists for
+    parity/export only; no JDBC driver ships in this container.
+
+    Executors open their own connections and insert in
+    ``batchsize`` row batches — at scale `repartition` the DataFrame
+    to the warehouse's tolerated connection count first (gold
+    aggregates are small; the hop is never the bottleneck)."""
+    props = {"batchsize": str(batch_size)}
+    if user is not None:
+        props["user"] = user
+    if password is not None:
+        props["password"] = password
+    df.write.jdbc(url, table, mode=mode, properties=props)
+
+
 def write_batch(
     df: DataFrame,
     path: str,

@@ -24,6 +24,17 @@ def test_maintenance_sql_strings():
     assert vacuum_sql("/data/t", 24) == "VACUUM delta.`/data/t` RETAIN 24 HOURS"
 
 
+def test_jdbc_sink_gates_without_driver(spark):
+    """S12 wrapper: without a JDBC driver jar the write raises the
+    driver-resolution error (cluster-only, like Delta/Avro)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import write_jdbc
+
+    df = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    with pytest.raises(Exception) as ei:
+        write_jdbc(df, "jdbc:postgresql://localhost:5432/nope", "gold.t")
+    assert "driver" in str(ei.value).lower()
+
+
 def test_avro_parse_gates_cleanly_without_jar(spark):
     """No spark-avro jar here: the Avro ingest path must raise its
     explicit gate error at analysis time, not a raw AnalysisException
