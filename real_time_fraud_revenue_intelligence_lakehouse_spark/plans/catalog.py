@@ -109,6 +109,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_ext,
     catalog_incremental,
     catalog_quality,
+    catalog_sampling,
     catalog_scd2,
     catalog_scoring,
     catalog_sql,
