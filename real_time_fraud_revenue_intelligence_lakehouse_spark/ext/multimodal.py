@@ -113,6 +113,43 @@ def decode_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     return df.mapInPandas(extract, DECODE_FEATURES_SCHEMA)
 
 
+def resize_media(df: DataFrame, target_w: int = 256, target_h: int = 256) -> DataFrame:
+    """Resize stage (stub): updates the metadata struct to the target
+    dimensions and re-emits a deterministically 'resized' payload
+    (byte-subsampled to the area ratio — a real codec resample is the
+    NotImplementedError seam in decode_features). The Spark shape is
+    the real thing: payload+metadata in, payload+metadata out,
+    row-local, streamable through mapInPandas."""
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            def shrink(b: bytes) -> bytes:
+                old_area = max(len(b), 1)
+                step = max(old_area // (target_w * target_h // 64 or 1), 1)
+                return b[::step]
+
+            batch = batch.copy()
+            batch["payload"] = batch["payload"].map(shrink)
+            meta = batch["media_meta"]
+            batch["media_meta"] = meta.map(
+                lambda m: {**m, "width": target_w, "height": target_h,
+                           "byte_len": None}
+            )
+            yield batch
+
+    out = df.mapInPandas(resize, df.schema)
+    # byte_len must reflect the new payload — recompute JVM-side.
+    return out.withColumn(
+        "media_meta",
+        F.struct(
+            F.octet_length(F.col("payload")).cast("long").alias("byte_len"),
+            F.col("media_meta.mime").alias("mime"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+        ),
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling stand-in: keep every ``every_n``-th payload by
     content hash — the shape of a video frame-sampling stage (filter

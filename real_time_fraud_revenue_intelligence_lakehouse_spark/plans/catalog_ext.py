@@ -412,6 +412,47 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+@query(
+    "q_embed_neardup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {_DBL.format(v='embedding')} AS v FROM embeddings
+      WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_r(_COS.format(a='a.v', b='b.v'), 6)} AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_r(_COS.format(a='a.v', b='b.v'), 6)} >= 0.35
+    """,
+    tags=("ext", "dedup", "similarity"),
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 5th dedup tier):
+    pairs above a cosine threshold on a deterministic 1/5 sample —
+    brute-force form; the scale path reuses the ANN index (candidates
+    from shared LSH buckets / IVF cells, then this exact filter).
+    Threshold 0.35 sits just under this corpus's max pairwise
+    similarity (~0.46) so the check returns real rows. Per-vector
+    norms are projected ONCE before the pair join (cosine =
+    dot/(norm_a·norm_b)), so the O(n²) stage runs one fold per pair
+    instead of three — the oracle's list_dot_product composition is
+    algebraically identical."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.similarity import as_double, dot, norm
+
+    e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    v = e.select(F.col("vec_id"), as_double(F.col("embedding")).alias("v")).select(
+        "vec_id", "v", norm(F.col("v")).alias("nrm")
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = det_round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+
+
 def _table_bucket_sql(table: int) -> str:
     """One LSH table's bucket id as SQL (mirror of lsh_table_bucket)."""
     planes = S.hyperplanes(table)

@@ -181,6 +181,17 @@ def test_multimodal_real_decode_is_stubbed(spark):
     )
 
 
+def test_resize_media_updates_payload_and_meta(spark):
+    df = M.attach_binary(_docs(spark, [(1, "x" * 4000), (2, "short doc")]))
+    out = {r["doc_id"]: r for r in M.resize_media(df, 16, 16).collect()}
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        assert r["media_meta"]["width"] == 16 and r["media_meta"]["height"] == 16
+        assert r["media_meta"]["byte_len"] == len(r["payload"])
+    # the big payload actually shrank
+    assert out[1]["media_meta"]["byte_len"] < 4000
+
+
 def test_frame_sample_is_deterministic_subset(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     binary = M.attach_binary(docs)
