@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round, exact_sum
 from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.merge import merge_upsert
 from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.velocity import velocity_rangeframe
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
@@ -405,3 +405,36 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("F").alias("o_orderstatus"),
     )
     return merge_upsert(target, source, ["o_orderkey"])
+
+
+# --- W: quartile banding (ntile) ------------------------------------------
+
+@query(
+    "q_ntile_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_spend
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, total_spend,
+           ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS spend_quartile
+    FROM spend
+    """,
+    tags=("window",),
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via ntile — the reference imports
+    ntile and never calls it (`build_fraud_features.py:19-24`, SURVEY
+    §2.5); the engine ships it as the segmentation banding the
+    import implies. Deterministic ordering (spend DESC, key) so both
+    engines cut identical quartiles; global ntile = single-partition
+    window — at 100 TB band per group (e.g. per event_date) or use
+    percent_rank on a pre-aggregated (small) table, as here: the
+    window runs over per-customer aggregates, not raw rows."""
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(exact_sum("o_totalprice", "total_spend"))
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey", "total_spend", F.ntile(4).over(w).alias("spend_quartile")
+    )
