@@ -181,9 +181,21 @@ def shingles(c: Column, n: int = 3) -> Column:
     return shingles_of(tokens(norm_text(c)), n)
 
 
+def perm_mask(j: int) -> int:
+    """Deterministic 60-bit XOR mask for MinHash permutation j
+    (md5-seeded, so oracle SQL reproduces it exactly)."""
+    import hashlib
+
+    return int(hashlib.md5(f"perm:{j}".encode()).hexdigest()[:15], 16)
+
+
 def salted(j: int):
-    """Permutation-j shingle hasher. NB: the lambda must stay
-    single-arg — PySpark passes the element *index* as a second
+    """Permutation-j shingle hasher via salted md5 — k independent
+    hashes, the textbook construction. Kept as the reference form;
+    the hot path (with_minhash) uses ONE md5 + XOR permutations
+    instead: 8× fewer digests for equivalent LSH behavior (XOR with
+    a constant is a bijection of the key space). NB: the lambda must
+    stay single-arg — PySpark passes the element *index* as a second
     argument to two-arg lambdas."""
     prefix = f"{j}:"
     return lambda s: hash60(F.concat(F.lit(prefix), s))
@@ -191,24 +203,30 @@ def salted(j: int):
 
 def with_minhash(df, id_col: str, text_col: str, k: int = MINHASH_K, n: int = 3):
     """MinHash signature table ``(id_col, mh0..mh{k-1})`` via
-    explode → hash → min-aggregate.
+    explode → one hash → k XOR permutations → min-aggregate.
 
-    Why not nested array expressions (minhash_signature)? Catalyst's
-    CollapseProject re-inlines projected expressions into every
-    consumer, so a signature referenced by 8 band keys recomputes the
-    whole shingle pipeline 8× (measured 10× wall-clock at sf0.1).
-    `explode` is a generator — evaluated exactly once per row — and
-    the min-agg is map-side-combinable, so each shingle is hashed
-    exactly k times and the shuffle carries k longs per doc. Linear,
-    parallel, and the idiomatic Spark shape for 100 TB corpora.
+    Two deliberate shapes for scale:
+
+    - `explode` + map-side-combined min-agg, NOT nested array
+      expressions: Catalyst's CollapseProject re-inlines projected
+      expressions into every consumer, so a signature referenced by
+      8 band keys would recompute the whole shingle pipeline 8×
+      (measured 10× wall-clock at sf0.1). The generator evaluates
+      once per row and the shuffle carries k longs per doc.
+    - ONE md5 per shingle, permuted by XOR with k md5-seeded 60-bit
+      masks (`perm_mask`), instead of k salted digests: XOR with a
+      constant is a bijection of the key space, so each mask induces
+      a valid min-wise permutation, at 1/k the digest cost. DuckDB's
+      `xor()` reproduces it exactly for the oracle.
     """
     staged = df.select(F.col(id_col), tokens(norm_text(F.col(text_col))).alias("_toks"))
     sh_rows = staged.select(
         F.col(id_col), F.explode(shingles_of(F.col("_toks"), n)).alias("_s")
     )
-    hashed = sh_rows.select(
-        id_col, *[salted(j)(F.col("_s")).alias(f"_h{j}") for j in range(k)]
-    )
+    hashed = sh_rows.select(id_col, hash60(F.col("_s")).alias("_h"))
     return hashed.groupBy(id_col).agg(
-        *[F.min(f"_h{j}").alias(f"mh{j}") for j in range(k)]
+        *[
+            F.min(F.col("_h").bitwiseXOR(F.lit(perm_mask(j)))).alias(f"mh{j}")
+            for j in range(k)
+        ]
     )

@@ -49,9 +49,10 @@ SHINGLES = (
 
 
 def _mh_sql(j: int, sh: str = "sh") -> str:
-    """MinHash permutation j: min over salted 60-bit shingle hashes."""
-    salted = H60.format(x="'%d:' || s" % j)
-    return f"list_min(list_transform({sh}, s -> {salted}))"
+    """MinHash permutation j: min over XOR-permuted shingle hashes
+    (one md5 per shingle, mask per permutation — ext/text.with_minhash)."""
+    h = H60.format(x="s")
+    return f"list_min(list_transform({sh}, s -> xor({h}, {X.perm_mask(j)})))"
 
 
 # ---------------------------------------------------------------------------
