@@ -680,3 +680,47 @@ def q_dashboard_today(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("customers_today"),
         )
     )
+
+
+# --- reshaping: pivot ------------------------------------------------------
+
+@query(
+    "q_pivot_status",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           cast(sum(cast(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END
+                         as decimal(18,2))) as double) AS "O",
+           cast(sum(cast(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END
+                         as decimal(18,2))) as double) AS "F",
+           cast(sum(cast(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END
+                         as decimal(18,2))) as double) AS "P"
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("aggregate", "reshape"),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GMV per month pivoted to one column per order status —
+    `df.groupBy().pivot(values).agg()`. Passing the pivot values
+    explicitly matters at scale: without them Spark runs an extra
+    distinct-scan job to discover the columns. The oracle is the
+    equivalent conditional aggregation (what pivot compiles to).
+    Decimal-accumulated sums keep columns deterministic; absent
+    (month, status) cells are zero-filled AFTER the pivot (wrapping
+    the agg expression itself breaks pivot's aggregate rewrite)."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    pivoted = base.groupBy("order_month").pivot("o_orderstatus", ["O", "F", "P"]).agg(
+        F.sum("price")
+    )
+    return pivoted.select(
+        "order_month",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("double").alias(s)
+            for s in ("O", "F", "P")
+        ],
+    )
