@@ -87,19 +87,25 @@ def brute_force_topk(
     so the order the oracle sees is the order Spark ranked by."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
+    # Norms projected once per side: the O(|Q|·n) stage then runs ONE
+    # fold per pair (dot) instead of three — algebraically identical
+    # to the oracle's per-pair cosine, bit-for-bit (same doubles).
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
             "match_id",
-            det_round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+            det_round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
@@ -146,14 +152,18 @@ def ivf_assignments(
     assignment is a single narrow pass over the corpus."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
-    v = vectors.select(F.col(id_col), as_double(F.col("embedding")).alias("v"))
+    v = vectors.select(
+        F.col(id_col), as_double(F.col("embedding")).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), as_double(F.col("embedding")).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col,
         "centroid_id",
-        det_round(cosine(F.col("v"), F.col("cv")), round_digits).alias("centroid_sim"),
+        det_round(
+            dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")), round_digits
+        ).alias("centroid_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("centroid_sim"), F.asc("centroid_id"))
     return (
@@ -191,8 +201,12 @@ def ivf_topk(
     query_cells = ivf_assignments(queries, centroids, nprobe=nprobe, id_col=id_col).select(
         F.col(id_col).alias("query_id"), "centroid_id"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col("embedding")).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("match_id"), as_double(F.col("embedding")).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), as_double(F.col("embedding")).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     cand = (
         query_cells.join(corpus_cells, "centroid_id")
         .filter(F.col("query_id") != F.col("match_id"))
@@ -202,7 +216,9 @@ def ivf_topk(
     scored = cand.join(q, "query_id").join(c, "match_id").select(
         "query_id",
         "match_id",
-        det_round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+        det_round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
     return (
@@ -326,20 +342,26 @@ def ann_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", F.explode(lsh_buckets(F.col("qv"), n_tables)))
+    ).withColumn("qn", norm(F.col("qv"))).withColumn(
+        "bucket", F.explode(lsh_buckets(F.col("qv"), n_tables))
+    )
     c = corpus.select(
         F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", F.explode(lsh_buckets(F.col("cv"), n_tables)))
+    ).withColumn("cn", norm(F.col("cv"))).withColumn(
+        "bucket", F.explode(lsh_buckets(F.col("cv"), n_tables))
+    )
     cand = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "qv", "match_id", "cv")
+        .select("query_id", "qv", "qn", "match_id", "cv", "cn")
         .dropDuplicates(["query_id", "match_id"])
     )
     scored = cand.select(
         "query_id",
         "match_id",
-        det_round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+        det_round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
     return (
