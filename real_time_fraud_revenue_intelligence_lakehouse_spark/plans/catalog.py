@@ -107,6 +107,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_gold,
     catalog_joins,
     catalog_ext,
+    catalog_heavy,
     catalog_incremental,
     catalog_quality,
     catalog_sampling,

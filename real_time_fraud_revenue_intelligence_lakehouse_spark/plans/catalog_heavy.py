@@ -1,0 +1,120 @@
+"""Heavy benchmark anchors — TPC-H-shaped pricing summary (Q1) and
+shipping priority (Q3) analogs over the full lineitem table.
+
+These are the two classic stress shapes the rest of the suite doesn't
+exercise at full weight: a 4-expression arithmetic chain over every
+lineitem row (scan + map-side aggregation throughput), and a
+3-way fact join with selective date filters and a top-k (join
+ordering + pushdown + partial topK). They anchor BENCH at sf0.1
+(lineitem ~600k rows) and are the queries whose plans matter most at
+100 TB — see the plan assertions in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+SUM_DEC = "cast(sum(cast({c} as decimal(38,4))) as double)"
+R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
+
+
+@query(
+    "q_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SUM_DEC.format(c='l_quantity')} AS sum_qty,
+           {SUM_DEC.format(c='l_extendedprice')} AS sum_base_price,
+           {SUM_DEC.format(c=R4.format(c='l_extendedprice * (1 - l_discount)'))} AS sum_disc_price,
+           {SUM_DEC.format(c=R4.format(c='l_extendedprice * (1 - l_discount) * (1 + l_tax)'))} AS sum_charge,
+           {R4.format(c=SUM_DEC.format(c='l_quantity') + ' / count(*)')} AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "heavy"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-lineitem scan, date predicate pushed to
+    parquet, 4 chained-arithmetic decimal sums + derived mean, 2-key
+    group (6 groups → the shuffle is bytes; throughput is pure scan +
+    map-side combine). Decimal(38,4) accumulators keep the chained
+    products order-free."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    dec = lambda c: c.cast("decimal(38,4)")
+    # chained double products are rounded with the portable floor
+    # formula BEFORE decimal accumulation: double->decimal casts use
+    # different tie-breaking across engines (HALF_UP vs half-even),
+    # which drifts over 600k rows; det_round is bit-identical.
+    disc_price = dec(det_round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+    charge = dec(det_round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 4
+    ))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        det_round(
+            F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg
+
+
+@query(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {SUM_DEC.format(c=R4.format(c='l.l_extendedprice * (1 - l.l_discount)'))} AS revenue,
+           cast(o.o_orderdate as date) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "heavy"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables (pushed
+    to each scan), customer⋈orders⋈lineitem, revenue aggregate per
+    order, deterministic top-10 (revenue DESC, key). At scale the
+    filtered customer side broadcasts and AQE re-plans the
+    orders⋈lineitem side from runtime stats; TakeOrderedAndProject
+    replaces a global sort for the LIMIT."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+    )
+    rev = det_round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(38,4)")
+    agg = joined.groupBy(
+        "l_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_orderpriority",
+    ).agg(F.sum(rev).cast("double").alias("revenue"))
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10).select(
+        "l_orderkey", "revenue", "order_date", "o_orderpriority"
+    )
