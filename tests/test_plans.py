@@ -93,6 +93,20 @@ def test_relational_core_has_no_python_boundary(plans):
     assert "MapInPandas" in plans("q_multimodal_decode")
 
 
+def test_pricing_summary_pushes_date_filter(plans):
+    p = plans("q_pricing_summary")
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed
+
+
+def test_shipping_priority_join_shape(plans):
+    """Q3 analog: filtered customer side broadcasts; the LIMIT
+    compiles to TakeOrderedAndProject, not a global sort."""
+    p = plans("q_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_lsh_candidate_join_is_narrow(plans):
     """The LSH self-join must shuffle only (id, band) rows — token
     arrays attach after pair dedup (the sf0.1 197s→3s lesson)."""
