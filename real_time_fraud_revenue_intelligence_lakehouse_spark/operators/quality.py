@@ -91,3 +91,38 @@ def run_suite(checks: list[DataFrame]) -> DataFrame:
     """Union all check rows and derive the pass flag."""
     out = reduce(lambda a, b: a.unionByName(b), checks)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def fused_counts(df: DataFrame, violations: dict[str, Column]) -> DataFrame:
+    """All same-table checks in ONE scan: a single aggregation
+    computes every violation count, then `stack` unpivots to the
+    suite's (check_name, violations, passed) shape.
+
+    This is the 100 TB form — run_suite over N per-check DataFrames
+    scans the table N times (fine at test scale, wasteful at
+    petabytes); fused_counts is plan-equivalent to N checks but
+    costs one pass. Join-based checks (FK) can't fuse and stay
+    separate."""
+    row = df.agg(
+        *[v.cast("long").alias(f"v{i}") for i, (_, v) in enumerate(violations.items())]
+    )
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, name in enumerate(violations)
+    )
+    out = row.selectExpr(
+        f"stack({len(violations)}, {stack_args}) as (check_name, violations)"
+    )
+    return out.withColumn("passed", F.col("violations") == 0)
+
+
+def not_null_violations(col: str) -> Column:
+    return F.count(F.when(F.col(col).isNull(), True))
+
+
+def unique_violations(col: str) -> Column:
+    return F.count(F.col(col)) - F.countDistinct(F.col(col))
+
+
+def range_violations(col: str, lo: float, hi: float) -> Column:
+    c = F.col(col)
+    return F.count(F.when((c < lo) | (c > hi), True))

@@ -44,6 +44,48 @@ def test_quality_fk(spark):
     assert _violations(check_fk(child, parent, "fk", "pk", "fk_test")) == 1
 
 
+def test_fused_counts_single_scan_equivalence(spark):
+    """fused_counts must produce exactly what the per-check
+    DataFrames produce — in one aggregation (one Exchange in the
+    plan) instead of one scan per check."""
+    import contextlib
+    import io
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.quality import (
+        fused_counts,
+        not_null_violations,
+        range_violations,
+        unique_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 200.0), (None, 50.0)], "k INT, amount DOUBLE"
+    )
+    fused = fused_counts(
+        df,
+        {
+            "not_null_k": not_null_violations("k"),
+            "unique_k": unique_violations("k"),
+            "range_amount": range_violations("amount", 0, 100),
+        },
+    )
+    got = {r["check_name"]: (r["violations"], r["passed"]) for r in fused.collect()}
+    assert got == {
+        "not_null_k": (1, False),
+        "unique_k": (1, False),
+        "range_amount": (2, False),
+    }
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fused.explain("formatted")
+    # one aggregation over one scan node — not three (count physical
+    # node entries, not raw text: formatted output repeats names)
+    import re
+
+    scan_nodes = [n for n in re.findall(r"\(\d+\) (\w[\w ]*)", buf.getvalue()) if "Scan" in n]
+    assert len(scan_nodes) == 1, scan_nodes
+
+
 def test_quality_suite_shape(spark):
     df = spark.createDataFrame([(1,), (None,)], "k INT")
     out = run_suite([check_not_null(df, "k"), check_unique(df, "k")]).collect()
