@@ -596,3 +596,63 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decode_features(attach_binary(read_table(spark, sf_dir, "documents")))
+
+
+@query(
+    "q_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({TOKS.format(c=NORM.format(c='text'))}) AS token FROM documents
+    )
+    SELECT token, count(*) AS freq FROM tok
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    tags=("ext", "text"),
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-20 (vocabulary profiling —
+    the first look at any new training corpus). Explode → count →
+    deterministic top-k (freq DESC, token). Map-side combine keeps
+    the shuffle at |vocab|, not |tokens|; at 100 TB add a frequency
+    floor (HAVING count > N) before the global top-k."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(X.tokens(X.norm_text(F.col("text")))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_source_profile",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           {_r(f"avg(cast(length(text) as double))")} AS avg_chars,
+           {_r(
+               f"avg(0.4 * least(len({TOKS.format(c='text')}) / 64.0, 1.0)"
+               f" + 0.3 * (1.0 - least(4.0 * ({PUNCT_RATIO.format(c='text')}), 1.0))"
+               f" + 0.3 * ({UNIQ_RATIO.format(c='text')}))"
+           )} AS avg_quality
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("ext", "text"),
+)
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: volume, language diversity, size,
+    and mean quality score — the triage table for deciding which
+    sources feed a training mix. One scan + one small-keyed shuffle;
+    the quality expression fuses into the same pass."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        det_round(F.avg(F.length("text").cast("double")), 4).alias("avg_chars"),
+        det_round(F.avg(X.quality_score(F.col("text"))), 4).alias("avg_quality"),
+    )
