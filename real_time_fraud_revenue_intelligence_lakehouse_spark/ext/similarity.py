@@ -305,6 +305,92 @@ def kmeans_inertia(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_i
     return float(best.agg(F.avg(F.lit(1.0) - F.col("best"))).collect()[0][0])
 
 
+def _planes_matrix(
+    n_tables: int = N_TABLES,
+    n_planes: int = PLANES_PER_TABLE,
+    dim: int = EMBED_DIM,
+) -> np.ndarray:
+    """All L·r hyperplanes as a (dim, L·r) float64 matrix, column
+    order = (table-major, plane-minor) matching :func:`lsh_buckets`."""
+    return np.array(
+        [
+            [_plane_value(t, p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    ).T
+
+
+def lsh_index_pandas(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """(id, bucket, vn): every LSH bucket id (L rows per vector) plus
+    the vector norm, in one Arrow-batched NumPy pass.
+
+    Accumulation is per-dimension (``acc += v[:, d] * P[d]``), i.e. the
+    SAME sequential IEEE addition order as the JVM fold in
+    :func:`dot` / :func:`norm` — every double, and therefore every
+    sign decision at a bucket boundary, is bit-identical to the
+    interpreted-HOF path (asserted in tests/test_ext.py). This is the
+    scale path: the fold costs L·r interpreted lambda evaluations per
+    vector; here the whole batch is dim fused multiply-adds."""
+    P = _planes_matrix(n_tables)
+    n_planes = PLANES_PER_TABLE
+    schema = f"{id_col} long, bucket long, vn double"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(pdf), P.shape[1]))
+            nrm = np.zeros(len(pdf))
+            for d in range(V.shape[1]):
+                acc += V[:, d : d + 1] * P[d]
+                nrm += V[:, d] * V[:, d]
+            nrm = np.sqrt(nrm)
+            bits = acc > 0
+            buckets = np.empty((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                b = np.full(len(pdf), t * (1 << n_planes), dtype=np.int64)
+                for p in range(n_planes):
+                    b += bits[:, t * n_planes + p] << p
+                buckets[:, t] = b
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "bucket": buckets.reshape(-1),
+                    "vn": np.repeat(nrm, n_tables),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def seq_dot_pandas_udf():
+    """Arrow dot product with per-dimension sequential accumulation —
+    bit-identical to the JVM fold :func:`dot` (unlike a NumPy
+    ``(a*b).sum(axis=1)``, whose pairwise summation can differ in the
+    last ulp and flip rounded values at ties)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.zeros(len(A))
+        for d in range(A.shape[1]):
+            num += A[:, d] * B[:, d]
+        return pd.Series(num)
+
+    return _dot
+
+
 def lsh_table_bucket(vec: Column, table: int) -> Column:
     """One table's bucket id: sign bits of r plane dots, offset into
     the table's own id space (table * 2^r + bits) so bucket ids never
@@ -330,39 +416,80 @@ def ann_topk(
     k: int = 5,
     round_digits: int = 6,
     n_tables: int = N_TABLES,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to LSH
     candidates — rows sharing a bucket with the query in ANY of the L
     tables. The bucket explode (L rows per vector) + equi-join
-    replaces the cross join; candidates dedup before scoring so each
-    pair is scored once. At 100 TB the corpus side is written
+    replaces the cross join; candidate ids dedup (a narrow 2-long
+    shuffle) before vectors are re-attached for scoring, so each pair
+    is scored once. At 100 TB the corpus side is written
     bucket-partitioned, so a query touches only its L buckets'
-    partitions."""
+    partitions.
+
+    ``use_arrow=True`` (default) computes the bucket index and the
+    pair dots in NumPy with sequential per-dimension accumulation —
+    bit-identical doubles to the JVM fold (``use_arrow=False``, kept
+    as the cross-check reference; equality asserted in
+    tests/test_ext.py) at a fraction of the interpreted-HOF cost."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv"))).withColumn(
-        "bucket", F.explode(lsh_buckets(F.col("qv"), n_tables))
-    )
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv"))).withColumn(
-        "bucket", F.explode(lsh_buckets(F.col("cv"), n_tables))
-    )
-    cand = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "qv", "qn", "match_id", "cv", "cn")
-        .dropDuplicates(["query_id", "match_id"])
-    )
-    scored = cand.select(
-        "query_id",
-        "match_id",
-        det_round(
-            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
-        ).alias("cosine_sim"),
-    )
+    if use_arrow:
+        q_idx = lsh_index_pandas(queries, id_col, vec_col, n_tables).select(
+            F.col(id_col).alias("query_id"), "bucket", F.col("vn").alias("qn")
+        )
+        c_idx = lsh_index_pandas(corpus, id_col, vec_col, n_tables).select(
+            F.col(id_col).alias("match_id"), "bucket", F.col("vn").alias("cn")
+        )
+        cand = (
+            q_idx.join(c_idx, "bucket")
+            .filter(F.col("query_id") != F.col("match_id"))
+            .select("query_id", "qn", "match_id", "cn")
+            .dropDuplicates(["query_id", "match_id"])
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        seq_dot = seq_dot_pandas_udf()
+        scored = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(cv, "match_id")
+            .select(
+                "query_id",
+                "match_id",
+                det_round(
+                    seq_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                    round_digits,
+                ).alias("cosine_sim"),
+            )
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ).withColumn("qn", norm(F.col("qv"))).withColumn(
+            "bucket", F.explode(lsh_buckets(F.col("qv"), n_tables))
+        )
+        c = corpus.select(
+            F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
+        ).withColumn("cn", norm(F.col("cv"))).withColumn(
+            "bucket", F.explode(lsh_buckets(F.col("cv"), n_tables))
+        )
+        cand = (
+            q.join(c, "bucket")
+            .filter(F.col("query_id") != F.col("match_id"))
+            .select("query_id", "qv", "qn", "match_id", "cv", "cn")
+            .dropDuplicates(["query_id", "match_id"])
+        )
+        scored = cand.select(
+            "query_id",
+            "match_id",
+            det_round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+            ).alias("cosine_sim"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -105,6 +105,18 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert hits / bf.count() >= 0.5
 
 
+def test_ann_arrow_path_bitwise_equals_jvm_fold(spark, sf_dir):
+    """The Arrow/NumPy LSH index accumulates per-dimension — the same
+    sequential IEEE addition order as the interpreted JVM fold — so
+    bucket ids, norms, and rounded similarities must be IDENTICAL
+    (not just close): same candidates, same ranks, same doubles."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    arrow = sorted(tuple(r) for r in S.ann_topk(e, q, k=5, use_arrow=True).collect())
+    jvm = sorted(tuple(r) for r in S.ann_topk(e, q, k=5, use_arrow=False).collect())
+    assert arrow == jvm
+
+
 def test_kmeans_improves_inertia_and_plugs_into_ivf(spark, sf_dir):
     """Lloyd iterations must not worsen the clustering objective, and
     trained centroids must drop into ivf_assignments unchanged."""
