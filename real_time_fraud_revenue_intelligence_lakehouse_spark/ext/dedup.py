@@ -69,18 +69,51 @@ def jaccard_pairs(
 
     O(n²) by construction — the exactness baseline for the LSH tier,
     run on a deterministic `id % sample_mod == 0` sample. Never run
-    unsampled at scale; that's what LSH is for."""
+    unsampled at scale; that's what LSH is for.
+
+    Token sets are hashed to 60-bit longs (portable hash60, same
+    convention as the MinHash tier) before comparing: long-array
+    intersects beat string-array intersects severalfold, and the set
+    sizes are identical absent a 60-bit collision. Set sizes are
+    computed once per doc; per-pair work is a single array_intersect
+    — |A∪B| = |A|+|B|−|I| exactly (sets), so the division sees the
+    same integers as an explicit union pass. The monotonically-
+    increasing-id column is a pushdown barrier: without it Catalyst
+    folds the threshold into the nested-loop join condition, where
+    the intersect would be re-evaluated per occurrence instead of
+    once via the projection's subexpression elimination."""
     t = df.select(
-        F.col(id_col), F.array_distinct(tokens(norm_text(F.col(text_col)))).alias("toks")
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(tokens(norm_text(F.col(text_col))), hash60)
+        ).alias("toks"),
     )
     if sample_mod is not None:
         t = t.filter(F.col(id_col) % sample_mod == 0)
-    a = t.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
-    b = t.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    a = t.select(
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.size("toks").alias("n_a"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.size("toks").alias("n_b"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (inter / F.greatest(F.col("n_a") + F.col("n_b") - inter, F.lit(1))).alias(
+                "jaccard"
+            ),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .drop("_mid")
+    )
 
 
 def minhash_lsh_pairs(

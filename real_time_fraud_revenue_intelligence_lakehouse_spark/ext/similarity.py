@@ -145,12 +145,61 @@ def ivf_assignments(
     nprobe: int = 1,
     id_col: str = "vec_id",
     round_digits: int = 6,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by
-    cosine (rounded before ranking; centroid-id tie-break). The
-    centroid side is broadcast — it's tiny by construction — so
-    assignment is a single narrow pass over the corpus."""
+    cosine (rounded before ranking; centroid-id tie-break).
+
+    Default: the centroid side is broadcast — it's tiny by
+    construction — so assignment is a single narrow pass over the
+    corpus. ``use_arrow=True`` collects the centroid matrix to the
+    driver (tiny, by the same argument that justifies the broadcast)
+    and scores whole Arrow batches in NumPy with per-dimension
+    sequential accumulation plus the det_round formula verbatim —
+    bit-identical sims and therefore identical rank decisions
+    (equality asserted in tests/test_ext.py)."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    if use_arrow:
+        cents = sorted(
+            (int(r[0]), np.asarray(r[1], dtype=np.float64))
+            for r in centroids.select(id_col, "embedding").collect()
+        )
+        cent_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+        C = np.stack([cv for _, cv in cents]).T  # (dim, n_cent)
+        cn = np.zeros(C.shape[1])
+        for d in range(C.shape[0]):
+            cn += C[d] * C[d]
+        cn = np.sqrt(cn)
+        scale = float(10**round_digits)
+        schema = f"{id_col} long, centroid_id long, crank integer"
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(pdf), C.shape[1]))
+                vn = np.zeros(len(pdf))
+                for d in range(V.shape[1]):
+                    acc += V[:, d : d + 1] * C[d]
+                    vn += V[:, d] * V[:, d]
+                sim = acc / (np.sqrt(vn)[:, None] * cn[None, :])
+                sim = np.floor(sim * scale + 0.5) / scale
+                # rank by (sim DESC, centroid_id ASC): lexsort is
+                # stable, keys listed least-significant first.
+                order = np.lexsort((np.broadcast_to(cent_ids, sim.shape), -sim), axis=1)
+                top = order[:, :nprobe]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                        "centroid_id": cent_ids[top].reshape(-1),
+                        "crank": np.tile(np.arange(1, nprobe + 1), n).astype(np.int32),
+                    }
+                )
+
+        return vectors.select(id_col, "embedding").mapInPandas(gen, schema)
 
     v = vectors.select(
         F.col(id_col), as_double(F.col("embedding")).alias("v")
@@ -181,6 +230,7 @@ def ivf_topk(
     nprobe: int = 2,
     centroid_mod: int = CENTROID_MOD,
     round_digits: int = 6,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single
     nearest centroid's cell; a query probes its ``nprobe`` nearest
@@ -195,12 +245,12 @@ def ivf_topk(
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
     centroids = corpus.filter(F.col(id_col) % centroid_mod == 0)
-    corpus_cells = ivf_assignments(corpus, centroids, nprobe=1, id_col=id_col).select(
-        F.col(id_col).alias("match_id"), "centroid_id"
-    )
-    query_cells = ivf_assignments(queries, centroids, nprobe=nprobe, id_col=id_col).select(
-        F.col(id_col).alias("query_id"), "centroid_id"
-    )
+    corpus_cells = ivf_assignments(
+        corpus, centroids, nprobe=1, id_col=id_col, use_arrow=use_arrow
+    ).select(F.col(id_col).alias("match_id"), "centroid_id")
+    query_cells = ivf_assignments(
+        queries, centroids, nprobe=nprobe, id_col=id_col, use_arrow=use_arrow
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col("embedding")).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))

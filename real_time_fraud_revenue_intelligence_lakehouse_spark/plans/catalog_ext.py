@@ -229,22 +229,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_jaccard",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, list_distinct({TOKS.format(c=NORM.format(c='text'))}) AS toks
+      SELECT doc_id,
+             list_distinct(list_transform(
+               {TOKS.format(c=NORM.format(c='text'))}, t -> {H60.format(x='t')}
+             )) AS toks
       FROM documents WHERE doc_id % 10 = 0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            len(list_intersect(a.toks, b.toks))
-             / greatest(len(list_distinct(a.toks || b.toks)), 1) AS jaccard
+             / greatest(len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks)), 1) AS jaccard
     FROM t a JOIN t b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.toks, b.toks))
-             / greatest(len(list_distinct(a.toks || b.toks)), 1) >= 0.4
+             / greatest(len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks)), 1) >= 0.4
     """,
     tags=("ext", "dedup"),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard pairs ≥ 0.4 on a deterministic 10%
     sample — the ground truth the MinHash tier approximates. O(n²)
-    on the sample by design (ext/dedup.jaccard_pairs docstring)."""
+    on the sample by design; token sets hashed to 60-bit longs on
+    both engines (ext/dedup.jaccard_pairs docstring)."""
     return D.jaccard_pairs(
         read_table(spark, sf_dir, "documents"), "doc_id", "text",
         threshold=0.4, sample_mod=10,

@@ -117,6 +117,21 @@ def test_ann_arrow_path_bitwise_equals_jvm_fold(spark, sf_dir):
     assert arrow == jvm
 
 
+def test_ivf_arrow_assignment_bitwise_equals_jvm(spark, sf_dir):
+    """Arrow IVF assignment (NumPy, sequential per-dim accumulation,
+    det_round formula verbatim) must reproduce the JVM broadcast-join
+    path exactly — same cells, same ranks, same rounded sims."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    arrow = sorted(
+        tuple(r) for r in S.ivf_topk(e, q, k=5, nprobe=2, use_arrow=True).collect()
+    )
+    jvm = sorted(
+        tuple(r) for r in S.ivf_topk(e, q, k=5, nprobe=2, use_arrow=False).collect()
+    )
+    assert arrow == jvm
+
+
 def test_kmeans_improves_inertia_and_plugs_into_ivf(spark, sf_dir):
     """Lloyd iterations must not worsen the clustering objective, and
     trained centroids must drop into ivf_assignments unchanged."""
