@@ -136,6 +136,80 @@ def cosine_pandas_udf():
     return _cos
 
 
+def neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_digits: int = 6,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — the embedding near-dup
+    tier's exact form, meant for a (sampled) corpus; the scale path
+    takes candidates from the LSH/IVF index first and applies this
+    threshold to candidates only.
+
+    Arrow path: the sampled matrix rides along in the task closure
+    (it is small by the same argument that makes O(n²) acceptable
+    here) and every Arrow batch scores against it in NumPy — per-
+    dimension sequential accumulation + the det_round formula, so
+    sims are bit-identical to the JVM fold (``use_arrow=False``;
+    equality asserted in tests/test_ext.py). The `id_a < id_b` mask
+    keeps each unordered pair once, matching the join form."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    if use_arrow:
+        rows = sorted(
+            (int(r[0]), np.asarray(r[1], dtype=np.float64))
+            for r in df.select(id_col, vec_col).collect()
+        )
+        ids = np.array([i for i, _ in rows], dtype=np.int64)
+        M = np.stack([v for _, v in rows])  # (n, dim)
+        nrm = np.zeros(len(ids))
+        for d in range(M.shape[1]):
+            nrm += M[:, d] * M[:, d]
+        nrm = np.sqrt(nrm)
+        scale = float(10**round_digits)
+        schema = "id_a long, id_b long, cosine_sim double"
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vids = pdf[id_col].to_numpy()
+                acc = np.zeros((len(pdf), len(ids)))
+                vn = np.zeros(len(pdf))
+                for d in range(V.shape[1]):
+                    acc += V[:, d : d + 1] * M[:, d][None, :]
+                    vn += V[:, d] * V[:, d]
+                sim = acc / (np.sqrt(vn)[:, None] * nrm[None, :])
+                sim = np.floor(sim * scale + 0.5) / scale
+                keep = (vids[:, None] < ids[None, :]) & (sim >= threshold)
+                ai, bj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": vids[ai],
+                        "id_b": ids[bj],
+                        "cosine_sim": sim[ai, bj],
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).select(
+        id_col, "v", norm(F.col("v")).alias("nrm")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = det_round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 CENTROID_MOD = 37  # every 37th vector seeds an IVF centroid
 
 

@@ -439,25 +439,13 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force form; the scale path reuses the ANN index (candidates
     from shared LSH buckets / IVF cells, then this exact filter).
     Threshold 0.35 sits just under this corpus's max pairwise
-    similarity (~0.46) so the check returns real rows. Per-vector
-    norms are projected ONCE before the pair join (cosine =
-    dot/(norm_a·norm_b)), so the O(n²) stage runs one fold per pair
-    instead of three — the oracle's list_dot_product composition is
-    algebraically identical."""
-    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.similarity import as_double, dot, norm
-
+    similarity (~0.46) so the check returns real rows. Arrow/NumPy
+    batch scoring with sequential per-dimension accumulation — bit-
+    identical to the JVM fold the oracle's list_dot_product mirrors
+    (ext/similarity.neardup_pairs docstring; equality test in
+    tests/test_ext.py)."""
     e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    v = e.select(F.col("vec_id"), as_double(F.col("embedding")).alias("v")).select(
-        "vec_id", "v", norm(F.col("v")).alias("nrm")
-    )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    sim = det_round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= 0.35)
-    )
+    return S.neardup_pairs(e, threshold=0.35)
 
 
 def _table_bucket_sql(table: int) -> str:

@@ -117,6 +117,15 @@ def test_ann_arrow_path_bitwise_equals_jvm_fold(spark, sf_dir):
     assert arrow == jvm
 
 
+def test_neardup_arrow_bitwise_equals_jvm(spark, sf_dir):
+    """Arrow near-dup pair scoring must reproduce the JVM pair-join
+    fold exactly: same pairs, same rounded similarities."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") % 5 == 0)
+    arrow = sorted(tuple(r) for r in S.neardup_pairs(e, threshold=0.35, use_arrow=True).collect())
+    jvm = sorted(tuple(r) for r in S.neardup_pairs(e, threshold=0.35, use_arrow=False).collect())
+    assert arrow == jvm
+
+
 def test_ivf_arrow_assignment_bitwise_equals_jvm(spark, sf_dir):
     """Arrow IVF assignment (NumPy, sequential per-dim accumulation,
     det_round formula verbatim) must reproduce the JVM broadcast-join
