@@ -113,28 +113,27 @@ def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FKs — dbt relationships as left-anti joins. The parents are
     *filtered* dimension subsets (small parts, non-negative-balance
     suppliers) so the anti-join genuinely produces rows on clean TPC-H
-    data; flags say which FK failed. At scale the parent key sets are
-    tiny projections — Spark broadcasts them; a left-anti broadcast
-    join is a single pass over the fact with no shuffle."""
+    data; flags say which FK failed. ONE pass over the fact: both
+    parent key sets broadcast as null-markers (missing FK ⇔ no match),
+    so the only shuffle is the final distinct — vs the naive two
+    anti-join scans + union + re-aggregate form."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     p = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
-        F.col("p_partkey").alias("l_partkey")
+        F.col("p_partkey").alias("l_partkey"), F.lit(1).alias("_p_hit")
     )
     s = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0).select(
-        F.col("s_suppkey").alias("l_suppkey")
+        F.col("s_suppkey").alias("l_suppkey"), F.lit(1).alias("_s_hit")
     )
-    no_part = li.join(F.broadcast(p), "l_partkey", "left_anti").select(
-        "l_orderkey", "l_partkey", "l_suppkey",
-        F.lit(True).alias("missing_part"), F.lit(False).alias("missing_supp"),
+    return (
+        li.join(F.broadcast(p), "l_partkey", "left")
+        .join(F.broadcast(s), "l_suppkey", "left")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            F.col("_p_hit").isNull().alias("missing_part"),
+            F.col("_s_hit").isNull().alias("missing_supp"),
+        )
+        .filter(F.col("missing_part") | F.col("missing_supp"))
+        .distinct()
     )
-    no_supp = li.join(F.broadcast(s), "l_suppkey", "left_anti").select(
-        "l_orderkey", "l_partkey", "l_suppkey",
-        F.lit(False).alias("missing_part"), F.lit(True).alias("missing_supp"),
-    )
-    both = no_part.unionByName(no_supp).groupBy(
-        "l_orderkey", "l_partkey", "l_suppkey"
-    ).agg(
-        F.max("missing_part").alias("missing_part"),
-        F.max("missing_supp").alias("missing_supp"),
-    )
-    return both

@@ -54,10 +54,16 @@ def test_dim_lookups_broadcast(plans):
     assert "SortMergeJoin" not in p
 
 
-def test_fk_anti_joins_broadcast(plans):
+def test_fk_orphans_single_scan_broadcast(plans):
+    """Both FK existence checks ride ONE scan of the fact as
+    broadcast left-outer null-marker joins; the only exchange is the
+    final distinct. No shuffle join, no second fact scan."""
     p = plans("q_dq_fk_orphans")
-    assert p.count("BroadcastHashJoin LeftAnti") >= 2
+    assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+    # formatted mode prints each node twice (tree + detail):
+    # 3 scans — lineitem + the two parents — appear 6 times.
+    assert p.count("Scan parquet") == 6
 
 
 def test_velocity_is_single_window_not_self_joins(plans):
