@@ -213,3 +213,75 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    verified MinHash-LSH pair graph → (doc_id, cluster_id,
+    cluster_size), cluster_id = min doc id in the component.
+
+    Pairwise dedup output is not actionable until transitive groups
+    are formed (keep one representative per component, drop the
+    rest). Min-label propagation to fixpoint: each iteration joins
+    labels to edges, takes the per-node min of neighbor labels, and
+    stops when no label changes. Iterations = component diameter —
+    near-dup clusters are shallow (dup chains, not paths), so this
+    converges in 2-4 rounds in practice; ``max_iters`` only guards
+    against pathological chains.
+
+    Scale notes: the loop runs ONLY over pair-connected docs — a tiny
+    subgraph of the corpus (the quadratic dedup volume, not the 100 TB
+    scan). Each iteration is one equi-join + one groupBy shuffle on
+    that subgraph; localCheckpoint cuts the lineage so plans stay
+    flat. For graphs with deep components swap the loop for the
+    alternating large-star/small-star algorithm (same join shapes,
+    O(log d) rounds)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()  # pair generation is the expensive part — run it once
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -230,3 +230,49 @@ def with_minhash(df, id_col: str, text_col: str, k: int = MINHASH_K, n: int = 3)
             for j in range(k)
         ]
     )
+
+
+def tfidf_top_terms(
+    df, id_col: str, text_col: str, top_n: int = 3, round_digits: int = 6
+):
+    """Per-document top-``top_n`` TF-IDF terms → (id, term, tf,
+    tfidf, term_rank) — the standard keyword-extraction pass over a
+    training corpus (what "what is this document about" reduces to
+    without a model).
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) with add-one
+    smoothing (N = corpus size, df = docs containing the term).
+    Scores are det_round-ed BEFORE ranking so both engines rank the
+    same numbers; ties break on the term string.
+
+    Plan shape: one explode → (doc, term) counts (map-side combined),
+    document frequencies as a second agg over the same counts (df ≤
+    |vocab| rows — tiny), broadcast the df table back, rank with one
+    window over the doc id. At 100 TB the only large shuffle is the
+    (doc, term) count; vocab-sized sides stay broadcast."""
+    from pyspark.sql import Window
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(norm_text(F.col(text_col)))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        det_round(
+            F.col("tf")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)),
+            round_digits,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+        .select(id_col, "term", "tf", "tfidf", "term_rank")
+    )

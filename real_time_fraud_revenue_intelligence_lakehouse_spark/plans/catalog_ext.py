@@ -323,6 +323,57 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct(toks) AS toks, {SHINGLES.format(t='toks')} AS sh FROM t),
+    sig AS (SELECT doc_id, toks, {_SIG_COLS} FROM sh),
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh ta ON ta.doc_id = id_a
+      JOIN sh tb ON tb.doc_id = id_b
+      WHERE len(list_intersect(ta.toks, tb.toks))
+              / greatest(len(list_distinct(ta.toks || tb.toks)), 1) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    comp(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node
+    ),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM comp GROUP BY node)
+    SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
+    FROM labels l
+    JOIN (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) s
+      USING (cluster_id)
+    """,
+    tags=("ext", "dedup", "iterative"),
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph — min-label propagation to fixpoint
+    (ext/dedup.dup_clusters). The actionable form of dedup: keep the
+    min-id representative per component, drop the rest. The oracle
+    computes the same transitive closure with a recursive CTE —
+    label propagation and recursive reachability agree exactly."""
+    return D.dup_clusters(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
 _V_COLS = ", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
     for b in range(X.SIMHASH_BITS)

@@ -80,6 +80,27 @@ def test_rolling_hash_is_order_sensitive(spark):
     assert h[1] == h[3]
 
 
+def test_dup_clusters_merges_transitive_chain(spark):
+    """A chain a~b, b~c (a and c NOT direct near-dups) must land in
+    ONE cluster labeled with the min id — transitivity is the whole
+    point of the cluster pass over pairwise output."""
+    base = " ".join(f"w{i}" for i in range(40))
+    mid = " ".join(f"w{i}" for i in range(8, 48))     # ~0.67 overlap with both ends
+    far = " ".join(f"w{i}" for i in range(16, 56))    # ~0.43 with base — below 0.5
+    other = " ".join(f"x{i}" for i in range(40))
+    df = _docs(spark, [(10, base), (11, mid), (12, far), (13, other)])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (10, 11) in pairs and (11, 12) in pairs and (10, 12) not in pairs, pairs
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in D.dup_clusters(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == {10: (10, 3), 11: (10, 3), 12: (10, 3)}
+
+
 def test_simhash_close_for_near_dup(spark):
     df = _docs(
         spark,
