@@ -143,22 +143,28 @@ def neardup_pairs(
     threshold: float = 0.35,
     round_digits: int = 6,
     use_arrow: bool = True,
+    small_sample: bool = False,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — the embedding near-dup
     tier's exact form, meant for a (sampled) corpus; the scale path
     takes candidates from the LSH/IVF index first and applies this
     threshold to candidates only.
 
-    Arrow path: the sampled matrix rides along in the task closure
-    (it is small by the same argument that makes O(n²) acceptable
-    here) and every Arrow batch scores against it in NumPy — per-
-    dimension sequential accumulation + the det_round formula, so
-    sims are bit-identical to the JVM fold (``use_arrow=False``;
-    equality asserted in tests/test_ext.py). The `id_a < id_b` mask
-    keeps each unordered pair once, matching the join form."""
+    Default (``use_arrow=True``): fully distributed — norms projected
+    once per side (JVM fold), the ``id_a < id_b`` self-join generates
+    pairs on executors, and the pair dots run through the Arrow
+    sequential-accumulation UDF. NO driver materialization anywhere in
+    the plan (pinned by tests/test_plans.py), so it survives a corpus
+    that doesn't fit on the driver; doubles are bit-identical to the
+    interpreted JVM fold (``use_arrow=False``, kept as cross-check).
+
+    ``small_sample=True`` additionally allows the legacy driver-side
+    closure capture (collect the sampled matrix, score whole Arrow
+    batches against it) — fastest at tiny n, but O(n·dim) on the
+    driver; only for explicitly-sampled inputs."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
-    if use_arrow:
+    if use_arrow and small_sample:
         rows = sorted(
             (int(r[0]), np.asarray(r[1], dtype=np.float64))
             for r in df.select(id_col, vec_col).collect()
@@ -202,7 +208,15 @@ def neardup_pairs(
     )
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    sim = det_round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits)
+    if use_arrow:
+        seq_dot = seq_dot_pandas_udf()
+        sim = det_round(
+            seq_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits
+        )
+    else:
+        sim = det_round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits
+        )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))

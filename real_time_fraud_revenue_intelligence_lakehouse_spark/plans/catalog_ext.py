@@ -490,11 +490,11 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force form; the scale path reuses the ANN index (candidates
     from shared LSH buckets / IVF cells, then this exact filter).
     Threshold 0.35 sits just under this corpus's max pairwise
-    similarity (~0.46) so the check returns real rows. Arrow/NumPy
-    batch scoring with sequential per-dimension accumulation — bit-
-    identical to the JVM fold the oracle's list_dot_product mirrors
-    (ext/similarity.neardup_pairs docstring; equality test in
-    tests/test_ext.py)."""
+    similarity (~0.46) so the check returns real rows. Fully
+    distributed: executor-side pair join + Arrow sequential-
+    accumulation dots, bit-identical to the JVM fold the oracle's
+    list_dot_product mirrors — no driver materialization anywhere in
+    the plan (pinned by test_neardup_default_plan_has_no_driver_collect)."""
     e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     return S.neardup_pairs(e, threshold=0.35)
 

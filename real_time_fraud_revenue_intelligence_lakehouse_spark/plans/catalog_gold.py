@@ -234,8 +234,8 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
       count(*) AS n_orders,
-      sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled_count,
-      sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS urgent_count
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_count,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count
     FROM orders GROUP BY 1
     """,
     tags=("aggregate",),
@@ -544,8 +544,8 @@ def q_fact_fraud_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     )
     SELECT d AS event_date, n_orders, n_fulfilled,
-      sum(n_orders) OVER w AS orders_7d,
-      sum(n_fulfilled) OVER w AS fulfilled_7d,
+      CAST(sum(n_orders) OVER w AS BIGINT) AS orders_7d,
+      CAST(sum(n_fulfilled) OVER w AS BIGINT) AS fulfilled_7d,
       {R4.format(c='sum(n_fulfilled) OVER w / (sum(n_orders) OVER w + 0.001)')} AS fulfilled_rate_7d
     FROM daily
     WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)

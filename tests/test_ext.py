@@ -139,12 +139,35 @@ def test_ann_arrow_path_bitwise_equals_jvm_fold(spark, sf_dir):
 
 
 def test_neardup_arrow_bitwise_equals_jvm(spark, sf_dir):
-    """Arrow near-dup pair scoring must reproduce the JVM pair-join
-    fold exactly: same pairs, same rounded similarities."""
+    """All three near-dup paths — distributed Arrow pair scoring (the
+    default), driver-collected small-sample batch scoring, and the
+    interpreted JVM fold — must produce the same pairs and the same
+    rounded similarities, bit for bit."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") % 5 == 0)
     arrow = sorted(tuple(r) for r in S.neardup_pairs(e, threshold=0.35, use_arrow=True).collect())
+    small = sorted(
+        tuple(r)
+        for r in S.neardup_pairs(e, threshold=0.35, use_arrow=True, small_sample=True).collect()
+    )
     jvm = sorted(tuple(r) for r in S.neardup_pairs(e, threshold=0.35, use_arrow=False).collect())
     assert arrow == jvm
+    assert small == jvm
+
+
+def test_neardup_default_plan_has_no_driver_collect(spark, sf_dir, monkeypatch):
+    """The registered q_embed_neardup default must be a pure plan:
+    constructing it may not trigger any driver-side materialization
+    (the round-1 scale-killer was a full-corpus collect at build)."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side collect during plan construction")
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") % 5 == 0)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    df = S.neardup_pairs(e, threshold=0.35)  # build only — must not collect
+    assert "cosine_sim" in df.columns
 
 
 def test_ivf_arrow_assignment_bitwise_equals_jvm(spark, sf_dir):

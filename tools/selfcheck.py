@@ -60,6 +60,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return rows, list(df.columns)
 
 
+def same(a, b) -> bool:
+    """Typed equality mirroring the driver's (type_tag, value) hash:
+    5 != 5.0, True != 1 — an oracle that surfaces DuckDB HUGEINT as
+    float64 while Spark emits int64 must FAIL here even when every
+    value is numerically equal."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if not (isinstance(a, float) and isinstance(b, float)):
+            return False
+        return a == b or (math.isnan(a) and math.isnan(b))
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(same(x, y) for x, y in zip(a, b))
+    return a == b
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     issues = []
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -72,18 +90,27 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for ci, col in enumerate(scols):
         sv = [r[ci] for r in srows]
         ov = [r[ocols.index(col)] for r in orows]
-        if sv == ov:
+        diffs = [(a, b) for a, b in zip(sv, ov) if not same(a, b)]
+        if not diffs:
             continue
-        # diagnose: float drift vs hard mismatch
-        diffs = [(a, b) for a, b in zip(sv, ov) if a != b]
+        # diagnose: pure dtype drift vs float drift vs hard mismatch
+        type_only = [(a, b) for a, b in diffs if a == b]
         floats = [
-            (a, b) for a, b in diffs if isinstance(a, float) and isinstance(b, float)
+            (a, b)
+            for a, b in diffs
+            if isinstance(a, float) and isinstance(b, float) and a != b
         ]
-        if len(floats) == len(diffs):
+        if len(type_only) == len(diffs):
+            a, b = type_only[0]
+            issues.append(
+                f"col {col}: TYPE drift, values equal but "
+                f"spark={type(a).__name__} oracle={type(b).__name__} (e.g. {a!r} vs {b!r})"
+            )
+        elif len(floats) == len(diffs):
             mx = max(abs(a - b) for a, b in floats)
             issues.append(f"col {col}: {len(diffs)} float mismatches, max_abs_diff={mx:.3e}")
         else:
-            a, b = next((a, b) for a, b in diffs if not (isinstance(a, float) and isinstance(b, float)))
+            a, b = next((a, b) for a, b in diffs if not (isinstance(a, float) and isinstance(b, float) and a != b))
             issues.append(f"col {col}: {len(diffs)} mismatches, e.g. spark={a!r} oracle={b!r}")
     return issues
 
