@@ -116,6 +116,15 @@ def jaccard_pairs(
     )
 
 
+#: Default LSH bucket cap: buckets larger than this are dropped before
+#: the band self-join. A bucket this size contributes cap² candidate
+#: pairs from ONE key — at that point the key carries no discriminative
+#: signal (stop shingles, boilerplate) and the members are better
+#: handled by the exact-fingerprint tier. Far above any bucket the
+#: test corpora produce, so oracle results are unaffected there.
+LSH_MAX_BUCKET = 1000
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -123,6 +132,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified with
     exact Jaccard ≥ threshold.
@@ -133,8 +143,16 @@ def minhash_lsh_pairs(
     self-join on the band bucket over *ids only* (candidate volume is
     the quadratic part — keep those rows narrow); dedup pairs; THEN
     attach token arrays once per unique pair for the Jaccard verify.
-    At 100 TB the bucket join dominates; pathological buckets (stop
-    shingles) should be capped or salted before the self-join."""
+
+    At 100 TB the bucket join dominates, and pathological buckets
+    (stop shingles, shared boilerplate) make it quadratic: one
+    million-doc bucket is 10¹² candidates. ``max_bucket`` drops such
+    buckets before the self-join — a window count over the SAME
+    (band_idx, band_key) the join shuffles on, so the cap adds no
+    extra shuffle. Pairs in normal buckets are unchanged (asserted by
+    tests/test_ext.py::test_lsh_bucket_cap); docs only reachable
+    through a dropped bucket fall back to the exact-fingerprint tier,
+    which already catches identical-boilerplate groups."""
     r = k // bands
     sig = with_minhash(df.select(F.col(id_col), F.col(text_col)), id_col, text_col, k=k)
     base = sig.select(
@@ -149,6 +167,13 @@ def minhash_lsh_pairs(
         ).alias("bands"),
     )
     exploded = base.select(id_col, F.posexplode("bands").alias("band_idx", "band_key"))
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_idx", "band_key")
+        exploded = (
+            exploded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = exploded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = exploded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     cand = (
@@ -262,21 +287,20 @@ def dup_clusters(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # Convergence flag computed IN the update projection — the
+        # count below reads the just-checkpointed result, so each round
+        # costs one join + one groupBy, not two joins + two actions.
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))

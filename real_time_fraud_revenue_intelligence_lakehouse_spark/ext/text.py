@@ -258,17 +258,23 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(norm_text(F.col(text_col)))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    # N as a 1-row broadcast aggregate INSIDE the plan — no eager
+    # driver-side count() job per call; the scalar rides the same DAG.
+    nd = df.select(F.countDistinct(id_col).cast("double").alias("_n_docs"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(docfreq), "term").select(
-        F.col(id_col),
-        "term",
-        "tf",
-        det_round(
-            F.col("tf")
-            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)),
-            round_digits,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            det_round(
+                F.col("tf")
+                * F.log((F.col("_n_docs") + 1.0) / (F.col("df").cast("double") + 1.0)),
+                round_digits,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -82,6 +82,28 @@ def check_fk(
     return _one(orphans, name, F.count(F.lit(1)))
 
 
+def check_freshness(
+    df: DataFrame,
+    ts_col: str,
+    max_hours: float,
+    now: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Freshness check (`validate.py:118-138`): violation when the
+    newest ``ts_col`` is older than ``max_hours`` relative to ``now``,
+    or the table is empty.
+
+    ``now`` is INJECTED ('YYYY-MM-DD HH:MM:SS', UTC) instead of the
+    reference's wall clock — same semantics, but deterministic and
+    therefore oracle-checkable; production callers pass the pipeline
+    run's logical timestamp."""
+    age_h = (
+        F.unix_timestamp(F.lit(now)) - F.unix_timestamp(F.max(F.col(ts_col)))
+    ) / 3600.0
+    stale = F.when(F.max(F.col(ts_col)).isNull(), 1).when(age_h > max_hours, 1).otherwise(0)
+    return _one(df, name or f"freshness_{ts_col}_max{int(max_hours)}h", stale)
+
+
 def check_expression(df: DataFrame, predicate: Column, name: str) -> DataFrame:
     """dbt expression_is_true: rows violating an arbitrary predicate."""
     return _one(df, name, F.count(F.when(~predicate, True)))

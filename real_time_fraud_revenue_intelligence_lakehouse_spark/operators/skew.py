@@ -45,7 +45,9 @@ def salted_agg(
     `spark_partition_id` — deterministic enough to spread, cheap, and
     requiring no extra entropy column.
     """
-    shard = F.abs(F.hash(*[F.col(k) for k in keys], F.spark_partition_id())) % salt
+    # pmod, not abs(hash)%salt: hash() can return Integer.MIN_VALUE,
+    # whose abs() overflows negative and would land outside 0..salt-1.
+    shard = F.pmod(F.hash(*[F.col(k) for k in keys], F.spark_partition_id()), F.lit(salt))
     staged = df.withColumn("_shard", shard)
     phase1 = staged.groupBy(*keys, "_shard").agg(
         *[expr.alias(alias) for expr, alias in partial]
@@ -66,5 +68,7 @@ def salted_broadcast_join(
     executor anyway, which is strictly better)."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
     small_rep = small.select("*", salts)
-    big_salted = big.withColumn("_salt", (F.abs(F.hash(F.col(key))) % salt))
+    # pmod: abs(Integer.MIN_VALUE) is negative — a %-salted value with
+    # no match in the replicated 0..salt-1 range silently drops the row.
+    big_salted = big.withColumn("_salt", F.pmod(F.hash(F.col(key)), F.lit(salt)))
     return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")

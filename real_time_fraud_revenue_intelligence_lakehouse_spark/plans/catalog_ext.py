@@ -673,6 +673,44 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tfidf_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKS.format(c=NORM.format(c='text'))}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+        {_r('tf.tf * ln((nd.n_docs + 1.0) / (dfreq.df + 1.0))', 6)} AS tfidf
+      FROM tf CROSS JOIN nd JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, tfidf, term_rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS term_rank FROM scored
+    ) WHERE term_rank <= 3
+    """,
+    tags=("ext", "text"),
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (keyword extraction over a
+    training corpus). tf = in-doc count, idf = ln((N+1)/(df+1)) with
+    add-one smoothing, scores det_round-ed BEFORE ranking, term-string
+    tie-break. Plan: one (doc, term) count shuffle; the document-
+    frequency table and the 1-row N aggregate are broadcast back —
+    no eager driver action anywhere (ext/text.tfidf_top_terms)."""
+    d = read_table(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(d, "doc_id", "text", top_n=3)
+
+
+@query(
     "q_source_profile",
     oracle=f"""
     SELECT source,

@@ -14,6 +14,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.quality impo
     check_accepted_values,
     check_expression,
     check_fk,
+    check_freshness,
     check_min_rows,
     check_not_null,
     check_range,
@@ -88,6 +89,51 @@ def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             check_fk(li, o, "l_orderkey", "o_orderkey", "fk_lineitem_orders"),
             check_expression(o, F.col("o_totalprice") >= 0, "nonneg_amounts"),
             sanity,
+        ]
+    )
+
+
+#: Injected logical clock for the freshness check — the events table
+#: ends 2024-01-30T23:5x at every SF, so this "now" puts the data age
+#: at ~12.5 h: within a 24 h SLA, violating the reference's 3 h one.
+_FRESHNESS_NOW = "2024-01-31 12:00:00"
+
+
+@query(
+    "q_dq_freshness",
+    oracle=f"""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    raw AS (
+      SELECT 'freshness_ts_max24h' AS check_name,
+        CASE WHEN mx IS NULL THEN 1
+             WHEN (epoch(TIMESTAMP '{_FRESHNESS_NOW}') - epoch(mx)) / 3600.0 > 24
+             THEN 1 ELSE 0 END AS violations
+      FROM m
+      UNION ALL
+      SELECT 'freshness_ts_max3h',
+        CASE WHEN mx IS NULL THEN 1
+             WHEN (epoch(TIMESTAMP '{_FRESHNESS_NOW}') - epoch(mx)) / 3600.0 > 3
+             THEN 1 ELSE 0 END
+      FROM m
+    )
+    SELECT check_name, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS passed
+    FROM raw
+    """,
+    tags=("quality",),
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLA check (`validate.py:118-138`): newest event age
+    vs a max-hours budget — with the clock INJECTED as a constant so
+    the check is deterministic and oracle-verifiable (the reference
+    reads the wall clock; production callers pass the run's logical
+    timestamp). Two SLAs over one table: 24 h (green at ~12.5 h age)
+    and the reference's 3 h default (red) — both outcomes exercised."""
+    e = read_table(spark, sf_dir, "events")
+    return run_suite(
+        [
+            check_freshness(e, "ts", 24, _FRESHNESS_NOW),
+            check_freshness(e, "ts", 3, _FRESHNESS_NOW),
         ]
     )
 

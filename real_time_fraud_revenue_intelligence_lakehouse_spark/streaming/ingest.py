@@ -201,6 +201,39 @@ def start_append_sink(
     return writer.start()
 
 
+def start_concurrent_ingest(
+    spark: SparkSession,
+    sources: dict[str, tuple[DataFrame, str, str]],
+    available_now: bool = True,
+):
+    """S7 — multi-stream concurrency (`ingest_stream.py:126-138`):
+    the reference launches one streaming query per Kafka topic from a
+    single driver and blocks on ``awaitAnyTermination`` so a crash in
+    any stream surfaces immediately. Same shape here: start one
+    checkpointed append sink per named source; all queries run
+    concurrently on the shared scheduler. Returns ``{name: query}`` —
+    pair with :func:`await_streams`.
+
+    ``sources`` maps name → (transformed streaming DataFrame,
+    sink path, checkpoint path)."""
+    return {
+        name: start_append_sink(df, path, ckpt, available_now=available_now)
+        for name, (df, path, ckpt) in sources.items()
+    }
+
+
+def await_streams(spark: SparkSession, queries: dict, timeout_seconds: int = 300) -> None:
+    """Block until every stream terminates; re-raise the FIRST stream
+    failure (awaitAnyTermination semantics — one bad topic fails the
+    ingest job loudly instead of silently running degraded)."""
+    deadline = __import__("time").time() + timeout_seconds
+    for name, q in queries.items():
+        remaining = max(1, int(deadline - __import__("time").time()))
+        q.awaitTermination(remaining)
+        if q.exception() is not None:
+            raise RuntimeError(f"stream '{name}' failed") from q.exception()
+
+
 def start_foreach_batch_merge(
     df: DataFrame,
     spark: SparkSession,
@@ -246,11 +279,20 @@ def start_foreach_batch_merge(
             merged = merge_upsert(target, batch, keys)
         else:
             merged = batch
+        # Crash-safe swap: write staged, rename the live table ASIDE,
+        # move staged into place, then delete the old copy. A crash at
+        # any step leaves either the old or the new table recoverable —
+        # never a window where the silver table is simply gone.
         staged = target_path + "._staged"
+        old = target_path + "._old"
         merged.write.mode("overwrite").parquet(staged)
+        if os.path.exists(old):
+            shutil.rmtree(old)  # leftover from a previous crash
         if os.path.exists(target_path):
-            shutil.rmtree(target_path)
+            os.replace(target_path, old)
         os.replace(staged, target_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     writer = df.writeStream.foreachBatch(_process).option("checkpointLocation", checkpoint)
     if available_now:

@@ -60,6 +60,45 @@ def test_lsh_finds_planted_near_dups(spark):
     assert lsh <= planted | set(), "no false pairs should pass Jaccard verification"
 
 
+def test_lsh_bucket_cap(spark):
+    """A pathological bucket (many docs sharing identical boilerplate
+    text → identical band keys) must be droppable via max_bucket
+    WITHOUT disturbing pairs found through normal buckets: the capped
+    run returns exactly the normal near-dup pairs, while the uncapped
+    run additionally returns the quadratic boilerplate pairs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    for base in range(10):  # normal near-dup twins in small buckets
+        words = [rng.choice(vocab) for _ in range(50)]
+        rows.append((base * 2, " ".join(words)))
+        twin = list(words)
+        twin[rng.randrange(len(twin))] = rng.choice(vocab)
+        rows.append((base * 2 + 1, " ".join(twin)))
+    boiler = " ".join(rng.choice(vocab) for _ in range(50))
+    skew_ids = list(range(100, 120))  # 20 identical docs → one giant bucket
+    rows += [(i, boiler) for i in skew_ids]
+    df = _docs(spark, rows)
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, max_bucket=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, max_bucket=10).collect()
+    }
+    skew = set(skew_ids)
+    boiler_pairs = {(a, b) for a, b in uncapped if a in skew and b in skew}
+    assert len(boiler_pairs) == 20 * 19 // 2, "uncapped run must see the quadratic bucket"
+    assert capped == uncapped - boiler_pairs, "cap must drop ONLY oversized-bucket pairs"
+    # the boilerplate group is still caught — by the exact tier, one shuffle
+    exact = D.exact_dedup_groups(df.filter(F.col("doc_id") >= 100), "doc_id", "text")
+    assert exact.filter(F.col("group_size") == 20).count() == 20
+
+
 def test_rolling_hash_is_order_sensitive(spark):
     """Same token multiset, different order ⇒ different rolling hash
     (what the set-based fingerprints collapse); same text modulo

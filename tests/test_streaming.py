@@ -348,3 +348,62 @@ def test_foreach_batch_merge_upserts(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["event_id"]: r["value"] for r in spark.read.parquet(str(tgt)).collect()}
     assert got == {1: 10.0, 2: 2.0, 3: 3.0}
+
+
+def test_concurrent_multi_stream_ingest(spark, tmp_path):
+    """S7 — two file streams (the reference's 6-Kafka-topic analog)
+    run CONCURRENTLY through the full bronze pipeline into separate
+    checkpointed sinks; await_streams blocks on both and surfaces
+    per-stream failures. Both sinks must land every row, partitioned
+    by event_date."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.ingest import (
+        await_streams,
+        start_concurrent_ingest,
+    )
+
+    now = time.time()
+    sources = {}
+    for topic, n_rows in [("clicks", 5), ("payments", 3)]:
+        src = tmp_path / f"src_{topic}"
+        src.mkdir()
+        _write_json(
+            str(src / "a.json"),
+            [_ev(i, f"2024-01-0{1 + i % 2} 10:00:0{i}") for i in range(n_rows)],
+            now,
+        )
+        bronze = stamp_bronze(
+            read_file_stream(spark, str(src)), source_system=f"{topic}-stream"
+        )
+        sources[topic] = (
+            bronze,
+            str(tmp_path / f"bronze_{topic}"),
+            str(tmp_path / f"ckpt_{topic}"),
+        )
+
+    queries = start_concurrent_ingest(spark, sources)
+    assert len(queries) == 2  # both running from one driver
+    await_streams(spark, queries)
+
+    clicks = spark.read.parquet(str(tmp_path / "bronze_clicks"))
+    payments = spark.read.parquet(str(tmp_path / "bronze_payments"))
+    assert clicks.count() == 5 and payments.count() == 3
+    assert set(r["_source_system"] for r in clicks.select("_source_system").distinct().collect()) == {"clicks-stream"}
+    assert "event_date" in clicks.columns
+
+
+def test_await_streams_raises_on_stream_failure(spark, tmp_path):
+    """await_streams must re-raise a stream's exception (the
+    awaitAnyTermination contract) instead of swallowing it."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.ingest import await_streams
+
+    class _DeadQuery:
+        def awaitTermination(self, timeout=None):
+            return True
+
+        def exception(self):
+            return RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="stream 'bad' failed"):
+        await_streams(spark, {"bad": _DeadQuery()})
