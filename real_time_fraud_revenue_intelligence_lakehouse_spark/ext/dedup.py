@@ -222,18 +222,71 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     bits: int = SIMHASH_BITS, sample_mod: int | None = None,
+    blocked: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-    Sampled brute-force form; the scale path blocks on signature
-    halves (two docs within d bits share at least one exact half when
-    d < bits/2 — pigeonhole)."""
+
+    Default (``blocked=True``) is the scale path: split each
+    signature into ``max_hamming + 1`` bit-blocks; by pigeonhole, two
+    signatures within ``max_hamming`` bits agree EXACTLY on at least
+    one block, so candidates come from an equi-join on
+    (block_idx, block_value) — linear in corpus size times block
+    collisions, never all-pairs — and the exact Hamming filter then
+    makes the result IDENTICAL to brute force (recall 1 by
+    construction, asserted in tests/test_ext.py). ``blocked=False``
+    keeps the all-pairs join as the tiny-corpus cross-check.
+
+    At 100 TB: the block join shuffles (id, block) rows — fixed 4×
+    the corpus row count — and hot blocks (e.g. the all-zeros
+    signature of near-empty docs) can be capped exactly like LSH
+    buckets; reuse the same window-count guard if a corpus shows
+    skew here."""
     s = simhash(df, id_col, text_col, bits)
     if sample_mod is not None:
         s = s.filter(F.col(id_col) % sample_mod == 0)
-    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
-    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    if not blocked:
+        a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+        b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    n_blocks = max_hamming + 1
+    base = bits // n_blocks
+    extra = bits % n_blocks  # first `extra` blocks get one more bit
+    offs = []
+    off = 0
+    for j in range(n_blocks):
+        width = base + (1 if j < extra else 0)
+        offs.append((j, off, width))
+        off += width
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("bidx"),
+                F.shiftright(F.col("simhash"), o)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("bval"),
+            )
+            for j, o, w in offs
+        ]
+    )
+    e = s.select(F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")).select(
+        id_col, "simhash", F.col("b.bidx").alias("bidx"), F.col("b.bval").alias("bval")
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "bidx", "bval"
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "bidx", "bval"
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["bidx", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("sim_a"), F.col("sim_b"))
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

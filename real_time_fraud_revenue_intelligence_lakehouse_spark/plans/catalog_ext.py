@@ -423,9 +423,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup"),
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance ≤ 3 on a 20% sample
-    (brute-force form; the scale path blocks on signature halves —
-    ext/dedup.simhash_pairs)."""
+    """SimHash near-dup pairs: Hamming distance ≤ 3 on a 20% sample —
+    BLOCKED scale form (signatures split into max_hamming+1 bit-blocks;
+    pigeonhole guarantees every ≤3-bit pair shares an exact block, so
+    the block equi-join + exact Hamming filter returns exactly the
+    brute-force pair set; equality asserted in tests/test_ext.py).
+    The oracle stays the all-pairs SQL because the results are
+    provably identical."""
     return D.simhash_pairs(
         read_table(spark, sf_dir, "documents"), "doc_id", "text",
         max_hamming=3, sample_mod=5,

@@ -154,6 +154,27 @@ def test_simhash_close_for_near_dup(spark):
     assert ham(sims[1], sims[2]) < ham(sims[1], sims[3])
 
 
+def test_simhash_blocked_equals_brute_force(spark, sf_dir):
+    """Pigeonhole blocking is LOSSLESS: splitting 16-bit signatures
+    into max_hamming+1 blocks guarantees every pair within
+    max_hamming bits collides on at least one exact block, so the
+    blocked join + Hamming filter must return exactly the all-pairs
+    result — same pairs, same distances."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blocked = sorted(
+        tuple(r)
+        for r in D.simhash_pairs(d, "doc_id", "text", max_hamming=3, sample_mod=2).collect()
+    )
+    brute = sorted(
+        tuple(r)
+        for r in D.simhash_pairs(
+            d, "doc_id", "text", max_hamming=3, sample_mod=2, blocked=False
+        ).collect()
+    )
+    assert blocked == brute
+    assert len(blocked) > 0, "sample must produce at least one close pair"
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     """Multi-table LSH (8×4) recall@5 against exact top-5 — measured
     0.71 on this corpus; assert a safety-margin floor."""
