@@ -116,6 +116,74 @@ def brute_force_topk(
     )
 
 
+def unit_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, unit vector): embeddings normalized to length 1 ONCE, so
+    every downstream cosine is a plain dot product — the store-
+    normalized-at-write-time pattern. At 100 TB this runs in the
+    ingest pass and saves two folds + a division per scored pair in
+    every similarity query forever after. Staged projection: the norm
+    is computed once per row, not once per element."""
+    v = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    return v.select(
+        F.col(id_col),
+        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias(vec_col),
+    )
+
+
+def brute_force_top1(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact nearest neighbor (k=1) over PRE-NORMALIZED vectors via a
+    single max-aggregate — the two embedding-depth optimizations from
+    the roadmap in one operator:
+
+    - inputs go through :func:`unit_vectors`, so scoring is one dot
+      fold per pair (no norms, no division);
+    - top-1 is ``max(struct(sim, -match_id))`` — a partial-aggregable
+      single shuffle with map-side combine, instead of a window
+      row_number that must SORT every query's candidate list. Ties
+      break to the smallest match id, same as the rank-based form.
+    The plan contains no Window/Sort node (pinned in
+    tests/test_plans.py)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    q = unit_vectors(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = unit_vectors(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            det_round(dot(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+        )
+    )
+    best = scored.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine_sim").alias("s"), (-F.col("match_id")).alias("nm")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "query_id",
+        (-F.col("b.nm")).cast("long").alias("match_id"),
+        F.col("b.s").alias("cosine_sim"),
+    )
+
+
 def cosine_pandas_udf():
     """Arrow-vectorized cosine as a pandas UDF — the profiling
     alternative to the JVM fold for very wide vectors (NumPy SIMD dot

@@ -474,6 +474,43 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+_UNIT = (
+    "list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v})))"
+)
+
+
+@query(
+    "q_embed_top1",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {_UNIT.format(v=_DBL.format(v='embedding'))} AS u
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, u AS qu FROM e WHERE vec_id < 50),
+    scored AS (
+      SELECT query_id, c.vec_id AS match_id,
+             {_r('list_dot_product(qu, c.u)', 6)} AS cosine_sim
+      FROM q, e c WHERE c.vec_id <> query_id
+    )
+    SELECT query_id, match_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, match_id
+      ) AS rn FROM scored
+    ) WHERE rn = 1
+    """,
+    tags=("ext", "similarity"),
+)
+def q_embed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest neighbor over PRE-NORMALIZED embeddings: unit
+    vectors projected once (cosine ⇒ plain dot — the normalize-at-
+    write-time pattern), top-1 via a map-side-combinable
+    max(struct(sim, -id)) aggregate instead of a window sort. The
+    oracle replays the same normalize→dot→rank pipeline; Spark's plan
+    has no Window/Sort node (tests/test_plans.py)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return S.brute_force_top1(e, e.filter(F.col("vec_id") < 50))
+
+
 @query(
     "q_embed_neardup",
     oracle=f"""

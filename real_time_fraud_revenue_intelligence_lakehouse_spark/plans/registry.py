@@ -69,7 +69,7 @@ _FRONT: tuple[str, ...] = (
     # round-1 hash-fails, fixed this round — must re-verify
     "q_bool_sum_agg", "q_trend_7d",
     # new this round
-    "q_tfidf_terms", "q_dq_freshness",
+    "q_tfidf_terms", "q_dq_freshness", "q_gbt_scores", "q_embed_top1",
     # round-1 driver-unverified block
     "q_lang_id", "q_quality_score", "q_fingerprint", "q_rolling_hash",
     "q_dedup_exact", "q_ngram_jaccard", "q_minhash_signature", "q_lsh_pairs",

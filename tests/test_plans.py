@@ -121,3 +121,20 @@ def test_lsh_candidate_join_is_narrow(plans):
     join_pos = p.find("Join")
     assert join_pos != -1
     assert "toks" not in p[:join_pos]
+
+
+def test_embed_top1_aggregates_without_window_sort(plans):
+    """q_embed_top1's top-1 must be a partial-aggregable max(struct),
+    not a window row_number: no Window node (and therefore no per-
+    query sort of the candidate lists) anywhere in the plan."""
+    p = plans("q_embed_top1")
+    assert "Window" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_neardup_plan_is_distributed(plans):
+    """q_embed_neardup's default plan: the pair join runs on executors
+    (a join node is present) — the round-1 driver-collect shape would
+    show a bare mapInPandas over one source with no join."""
+    p = plans("q_embed_neardup")
+    assert "Join" in p
