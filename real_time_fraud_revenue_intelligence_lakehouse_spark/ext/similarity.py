@@ -161,13 +161,14 @@ def brute_force_top1(
     c = unit_vectors(corpus, id_col, vec_col).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
     )
+    seq_dot = seq_dot_pandas_udf()  # Arrow batches, same sequential fold bits
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
             "match_id",
-            det_round(dot(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+            det_round(seq_dot(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
         )
     )
     best = scored.groupBy("query_id").agg(

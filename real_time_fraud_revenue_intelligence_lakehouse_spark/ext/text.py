@@ -282,3 +282,148 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= top_n)
         .select(id_col, "term", "tf", "tfidf", "term_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Chunking, PII, contamination — the remaining corpus-prep passes
+# --------------------------------------------------------------------------
+
+#: Default chunking geometry: 32-token windows, 8-token overlap.
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+
+#: PII patterns (detection + redaction share them). Deliberately the
+#: common core — emails, North-American phone shapes, SSN-shaped ids;
+#: extend per corpus.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+):
+    """Split each document into fixed-size token windows with overlap
+    → (id, chunk_idx, n_tokens, chunk_text) — the context-window prep
+    every LLM training pipeline runs before tokenization.
+
+    stride = chunk_size − overlap; chunk i covers tokens
+    [i·stride, i·stride + chunk_size). Chunk count is the closed form
+    ``max(1, ceil((n_tokens − overlap) / stride))`` so a doc shorter
+    than one window still yields its single partial chunk.
+
+    Fully row-local: sequence → explode → slice — no shuffle at all;
+    at 100 TB chunking fuses into the ingest scan. The same closed
+    form runs in the DuckDB oracle."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(norm_text(F.col(text_col)))
+    staged = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    chunked = staged.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pii_stats(df, id_col: str, text_col: str):
+    """Per-document PII profile: match counts per category, a total,
+    and the redacted text (matches replaced by typed placeholders).
+    Row-local regexes — scales with the scan; zero shuffles."""
+    t = F.col(text_col)
+    emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+    ssns = F.size(F.regexp_extract_all(t, F.lit(PII_SSN_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_SSN_RE, "<SSN>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        emails.cast("long").alias("n_emails"),
+        phones.cast("long").alias("n_phones"),
+        ssns.cast("long").alias("n_ssns"),
+        (emails + phones + ssns).cast("long").alias("n_pii"),
+        redacted.alias("redacted_text"),
+    )
+
+
+def contamination_check(
+    corpus,
+    benchmark,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+):
+    """Benchmark-contamination scan: fraction of each corpus doc's
+    distinct n-gram shingles that appear ANYWHERE in the benchmark
+    set → (id, n_shingles, n_contaminated, contamination_rate,
+    is_contaminated). The standard eval-leakage gate run before
+    training on a scraped corpus.
+
+    Plan: both sides reduce to distinct 60-bit shingle hashes; the
+    benchmark side collapses to a distinct-hash set (it is eval-sized,
+    usually broadcastable); a left-semi join marks contaminated
+    shingles, counted per doc against the doc's own distinct-shingle
+    count. One shuffle on the shingle hash; corpus text is never
+    re-attached."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    def sh(d):
+        # Stage tokens BEFORE shingling: higher-order functions run
+        # interpreted, so shingles over a nested split(...) would
+        # re-tokenize once per shingle (the measured-10× pitfall the
+        # shingles_of docstring warns about).
+        staged = d.select(
+            F.col(id_col), tokens(norm_text(F.col(text_col))).alias("_toks")
+        )
+        return (
+            staged.select(id_col, F.explode(shingles_of(F.col("_toks"), n)).alias("_s"))
+            .select(id_col, hash60(F.col("_s")).alias("sh"))
+            .distinct()
+        )
+
+    corpus_sh = sh(corpus)
+    bench_sh = sh(benchmark).select("sh").distinct()
+    per_doc = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    contaminated = (
+        corpus_sh.join(bench_sh, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    rate = det_round(
+        F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1)), 6
+    )
+    return (
+        per_doc.join(contaminated, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_contaminated",
+            rate.alias("contamination_rate"),
+            (rate >= threshold).alias("is_contaminated"),
+        )
+    )

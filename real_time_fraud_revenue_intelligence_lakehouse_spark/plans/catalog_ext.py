@@ -780,3 +780,139 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.avg(F.length("text").cast("double")), 4).alias("avg_chars"),
         det_round(F.avg(X.quality_score(F.col("text"))), 4).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep passes: chunking, PII, contamination
+# ---------------------------------------------------------------------------
+
+_STRIDE = X.CHUNK_SIZE - X.CHUNK_OVERLAP
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(greatest(1,
+               CAST(ceil((n - {X.CHUNK_OVERLAP}) / {float(_STRIDE)}) AS INT)))) AS ci
+      FROM s
+    )
+    SELECT doc_id,
+      CAST(ci AS BIGINT) AS chunk_idx,
+      CAST(len(toks[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {X.CHUNK_SIZE}]) AS BIGINT)
+        AS n_tokens,
+      array_to_string(toks[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {X.CHUNK_SIZE}], ' ')
+        AS chunk_text
+    FROM c
+    """,
+    tags=("ext", "text"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows with 8-token overlap
+    per document (closed-form chunk count, partial final window, docs
+    shorter than one window keep their single chunk). Row-local
+    sequence→explode→slice — no shuffle; at 100 TB this fuses into
+    the ingest scan (ext/text.chunk_documents)."""
+    d = read_table(spark, sf_dir, "documents")
+    return X.chunk_documents(d, "doc_id", "text")
+
+
+#: Deterministic PII decoration: the synthetic corpus is PII-free, so
+#: the query PLANTS synthetic identifiers derived from doc_id before
+#: detecting them — the oracle then genuinely exercises regex parity
+#: (a no-match corpus would vacuously pass).
+_PII_DECOR_SQL = (
+    "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' id 987-65-4321' ELSE '' END"
+)
+
+
+@query(
+    "q_pii_scan",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_PII_DECOR_SQL} AS t FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{X.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t, '{X.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(t, '{X.PII_SSN_RE}')) AS BIGINT) AS n_ssns,
+      CAST(len(regexp_extract_all(t, '{X.PII_EMAIL_RE}'))
+         + len(regexp_extract_all(t, '{X.PII_PHONE_RE}'))
+         + len(regexp_extract_all(t, '{X.PII_SSN_RE}')) AS BIGINT) AS n_pii,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+          '{X.PII_SSN_RE}', '<SSN>', 'g'),
+        '{X.PII_PHONE_RE}', '<PHONE>', 'g') AS redacted_text
+    FROM d
+    """,
+    tags=("ext", "text"),
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: per-doc counts of
+    email / phone / SSN-shaped identifiers and the redacted text.
+    Synthetic PII is planted deterministically from doc_id (the test
+    corpus contains none) so detection and redaction are actually
+    exercised. Row-local regexes — zero shuffles
+    (ext/text.pii_stats)."""
+    d = read_table(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" id 987-65-4321")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return X.pii_stats(decorated, "doc_id", "text")
+
+
+_BENCH_MOD = 97  # pseudo eval-set: every 97th doc
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, {H60.format(x='s')} AS sh FROM (
+        SELECT doc_id, unnest({SHINGLES.format(t='toks')}) AS s FROM t
+      )
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+    cont AS (
+      SELECT doc_id, count(*) AS n_contaminated FROM sh
+      WHERE sh IN (SELECT sh FROM bench) GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_shingles,
+      CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      {_r('coalesce(c.n_contaminated, 0) / greatest(p.n_shingles, 1)', 6)}
+        AS contamination_rate,
+      {_r('coalesce(c.n_contaminated, 0) / greatest(p.n_shingles, 1)', 6)} >= 0.5
+        AS is_contaminated
+    FROM per_doc p LEFT JOIN cont c ON p.doc_id = c.doc_id
+    """,
+    tags=("ext", "dedup", "text"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination gate: per-doc fraction of distinct
+    3-gram shingles that appear anywhere in the pseudo eval set
+    (every 97th doc) — eval-leakage scanning before training. Both
+    sides reduce to 60-bit shingle hashes; a left-semi join marks
+    contaminated shingles (one shuffle, text never re-attached); the
+    planted eval docs themselves score rate = 1.0, so the gate
+    provably fires (ext/text.contamination_check)."""
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return X.contamination_check(d, bench, "doc_id", "text")

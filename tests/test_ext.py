@@ -339,3 +339,70 @@ def test_frame_sample_is_deterministic_subset(spark, sf_dir):
     b = sorted(r["doc_id"] for r in M.frame_sample(binary, 4).select("doc_id").collect())
     assert a == b
     assert 0 < len(a) < binary.count()
+
+
+def test_chunking_reconstructs_and_overlaps(spark):
+    """Chunk invariants: stride-aligned starts, every chunk ≤
+    chunk_size tokens, consecutive chunks share exactly `overlap`
+    tokens, and dropping each chunk's overlap prefix reconstructs the
+    original token stream."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(75))
+    df = _docs(spark, [(1, words), (2, "short doc"), (3, " ".join(f"x{i}" for i in range(32)))])
+    out = chunk_documents(df, "doc_id", "text", chunk_size=32, overlap=8)
+    rows = sorted((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in out.collect())
+    by_doc = {}
+    for d, ci, n, txt in rows:
+        by_doc.setdefault(d, []).append((ci, n, txt.split(" ")))
+    # doc 1: 75 tokens, stride 24 → ceil((75-8)/24) = 3 chunks
+    assert [ci for ci, _, _ in by_doc[1]] == [0, 1, 2]
+    chunks = [t for _, _, t in by_doc[1]]
+    assert all(len(c) <= 32 for c in chunks)
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-8:] == b[:8]  # overlap region agrees
+    recon = chunks[0] + [t for c in chunks[1:] for t in c[8:]]
+    assert recon == [f"w{i}" for i in range(75)]
+    # short doc: single partial chunk
+    assert by_doc[2] == [(0, 2, ["short", "doc"])]
+    # exactly one window: one chunk, no empty tail chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0][1] == 32
+
+
+def test_pii_detection_and_redaction(spark):
+    """Planted PII must be counted per category and fully scrubbed
+    from the redacted text; clean text passes through untouched."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import pii_stats
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail alice.smith+x@corp.example.org then call 555-123-4567 twice 555-123-4567"),
+            (2, "ssn 123-45-6789 lives here"),
+            (3, "perfectly clean document"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in pii_stats(df, "doc_id", "text").collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ssns"]) == (1, 2, 0)
+    assert got[1]["n_pii"] == 3
+    assert "<EMAIL>" in got[1]["redacted_text"] and "<PHONE>" in got[1]["redacted_text"]
+    assert "alice" not in got[1]["redacted_text"] and "555" not in got[1]["redacted_text"]
+    assert got[2]["n_ssns"] == 1 and "<SSN>" in got[2]["redacted_text"]
+    assert got[3]["n_pii"] == 0 and got[3]["redacted_text"] == "perfectly clean document"
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """A doc sharing half its shingles with the benchmark must score
+    ~0.5; benchmark members themselves score exactly 1.0; disjoint
+    docs score 0.0."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import contamination_check
+
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    half = " ".join(f"b{i}" for i in range(10)) + " " + " ".join(f"c{i}" for i in range(10))
+    clean = " ".join(f"z{i}" for i in range(20))
+    df = _docs(spark, [(1, bench_text), (2, half), (3, clean)])
+    bench = df.filter(F.col("doc_id") == 1)
+    got = {r["doc_id"]: r for r in contamination_check(df, bench, "doc_id", "text").collect()}
+    assert got[1]["contamination_rate"] == 1.0 and got[1]["is_contaminated"]
+    assert got[3]["n_contaminated"] == 0 and not got[3]["is_contaminated"]
+    assert 0.0 < got[2]["contamination_rate"] < 1.0
