@@ -293,6 +293,117 @@ def simhash_pairs(
     )
 
 
+def _canon_edges(pairs: DataFrame) -> DataFrame:
+    """Undirected edge set, canonicalized to (a < b), no self-loops."""
+    a, b = F.col("id_a"), F.col("id_b")
+    return (
+        pairs.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") →
+    (node, cluster_id = component-min).
+
+    Each round is two groupBy-join passes over the CURRENT edge set;
+    components collapse toward stars centered at their minimum node in
+    O(log d) rounds — vs O(d) for plain min-label propagation — which
+    is what survives graphs with deep chains at 100 TB. Used as the
+    deep-graph alternative to the propagation loop in
+    :func:`dup_clusters`; both produce identical labels
+    (tests/test_ext.py equivalence on a deep chain).
+
+    ``edges``: undirected pairs in columns (id_a, id_b)."""
+    E = _canon_edges(edges).localCheckpoint()
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def star(e: DataFrame, large: bool, dedup: bool) -> DataFrame:
+        # Duplicate edges never change a min-over-neighborhood, so the
+        # set-dedup is an OPTIMIZATION, applied only at the end of a
+        # fused round pair (`dedup=True`) — three fewer shuffles per
+        # round than deduping after every star.
+        s = sym(e)
+        m = s.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = m.withColumn("m", F.least(F.col("_mn"), F.col("u"))).select("u", "m")
+        joined = s.join(m, "u")
+        linked = joined.filter(F.col("v") > F.col("u")) if large else (
+            joined.filter(F.col("v") <= F.col("u"))
+            .select("v", "m")
+            .unionByName(m.select(F.col("u").alias("v"), "m"))
+        )
+        if large:
+            linked = linked.select("v", "m")
+        out = linked.select(
+            F.least(F.col("v"), F.col("m")).alias("a"),
+            F.greatest(F.col("v"), F.col("m")).alias("b"),
+        ).filter(F.col("a") != F.col("b"))
+        return out.distinct() if dedup else out
+
+    def round_pair(e: DataFrame) -> DataFrame:
+        """One large-star + one small-star, deduped once at the end."""
+        return star(star(e, large=True, dedup=False), large=False, dedup=True)
+
+    def fingerprint_of(e: DataFrame) -> tuple:
+        # One-job set fingerprint: (row count, order-independent XOR
+        # of edge hashes — overflow-free under ANSI mode, unlike a
+        # sum). Comparing fingerprints replaces an exceptAll shuffle
+        # per round; a collision would only delay convergence
+        # detection by a round (max_iters still caps), never corrupt
+        # the result.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    # localCheckpoint per fused round: cuts the LOGICAL lineage (a
+    # cache would not — plan analysis re-grows every round and deep
+    # chains overflow), at the cost of one materialization job; the
+    # XOR fingerprint then reads the checkpointed data, so each round
+    # is exactly two jobs.
+    fp = fingerprint_of(E)
+    for _ in range(max_iters):
+        E2 = round_pair(E).localCheckpoint()
+        fp2 = fingerprint_of(E2)
+        E = E2
+        if fp2 == fp:
+            break
+        fp = fp2
+    # At the fixpoint every component is a star rooted at its min.
+    members = E.select(F.col("b").alias("node"), F.col("a").alias("cluster_id"))
+    roots = E.select(F.col("a").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    return members.unionByName(roots).distinct()
+
+
+def dup_clusters_star(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_iters: int = 25,
+) -> DataFrame:
+    """:func:`dup_clusters` with the large-star/small-star engine —
+    same (doc_id, cluster_id, cluster_size) contract, O(log d)
+    rounds; prefer it when components may be deep (long dup chains)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    labels = connected_components_star(pairs, max_iters=max_iters)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        F.col("node").alias(id_col), "cluster_id", "cluster_size"
+    )
+
+
 def dup_clusters(
     df: DataFrame,
     id_col: str,

@@ -323,9 +323,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dup_clusters",
-    oracle=f"""
+_DUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE
     t AS (SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents),
     sh AS (SELECT doc_id, list_distinct(toks) AS toks, {SHINGLES.format(t='toks')} AS sh FROM t),
@@ -359,7 +357,12 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM labels l
     JOIN (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) s
       USING (cluster_id)
-    """,
+    """
+
+
+@query(
+    "q_dup_clusters",
+    oracle=_DUP_CLUSTERS_ORACLE,
     tags=("ext", "dedup", "iterative"),
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,6 +375,15 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_clusters(
         read_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
     )
+
+
+# NOTE: the large-star/small-star variant (ext/dedup.dup_clusters_star)
+# deliberately has NO separate registered query: it must produce
+# byte-identical output to q_dup_clusters (equivalence asserted in
+# tests/test_ext.py::test_star_cc_equals_label_propagation against the
+# same corpus, plus a deep-chain test), so registering it would only
+# re-run the same oracle while its extra O(log d) rounds pay off on
+# graph depths the test corpus cannot produce.
 
 
 _V_COLS = ", ".join(

@@ -406,3 +406,28 @@ def test_contamination_flags_planted_overlap(spark):
     assert got[1]["contamination_rate"] == 1.0 and got[1]["is_contaminated"]
     assert got[3]["n_contaminated"] == 0 and not got[3]["is_contaminated"]
     assert 0.0 < got[2]["contamination_rate"] < 1.0
+
+
+def test_star_cc_equals_label_propagation(spark, sf_dir):
+    """Large-star/small-star must label the real corpus's dup graph
+    identically to min-label propagation (same components, same
+    min-id cluster labels, same sizes)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(tuple(r) for r in D.dup_clusters(d, "doc_id", "text", threshold=0.5).collect())
+    b = sorted(tuple(r) for r in D.dup_clusters_star(d, "doc_id", "text", threshold=0.5).collect())
+    assert a == b
+    assert len(a) > 0
+
+
+def test_star_cc_handles_deep_chain(spark):
+    """A 12-node path graph (worst case for propagation depth) must
+    collapse to one component labeled by the min node — the O(log d)
+    regime the star algorithm exists for."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a LONG, id_b LONG"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components_star(edges).collect()
+    }
+    assert got == {i: 100 for i in range(100, 112)}
