@@ -928,3 +928,60 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
     return X.contamination_check(d, bench, "doc_id", "text")
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, md5({NORM.format(c='text')}) AS fp FROM documents),
+    hist AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 <> 7),
+    batch AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 = 7),
+    marked AS (
+      SELECT b.doc_id, b.fp,
+             b.fp IN (SELECT fp FROM hist) AS in_hist,
+             min(b.doc_id) OVER (PARTITION BY b.fp) AS first_in_batch
+      FROM batch b
+    )
+    SELECT doc_id, fp,
+           CASE WHEN in_hist THEN 'dup_of_history'
+                WHEN doc_id <> first_in_batch THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM marked
+    """,
+    tags=("ext", "dedup", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the shape every daily
+    crawl append runs: an incoming batch (doc_id % 10 = 7) is
+    classified against the historical corpus as dup_of_history
+    (fingerprint already ingested), dup_in_batch (first occurrence
+    wins within the batch), or new. History collapses to a distinct
+    fingerprint set joined as a broadcast null-marker; within-batch
+    dedup is one window over the batch's fingerprints. At 100 TB the
+    history side is a bloom-filter or bucketed fingerprint table —
+    same plan shape, the scan never touches historical text."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+    hist = (
+        d.filter(F.col("doc_id") % 10 != 7)
+        .select("fp")
+        .distinct()
+        .withColumn("_hist", F.lit(1))
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        batch.join(F.broadcast(hist), "fp", "left")
+        .withColumn("_first", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("_hist").isNotNull(), "dup_of_history")
+            .when(F.col("doc_id") != F.col("_first"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )

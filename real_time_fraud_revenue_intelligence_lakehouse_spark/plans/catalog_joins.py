@@ -438,3 +438,39 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.select(
         "o_custkey", "total_spend", F.ntile(4).over(w).alias("spend_quartile")
     )
+
+
+# --- W: distribution position (percent_rank / cume_dist) -------------------
+
+@query(
+    "q_percent_rank",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_spend
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, total_spend,
+           (floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0) AS spend_pct_rank,
+           (floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0) AS spend_cume_dist
+    FROM spend
+    WINDOW w AS (ORDER BY total_spend, o_custkey)
+    """,
+    tags=("window",),
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution position per customer: percent_rank and cume_dist
+    over aggregated spend (the 'what percentile is this account in'
+    question every risk dashboard asks). Both are SQL-standard —
+    identical tie semantics in Spark and DuckDB; values det_round-ed.
+    The window runs over the per-customer AGGREGATE (|customers|
+    rows), not raw orders — same discipline as q_ntile_quartiles."""
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(exact_sum("o_totalprice", "total_spend"))
+    w = Window.orderBy(F.asc("total_spend"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        det_round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        det_round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+    )

@@ -163,12 +163,12 @@ def test_simhash_blocked_equals_brute_force(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     blocked = sorted(
         tuple(r)
-        for r in D.simhash_pairs(d, "doc_id", "text", max_hamming=3, sample_mod=2).collect()
+        for r in D.simhash_pairs(d, "doc_id", "text", max_hamming=3, sample_mod=4).collect()
     )
     brute = sorted(
         tuple(r)
         for r in D.simhash_pairs(
-            d, "doc_id", "text", max_hamming=3, sample_mod=2, blocked=False
+            d, "doc_id", "text", max_hamming=3, sample_mod=4, blocked=False
         ).collect()
     )
     assert blocked == brute
@@ -412,7 +412,7 @@ def test_star_cc_equals_label_propagation(spark, sf_dir):
     """Large-star/small-star must label the real corpus's dup graph
     identically to min-label propagation (same components, same
     min-id cluster labels, same sizes)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") % 2 == 0)
     a = sorted(tuple(r) for r in D.dup_clusters(d, "doc_id", "text", threshold=0.5).collect())
     b = sorted(tuple(r) for r in D.dup_clusters_star(d, "doc_id", "text", threshold=0.5).collect())
     assert a == b
