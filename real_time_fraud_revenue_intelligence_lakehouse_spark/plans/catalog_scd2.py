@@ -74,3 +74,105 @@ def q_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering via (ts, event_id) so both engines agree on ties."""
     ev = read_table(spark, sf_dir, "events")
     return scd2_from_events(ev, "user_id", "event_type", "ts", "event_id")
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 4 <> 0
+    ),
+    changes AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 3 = 0 THEN 'D'
+             WHEN o_orderkey % 4 = 0 THEN 'I' ELSE 'U' END AS op,
+        (floor(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0) AS o_totalprice,
+        'F' AS o_orderstatus,
+        CAST(1 AS BIGINT) AS seq
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+        (floor(o_totalprice * 1.2 * 100.0 + 0.5) / 100.0) AS o_totalprice,
+        'O' AS o_orderstatus,
+        CAST(2 AS BIGINT) AS seq
+      FROM orders WHERE o_orderkey % 6 = 0
+    ),
+    latest AS (
+      SELECT * EXCLUDE (rn) FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC, op
+        ) AS rn FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT s.o_orderkey,
+           coalesce(l.o_totalprice, s.o_totalprice) AS o_totalprice,
+           coalesce(l.o_orderstatus, s.o_orderstatus) AS o_orderstatus
+    FROM snap s LEFT JOIN latest l ON s.o_orderkey = l.o_orderkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    UNION ALL
+    SELECT l.o_orderkey, l.o_totalprice, l.o_orderstatus
+    FROM latest l LEFT JOIN snap s ON s.o_orderkey = l.o_orderkey
+    WHERE s.o_orderkey IS NULL AND l.op <> 'D'
+    """,
+    tags=("cdc", "merge"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changes-feed application — the Delta/Debezium 'apply
+    changes into snapshot' shape: a change batch carrying I/U/D ops
+    and a per-key sequence collapses to latest-per-key (seq DESC,
+    deterministic op tie-break), then merges into the snapshot:
+    deletes drop, updates overwrite, inserts append; keys touched by
+    BOTH change batches genuinely collapse to the later one. One window over
+    the (smaller) change batch + one key join — the same plan a
+    MERGE WHEN MATCHED DELETE/UPDATE/INSERT compiles to; both the
+    change feed and snapshot are derived deterministically from
+    orders so the oracle replays every branch."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    o = read_table(spark, sf_dir, "orders")
+    snap = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    batch1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, "D")
+        .when(F.col("o_orderkey") % 4 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        det_round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit("F").alias("o_orderstatus"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    batch2 = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U").alias("op"),
+        det_round(F.col("o_totalprice") * 1.2, 2).alias("o_totalprice"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    changes = batch1.unionByName(batch2)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"), F.asc("op"))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = (
+        snap.alias("s")
+        .join(latest.alias("l"), "o_orderkey", "left")
+        .filter(F.col("l.op").isNull() | (F.col("l.op") != "D"))
+        .select(
+            "o_orderkey",
+            F.coalesce("l.o_totalprice", "s.o_totalprice").alias("o_totalprice"),
+            F.coalesce("l.o_orderstatus", "s.o_orderstatus").alias("o_orderstatus"),
+        )
+    )
+    inserted = (
+        latest.alias("l")
+        .join(snap.alias("s"), "o_orderkey", "left_anti")
+        .filter(F.col("op") != "D")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    return kept.unionByName(inserted)

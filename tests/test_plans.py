@@ -138,3 +138,17 @@ def test_neardup_plan_is_distributed(plans):
     show a bare mapInPandas over one source with no join."""
     p = plans("q_embed_neardup")
     assert "Join" in p
+
+
+def test_jaccard_threshold_not_folded_into_join(plans):
+    """q_ngram_jaccard relies on a projection barrier so Catalyst does
+    NOT fold `jaccard >= t` into the nested-loop join condition (there
+    the array_intersect would be re-evaluated per comparison instead
+    of once per pair via subexpression elimination). Pin it: the join
+    node's condition must stay the pure id inequality."""
+    p = plans("q_ngram_jaccard")
+    import re
+
+    join_lines = [ln for ln in p.splitlines() if "NestedLoopJoin" in ln or "Join Inner" in ln]
+    assert join_lines, p
+    assert not any("array_intersect" in ln for ln in join_lines), join_lines

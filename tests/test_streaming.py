@@ -407,3 +407,72 @@ def test_await_streams_raises_on_stream_failure(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="stream 'bad' failed"):
         await_streams(spark, {"bad": _DeadQuery()})
+
+
+def test_stream_stream_join_within_watermark(spark, tmp_path):
+    """Stream-stream inner join with event-time range condition — the
+    Structured Streaming capability a fraud pipeline needs to pair a
+    click stream with a payment stream (reference pairs them in batch
+    silver; the streaming form bounds both sides' state with
+    watermarks). Clicks join payments of the same user within
+    [click, click + 10 min]."""
+    clicks_src = tmp_path / "ss_clicks"
+    pays_src = tmp_path / "ss_pays"
+    clicks_src.mkdir()
+    pays_src.mkdir()
+    now = time.time()
+    _write_json(
+        str(clicks_src / "c.json"),
+        [
+            _ev(1, "2024-01-01 10:00:00", user=7, etype="click"),
+            _ev(2, "2024-01-01 11:00:00", user=7, etype="click"),
+            _ev(3, "2024-01-01 10:00:00", user=9, etype="click"),
+        ],
+        now,
+    )
+    _write_json(
+        str(pays_src / "p.json"),
+        [
+            _ev(100, "2024-01-01 10:05:00", user=7, etype="payment", value=50.0),
+            _ev(101, "2024-01-01 12:30:00", user=7, etype="payment", value=60.0),
+            _ev(102, "2024-01-01 10:20:00", user=9, etype="payment", value=70.0),
+        ],
+        now,
+    )
+    clicks = (
+        read_file_stream(spark, str(clicks_src))
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    pays = (
+        read_file_stream(spark, str(pays_src))
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("pay_id"),
+            F.col("user_id"),
+            F.col("ts").alias("pay_ts"),
+            F.col("value"),
+        )
+    )
+    joined = clicks.join(
+        pays,
+        (clicks["user_id"] == pays["user_id"])
+        & (pays["pay_ts"] >= clicks["click_ts"])
+        & (pays["pay_ts"] <= clicks["click_ts"] + F.expr("INTERVAL 10 MINUTES")),
+    ).select("click_id", "pay_id", "value")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["click_id"], r["pay_id"]) for r in spark.table("ss_join").collect()}
+    # click1→pay100 (5 min), click3→pay102 would be 20 min — outside range;
+    # click2 has no payment within 10 min (pay101 is 90 min later).
+    assert got == {(1, 100)}
