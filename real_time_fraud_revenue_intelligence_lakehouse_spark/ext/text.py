@@ -385,10 +385,10 @@ def contamination_check(
 
     Plan: both sides reduce to distinct 60-bit shingle hashes; the
     benchmark side collapses to a distinct-hash set (it is eval-sized,
-    usually broadcastable); a left-semi join marks contaminated
-    shingles, counted per doc against the doc's own distinct-shingle
-    count. One shuffle on the shingle hash; corpus text is never
-    re-attached."""
+    broadcast with a hit marker); ONE groupBy over the marked corpus
+    shingles computes total and contaminated counts together — the
+    corpus shingle set is scanned once, not once per count plus a
+    rejoin, and corpus text is never re-attached."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
     def sh(d):
@@ -406,20 +406,20 @@ def contamination_check(
         )
 
     corpus_sh = sh(corpus)
-    bench_sh = sh(benchmark).select("sh").distinct()
-    per_doc = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    contaminated = (
-        corpus_sh.join(bench_sh, "sh", "left_semi")
+    bench_sh = sh(benchmark).select("sh").distinct().withColumn("_hit", F.lit(1))
+    counts = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
     )
     rate = det_round(
         F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1)), 6
     )
     return (
-        per_doc.join(contaminated, id_col, "left")
-        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
-        .select(
+        counts.select(
             F.col(id_col),
             "n_shingles",
             "n_contaminated",
