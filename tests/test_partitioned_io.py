@@ -38,3 +38,28 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     # and the values round-trip
     want = orders.filter(F.col("order_year") == 1997).count()
     assert back.count() == want > 0
+
+
+def test_multi_format_roundtrip(spark, sf_dir, tmp_path):
+    """S16 extension — the engine's batch write/read path must be
+    format-agnostic: parquet, ORC, JSON and CSV all round-trip the
+    same rows through write_batch (schema supplied on read for the
+    text formats, as any production pipeline must)."""
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    schema = src.schema
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        out = str(tmp_path / f"rt_{fmt}")
+        write_batch(src, out, mode="overwrite", fmt=fmt)
+        reader = spark.read.format(fmt)
+        if fmt in ("json", "csv"):
+            reader = reader.schema(schema)
+        if fmt == "csv":
+            reader = reader.option("header", "false")
+        back = reader.load(out)
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == want, f"{fmt} roundtrip mismatch"
