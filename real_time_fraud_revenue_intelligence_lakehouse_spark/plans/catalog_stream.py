@@ -99,3 +99,66 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value", "total_value"),
         ],
     )
+
+
+@query(
+    "q_sessionize_batch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT *,
+        CASE WHEN prev_ts IS NULL
+               OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+        CAST(sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY 1, 2
+    """,
+    tags=("window", "session"),
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: a session break is
+    a >30-min silence; session ids are the running sum of break flags
+    — the lag + cumulative-sum idiom (vs q_session_window's native
+    session_window operator: same business question, the two classic
+    techniques cross-checkable against each other). The lag and the
+    running sum share ONE entity-key Exchange+Sort (same partition
+    and order spec); the session rollup adds the aggregation
+    exchange — two shuffles total for the whole pipeline."""
+    e = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    numbered = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
