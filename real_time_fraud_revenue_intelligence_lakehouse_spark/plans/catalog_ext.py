@@ -985,3 +985,159 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+_MEAN_TOK_LEN = (
+    f"list_aggregate(list_transform({TOKS.format(c='text')}, t -> length(t)), 'sum')"
+    f" / greatest(len({TOKS.format(c='text')}), 1)"
+)
+
+
+@query(
+    "q_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        {_r(_MEAN_TOK_LEN, 4)} AS mean_tok_len,
+        {_r("1.0 - len(list_distinct(" + SHINGLES.format(t='toks') + ")) / greatest(len(" + SHINGLES.format(t='toks') + "), 1)", 4)}
+          AS dup_3gram_frac
+      FROM documents JOIN t USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, mean_tok_len, dup_3gram_frac,
+      n_tokens >= 16 AND n_tokens <= 100000 AS len_ok,
+      mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 AS tok_len_ok,
+      dup_3gram_frac <= 0.6 AS repetition_ok,
+      (n_tokens >= 16 AND n_tokens <= 100000)
+        AND (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0)
+        AND dup_3gram_frac <= 0.6 AS keep
+    FROM m
+    """,
+    tags=("ext", "text", "quality"),
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus filter rules (the published heuristics a
+    pretraining pipeline applies before anything model-based): token
+    count bounds, mean token length bounds, and within-document
+    3-gram repetition fraction — each surfaced as a flag plus the
+    final keep decision. All row-local Catalyst expressions over ONE
+    staged token projection (tokens and shingles computed once);
+    zero shuffles, fuses into the corpus scan."""
+    d = read_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", X.tokens(X.norm_text(F.col("text"))).alias("_toks")
+    ).withColumn("_sh", X.shingles_of(F.col("_toks"), 3))
+    n_tokens = F.size("_toks")
+    mean_tok_len = det_round(
+        F.aggregate(
+            F.transform(F.col("_toks"), lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    dup_frac = det_round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(F.col("_sh"))) / F.greatest(F.size("_sh"), F.lit(1)),
+        4,
+    )
+    m = staged.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        dup_frac.alias("dup_3gram_frac"),
+    )
+    len_ok = (F.col("n_tokens") >= 16) & (F.col("n_tokens") <= 100_000)
+    tl_ok = (F.col("mean_tok_len") >= 2.0) & (F.col("mean_tok_len") <= 12.0)
+    rep_ok = F.col("dup_3gram_frac") <= 0.6
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "dup_3gram_frac",
+        len_ok.alias("len_ok"),
+        tl_ok.alias("tok_len_ok"),
+        rep_ok.alias("repetition_ok"),
+        (len_ok & tl_ok & rep_ok).alias("keep"),
+    )
+
+
+#: Source-mixing temperature: weights ∝ share^ALPHA, renormalized —
+#: the standard multilingual/multi-source rebalancing rule.
+MIX_ALPHA = 0.5
+MIX_TARGET_FRAC = 0.5  # keep ~half the corpus overall
+
+
+@query(
+    "q_source_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_docs) AS n_total FROM counts),
+    w AS (
+      SELECT source, n_docs,
+             pow(n_docs / n_total, {MIX_ALPHA}) AS raw_w
+      FROM counts CROSS JOIN tot
+    ),
+    norm AS (
+      SELECT source, n_docs,
+             {_r(f"least(raw_w / (SELECT sum(raw_w) FROM w) * (SELECT n_total FROM tot) * {MIX_TARGET_FRAC} / n_docs, 1.0)", 6)}
+               AS keep_prob
+      FROM w
+    )
+    SELECT d.doc_id, d.source, n.keep_prob,
+           ({H60.format(x="'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000) / 1000000.0
+             < n.keep_prob AS selected
+    FROM documents d JOIN norm n USING (source)
+    """,
+    tags=("ext", "sampling"),
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (share^α rebalancing — the
+    standard recipe for de-skewing a training mix): per-source keep
+    probabilities renormalized to a corpus-level target fraction and
+    capped at 1, then applied as a DETERMINISTIC per-document
+    content-hash threshold — append-stable and rerun-stable like the
+    engine's train/test split (no RNG anywhere). Source stats are a
+    tiny aggregate broadcast back onto the scan."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+    )
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_w", F.pow(F.col("n_docs") / F.col("n_total"), F.lit(MIX_ALPHA))
+    )
+    wsum = w.agg(F.sum("raw_w").alias("w_sum"))
+    norm = (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            det_round(
+                F.least(
+                    F.col("raw_w")
+                    / F.col("w_sum")
+                    * F.col("n_total")
+                    * MIX_TARGET_FRAC
+                    / F.col("n_docs"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("keep_prob"),
+        )
+    )
+    h = X.hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(norm), "source")
+        .select(
+            "doc_id",
+            "source",
+            "keep_prob",
+            ((h % 1_000_000) / 1_000_000.0 < F.col("keep_prob")).alias("selected"),
+        )
+    )

@@ -72,6 +72,7 @@ _FRONT: tuple[str, ...] = (
     "q_tfidf_terms", "q_dq_freshness", "q_gbt_scores", "q_embed_top1",
     "q_chunk_documents", "q_pii_scan", "q_contamination",
     "q_percent_rank", "q_dedup_incremental", "q_cdc_apply", "q_sessionize_batch",
+    "q_gopher_quality", "q_source_mix",
     # round-1 driver-unverified block
     "q_lang_id", "q_quality_score", "q_fingerprint", "q_rolling_hash",
     "q_dedup_exact", "q_ngram_jaccard", "q_minhash_signature", "q_lsh_pairs",

@@ -39,6 +39,7 @@ ALLPAIRS_OK = {
     "q_ivf_topk",           # centroid assignment: corpus × |C| broadcast
     "q_tfidf_terms",        # 1-row N aggregate cross joined (broadcast)
     "q_dim_dates",          # date spine: 1-row sequence seed
+    "q_source_mix",         # 1-row total/weight-sum aggregates cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
