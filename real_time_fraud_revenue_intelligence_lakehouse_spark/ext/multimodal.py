@@ -153,7 +153,11 @@ def resize_media(df: DataFrame, target_w: int = 256, target_h: int = 256) -> Dat
 def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling stand-in: keep every ``every_n``-th payload by
     content hash — the shape of a video frame-sampling stage (filter
-    before decode, so skipped frames never reach the codec)."""
+    before decode, so skipped frames never reach the codec).
+
+    The hash rides on hex(payload), not base64: Spark's base64 is
+    MIME-chunked (\\r\\n every 76 chars) while DuckDB's is not, so hex
+    is the portable binary→text bridge for oracle parity."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
 
-    return df.filter(hash60(F.base64(F.col("payload"))) % every_n == 0)
+    return df.filter(hash60(F.hex(F.col("payload"))) % every_n == 0)

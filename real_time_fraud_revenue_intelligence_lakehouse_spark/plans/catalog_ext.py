@@ -1141,3 +1141,67 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((h % 1_000_000) / 1_000_000.0 < F.col("keep_prob")).alias("selected"),
         )
     )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS orig_len FROM documents
+    ),
+    s AS (
+      SELECT doc_id, orig_len,
+             greatest(orig_len // 1024, 1) AS step
+      FROM b
+    )
+    SELECT doc_id,
+           CAST((orig_len + step - 1) // step AS BIGINT) AS byte_len,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           256 AS width, 256 AS height
+    FROM s
+    """,
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over binary media: payload streamed through
+    Arrow-batched mapInPandas (deterministic byte-subsample standing
+    in for the codec resample — the honest stub), metadata struct
+    updated and byte_len recomputed JVM-side. The oracle replays the
+    stride arithmetic on the original byte lengths, verifying the
+    batch plumbing end-to-end without a codec."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.multimodal import (
+        attach_binary,
+        resize_media,
+    )
+
+    d = resize_media(attach_binary(read_table(spark, sf_dir, "documents")))
+    return d.select("doc_id", "media_meta.*")
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, upper(hex(encode(text))) AS hx,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime
+      FROM documents
+    )
+    SELECT doc_id, mime FROM b
+    WHERE {H60.format(x='hx')} % 4 = 0
+    """,
+    tags=("ext", "multimodal"),
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: keep every 4th payload by content hash —
+    filter BEFORE decode, so skipped frames never reach the codec
+    (the cheap stage goes first; at 100 TB of video that ordering is
+    the whole budget). Pure Catalyst filter on the binary column; the
+    oracle replays the hash over hex payloads (base64 is not portable
+    between engines — Spark MIME-chunks it)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.multimodal import (
+        attach_binary,
+        frame_sample,
+    )
+
+    d = frame_sample(attach_binary(read_table(spark, sf_dir, "documents")), every_n=4)
+    return d.select("doc_id", F.col("media_meta.mime").alias("mime"))
