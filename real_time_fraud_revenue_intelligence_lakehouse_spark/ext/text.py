@@ -427,3 +427,31 @@ def contamination_check(
             (rate >= threshold).alias("is_contaminated"),
         )
     )
+
+
+#: Cleanup regexes (cleanup_text + q_text_cleanup oracle share them).
+URL_RE = r"https?://[^\s]+"
+ZWSP_RE = "[​‌‍﻿]"
+
+
+def cleanup_text(df, id_col: str, text_col: str):
+    """Corpus text cleanup: strip URLs, zero-width characters, and
+    collapse the whitespace damage they leave → (id, n_urls,
+    clean_text, changed). Row-local regex pipeline — fuses into the
+    scan like the other text passes; run BEFORE tokenize/shingle so
+    downstream stats see content, not markup."""
+    t = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0))).cast("long")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(t, URL_RE, " "), ZWSP_RE, ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n_urls.alias("n_urls"),
+        cleaned.alias("clean_text"),
+        (cleaned != t).alias("changed"),
+    )

@@ -1205,3 +1205,55 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = frame_sample(attach_binary(read_table(spark, sf_dir, "documents")), every_n=4)
     return d.select("doc_id", F.col("media_meta.mime").alias("mime"))
+
+
+#: Deterministic noise decoration for the cleanup query — the
+#: synthetic corpus is clean, so markup is planted from doc_id (the
+#: same planted-input pattern as q_pii_scan: a no-op corpus would
+#: vacuously pass the oracle).
+_NOISE_SQL = (
+    "text || CASE WHEN doc_id % 2 = 0 THEN ' see https://ex' || CAST(doc_id AS VARCHAR)"
+    " || '.example.com/a?b=1 and https://t.example.org/x' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(8203) || ' tail' ELSE '' END"
+)
+
+
+@query(
+    "q_text_cleanup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_NOISE_SQL} AS t FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+      trim(regexp_replace(regexp_replace(regexp_replace(
+        t, 'https?://[^\\s]+', ' ', 'g'), '[​‌‍﻿]', '', 'g'),
+        '\\s+', ' ', 'g')) AS clean_text,
+      trim(regexp_replace(regexp_replace(regexp_replace(
+        t, 'https?://[^\\s]+', ' ', 'g'), '[​‌‍﻿]', '', 'g'),
+        '\\s+', ' ', 'g')) <> t AS changed
+    FROM d
+    """,
+    tags=("ext", "text"),
+)
+def q_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup cleanup before tokenization: URL stripping, zero-width
+    character removal, whitespace re-collapse — with URL/ZWSP noise
+    planted deterministically from doc_id so the regexes are actually
+    exercised (same pattern as q_pii_scan). Row-local; fuses into the
+    corpus scan (ext/text.cleanup_text)."""
+    d = read_table(spark, sf_dir, "documents")
+    noisy = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" see https://ex"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".example.com/a?b=1 and https://t.example.org/x"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("​ tail")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return X.cleanup_text(noisy, "doc_id", "text")
