@@ -118,3 +118,86 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10).select(
         "l_orderkey", "revenue", "order_date", "o_orderpriority"
     )
+
+
+@query(
+    "q_market_share",
+    oracle=f"""
+    WITH flat AS (
+      SELECT year(cast(o.o_orderdate as date)) AS o_year,
+             {R4.format(c='l.l_extendedprice * (1 - l.l_discount)')} AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+    )
+    SELECT o_year,
+      {SUM_DEC.format(c="CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END")}
+        AS nation_volume,
+      {SUM_DEC.format(c='volume')} AS total_volume,
+      {R4.format(c=(
+          SUM_DEC.format(c="CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END")
+          + ' / ' + SUM_DEC.format(c='volume')
+      ))} AS mkt_share
+    FROM flat
+    GROUP BY 1
+    """,
+    tags=("aggregate", "join", "heavy"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: one supplier nation's slice of a
+    region's ECONOMY-part revenue per order year — the widest join in
+    the suite (lineitem × orders × customer × nation × region ×
+    supplier × nation × part). Everything but the two facts is
+    dim-sized and broadcasts; Catalyst orders the join chain and
+    pushes the region/type/date filters into the scans, which is the
+    whole 100 TB story: the only real shuffle is lineitem ⋈ orders."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_natkey"), F.col("n_name").alias("supp_nation")
+    )
+    flat = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == ns["s_natkey"])
+        .select(
+            F.year(F.col("o_orderdate")).alias("o_year"),
+            det_round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("volume"),
+            "supp_nation",
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,4)")
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0)
+    agg = flat.groupBy("o_year").agg(
+        F.sum(dec(nation_vol)).cast("double").alias("nation_volume"),
+        F.sum(dec(F.col("volume"))).cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        det_round(F.col("nation_volume") / F.col("total_volume"), 4).alias("mkt_share"),
+    )
