@@ -682,12 +682,33 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "media_meta.*")
 
 
-@query("q_multimodal_decode", tags=("ext", "multimodal"))
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    WITH t AS (SELECT doc_id, text FROM documents)
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      CASE WHEN length(text) = 0 THEN -1
+           ELSE unicode(text[1:1]) END AS first_byte,
+      CASE WHEN length(text) = 0 THEN -1
+           ELSE unicode(text[length(text):length(text)]) END AS last_byte,
+      CAST(list_aggregate(
+             list_transform(range(length(text)), i -> unicode(text[i+1:i+1])),
+             'sum') % 997 AS BIGINT) AS byte_sum_mod,
+      CAST(length(text) % 10 + 1 AS INT) AS n_frames
+    FROM t
+    """,
+    tags=("ext", "multimodal"),
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode/feature-extract over binary payloads via
-    Arrow-batched mapInPandas (ext/multimodal.decode_features). No
-    SQL oracle — the Python batch boundary is the point; value
-    parity with JVM-side expressions is asserted in tests/test_ext.py."""
+    Arrow-batched mapInPandas (ext/multimodal.decode_features):
+    deterministic byte features (length, boundary bytes, byte-sum
+    residue, fake frame count) standing in for codec output. The
+    corpus is pure ASCII, so the oracle replays the UTF-8 byte math
+    with per-character codepoints — upgrading this from a rows-only
+    check to a full value hash; the real-codec seam stays an honest
+    NotImplementedError (tests/test_ext.py)."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.multimodal import (
         attach_binary,
         decode_features,
