@@ -34,25 +34,34 @@ def main() -> None:
     # Warm up JVM + parquet footer caches with the flagship query.
     qs["q_revenue_daily"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two passes per query: the first pays one-off costs (plan cache,
-    # Python-worker spin-up, JIT), the second is the steady-state
-    # number. Headline = min of the two — robust to a stray GC pause
-    # landing in either pass; both series are reported.
-    cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        try:
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            cold[name] = round(time.time() - t0, 3)
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            warm[name] = round(time.time() - t0, 3)
-            timings[name] = min(cold[name], warm[name])
-        except Exception as e:  # a failing query must not sink the whole bench
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            cold[name] = warm[name] = timings[name] = -1.0
+    # Three passes per query: the first pays one-off costs (plan
+    # cache, Python-worker spin-up, JIT); later passes are steady
+    # state. Headline = min of the three — this host is multi-tenant
+    # (load swings the same suite 57 s ↔ 130 s with zero local
+    # processes), so the min over spread-out passes is the only
+    # number that approximates the code's actual cost. All series
+    # are reported.
+    # Passes are interleaved at the SUITE level (pass 1 of every
+    # query, then pass 2, ...) so one query's samples land minutes
+    # apart — a multi-second host-noise burst then taxes at most one
+    # sample per query instead of all of them.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    runs: dict[str, list[float]] = {name: [] for name in qs}
+    failed: set[str] = set()
+    for _ in range(n_passes):
+        for name, fn in qs.items():
+            if name in failed:
+                continue
+            try:
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs[name].append(round(time.time() - t0, 3))
+            except Exception as e:  # a failing query must not sink the bench
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                failed.add(name)
+    cold = {n: (r[0] if r else -1.0) for n, r in runs.items()}
+    warm = {n: (min(r[1:]) if len(r) > 1 else (r[0] if r else -1.0)) for n, r in runs.items()}
+    timings = {n: (min(r) if r else -1.0) for n, r in runs.items()}
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
