@@ -85,3 +85,35 @@ def test_velocity_matches_python_reference(spark, events):
             if u2 == u and ms - 3_600_000 <= s2 * 1000 < ms
         )
         assert got[i] == want, (i, u, s)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_tokens=st.integers(min_value=0, max_value=120),
+    chunk_size=st.integers(min_value=4, max_value=48),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_reconstruction_law(spark, n_tokens, chunk_size, overlap_frac):
+    """For ANY (doc length, chunk size, overlap): chunk_documents
+    covers the token stream exactly — dropping each non-first chunk's
+    overlap prefix reconstructs the original tokens, every chunk is
+    ≤ chunk_size, and chunk indices are dense from 0."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import chunk_documents
+
+    overlap = min(int(chunk_size * overlap_frac), chunk_size - 1)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    rows = sorted(
+        (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text", chunk_size, overlap).collect()
+    )
+    assert [ci for ci, _, _ in rows] == list(range(len(rows)))
+    chunks = [t.split(" ") for _, _, t in rows]  # "".split(" ") == [''], matching the engine
+    assert all(len(c) <= chunk_size for c in chunks)
+    recon = (chunks[0] if chunks else []) + [
+        tok for c in chunks[1:] for tok in c[overlap:]
+    ]
+    # empty text tokenizes to [''] in the engine (split of ""), so
+    # compare against the same convention
+    want = text.split(" ") if text else [""]
+    assert recon == want
