@@ -730,3 +730,68 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in ("O", "F", "P")
         ],
     )
+
+
+@query(
+    "q_intersect_check",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+)
+def q_intersect_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers with BOTH a fulfilled order and an
+    urgent order — completes the §2.7 set-operation family (UNION
+    ALL, EXCEPT, INTERSECT). Spark plans intersect as a left-semi
+    join over distincts; at scale prefer the explicit semi-join form
+    when one side is much smaller (broadcastable)."""
+    o = read_table(spark, sf_dir, "orders")
+    fulfilled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    return fulfilled.intersect(urgent)
+
+
+@query(
+    "q_map_functions",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey,
+             count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+             count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_fulfilled,
+             count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, status, n FROM (
+      SELECT o_custkey, 'O' AS status, n_open AS n FROM agg
+      UNION ALL SELECT o_custkey, 'F', n_fulfilled FROM agg
+      UNION ALL SELECT o_custkey, 'P', n_pending FROM agg
+    ) WHERE n > 1
+    """,
+    tags=("scalar", "map"),
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§2.8's one uncovered family): per-customer
+    status→count map built with map_from_arrays, filtered with
+    map_filter (counts > 1), exploded back to rows. The oracle states
+    the same logic relationally — what the map pipeline must reduce
+    to — so Catalyst's map expressions are verified against plain SQL
+    semantics. Maps stay row-local; the only shuffle is the count
+    aggregation."""
+    o = read_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", True)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", True)).alias("n_fulfilled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", True)).alias("n_pending"),
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("O"), F.lit("F"), F.lit("P")),
+        F.array("n_open", "n_fulfilled", "n_pending"),
+    )
+    mapped = agg.select(
+        "o_custkey", F.map_filter(m, lambda k, v: v > 1).alias("status_counts")
+    )
+    return mapped.select(
+        "o_custkey", F.explode("status_counts").alias("status", "n")
+    )
