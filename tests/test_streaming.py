@@ -476,3 +476,70 @@ def test_stream_stream_join_within_watermark(spark, tmp_path):
     # click1→pay100 (5 min), click3→pay102 would be 20 min — outside range;
     # click2 has no payment within 10 min (pay101 is 90 min later).
     assert got == {(1, 100)}
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join — the bronze→silver enrichment shape: each
+    micro-batch joins against a static dimension (no state, no
+    watermark needed on the static side; Spark re-plans the static
+    side per batch, so a Delta dim picks up updates between batches)."""
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    _write_json(
+        str(src / "a.json"),
+        [_ev(1, "2024-01-01 10:00:00", user=7), _ev(2, "2024-01-01 10:01:00", user=9)],
+        time.time(),
+    )
+    dim = spark.createDataFrame(
+        [(7, "gold"), (9, "basic")], "user_id LONG, tier STRING"
+    )
+    enriched = read_file_stream(spark, str(src)).join(dim, "user_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["tier"]) for r in spark.table("enrich_join").collect()}
+    assert got == {(1, "gold"), (2, "basic")}
+
+
+def test_malformed_payloads_yield_null_columns_not_failures(spark, tmp_path):
+    """from_json with an explicit schema must degrade per-ROW, not
+    per-stream: a malformed payload parses to null fields while good
+    rows in the same micro-batch land intact (PERMISSIVE semantics —
+    the reference's ingest contract for poison-pill messages)."""
+    import json as _json
+
+    src = tmp_path / "poison_src"
+    src.mkdir()
+    lines = [
+        _json.dumps({"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7,
+                     "event_type": "click", "value": 1.0, "props": "{}"}),
+        "{not valid json at all",
+        _json.dumps({"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 9,
+                     "event_type": "click", "value": 3.0, "props": "{}"}),
+    ]
+    with open(src / "a.json", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    # Kafka-shaped frame: payload as a binary column, exactly what
+    # parse_kafka_payload sees; batch-check the same parse expression
+    # the stream uses.
+    batch = spark.read.text(str(src / "a.json")).select(
+        F.lit(None).cast("string").alias("key"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.lit(0).cast("long").alias("offset"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.ingest import parse_kafka_payload
+
+    parsed = parse_kafka_payload(batch, EVENTS_SCHEMA)
+    rows = {r["event_id"]: r for r in parsed.collect()}
+    assert set(rows) == {1, 3, None}
+    assert rows[None]["_raw_payload"].startswith("{not valid")  # original preserved
+    assert rows[1]["user_id"] == 7 and rows[3]["value"] == 3.0
