@@ -795,3 +795,43 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.select(
         "o_custkey", F.explode("status_counts").alias("status", "n")
     )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status_rt,
+           o_totalprice AS price_rt,
+           CAST(o_totalprice >= 1000 AS BOOLEAN) AS big_rt
+    FROM orders
+    """,
+    tags=("scalar", "json"),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON generation direction (§2.8's write side): struct →
+    to_json → from_json with explicit schema → field extraction must
+    be lossless — the serialize/deserialize cycle every Kafka sink +
+    downstream consumer performs. The oracle is the identity on the
+    source columns: any drift (float formatting, boolean casing,
+    field order sensitivity) breaks the hash."""
+    o = read_table(spark, sf_dir, "orders")
+    packed = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+                (F.col("o_totalprice") >= 1000).alias("big"),
+            )
+        ).alias("payload"),
+    )
+    schema = "status STRING, price DOUBLE, big BOOLEAN"
+    unpacked = packed.select(
+        "o_orderkey", F.from_json("payload", schema).alias("d")
+    )
+    return unpacked.select(
+        "o_orderkey",
+        F.col("d.status").alias("status_rt"),
+        F.col("d.price").alias("price_rt"),
+        F.col("d.big").alias("big_rt"),
+    )
