@@ -65,19 +65,30 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold": cold,
-                "warm": warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The harness that records this run keeps only a bounded tail of
+    # stdout, so the contract line must stay SHORT: per-query minima
+    # at 2 decimals, compact separators, nothing else on stdout. The
+    # full detail (3-decimal minima + every cold/warm series) goes to
+    # BENCH_FULL.json beside this script for post-hoc reading.
+    detail = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold": cold,
+        "warm": warm,
+        "sf": sf_val,
+    }
+    (REPO / "BENCH_FULL.json").write_text(json.dumps(detail, indent=1) + "\n")
+    line = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": sf_val,
+    }
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":

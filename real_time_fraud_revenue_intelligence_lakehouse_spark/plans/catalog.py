@@ -110,6 +110,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_heavy,
     catalog_incremental,
     catalog_quality,
+    catalog_relational,
     catalog_sampling,
     catalog_scd2,
     catalog_scoring,

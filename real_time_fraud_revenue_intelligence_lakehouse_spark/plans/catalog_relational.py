@@ -1,0 +1,622 @@
+"""Round-3 relational-depth queries (SURVEY §2.3 note, §2.4-§2.6).
+
+The reference never writes semi/anti joins, subqueries, HAVING,
+ROLLUP, or explicit window frames — but its *capability categories*
+(SURVEY §2.3 "semi/anti semantics appear indirectly", §2.4
+grouping-sets note, §2.5 frame-spec note) imply them, and any user
+switching engines will reach for them on day one. Each query here is
+a first-class Catalyst shape: semi/anti joins stay broadcast-able,
+scalar subqueries become 1-row broadcast joins, correlated
+subqueries decorrelate to agg-then-join, and every float output goes
+through the decimal-sum + det_round discipline so the DuckDB oracle
+hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round, exact_avg, exact_sum
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
+R2 = "(floor(({c}) * 100.0 + 0.5) / 100.0)"
+SUM_SQL = "cast(sum(cast({c} as decimal(18,2))) as double)"
+AVG_SQL = R4.format(c="cast(sum(cast({c} as decimal(18,2))) as double) / count({c})")
+# Exact decimal revenue term: extendedprice * (1 - discount).
+REV_DEC = "cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))"
+REV_SUM = f"cast(sum({REV_DEC}) as double)"
+
+
+def _rev(li_prefix: str = "") -> F.Column:
+    """Spark twin of REV_DEC/REV_SUM: decimal-exact revenue sum."""
+    p = f"{li_prefix}l_extendedprice"
+    d = f"{li_prefix}l_discount"
+    return F.sum(
+        F.col(p).cast("decimal(18,2)") * (F.lit(1) - F.col(d).cast("decimal(18,2)"))
+    ).cast("double")
+
+
+# --- left semi join --------------------------------------------------------
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "semi"),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a LEFT SEMI join: customers with ≥1 urgent order
+    (SURVEY §2.3 — semi semantics implied by dbt relationship tests,
+    `dbt/models/marts/schema.yml`). Semi join never duplicates the
+    probe side and only ships the build side's key column — at 100 TB
+    the urgent-order key set broadcasts or shuffles as ids only."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- left anti join --------------------------------------------------------
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "anti"),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a LEFT ANTI join: customers with no urgent order
+    (the dbt `relationships` test shape, run for keeps). Same
+    ids-only build side as the semi join — the FK-orphan DQ check
+    (catalog_quality) uses the identical plan."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# --- scalar subquery -------------------------------------------------------
+
+@query(
+    "q_scalar_subquery",
+    oracle=f"""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT {AVG_SQL.format(c='p_retailprice')} FROM part)
+    """,
+    tags=("subquery",),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: parts priced above the corpus average.
+    Spark form: the 1-row aggregate cross-joins (broadcast) onto the
+    scan — one extra stage, no shuffle of the big side, identical to
+    what Catalyst produces for an uncorrelated scalar subquery."""
+    p = read_table(spark, sf_dir, "part")
+    avg_price = p.agg(exact_avg("p_retailprice", alias="thr"))
+    return (
+        p.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("thr"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# --- correlated subquery (TPC-H Q17 shape) ---------------------------------
+
+@query(
+    "q_correlated_subquery",
+    oracle=f"""
+    SELECT p.p_brand,
+           count(*) AS n_small_items,
+           {R2.format(c=f"{REV_SUM} / 7.0")} AS avg_weekly_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+      SELECT 0.2 * ({AVG_SQL.format(c='l_quantity')})
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY 1
+    """,
+    tags=("subquery", "join", "aggregate"),
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity lineitems vs 20% of the
+    per-part average quantity (correlated subquery). Spark form is the
+    decorrelated plan Catalyst itself would produce: per-part avg
+    aggregate, joined back on partkey — one shuffle on l_partkey for
+    the agg, the join co-partitioned on the same key (AQE reuses the
+    exchange). Never evaluates the subquery per row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * exact_avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_items"),
+            det_round(_rev() / F.lit(7.0), 2).alias("avg_weekly_revenue"),
+        )
+    )
+
+
+# --- HAVING (TPC-H Q18 shape) ----------------------------------------------
+
+@query(
+    "q_having",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {SUM_SQL.format(c='l_quantity')} AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING {SUM_SQL.format(c='l_quantity')} >= 300
+    )
+    SELECT c.c_name, o.o_orderkey,
+           cast(o.o_orderdate as date) AS order_date,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("aggregate", "having", "join"),
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via HAVING on an exact
+    decimal quantity sum, folded back onto orders + customer. The
+    HAVING filter runs post-aggregation on the (small) per-order
+    grain, so only qualifying keys reach the joins — at scale the
+    survivors broadcast against both dimension sides."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") >= 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+# --- ROLLUP ----------------------------------------------------------------
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT coalesce(cast(cast(year(o_orderdate) as int) as varchar), 'ALL') AS year_g,
+           coalesce(o_orderstatus, 'ALL') AS status_g,
+           count(*) AS n_orders,
+           {SUM_SQL.format(c='o_totalprice')} AS gmv
+    FROM orders
+    GROUP BY ROLLUP (cast(year(o_orderdate) as int), o_orderstatus)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (year → status → grand total) with 'ALL'
+    sentinels — the subtotal-ladder companion to q_grouping_sets'
+    CUBE. Catalyst expands to grouping sets in a single Expand +
+    aggregate: one pass over the fact, no per-level rescans."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), exact_sum("o_totalprice", "gmv"))
+        .select(
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias("year_g"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status_g"),
+            "n_orders",
+            "gmv",
+        )
+    )
+
+
+# --- running total (cumulative frame) --------------------------------------
+
+@query(
+    "q_running_total",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           cast(o_orderdate as date) AS order_date,
+           cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) as double) AS running_spend
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend: explicit ROWS frame over a
+    deterministic (date, key) order — the frame-spec coverage SURVEY
+    §2.5 calls for head-on. Decimal accumulation keeps every prefix
+    sum exact, so the running values are reproducible on any
+    partition layout."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# --- first_value / last_value / nth_value ----------------------------------
+
+@query(
+    "q_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    tags=("window", "frame"),
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over the full-partition frame (the
+    last_value default-frame trap done right: without UNBOUNDED
+    FOLLOWING, last_value degenerates to the current row). One
+    exchange+sort per customer partition serves all three."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+# --- max_by / min_by -------------------------------------------------------
+
+@query(
+    "q_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           (max({'p': o_totalprice, 'k': o_orderkey})).k AS biggest_order,
+           max(o_totalprice) AS max_price,
+           (min({'p': o_totalprice, 'k': o_orderkey})).k AS smallest_order,
+           min(o_totalprice) AS min_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("aggregate", "argmax"),
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-safe max_by/min_by: the order id carrying each customer's
+    extreme price, ties broken by order key via a struct comparison
+    (`max(struct(price, key))` — the same map-side-combinable shape
+    q_embed_top1 uses, no window sort). DuckDB mirrors it with
+    `max(row(price, key))` field extraction."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max(F.struct("o_totalprice", "o_orderkey")).getField("o_orderkey").alias("biggest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min(F.struct("o_totalprice", "o_orderkey")).getField("o_orderkey").alias("smallest_order"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+# --- moment statistics (corr / stddev / variance, deterministic) -----------
+
+_QD = "cast(l_quantity as decimal(18,3))"
+_PD = "cast(l_extendedprice as decimal(18,3))"
+
+
+@query(
+    "q_stats_agg",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             cast(sum({_QD}) as double) AS sx,
+             cast(sum({_PD}) as double) AS sy,
+             cast(sum({_QD} * {_QD}) as double) AS sxx,
+             cast(sum({_PD} * {_PD}) as double) AS syy,
+             cast(sum({_QD} * {_PD}) as double) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           {R4.format(c="(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS qty_price_corr,
+           {R4.format(c="sqrt((sxx - sx * sx / n) / (n - 1))")} AS qty_stddev,
+           {R4.format(c="(sxx - sx * sx / n) / (n - 1)")} AS qty_variance
+    FROM m
+    """,
+    tags=("aggregate", "stats"),
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/stddev_samp/var_samp per return flag — computed from
+    exact decimal moment sums, then one double-precision formula
+    (built-in corr/stddev accumulate doubles in partition order and
+    are NOT reproducible across layouts; the moment form is, and it's
+    a single map-side-combinable pass either way)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,3)")
+    pd_ = F.col("l_extendedprice").cast("decimal(18,3)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        det_round((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4).alias("qty_price_corr"),
+        det_round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 4).alias("qty_stddev"),
+        det_round((sxx - sx * sx / n) / (n - F.lit(1)), 4).alias("qty_variance"),
+    )
+
+
+# --- ratio-to-report window ------------------------------------------------
+
+@query(
+    "q_window_share",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           {R4.format(c="o_totalprice / cast(sum(cast(o_totalprice as decimal(18,2))) OVER (PARTITION BY o_custkey) as double)")} AS share_of_customer
+    FROM orders
+    """,
+    tags=("window",),
+)
+def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's lifetime
+    spend (unbounded partition sum — no ORDER BY, so no sort; one
+    exchange on the customer key)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        det_round(F.col("o_totalprice") / total, 4).alias("share_of_customer"),
+    )
+
+
+# --- array construction + element ops --------------------------------------
+
+@query(
+    "q_array_ops",
+    oracle="""
+    WITH arrs AS (
+      SELECT o_custkey,
+             list_sort(list(o_totalprice), 'DESC') AS prices
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey,
+           len(prices) AS n_orders,
+           prices[1] AS top1,
+           prices[2] AS top2,
+           prices[3] AS top3,
+           len(list_distinct(prices)) AS n_distinct_prices
+    FROM arrs
+    """,
+    tags=("array",),
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pipeline: collect → sort desc → positional access (null
+    past the end, both engines) → distinct cardinality. The sorted
+    collect is the `orders.items` ArrayType(Struct) shape
+    (`schemas.py:14-19`) exercised on primitives; `F.get` is the
+    OOB-null accessor that stays legal under ANSI mode."""
+    o = read_table(spark, sf_dir, "orders")
+    arrs = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_totalprice"), asc=False).alias("prices")
+    )
+    return arrs.select(
+        "o_custkey",
+        F.size("prices").alias("n_orders"),
+        F.get("prices", 0).alias("top1"),
+        F.get("prices", 1).alias("top2"),
+        F.get("prices", 2).alias("top3"),
+        F.size(F.array_distinct("prices")).alias("n_distinct_prices"),
+    )
+
+
+# --- regexp family ---------------------------------------------------------
+
+@query(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+           CAST(CASE WHEN regexp_matches(p_name, '\\d') THEN 1 ELSE 0 END AS BIGINT) AS has_digit
+    FROM part
+    """,
+    tags=("string", "regexp"),
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / count / replace / match predicate — the
+    pattern-function family (reference uses only split+concat for PII
+    masking, `transform_transactions.py:118-123`; corpus pipelines
+    lean on regexps constantly). All row-local codegen expressions."""
+    p = read_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(name, r"^(\w+)", 1).alias("first_word"),
+        F.regexp_count(name, F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+        F.regexp_replace(name, "[aeiou]", "").alias("consonants"),
+        F.when(name.rlike(r"\d"), 1).otherwise(0).cast("long").alias("has_digit"),
+    )
+
+
+# --- decimal money pipeline ------------------------------------------------
+
+@query(
+    "q_decimal_money",
+    oracle="""
+    WITH priced AS (
+      SELECT o_orderstatus,
+             cast(o_totalprice as decimal(18,2)) AS price_dec,
+             round(cast(o_totalprice as decimal(18,2)) * cast(0.0725 as decimal(6,4)), 2) AS tax
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           cast(sum(price_dec) as double) AS net_total,
+           cast(sum(tax) as double) AS tax_total,
+           cast(sum(price_dec + tax) as double) AS gross_total
+    FROM priced GROUP BY 1
+    """,
+    tags=("decimal", "aggregate"),
+)
+def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(18,2) money pipeline — the production-correct
+    alternative SURVEY §1.2 documents (the reference keeps DoubleType
+    and pushes NUMERIC(18,2) to Postgres DDL, `warehouse/init.sql:32-43`):
+    exact tax multiply, half-up round to cents, exact sums; doubles
+    only at the output boundary."""
+    o = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    tax = F.round(price * F.lit("0.0725").cast("decimal(6,4)"), 2)
+    priced = o.select(
+        "o_orderstatus", price.alias("price_dec"), tax.alias("tax")
+    )
+    return priced.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_dec").cast("double").alias("net_total"),
+        F.sum("tax").cast("double").alias("tax_total"),
+        F.sum(F.col("price_dec") + F.col("tax")).cast("double").alias("gross_total"),
+    )
+
+
+# --- TPC-H Q5 shape: local-supplier volume ---------------------------------
+
+@query(
+    "q_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           count(*) AS n_items,
+           {R2.format(c=REV_SUM)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    tags=("join", "aggregate", "tpch"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a
+    nation, rolled up by nation within one region. The only big-big
+    shuffle is lineitem⋈orders on the order key; customer, supplier,
+    nation, region all broadcast — the same-nation predicate rides
+    the supplier join, so no extra exchange for it."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            det_round(_rev(), 2).alias("revenue"),
+        )
+    )
+
+
+# --- TPC-H Q10 shape: returned-item revenue, top 20 ------------------------
+
+@query(
+    "q_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {R2.format(c=REV_SUM)} AS lost_revenue,
+           count(*) AS n_returned_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "aggregate", "topk", "tpch"),
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+    Return-flag filter pushes to the lineitem scan; the top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of 20
+    rows), never a full sort. Tie-break on custkey keeps the LIMIT
+    deterministic."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            det_round(_rev(), 2).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
