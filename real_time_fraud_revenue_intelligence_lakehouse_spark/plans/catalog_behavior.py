@@ -1,0 +1,289 @@
+"""Round-3 behavioral analytics over the `events` stream table.
+
+The reference's fraud platform computes per-user profiles and daily
+KPIs (`fraud_summary.py:91-134`, `revenue_aggregations.py:46-112`);
+the event-level analytics every such platform grows next — funnel
+conversion, cohort retention, RFM segmentation, and distribution-based
+outlier gates — are declared here with the same decimal-sum /
+det_round float discipline. All shapes are one-or-two hash
+aggregations plus broadcast-able tiny joins: nothing here sorts the
+full event log or collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round, exact_sum
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
+SUM_SQL = "cast(sum(cast({c} as decimal(18,2))) as double)"
+
+
+# --- funnel conversion -----------------------------------------------------
+
+@query(
+    "q_event_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    ),
+    counts AS (
+      SELECT 1 AS stage_no, 'view' AS stage, count(*) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'view>click', count(*) FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', count(*) FROM p
+    )
+    SELECT stage_no, stage, n_users,
+           {R4.format(c="n_users / (first_value(n_users) OVER (ORDER BY stage_no) + 0.001)")} AS conversion
+    FROM counts
+    """,
+    tags=("behavior", "funnel"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase): each
+    stage keeps users whose stage event happens strictly AFTER their
+    previous stage's first event. Three per-user min-aggregates with
+    the stage filter pushed into each scan; the stage-N population
+    joins are on user_id and shrink monotonically — at 100 TB each
+    stage's survivors broadcast to the next. Conversion is
+    ratio-to-stage-1 via a 3-row window."""
+    e = read_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"), "n_users")
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(2).alias("stage_no"), F.lit("view>click").alias("stage"), "n_users"))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(3).alias("stage_no"), F.lit("view>click>purchase").alias("stage"), "n_users"))
+    )
+    w = Window.orderBy("stage_no")
+    return counts.select(
+        F.col("stage_no").cast("int").alias("stage_no"),
+        "stage",
+        "n_users",
+        det_round(F.col("n_users") / (F.first("n_users").over(w) + F.lit(0.001)), 4).alias("conversion"),
+    )
+
+
+# --- weekly cohort retention -----------------------------------------------
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(cast(ts as date)) AS first_date FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT e.user_id,
+             cast(date_trunc('week', f.first_date) as date) AS cohort_week,
+             cast(floor(date_diff('day', f.first_date, cast(e.ts as date)) / 7) as bigint) AS week_off
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_off,
+           count(DISTINCT user_id) AS n_active
+    FROM activity GROUP BY 1, 2
+    """,
+    tags=("behavior", "retention"),
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by Monday-truncated
+    first-seen week, activity counted per whole-weeks-since-first
+    offset. One agg for first dates (small, broadcasts back onto the
+    log), one distinct-count agg for the matrix — the event log is
+    scanned twice but shuffled only on (cohort_week, week_off)."""
+    e = read_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_date"))
+    activity = e.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        F.date_trunc("week", "first_date").cast("date").alias("cohort_week"),
+        F.floor(F.datediff(F.to_date("ts"), F.col("first_date")) / 7).alias("week_off"),
+    )
+    return activity.groupBy("cohort_week", "week_off").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+
+
+# --- RFM segmentation ------------------------------------------------------
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH anchor AS (SELECT max(cast(ts as date)) AS d0 FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', max(cast(ts as date)), (SELECT d0 FROM anchor)) AS recency_days,
+             count(*) AS frequency,
+             {SUM_SQL.format(c="CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS monetary
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+    FROM per_user
+    """,
+    tags=("behavior", "segmentation", "window"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency vs the corpus's own max date (no
+    wall clock — deterministic), frequency, purchase-only monetary
+    (decimal-exact), quartiled by ntile with user_id tie-breaks so
+    the quartile assignment is total-ordered and reproducible.
+    The global ntile sort is on |users| rows (already aggregated),
+    not |events| — at 100 TB that's the 1000× smaller side."""
+    e = read_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("d0"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_date"),
+            F.count(F.lit(1)).alias("frequency"),
+            exact_sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0),
+                "monetary",
+            ),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("d0", "last_date").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m_score"),
+    )
+
+
+# --- winsorized values (percentile clamp) ----------------------------------
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT event_type,
+             {R4.format(c='quantile_cont(value, 0.05)')} AS p05,
+             {R4.format(c='quantile_cont(value, 0.95)')} AS p95
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value < b.p05 THEN b.p05
+                WHEN e.value > b.p95 THEN b.p95
+                ELSE e.value END AS value_winsorized,
+           CAST(CASE WHEN e.value < b.p05 OR e.value > b.p95 THEN 1 ELSE 0 END AS BIGINT) AS clamped
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    """,
+    tags=("behavior", "percentile", "cleanse"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each event's value into its type's
+    [p05, p95] band — the outlier-capping cleanse step upstream of
+    any feature build. Exact percentiles per type (one sort per
+    small group), bounds broadcast back onto the log; at 100 TB the
+    scale variant swaps in percentile_approx with the same plan."""
+    e = read_table(spark, sf_dir, "events")
+    arr = F.percentile(F.col("value"), F.array(F.lit(0.05), F.lit(0.95)))
+    bounds = (
+        e.groupBy("event_type")
+        .agg(arr.alias("_p"))
+        .select(
+            "event_type",
+            det_round(F.col("_p")[0], 4).alias("p05"),
+            det_round(F.col("_p")[1], 4).alias("p95"),
+        )
+    )
+    v, lo, hi = F.col("value"), F.col("p05"), F.col("p95")
+    return e.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(v < lo, lo).when(v > hi, hi).otherwise(v).alias("value_winsorized"),
+        F.when((v < lo) | (v > hi), 1).otherwise(0).cast("long").alias("clamped"),
+    )
+
+
+# --- z-score outliers ------------------------------------------------------
+
+_VD = "cast(value as decimal(18,3))"
+
+
+@query(
+    "q_zscore_outliers",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, count(*) AS n,
+             cast(sum({_VD}) as double) AS sx,
+             cast(sum({_VD} * {_VD}) as double) AS sxx
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT event_type,
+             sx / n AS mean_v,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS std_v
+      FROM m
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           {R4.format(c='(e.value - s.mean_v) / s.std_v')} AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mean_v) / s.std_v) >= 2.5
+    """,
+    tags=("behavior", "stats", "quality"),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier gate: events ≥2.5σ from their type's mean.
+    Mean/std come from exact decimal moment sums (reproducible on any
+    partition order, unlike built-in stddev over doubles), broadcast
+    back as a 5-row stats table — a single shuffle-free pass over the
+    log after the tiny agg."""
+    e = read_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,3)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).cast("double").alias("sx"),
+        F.sum(vd * vd).cast("double").alias("sxx"),
+    )
+    stats = m.select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mean_v"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - F.lit(1))).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 2.5)
+        .select("event_id", "event_type", "value", det_round(z, 4).alias("z"))
+    )
