@@ -105,6 +105,7 @@ def q_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa: E402,F401
     catalog_behavior,
     catalog_cleanse,
+    catalog_corpus,
     catalog_gold,
     catalog_joins,
     catalog_ext,

@@ -1,0 +1,370 @@
+"""Round-3 LLM-corpus depth queries (SURVEY §2.14 extensions).
+
+Fills the remaining gaps a training-data pipeline hits after round
+2's dedup/similarity/quality surface: lexical retrieval scoring
+(BM25), intra-document repetition (the Gopher-class signal the
+duplicate-line filters approximate), the END-TO-END dedup pipeline
+(clusters → keep canonical → surviving corpus), embedding-norm
+health stats, corpus length histograms, and k-NN label voting over
+the ANN-ready vector table. Same oracle discipline as catalog_ext:
+every SQL twin is generated from the same constants the Spark
+operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import dedup as D
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity as S
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import (
+    NORM,
+    SHINGLES,
+    TOKS,
+    _bands_sql,
+    _DBL,
+    _SIG_COLS,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
+R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+
+# --- BM25 lexical retrieval ------------------------------------------------
+
+#: Fixed query-term set (mid/high-frequency corpus tokens — the point
+#: is the scoring math, not the retrieval quality on synthetic text).
+BM25_TERMS = ("hash", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             cast(sum(len(toks)) as double) / count(*) AS avgdl
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, len(toks) AS dl,
+             {', '.join(f"len(list_filter(toks, x -> x = '{term}')) AS tf_{term}" for term in BM25_TERMS)}
+      FROM t
+    ),
+    df AS (
+      SELECT {', '.join(f'count(CASE WHEN tf_{term} > 0 THEN 1 END) AS df_{term}' for term in BM25_TERMS)}
+      FROM tf
+    )
+    SELECT doc_id,
+      {R4.format(c=' + '.join(
+          f"ln(1 + (n_docs - df_{term} + 0.5) / (df_{term} + 0.5))"
+          f" * (tf_{term} * ({BM25_K1} + 1))"
+          f" / (tf_{term} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+          for term in BM25_TERMS))} AS bm25
+    FROM tf, stats, df
+    WHERE {' + '.join(f'tf_{term}' for term in BM25_TERMS)} > 0
+    """,
+    tags=("ext", "text", "retrieval"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring for a fixed query-term set: per-term tf from one
+    tokenize pass, document frequencies + avgdl from two 1-row
+    aggregates that broadcast back onto the corpus — no shuffle of
+    the document table itself. The Okapi formula (k1=1.2, b=0.75)
+    runs as plain codegen arithmetic; at 100 TB the df/avgdl stats
+    come from the corpus profile table instead of a rescan."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    tf = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            # one-arg lambda per term (a default-arg lambda would have
+            # arity 2 and be read as the (element, index) variant)
+            F.size(F.filter("toks", (lambda t: lambda x: x == t)(term))).alias(f"tf_{term}")
+            for term in BM25_TERMS
+        ],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.agg(
+        *[
+            F.count(F.when(F.col(f"tf_{term}") > 0, True)).alias(f"df_{term}")
+            for term in BM25_TERMS
+        ]
+    )
+    score = None
+    for term in BM25_TERMS:
+        tf_c = F.col(f"tf_{term}")
+        df_c = F.col(f"df_{term}")
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
+        )
+        part = idf * (tf_c * F.lit(BM25_K1 + 1)) / (
+            tf_c
+            + F.lit(BM25_K1)
+            * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    any_tf = None
+    for term in BM25_TERMS:
+        c = F.col(f"tf_{term}")
+        any_tf = c if any_tf is None else any_tf + c
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq))
+        .filter(any_tf > 0)
+        .select("doc_id", det_round(score, 4).alias("bm25"))
+    )
+
+
+# --- intra-document repetition (Gopher-class signal) -----------------------
+
+@query(
+    "q_dup_ngram_ratio",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
+    ),
+    sh AS (SELECT doc_id, {SHINGLES.format(t='toks')} AS sh FROM t)
+    SELECT doc_id,
+           len(sh) AS n_shingles,
+           len(list_distinct(sh)) AS n_distinct,
+           {R4.format(c='1.0 - len(list_distinct(sh)) / greatest(len(sh), 1)')} AS rep_ratio,
+           CAST(CASE WHEN 1.0 - len(list_distinct(sh)) / greatest(len(sh), 1) > 0.2
+                THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+    FROM sh
+    """,
+    tags=("ext", "text", "quality"),
+)
+def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram fraction per document — the intra-doc
+    repetition signal (duplicated lines/paragraphs collapse into
+    repeated shingles) that Gopher-style quality filtering cuts on.
+    Row-local: shingle array → distinct count, zero shuffle, same
+    shingle constants as the MinHash tier so the two signals share
+    one staged projection in a fused pipeline."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", X.shingles(F.col("text")).alias("sh")
+    )
+    n = F.size("sh")
+    nd = F.size(F.array_distinct("sh"))
+    ratio = F.lit(1.0) - nd / F.greatest(n, F.lit(1))
+    return sh.select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
+        nd.cast("long").alias("n_distinct"),
+        det_round(ratio, 4).alias("rep_ratio"),
+        F.when(ratio > 0.2, 1).otherwise(0).cast("long").alias("is_repetitive"),
+    )
+
+
+# --- end-to-end dedup pipeline ---------------------------------------------
+
+_SURVIVORS_ORACLE = f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct(toks) AS toks, {SHINGLES.format(t='toks')} AS sh FROM t),
+    sig AS (SELECT doc_id, toks, {_SIG_COLS} FROM sh),
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh ta ON ta.doc_id = id_a
+      JOIN sh tb ON tb.doc_id = id_b
+      WHERE len(list_intersect(ta.toks, tb.toks))
+              / greatest(len(list_distinct(ta.toks || tb.toks)), 1) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    comp(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.node
+    ),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM comp GROUP BY node),
+    dropped AS (SELECT node FROM labels WHERE node <> cluster_id)
+    SELECT d.doc_id, d.source, d.n_chars,
+           CAST(CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_cluster_rep
+    FROM documents d
+    LEFT JOIN dropped x ON d.doc_id = x.node
+    LEFT JOIN labels l ON d.doc_id = l.node AND l.node = l.cluster_id
+    WHERE x.node IS NULL
+    """
+
+
+@query(
+    "q_dedup_pipeline",
+    oracle=_SURVIVORS_ORACLE,
+    tags=("ext", "dedup", "pipeline"),
+)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup removal: MinHash-LSH pairs → connected
+    components → keep the min-id representative per cluster, drop the
+    rest → the surviving corpus (with a flag marking docs that
+    represent a dup cluster). This is the actionable form every
+    training-data pipeline ships: the cluster table is tiny (pair-
+    connected docs only), so the final step is one broadcast anti-join
+    against the full corpus — the 100 TB scan happens exactly once."""
+    d = read_table(spark, sf_dir, "documents")
+    clusters = D.dup_clusters(d, "doc_id", "text", threshold=0.5)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    reps = (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+        .withColumn("_rep", F.lit(1))
+    )
+    return (
+        d.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(F.broadcast(reps), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("_rep", F.lit(0)).cast("long").alias("is_cluster_rep"),
+        )
+    )
+
+
+# --- embedding norm health stats -------------------------------------------
+
+@query(
+    "q_vector_norms",
+    oracle=f"""
+    WITH n AS (
+      SELECT label,
+             {R6.format(c=f"sqrt(list_dot_product({_DBL.format(v='embedding')}, {_DBL.format(v='embedding')}))")} AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           min(nrm) AS min_norm,
+           max(nrm) AS max_norm,
+           {R4.format(c='cast(sum(cast(nrm as decimal(18,6))) as double) / count(*)')} AS avg_norm
+    FROM n GROUP BY 1
+    """,
+    tags=("ext", "similarity", "stats"),
+)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm distribution per label — the vector-table
+    health check run before any ANN build (zero/exploding norms break
+    cosine). Norms are rounded to 6 digits row-side, then aggregated
+    through decimal so min/max/avg are reproducible on any partition
+    order."""
+    e = read_table(spark, sf_dir, "embeddings")
+    nrm = det_round(S.norm(S.as_double(F.col("embedding"))), 6)
+    n = e.select("label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        det_round(
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_norm"),
+    )
+
+
+# --- corpus length histogram -----------------------------------------------
+
+@query(
+    "q_length_histogram",
+    oracle="""
+    SELECT source,
+           cast(floor(n_chars / 200) * 200 as bigint) AS len_bucket,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "text", "profile"),
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document-length histogram per source (200-char
+    bins) — the corpus profile that sizes chunking and flags
+    truncated scrapes. Pure map-side-combinable aggregate on derived
+    keys; the bin expression folds into the scan."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        "source",
+        (F.floor(F.col("n_chars") / 200) * 200).cast("long").alias("len_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# --- k-NN label vote -------------------------------------------------------
+
+@query(
+    "q_knn_label_vote",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, {_DBL.format(v='embedding')} AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
+    scored AS (
+      SELECT query_id, c.vec_id AS match_id, c.label,
+             {R6.format(c='list_dot_product(qv, c.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))')} AS sim
+      FROM q JOIN e c ON c.vec_id <> query_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, match_id
+        ) AS rn FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, label, count(*) AS n_votes
+      FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id, label AS voted_label, n_votes FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY n_votes DESC, label
+      ) AS rv FROM votes
+    ) WHERE rv = 1
+    """,
+    tags=("ext", "similarity", "classify"),
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote: exact cosine top-5 per
+    query vector, then the modal neighbor label (ties → more votes
+    first, then smaller label — fully deterministic). The brute-force
+    scorer is the exactness tier; at scale the candidate set comes
+    from the ANN index and the vote is unchanged."""
+    e = read_table(spark, sf_dir, "embeddings")
+    topk = S.brute_force_topk(e, e.filter(F.col("vec_id") < 50), k=5)
+    labels = e.select(F.col("vec_id").alias("match_id"), "label")
+    votes = (
+        topk.join(F.broadcast(labels), "match_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("_rv", F.row_number().over(w))
+        .filter(F.col("_rv") == 1)
+        .select("query_id", F.col("label").alias("voted_label"), "n_votes")
+    )
