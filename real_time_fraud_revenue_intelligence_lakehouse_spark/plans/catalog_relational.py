@@ -620,3 +620,242 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# --- skew-proof two-phase aggregation --------------------------------------
+
+@query(
+    "q_salted_agg",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           {SUM_SQL.format(c='value')} AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+    tags=("aggregate", "skew"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.salted_agg) run
+    for keeps: per-user stats sharded across 16 sub-keys then merged.
+    The oracle is the PLAIN group-by — salting must be semantically
+    invisible, which is exactly what this hash-checks. The shape that
+    survives one bot account with 10⁸ events at 100 TB
+    (`README.md:141` calls out the user_id skew)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.skew import salted_agg
+
+    e = read_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        keys=["user_id"],
+        partial=[
+            (F.count(F.lit(1)), "n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")), "total_value"),
+            (F.max("value"), "max_value"),
+        ],
+        merge=[("sum", "n_events"), ("sum", "total_value"), ("max", "max_value")],
+        salt=16,
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
+# --- FILTER clause through the SQL-string path -----------------------------
+
+_FILTER_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2)))
+            FILTER (WHERE o_totalprice >= 1000) as double) AS big_ticket_gmv,
+       max(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW') AS max_low_priority
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "q_filter_clause",
+    oracle=_FILTER_SQL,
+    tags=("aggregate", "sql"),
+)
+def q_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard FILTER (WHERE …) aggregates — the declarative
+    twin of the `sum(when(...))` conditional-aggregate family
+    (`revenue_aggregations.py:66-74`), run through spark.sql with the
+    IDENTICAL text as the DuckDB oracle (the catalog_sql parity
+    pattern). Catalyst compiles FILTER to the same conditional
+    aggregate — one pass, map-side partials."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_FILTER_SQL)
+
+
+# --- date/time function family ---------------------------------------------
+
+@query(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           cast(o_orderdate as date) AS order_date,
+           cast(o_orderdate as date) + INTERVAL 30 DAY AS due_date,
+           cast(date_diff('day', DATE '1995-01-01', cast(o_orderdate as date)) as bigint) AS days_since_epoch_anchor,
+           last_day(cast(o_orderdate as date)) AS month_end,
+           cast(date_trunc('month', o_orderdate) as date) AS month_start,
+           cast(isodow(o_orderdate) as bigint) AS iso_weekday,
+           cast(quarter(o_orderdate) as bigint) AS qtr
+    FROM orders
+    """,
+    tags=("date",),
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic family: offset, anchored diff, month bounds,
+    ISO weekday, quarter (`dim_dates.sql:11-46` calendar derivations
+    + the §2.12-2 weekday fix — `weekday()+1` is ISO Monday=1, unlike
+    the reference's broken epoch-seconds formula). All row-local
+    codegen; the date dimension join (q_dim_dates) precomputes these
+    once at scale."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_anchor"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        (F.weekday(d) + F.lit(1)).cast("long").alias("iso_weekday"),
+        F.quarter(d).cast("long").alias("qtr"),
+    )
+
+
+# --- string function family ------------------------------------------------
+
+@query(
+    "q_string_pad",
+    oracle="""
+    SELECT c_custkey,
+           lpad(c_name, 22, '*') AS padded_left,
+           rpad(c_mktsegment, 12, '.') AS padded_right,
+           reverse(c_name) AS reversed_name,
+           translate(c_name, 'aeiou', 'AEIOU') AS vowels_up,
+           substr(c_name, 1, 8) AS name_prefix,
+           repeat(c_mktsegment, 2) AS doubled_segment
+    FROM customer
+    """,
+    tags=("string",),
+)
+def q_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/rpad/reverse/translate/substr/repeat — the string-surface
+    beyond q_string_funcs' split/concat/case family. All codegen
+    expressions; dialect-identical semantics in DuckDB (1-based
+    substr, truncating lpad)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad("c_name", 22, "*").alias("padded_left"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_right"),
+        F.reverse("c_name").alias("reversed_name"),
+        F.translate("c_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.repeat("c_mktsegment", 2).alias("doubled_segment"),
+    )
+
+
+# --- boolean / bitwise aggregates ------------------------------------------
+
+@query(
+    "q_bool_bit_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bit_and(o_orderkey) AS key_bit_and,
+           bit_or(o_orderkey) AS key_bit_or,
+           bit_xor(o_orderkey) AS key_bit_xor
+    FROM orders GROUP BY 1
+    """,
+    tags=("aggregate", "bitwise"),
+)
+def q_bool_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or + bit_and/or/xor aggregates — commutative and
+    associative, so they partial-aggregate map-side and are layout-
+    independent by construction (the same property the decimal money
+    sums buy for floats)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bit_and("o_orderkey").alias("key_bit_and"),
+        F.bit_or("o_orderkey").alias("key_bit_or"),
+        F.bit_xor("o_orderkey").alias("key_bit_xor"),
+    )
+
+
+# --- unpivot / melt --------------------------------------------------------
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM li
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM li
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
+    """,
+    tags=("reshape",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the four lineitem measures via the native
+    unpivot operator (Expand node — ONE scan emitting 4 rows per
+    input, vs the oracle's 4-scan UNION ALL text; same result,
+    quarter the I/O). The inverse of q_pivot_status. A deterministic
+    1-in-50 key filter keeps the oracle compare cheap — the operator
+    shape is row-count-independent."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+# --- column-profile cardinalities ------------------------------------------
+
+@query(
+    "q_profile_cardinality",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(DISTINCT cast(o_orderdate as date)) AS n_dates,
+           count(*) - count(o_totalprice) AS null_prices
+    FROM orders
+    """,
+    tags=("profile", "aggregate"),
+)
+def q_profile_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column cardinality profile in ONE aggregate (Catalyst
+    Expand: one scan fans out per-distinct streams) — the schema-
+    profiling pass a pipeline runs before choosing partition and
+    bucket keys. At 100 TB swap exact distincts for
+    approx_count_distinct on the same plan (test_approx_variants
+    pins the error bounds)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("n_dates"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("null_prices"),
+    )

@@ -162,3 +162,48 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH slots AS (
+      SELECT event_type, value, ts,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS window_start
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+    FROM slots
+    WHERE ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour SLIDING window (30-min slide) via `F.window(ts, '1
+    hour', '30 minutes')` — each event lands in exactly two
+    overlapping windows (Spark expands in-row, no self-join). The
+    oracle replays the expansion with a 2-slot unnest. Same plan runs
+    under writeStream with a watermark; batch-checkable because
+    aligned slide slots are pure arithmetic on the event time."""
+    ev = read_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
