@@ -59,68 +59,61 @@ def _load_all() -> None:
 
 
 # Verification priority: the driver's correctness gate walks queries()
-# in dict order with a bounded per-round budget, so queries that have
-# never had a driver-green row come FIRST. Round-1 left the entire
-# ext/quality/stream/views/sampling/scd2/scoring/sql/heavy/incremental
-# surface unverified (CORRECTNESS_r01 stopped at entry 50) and two
-# gold queries hash-red; those lead. Names not listed keep their
+# in dict order with a ~50-entry per-round budget, so queries that
+# have never had a driver-green row come FIRST. After CORRECTNESS_r02
+# the union of r01+r02 green rows covers 98 of the round-2 queries;
+# the round-3 front window is the 7 still-unverified round-2 tail
+# entries plus every round-3 addition (42 total — inside one round's
+# budget), ordered cheapest-first by sf0.01 oracle-check runtime in
+# case the budget is time-based. Names not listed keep their
 # registration order after these.
 _FRONT: tuple[str, ...] = (
-    # Same 50-member set as before, ordered CHEAPEST-FIRST by
-    # sf0.01 oracle-check runtime: if the driver's correctness
-    # window is time-budgeted rather than count-budgeted, this
-    # order verifies the maximum number of queries before the
-    # budget runs out. Heavy iterative/pairwise queries close.
-    "q_fingerprint",  # ~0.2s @ sf0.01
-    "q_stratified_sample",  # ~0.2s @ sf0.01
-    "q_quality_score",  # ~0.3s @ sf0.01
-    "q_multimodal_meta",  # ~0.3s @ sf0.01
-    "q_rolling_hash",  # ~0.4s @ sf0.01
-    "q_dedup_exact",  # ~0.4s @ sf0.01
-    "q_top_tokens",  # ~0.4s @ sf0.01
-    "q_train_test_split",  # ~0.4s @ sf0.01
-    "q_sequence_packing",  # ~0.4s @ sf0.01
-    "q_bool_sum_agg",  # ~0.5s @ sf0.01
-    "q_chunk_documents",  # ~0.5s @ sf0.01
-    "q_pii_scan",  # ~0.5s @ sf0.01
-    "q_multimodal_decode",  # ~0.6s @ sf0.01
-    "q_source_profile",  # ~0.6s @ sf0.01
-    "q_high_risk_users",  # ~0.6s @ sf0.01
-    "q_dq_freshness",  # ~0.7s @ sf0.01
-    "q_percent_rank",  # ~0.7s @ sf0.01
-    "q_gopher_quality",  # ~0.7s @ sf0.01
-    "q_lang_id",  # ~0.7s @ sf0.01
-    "q_ngram_jaccard",  # ~0.7s @ sf0.01
-    "q_embed_topk",  # ~0.7s @ sf0.01
-    "q_pricing_summary",  # ~0.7s @ sf0.01
-    "q_revenue_by_method",  # ~0.7s @ sf0.01
-    "q_dedup_incremental",  # ~0.8s @ sf0.01
-    "q_incremental_month",  # ~0.8s @ sf0.01
-    "q_minhash_signature",  # ~0.9s @ sf0.01
-    "q_sql_mart_monthly",  # ~0.9s @ sf0.01
-    "q_stream_tumbling",  # ~0.9s @ sf0.01
-    "q_sessionize_batch",  # ~1.0s @ sf0.01
-    "q_source_mix",  # ~1.0s @ sf0.01
-    "q_simhash",  # ~1.0s @ sf0.01
-    "q_shipping_priority",  # ~1.0s @ sf0.01
-    "q_scd2_segments",  # ~1.0s @ sf0.01
-    "q_fraud_scores",  # ~1.1s @ sf0.01
-    "q_embed_neardup",  # ~1.2s @ sf0.01
-    "q_contamination",  # ~1.3s @ sf0.01
-    "q_dq_suite",  # ~1.3s @ sf0.01
-    "q_simhash_pairs",  # ~1.5s @ sf0.01
-    "q_ivf_topk",  # ~1.5s @ sf0.01
-    "q_session_window",  # ~1.5s @ sf0.01
-    "q_gbt_scores",  # ~1.6s @ sf0.01
-    "q_cdc_apply",  # ~1.6s @ sf0.01
-    "q_ann_topk",  # ~1.6s @ sf0.01
-    "q_lsh_pairs",  # ~1.7s @ sf0.01
-    "q_trend_7d",  # ~2.0s @ sf0.01
-    "q_dq_fk_orphans",  # ~2.5s @ sf0.01
-    "q_tfidf_terms",  # ~3.2s @ sf0.01
-    "q_embed_top1",  # ~3.4s @ sf0.01
-    "q_dup_clusters",  # ~4.0s @ sf0.01
-    "q_greedy_packing",  # ~-1.0s @ sf0.01
+    # round-2 additions the r2 window didn't reach
+    "q_intersect_check",
+    "q_map_functions",
+    "q_json_roundtrip",
+    "q_multimodal_resize",
+    "q_multimodal_framesample",
+    "q_text_cleanup",
+    "q_market_share",
+    # round-3: relational depth
+    "q_regexp_funcs",
+    "q_decimal_money",
+    "q_string_pad",
+    "q_array_ops",
+    "q_window_share",
+    "q_anti_join",
+    "q_semi_join",
+    "q_first_last",
+    "q_minmax_by",
+    "q_length_histogram",
+    "q_date_arith",
+    "q_bool_bit_agg",
+    "q_stats_agg",
+    "q_running_total",
+    "q_rollup",
+    "q_profile_cardinality",
+    "q_filter_clause",
+    "q_unpivot",
+    "q_scalar_subquery",
+    "q_local_supplier_volume",
+    "q_returned_revenue",
+    "q_having",
+    "q_correlated_subquery",
+    # round-3: streaming + behavioral
+    "q_sliding_window",
+    "q_zscore_outliers",
+    "q_winsorize",
+    "q_rfm_segments",
+    "q_retention_cohort",
+    "q_event_funnel",
+    "q_salted_agg",
+    # round-3: corpus depth (heaviest oracles close the window)
+    "q_vector_norms",
+    "q_bm25",
+    "q_dup_ngram_ratio",
+    "q_knn_label_vote",
+    "q_dedup_pipeline",
 )
 
 
