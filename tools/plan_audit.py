@@ -40,6 +40,10 @@ ALLPAIRS_OK = {
     "q_tfidf_terms",        # 1-row N aggregate cross joined (broadcast)
     "q_dim_dates",          # date spine: 1-row sequence seed
     "q_source_mix",         # 1-row total/weight-sum aggregates cross joined (broadcast)
+    "q_scalar_subquery",    # 1-row scalar aggregate cross joined (broadcast)
+    "q_rfm_segments",       # 1-row max-date anchor cross joined (broadcast)
+    "q_bm25",               # 1-row corpus-stats + df aggregates cross joined (broadcast)
+    "q_knn_label_vote",     # brute-force exactness tier, |Q|=50 (ANN index is the scale path)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
