@@ -439,10 +439,16 @@ def dup_clusters(
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .localCheckpoint()  # pair generation is the expensive part — run it once
     )
+    # Seed labels with min(node, direct-neighbor min) — identical to
+    # identity-init followed by one propagation round, but computed in
+    # the same aggregation that enumerates the nodes. For the dominant
+    # component shapes (2-cliques and stars around the min id) this
+    # converges on the FIRST convergence check, saving a full
+    # join+checkpoint+action round.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("_nbr_min"))
+        .select("node", F.least(F.col("node"), F.col("_nbr_min")).alias("lbl"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
