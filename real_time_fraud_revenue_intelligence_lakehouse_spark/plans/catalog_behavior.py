@@ -287,3 +287,53 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) >= 2.5)
         .select("event_id", "event_type", "value", det_round(z, 4).alias("z"))
     )
+
+
+# --- interval (band) join --------------------------------------------------
+
+@query(
+    "q_interval_join",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           count(c.event_id) AS clicks_5m,
+           {SUM_SQL.format(c='c.value')} AS click_value_5m
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("behavior", "join", "interval"),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join as a JOIN (all clicks in the 5 minutes before
+    each purchase, not just the latest — the geo-window join the
+    reference documents but never ships, `SYSTEM_DESIGN.md:163`;
+    q_asof_join covers the most-recent-only variant). Equi-key on
+    user_id carries the shuffle; the time band is a secondary
+    predicate — the exact stream-stream interval-join shape
+    (test_streaming pins the streaming form)."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.ts - F.expr("INTERVAL 5 MINUTES"))
+        & (c.c_ts < p.ts),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("c_id").alias("clicks_5m"),
+        exact_sum("c_value", "click_value_5m"),
+    )

@@ -152,20 +152,28 @@ def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-3-gram fraction per document — the intra-doc
     repetition signal (duplicated lines/paragraphs collapse into
     repeated shingles) that Gopher-style quality filtering cuts on.
-    Row-local: shingle array → distinct count, zero shuffle, same
-    shingle constants as the MinHash tier so the two signals share
-    one staged projection in a fused pipeline."""
+
+    Shape: staged tokens → explode shingles → count/countDistinct
+    per doc — the same generator-then-aggregate form as
+    ext/text.with_minhash, for the same reason: array HOFs run
+    interpreted and CollapseProject re-inlines a nested shingle
+    expression into every consumer (an array_distinct-on-expression
+    form measured ~9× slower at sf0.1). The shingle generator
+    evaluates once per row; the min-agg combines map-side."""
     d = read_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", X.shingles(F.col("text")).alias("sh")
+    staged = d.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("_toks"))
+    sh_rows = staged.select(
+        "doc_id", F.explode(X.shingles_of(F.col("_toks"))).alias("_s")
     )
-    n = F.size("sh")
-    nd = F.size(F.array_distinct("sh"))
-    ratio = F.lit(1.0) - nd / F.greatest(n, F.lit(1))
-    return sh.select(
+    counts = sh_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("_s").alias("n_distinct"),
+    )
+    ratio = F.lit(1.0) - F.col("n_distinct") / F.greatest(F.col("n_shingles"), F.lit(1))
+    return counts.select(
         "doc_id",
-        n.cast("long").alias("n_shingles"),
-        nd.cast("long").alias("n_distinct"),
+        "n_shingles",
+        "n_distinct",
         det_round(ratio, 4).alias("rep_ratio"),
         F.when(ratio > 0.2, 1).otherwise(0).cast("long").alias("is_repetitive"),
     )

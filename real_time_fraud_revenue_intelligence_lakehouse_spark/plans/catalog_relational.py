@@ -859,3 +859,57 @@ def q_profile_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.to_date("o_orderdate")).alias("n_dates"),
         (F.count(F.lit(1)) - F.count("o_totalprice")).alias("null_prices"),
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch --------------------------------
+
+_KMV_K = 64
+# 60-bit md5 hash → uniform [0,1) via division by 2^60 (the same H60
+# bit pattern the MinHash tier uses — ext/text.hash60).
+_U_SQL = "(('0x' || substr(md5(cast(o_custkey as varchar)), 1, 15))::BIGINT / 1152921504606846976.0)"
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT {_U_SQL} AS u FROM orders
+    ),
+    kth AS (SELECT max(u) AS u_k, count(*) AS k FROM (SELECT u FROM u ORDER BY u LIMIT {_KMV_K})),
+    exact AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+    SELECT n_exact,
+           {R4.format(c='(k - 1) / u_k')} AS n_estimated,
+           {R4.format(c='abs((k - 1) / u_k - n_exact) / n_exact')} AS rel_error
+    FROM kth, exact
+    """,
+    tags=("sketch", "aggregate"),
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketch, fully deterministic: md5-60bit
+    hashes normalized to [0,1), estimate = (k-1)/u_(k). Unlike HLL
+    (approx_count_distinct, error-band-tested in
+    test_approx_variants), the KMV estimate is an exact function of
+    the data, so it hash-gates. The k smallest hashes come from
+    TakeOrderedAndProject (per-partition heaps of 64, driver merge) —
+    the mergeable-sketch shape that needs no global sort at 100 TB."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+
+    o = read_table(spark, sf_dir, "orders")
+    u = (
+        o.select(F.col("o_custkey").cast("string").alias("k")).distinct()
+        .select((hash60(F.col("k")) / F.lit(float(1 << 60))).alias("u"))
+    )
+    kth = (
+        u.orderBy("u").limit(_KMV_K)
+        .agg(F.max("u").alias("u_k"), F.count(F.lit(1)).alias("k"))
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    est = (F.col("k") - 1) / F.col("u_k")
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            det_round(est, 4).alias("n_estimated"),
+            det_round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
+        )
+    )

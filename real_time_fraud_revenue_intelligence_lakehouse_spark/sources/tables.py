@@ -33,13 +33,22 @@ TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (parquet layout).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as an
-    epoch-nanos long, which is normalized here to a µs-truncated
-    TimestampType (exactly what DuckDB's µs-internal reader yields,
-    so oracle comparisons line up).
+    Timestamp normalization (the testdata's physical types have
+    varied across driver generations — handle both):
+
+    - parquet TIMESTAMP(NANOS) + `nanosAsLong=true` → epoch-nanos
+      long, converted here to a µs-truncated TimestampType;
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
+      TIMESTAMP_NTZ, which epoch functions (`unix_millis`, range
+      frames on epochs) reject — cast to TimestampType. The session
+      timezone is pinned UTC (session.RUNTIME_CONFS), so the NTZ→LTZ
+      cast reinterprets the wall time as UTC: bit-identical instants
+      to DuckDB's µs-internal reader.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div: ns ≈ 1.7e18 overflows double-exact range.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
