@@ -81,11 +81,15 @@ def main() -> None:
         "sf": sf_val,
     }
     (REPO / "BENCH_FULL.json").write_text(json.dumps(detail, indent=1) + "\n")
+    # Reversed registry order: the collector's tail keeps the END of
+    # the line, and the registry fronts the newest queries — reversing
+    # puts them last, so the numbers most likely to be missing from
+    # BASELINE records are the ones the bounded tail retains.
     line = {
         "metric": "declared_query_suite_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "queries": {n: round(t, 2) for n, t in reversed(timings.items())},
         "sf": sf_val,
     }
     print(json.dumps(line, separators=(",", ":")))

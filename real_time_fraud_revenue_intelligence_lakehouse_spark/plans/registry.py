@@ -101,6 +101,8 @@ _FRONT: tuple[str, ...] = (
     "q_having",
     "q_correlated_subquery",
     # round-3: streaming + behavioral
+    "q_kmv_distinct",
+    "q_interval_join",
     "q_sliding_window",
     "q_zscore_outliers",
     "q_winsorize",
