@@ -376,3 +376,82 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rv") == 1)
         .select("query_id", F.col("label").alias("voted_label"), "n_votes")
     )
+
+
+# --- Count-Min-Sketch heavy hitters ----------------------------------------
+
+CMS_W = 1024
+CMS_D = 4
+CMS_TOPK = 15
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({TOKS.format(c=NORM.format(c='text'))}) AS tok FROM documents
+    ),
+    buckets AS (
+      SELECT j, ('0x' || substr(md5('cms' || j || ':' || tok), 1, 15))::BIGINT % {CMS_W} AS bucket
+      FROM tok CROSS JOIN (SELECT unnest(range({CMS_D})) AS j)
+    ),
+    counters AS (
+      SELECT j, bucket, count(*) AS cnt FROM buckets GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, count(*) AS exact_count FROM tok GROUP BY 1
+      ORDER BY exact_count DESC, tok LIMIT {CMS_TOPK}
+    ),
+    probes AS (
+      SELECT e.tok, e.exact_count, j.j,
+             ('0x' || substr(md5('cms' || j.j || ':' || e.tok), 1, 15))::BIGINT % {CMS_W} AS bucket
+      FROM exact e CROSS JOIN (SELECT unnest(range({CMS_D})) AS j) j
+    )
+    SELECT p.tok AS token, p.exact_count,
+           min(c.cnt) AS cms_estimate,
+           min(c.cnt) - p.exact_count AS overestimate
+    FROM probes p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "sketch", "text"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters, fully deterministic: d=4
+    md5-salted rows × w=1024 buckets over the token stream, probed
+    for the exact top-15 tokens. Unlike a randomized CMS, the
+    md5-seeded hashes make the estimate an exact function of the
+    data — so the one-sided error invariant (estimate ≥ exact) is
+    hash-gated, not just property-tested. The counter table is
+    (d·w)=4096 rows built in ONE shuffle from a posexplode of the 4
+    bucket ids per token; probes broadcast against it. The mergeable-
+    sketch shape: at 100 TB each partition's counters sum element-wise."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    bucket_arr = F.array(
+        *[
+            F.pmod(
+                X.hash60(F.concat(F.lit(f"cms{j}:"), F.col("tok"))), F.lit(CMS_W)
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    counters = (
+        tok.select(F.posexplode(bucket_arr).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "tok", "exact_count", F.posexplode(bucket_arr).alias("j", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .withColumn("overestimate", F.col("cms_estimate") - F.col("exact_count"))
+    )

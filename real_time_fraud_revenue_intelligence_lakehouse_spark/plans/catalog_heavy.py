@@ -201,3 +201,103 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_volume",
         det_round(F.col("nation_volume") / F.col("total_volume"), 4).alias("mkt_share"),
     )
+
+
+# --- unrolled PageRank (iterative algorithm surface) -----------------------
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+# Contribution quantizer: decimal(28,14) makes the per-node sums exact
+# and order-independent (the same associativity trick as the money
+# sums; a raw double sum would depend on partition order).
+_C14 = "cast({x} as decimal(28,14))"
+
+
+def _pr_oracle() -> str:
+    its = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT e.dst AS node,
+             0.15 / s.n + {PR_DAMP} * cast(sum({_C14.format(x='r.rank / d.outdeg')}) as double) AS rank
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN deg d ON d.node = e.src
+      CROSS JOIN stats s
+      GROUP BY e.dst, s.n
+    )""")
+        prev = f"it{k}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT -l.l_suppkey AS s_node, o.o_custkey AS c_node
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    stats AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / s.n AS rank FROM nodes CROSS JOIN stats s),
+    {','.join(its)}
+    SELECT node, (floor(rank * 100000000.0 + 0.5) / 100000000.0) AS pagerank
+    FROM {prev}
+    """
+
+
+@query(
+    "q_pagerank",
+    oracle=_pr_oracle(),
+    tags=("graph", "iterative", "heavy"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 unrolled iterations) over the
+    bidirectional supplier↔customer trade graph (suppliers carry
+    negated ids to disjoint the key spaces). The iterative-algorithm
+    shape beyond connected components: each round is one edges⋈ranks
+    join + per-dst aggregation — contributions quantized through
+    decimal(28,14) so the sums are associative and layout-independent,
+    which is what lets a fixed-point float algorithm hash-match an
+    oracle at all. Fixed iteration count (no convergence action), so
+    the whole 3-round plan is ONE lazy DAG: Catalyst sees it end to
+    end, and the per-round shuffles reuse the same (node) partitioning.
+    At 100 TB: localCheckpoint every ~5 rounds to cap lineage (the
+    dup_clusters pattern), keep edges bucketed by src."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select((-F.col("l_suppkey")).alias("s_node"), F.col("o_custkey").alias("c_node"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    stats = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.crossJoin(F.broadcast(stats)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                (F.col("rank") / F.col("outdeg")).cast("decimal(28,14)").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("double").alias("_s"))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "node",
+                (F.lit(0.15) / F.col("n") + F.lit(PR_DAMP) * F.col("_s")).alias("rank"),
+            )
+        )
+    return ranks.select("node", det_round(F.col("rank"), 8).alias("pagerank"))

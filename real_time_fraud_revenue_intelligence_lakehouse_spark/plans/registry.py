@@ -111,6 +111,8 @@ _FRONT: tuple[str, ...] = (
     "q_event_funnel",
     "q_salted_agg",
     # round-3: corpus depth (heaviest oracles close the window)
+    "q_cms_heavy_hitters",
+    "q_pagerank",
     "q_vector_norms",
     "q_bm25",
     "q_dup_ngram_ratio",

@@ -44,6 +44,8 @@ ALLPAIRS_OK = {
     "q_rfm_segments",       # 1-row max-date anchor cross joined (broadcast)
     "q_bm25",               # 1-row corpus-stats + df aggregates cross joined (broadcast)
     "q_knn_label_vote",     # brute-force exactness tier, |Q|=50 (ANN index is the scale path)
+    "q_kmv_distinct",       # 1-row exact-count aggregate cross joined (broadcast)
+    "q_pagerank",           # 1-row node-count aggregate cross joined per round (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
