@@ -273,8 +273,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((-F.col("l_suppkey")).alias("s_node"), F.col("o_custkey").alias("c_node"))
         .distinct()
     )
-    edges = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+    edges = (
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
+        # One materialization: the distinct-pair join feeds every
+        # round (and deg/nodes/stats) — without this the lazy DAG
+        # recomputes it ~7×. Same pattern as dup_clusters' edge table.
+        .localCheckpoint()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     stats = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -283,9 +288,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(PR_ITERS):
+        # Ranks and degrees are |nodes|-sized (≪ edges) — broadcast
+        # both so each round is one scan of the resident edge table
+        # plus a partial-agg shuffle of (dst, contribution) pairs.
         contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
+            edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
             .select(
                 "dst",
                 (F.col("rank") / F.col("outdeg")).cast("decimal(28,14)").alias("c"),
