@@ -192,18 +192,13 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     under writeStream with a watermark; batch-checkable because
     aligned slide slots are pure arithmetic on the event time."""
     ev = read_table(spark, sf_dir, "events")
-    win = F.window("ts", "1 hour", "30 minutes")
-    return (
-        ev.groupBy(win.alias("w"), "event_type")
-        .agg(
+    return tumbling_agg(
+        ev,
+        "1 hour",
+        extra_keys=["event_type"],
+        aggs=[
             F.count(F.lit(1)).alias("n_events"),
             exact_sum("value", "total_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
+        ],
+        slide="30 minutes",
     )

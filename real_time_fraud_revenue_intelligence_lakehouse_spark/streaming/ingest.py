@@ -135,13 +135,20 @@ def tumbling_agg(
     ts_col: str = "ts",
     extra_keys: list[str] | None = None,
     aggs: list[Column] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window aggregate (`q_stream_tumbling` semantics):
-    works identically on a batch or streaming DataFrame — the engine's
-    batch oracle checks the same plan the stream runs."""
-    keys = [F.window(F.col(ts_col), window_len).alias("win")] + [
-        F.col(k) for k in (extra_keys or [])
-    ]
+    """Tumbling (or, with ``slide``, sliding/hopping) window aggregate
+    (`q_stream_tumbling` / `q_sliding_window` semantics): works
+    identically on a batch or streaming DataFrame — the engine's
+    batch oracle checks the same plan the stream runs. A sliding
+    window expands each row into its window_len/slide covering slots
+    in-row (Catalyst generator), never via self-join."""
+    win = (
+        F.window(F.col(ts_col), window_len, slide)
+        if slide
+        else F.window(F.col(ts_col), window_len)
+    )
+    keys = [win.alias("win")] + [F.col(k) for k in (extra_keys or [])]
     aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
     out = df.groupBy(*keys).agg(*aggs)
     return out.select(

@@ -142,3 +142,31 @@ def test_salted_agg_matches_plain(spark, sf_dir, qs):
     salted = qs["q_salted_agg"](spark, sf_dir).select("user_id", "n_events")
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_pagerank_mass_conserved(spark, sf_dir, qs):
+    """Bidirectional graph with no dangling nodes: total rank mass
+    stays 1 (up to the output rounding) after every round."""
+    total = (
+        qs["q_pagerank"](spark, sf_dir)
+        .agg(F.sum("pagerank").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_cms_overestimates_only(spark, sf_dir, qs):
+    """CMS invariant: estimate ≥ exact for every probed token."""
+    bad = (
+        qs["q_cms_heavy_hitters"](spark, sf_dir)
+        .filter(F.col("overestimate") < 0)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_kmv_estimate_close(spark, sf_dir, qs):
+    """KMV with k=64 on ~1500 distinct keys: relative error is loose
+    (1/√k ≈ 12.5%) but must be bounded."""
+    row = qs["q_kmv_distinct"](spark, sf_dir).collect()[0]
+    assert row["rel_error"] < 0.5

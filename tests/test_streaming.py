@@ -543,3 +543,49 @@ def test_malformed_payloads_yield_null_columns_not_failures(spark, tmp_path):
     assert set(rows) == {1, 3, None}
     assert rows[None]["_raw_payload"].startswith("{not valid")  # original preserved
     assert rows[1]["user_id"] == 7 and rows[3]["value"] == 3.0
+
+
+def test_sliding_windows_in_stream(spark, tmp_path):
+    """Sliding (hopping) windows under writeStream — the batch form is
+    oracle-checked as q_sliding_window. Each event must land in
+    exactly two 1h/30min windows; results finalize once the watermark
+    passes the window end."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.ingest import tumbling_agg
+
+    src = tmp_path / "slide_src"
+    src.mkdir()
+    now = time.time()
+    _write_json(
+        str(src / "b1.json"),
+        [_ev(1, "2024-01-01 10:05:00"),
+         _ev(2, "2024-01-01 10:40:00")],
+        now - 60,
+    )
+    # watermark pusher: far-future event finalizes the earlier windows
+    _write_json(str(src / "b2.json"), [_ev(3, "2024-01-01 13:00:00")], now)
+    stream = tumbling_agg(
+        with_watermark(read_file_stream(spark, str(src), max_files_per_trigger=1)),
+        "1 hour",
+        slide="30 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "slide_ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.table("sliding").collect()
+        if r["window_start"].isoformat() < "2024-01-01T12"
+    )
+    # event 1 (10:05) → windows starting 09:30 and 10:00;
+    # event 2 (10:40) → windows starting 10:00 and 10:30.
+    assert got == [
+        ("2024-01-01T09:30:00", 1),
+        ("2024-01-01T10:00:00", 2),
+        ("2024-01-01T10:30:00", 1),
+    ]
