@@ -913,3 +913,46 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
         )
     )
+
+
+# --- Bloom-filter pruned join ----------------------------------------------
+
+@query(
+    "q_bloom_prune",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           {R2.format(c=REV_SUM)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    tags=("join", "bloom", "prune"),
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact join (operators/bloom.py), run for keeps: the
+    urgent-order keys build a 16k-bit filter (distributed, UDF-free);
+    lineitem is pruned by k broadcast semi-joins on bit positions
+    BEFORE the exact join. The oracle is the PLAIN join — pruning
+    plus the exact join must be semantically invisible (false
+    positives are removed by the join), which this hash-checks.
+    Unlike a distinct-key semi-join, the broadcast stays ≤ m positions
+    however large the build side grows — the bounded-build-side prune
+    for fact-to-fact joins at 100 TB."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.bloom import bloom_build, bloom_prune
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    bits = bloom_build(o, "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", bits)
+    return (
+        pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            det_round(_rev(), 2).alias("revenue"),
+        )
+    )

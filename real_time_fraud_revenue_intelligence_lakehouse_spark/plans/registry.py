@@ -102,6 +102,7 @@ _FRONT: tuple[str, ...] = (
     "q_correlated_subquery",
     # round-3: streaming + behavioral
     "q_kmv_distinct",
+    "q_bloom_prune",
     "q_interval_join",
     "q_sliding_window",
     "q_zscore_outliers",

@@ -170,3 +170,25 @@ def test_kmv_estimate_close(spark, sf_dir, qs):
     (1/√k ≈ 12.5%) but must be bounded."""
     row = qs["q_kmv_distinct"](spark, sf_dir).collect()[0]
     assert row["rel_error"] < 0.5
+
+
+def test_bloom_prune_superset_and_invisible(spark, sf_dir, qs):
+    """The pruned set contains every true match (no false negatives);
+    the full query equals the unpruned join (oracle asserts the same
+    at sf0.01 — this is the fast structural pin)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.bloom import bloom_build, bloom_prune
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    bits = bloom_build(o, "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", bits)
+    true_matches = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+    # no false negatives: every true match survives pruning
+    assert true_matches.exceptAll(
+        pruned.select(*true_matches.columns)
+    ).count() == 0
+    # pruning actually prunes (not a pass-through)
+    assert pruned.count() < li.count()
