@@ -161,3 +161,55 @@ def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
 
     return df.filter(hash60(F.hex(F.col("payload"))) % every_n == 0)
+
+
+def frame_windows(
+    df: DataFrame,
+    frame_len: int = 256,
+    hop: int = 128,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Hop-windowed byte frames over a binary payload — the audio
+    frame-windowing shape (frame_len/hop in bytes standing in for
+    samples; a real codec slots into the decode seam, the WINDOWING
+    is codec-independent and stays here in Catalyst).
+
+    Pure declarative slicing: a `sequence` generator emits one row
+    per frame start (0, hop, 2·hop, … < byte_len), `substring` slices
+    the frame bytes in-row, and the md5 checksum rides the slice —
+    no Python, no driver, payload never copied more than once per
+    frame. At 100 TB the frame explosion is the big fan-out; keep it
+    AFTER any content-hash sampling filter (q_multimodal_framesample
+    ordering) and repartition to the decode budget before the codec
+    stage."""
+    blen = F.octet_length(F.col(payload_col)).cast("long")
+    n_frames = (F.lit(1) + F.floor((F.greatest(blen - 1, F.lit(0))) / F.lit(hop))).cast("int")
+    framed = df.select(
+        F.col(id_col),
+        F.col(payload_col),
+        blen.alias("byte_len"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )
+    start = (F.col("frame_idx").cast("long") * F.lit(hop)).alias("start_off")
+    framed = framed.select(
+        id_col,
+        "byte_len",
+        "frame_idx",
+        start,
+        F.least(F.lit(frame_len), F.col("byte_len") - F.col("frame_idx") * F.lit(hop))
+        .cast("long")
+        .alias("frame_bytes"),
+        F.expr(f"substring({payload_col}, frame_idx * {hop} + 1, {frame_len})").alias("_frame"),
+    )
+    # checksum over the frame's HEX STRING, not the raw bytes: the
+    # DuckDB oracle's md5 has no BLOB overload, and hex round-trips
+    # byte-exactly in both engines (uppercase both sides).
+    return framed.select(
+        id_col,
+        "byte_len",
+        "frame_idx",
+        "start_off",
+        "frame_bytes",
+        F.md5(F.encode(F.hex(F.col("_frame")), "UTF-8")).alias("frame_md5"),
+    )

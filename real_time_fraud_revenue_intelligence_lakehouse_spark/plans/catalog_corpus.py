@@ -455,3 +455,44 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("cms_estimate"))
         .withColumn("overestimate", F.col("cms_estimate") - F.col("exact_count"))
     )
+
+
+# --- audio-style byte frame windows ----------------------------------------
+
+FRAME_LEN = 256
+FRAME_HOP = 128
+
+
+@query(
+    "q_audio_frames",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, upper(hex(encode(text))) AS hx,
+             cast(octet_length(encode(text)) as bigint) AS byte_len
+      FROM documents
+    ),
+    framed AS (
+      SELECT doc_id, byte_len,
+             cast(unnest(range(1 + greatest(byte_len - 1, 0) // {FRAME_HOP})) as int) AS frame_idx
+      FROM b
+    )
+    SELECT f.doc_id, f.byte_len, f.frame_idx,
+           cast(f.frame_idx * {FRAME_HOP} as bigint) AS start_off,
+           cast(least({FRAME_LEN}, f.byte_len - f.frame_idx * {FRAME_HOP}) as bigint) AS frame_bytes,
+           md5(substring(b.hx, f.frame_idx * {FRAME_HOP} * 2 + 1, {FRAME_LEN} * 2)) AS frame_md5
+    FROM framed f JOIN b ON f.doc_id = b.doc_id
+    """,
+    tags=("ext", "multimodal", "audio"),
+)
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style frame windowing over binary payloads (256-byte
+    frames, 128-byte hop): one generator row per frame, in-row byte
+    slicing, md5 frame checksums — the windowing half of an audio
+    pipeline with the codec left to the decode seam
+    (ext/multimodal.decode_features). The oracle replays the same
+    slicing over DuckDB blobs; frame checksums pin byte-exactness of
+    every slice, not just counts."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.multimodal import attach_binary, frame_windows
+
+    d = attach_binary(read_table(spark, sf_dir, "documents"))
+    return frame_windows(d, frame_len=FRAME_LEN, hop=FRAME_HOP)

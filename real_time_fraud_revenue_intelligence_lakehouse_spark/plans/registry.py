@@ -113,6 +113,7 @@ _FRONT: tuple[str, ...] = (
     "q_salted_agg",
     # round-3: corpus depth (heaviest oracles close the window)
     "q_cms_heavy_hitters",
+    "q_audio_frames",
     "q_pagerank",
     "q_vector_norms",
     "q_bm25",
