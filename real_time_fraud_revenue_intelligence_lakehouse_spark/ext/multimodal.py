@@ -213,3 +213,52 @@ def frame_windows(
         "frame_bytes",
         F.md5(F.encode(F.hex(F.col("_frame")), "UTF-8")).alias("frame_md5"),
     )
+
+
+def attach_exif_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Binary payloads with a planted EXIF-style fixed-width header:
+    ``b"EXIF" + width(4 hex) + height(4 hex) + mime(1 char)`` ahead of
+    the body bytes. Deterministic (hash-derived dimensions), so the
+    extraction below is oracle-checkable — the structured-binary
+    stand-in for real EXIF/ID3 tag blocks."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        hash60(F.col(text_col)).alias("_h"),
+    )
+    w = (F.col("_h") % 1920).cast("int")
+    h = F.expr("(_h div 1920) % 1080").cast("int")
+    header = F.concat(
+        F.lit("EXIF"),
+        F.lpad(F.lower(F.hex(w)), 4, "0"),
+        F.lpad(F.lower(F.hex(h)), 4, "0"),
+        F.when(F.col(id_col) % 2 == 0, "I").otherwise("A"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.encode(F.concat(header, F.col("_txt")), "UTF-8").alias("payload"),
+    )
+
+
+def parse_exif(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Extract the typed header back OUT of the opaque binary — pure
+    Catalyst byte slicing + hex parse, no Python: the metadata-
+    extraction half of an EXIF reader (real tag walking plugs into
+    the decode seam; fixed-offset field extraction is engine work).
+    Invalid payloads (wrong magic) yield null fields rather than
+    errors — the malformed-tolerance contract of every ingest path."""
+    magic = F.decode(F.expr(f"substring({payload_col}, 1, 4)"), "UTF-8")
+    wid = F.conv(F.decode(F.expr(f"substring({payload_col}, 5, 4)"), "UTF-8"), 16, 10).cast("long")
+    hei = F.conv(F.decode(F.expr(f"substring({payload_col}, 9, 4)"), "UTF-8"), 16, 10).cast("long")
+    mime = F.decode(F.expr(f"substring({payload_col}, 13, 1)"), "UTF-8")
+    ok = magic == "EXIF"
+    return df.select(
+        id_col,
+        F.when(ok, wid).alias("exif_width"),
+        F.when(ok, hei).alias("exif_height"),
+        F.when(ok, mime).alias("mime_code"),
+        (F.octet_length(F.col(payload_col)) - F.lit(13)).cast("long").alias("body_bytes"),
+        ok.cast("int").cast("long").alias("valid_header"),
+    )

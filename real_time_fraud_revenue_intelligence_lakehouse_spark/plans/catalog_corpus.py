@@ -21,6 +21,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import (
+    H60,
     NORM,
     SHINGLES,
     TOKS,
@@ -496,3 +497,46 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_binary(read_table(spark, sf_dir, "documents"))
     return frame_windows(d, frame_len=FRAME_LEN, hop=FRAME_HOP)
+
+
+# --- EXIF-style structured-binary metadata extraction ----------------------
+
+#: DuckDB twin of ext/text.hash60 applied to the raw text column
+#: (attach_exif_payload derives the planted dimensions from it).
+H60_EXPR = H60.format(x="text")
+
+
+@query(
+    "q_exif_meta",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             'EXIF'
+               || lpad(to_hex({H60_EXPR} % 1920), 4, '0')
+               || lpad(to_hex(({H60_EXPR} // 1920) % 1080), 4, '0')
+               || CASE WHEN doc_id % 2 = 0 THEN 'I' ELSE 'A' END
+               || text AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substring(s, 5, 4))::BIGINT AS exif_width,
+           ('0x' || substring(s, 9, 4))::BIGINT AS exif_height,
+           substring(s, 13, 1) AS mime_code,
+           cast(octet_length(encode(s)) - 13 as bigint) AS body_bytes,
+           CAST(CASE WHEN substring(s, 1, 4) = 'EXIF' THEN 1 ELSE 0 END AS BIGINT) AS valid_header
+    FROM planted
+    """,
+    tags=("ext", "multimodal", "binary"),
+)
+def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-binary metadata extraction: payloads carry a planted
+    EXIF-style fixed-width header (magic + hex dims + mime code) and
+    the engine parses it back out of the opaque BinaryType column with
+    Catalyst byte slicing + hex conversion — no Python, no codec. The
+    oracle replants and reparses the same header; real tag-walking
+    (variable-length IFDs) belongs to the mapInPandas decode seam,
+    fixed-offset field extraction belongs here in the engine."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.multimodal import attach_exif_payload, parse_exif
+
+    d = attach_exif_payload(read_table(spark, sf_dir, "documents"))
+    return parse_exif(d)

@@ -114,6 +114,7 @@ _FRONT: tuple[str, ...] = (
     # round-3: corpus depth (heaviest oracles close the window)
     "q_cms_heavy_hitters",
     "q_audio_frames",
+    "q_exif_meta",
     "q_pagerank",
     "q_vector_norms",
     "q_bm25",
