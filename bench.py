@@ -81,18 +81,45 @@ def main() -> None:
         "sf": sf_val,
     }
     (REPO / "BENCH_FULL.json").write_text(json.dumps(detail, indent=1) + "\n")
-    # Reversed registry order: the collector's tail keeps the END of
-    # the line, and the registry fronts the newest queries — reversing
-    # puts them last, so the numbers most likely to be missing from
-    # BASELINE records are the ones the bounded tail retains.
-    line = {
+    # The collector keeps only the LAST 2000 chars of stdout and
+    # parses a JSON line out of that tail; a 147-query dict cannot
+    # fit, so r01/r02 recorded parsed:null. Contract now: stdout
+    # carries EXACTLY ONE line, guaranteed under the tail budget, so
+    # the tail IS the line and parses under any strategy (whole-tail
+    # loads, last-line, first-line). It holds the suite total plus the
+    # most expensive queries (the ones that matter for perf grading),
+    # greedily packed until the serialized line would exceed the
+    # budget. The full per-query line goes to stderr for humans;
+    # complete minima + cold/warm series live in BENCH_FULL.json,
+    # committed to the repo each round.
+    full_line = {
         "metric": "declared_query_suite_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": {n: round(t, 2) for n, t in reversed(timings.items())},
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf_val,
     }
-    print(json.dumps(line, separators=(",", ":")))
+    print(json.dumps(full_line, separators=(",", ":")), file=sys.stderr)
+
+    budget = 1900  # collector tail is 2000 chars; leave margin for the newline
+    head = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+    }
+    compact: dict[str, float] = {}
+    for n, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(head)
+        trial["queries"] = {**compact, n: round(t, 2)}
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        compact[n] = round(t, 2)
+    head["queries"] = compact
+    print(json.dumps(head, separators=(",", ":")))
 
 
 if __name__ == "__main__":
