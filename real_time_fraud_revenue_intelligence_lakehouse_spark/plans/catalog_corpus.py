@@ -540,3 +540,214 @@ def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_exif_payload(read_table(spark, sf_dir, "documents"))
     return parse_exif(d)
+
+
+# --- unigram language-model scoring ----------------------------------------
+
+R8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS.format(c='text')} AS toks FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, len(toks) AS dl, u.tok
+      FROM t, unnest(toks) AS u(tok)
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY 1),
+    stats AS (SELECT sum(cnt) AS n_tokens, count(*) AS v_size FROM vocab)
+    SELECT ex.doc_id,
+           CAST(ex.dl AS BIGINT) AS dl,
+           {R6.format(c=(
+               "cast(sum(cast(" + R8.format(
+                   c="ln(cast(cnt + 1 as double) / cast(n_tokens + v_size as double))"
+               ) + " as decimal(28,8))) as double) / ex.dl"
+           ))} AS avg_logprob
+    FROM ex JOIN vocab USING (tok), stats
+    WHERE ex.dl > 0
+    GROUP BY ex.doc_id, ex.dl
+    """,
+    tags=("ext", "text", "quality"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model document scoring with add-one smoothing
+    — the cheap perplexity-style quality signal (a KenLM stand-in)
+    training pipelines use to rank crawl text: per-token
+    log p(tok) = ln((count+1)/(N+V)) averaged over the document.
+    Plan: one explode+groupBy builds the vocabulary (map-side
+    combined), the token-count table broadcasts back onto the
+    exploded corpus (a vocabulary is ≪ corpus at any scale), and the
+    per-doc mean aggregates through quantized decimals so the sum is
+    partition-order-free. Only 2 shuffles total: vocab build and the
+    per-doc rollup."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    ex = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), F.explode("toks").alias("tok")
+    ).filter(F.col("dl") > 0)
+    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = vocab.agg(
+        F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("v_size")
+    )
+    lp = det_round(
+        F.log(
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("n_tokens") + F.col("v_size")).cast("double")
+        ),
+        8,
+    )
+    scored = (
+        ex.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", lp.cast("decimal(28,8)").alias("lp"))
+    )
+    return scored.groupBy("doc_id", "dl").agg(
+        det_round(F.sum("lp").cast("double") / F.col("dl"), 6).alias("avg_logprob")
+    )
+
+
+# --- SymSpell-style fuzzy match (edit distance ≤ 1) ------------------------
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("ext", "dedup", "fuzzy"),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All name pairs within edit distance 1, via SymSpell-style
+    single-DELETION blocking: two strings are within one edit iff
+    they are equal, one is a single-deletion of the other, or they
+    share a common single-deletion variant — so exploding each name
+    into itself plus its |s| deletion variants and equi-joining on
+    the variant finds every candidate WITHOUT a quadratic block scan
+    (the oracle IS the O(n²) definition, proving the blocking loses
+    nothing). The join key is the xxhash64 of the variant (cheaper to
+    shuffle than the string; a collision can only ADD candidates,
+    which the exact verify then judges on its own terms). The cheap
+    codegen levenshtein verify runs BEFORE the pair dedup, so the
+    distinct shuffles only surviving ids. Scale: explode factor is
+    |s|+1 (~19 here); variant buckets are bounded by alphabet size,
+    so the self-join stays near-linear where a naive length-block
+    join is quadratic."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # variant i=0 → the name itself; i>=1 → name with char i deleted
+    idx = F.sequence(F.lit(0), F.length("c_name"))
+    variant = lambda i: F.when(i == 0, F.col("c_name")).otherwise(
+        F.concat(
+            F.col("c_name").substr(F.lit(1), i - 1),
+            F.col("c_name").substr(i + 1, F.length("c_name")),
+        )
+    )
+    vs = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.transform(idx, variant)).alias("_v"),
+    ).select("c_custkey", "c_name", F.xxhash64("_v").alias("v"))
+    # EXPLICIT repartition on the join key: the variant shuffle is
+    # bytes-tiny but compute-heavy downstream (millions of levenshtein
+    # evals hang off the join output); left to AQE, the ~10 MB sides
+    # coalesce to one partition and the verify runs serially. An
+    # explicit partition count pins the parallelism to the cluster,
+    # exactly as you would size a compute-bound stage at 100 TB.
+    n_parts = spark.sparkContext.defaultParallelism
+    a = vs.select(
+        F.col("c_custkey").alias("a_key"), F.col("c_name").alias("a_name"), "v"
+    ).repartition(n_parts, "v")
+    b = vs.select(
+        F.col("c_custkey").alias("b_key"), F.col("c_name").alias("b_name"), "v"
+    ).repartition(n_parts, "v")
+    return (
+        a.join(b, "v")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.levenshtein("a_name", "b_name") <= 1)
+        )
+        .select(
+            "a_key",
+            "b_key",
+            F.levenshtein("a_name", "b_name").cast("long").alias("dist"),
+        )
+        .distinct()
+    )
+
+
+# --- int8 embedding quantization -------------------------------------------
+
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, {_DBL.format(v='embedding')} AS emb,
+             greatest({R8.format(c=f"list_max(list_transform({_DBL.format(v='embedding')}, x -> abs(x))) / 127.0")}, 1e-9) AS scale
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, scale,
+             abs(u.x - greatest(least(floor(u.x / scale + 0.5), 127), -127) * scale) AS err
+      FROM s, unnest(emb) AS u(x)
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           scale,
+           {R8.format(c='max(err)')} AS max_abs_err,
+           {R8.format(c=(
+               "cast(sum(cast(" + "(floor((err) * 10000000000.0 + 0.5) / 10000000000.0)"
+               + " as decimal(28,10))) as double) / count(*)"
+           ))} AS avg_err
+    FROM ex
+    GROUP BY vec_id, scale
+    """,
+    tags=("ext", "similarity", "quantize"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding table —
+    the storage/serving compression step before ANN indexing: per
+    vector, scale = max|x|/127, q_i = clamp(round(x_i/scale)), and the
+    reconstruction-error profile (max and mean |x - q·scale|) that
+    decides whether int8 is safe for the corpus. Entirely row-local
+    Catalyst array expressions (transform/aggregate folds in array
+    order) — ZERO shuffles at any scale; the oracle replays it via
+    unnest+groupBy. The portable floor(x+0.5) round keeps Spark and
+    the oracle bit-identical on half-way points."""
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = S.as_double(F.col("embedding"))
+    maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    # guard OUTSIDE the rounding: det_round at 8 digits flattens a
+    # near-zero scale to exactly 0, which would divide-by-zero on an
+    # all-zero vector; greatest() after the round keeps it positive
+    scale = F.greatest(det_round(maxabs / F.lit(127.0), 8), F.lit(1e-9))
+    with_scale = e.select("vec_id", emb.alias("emb"), scale.alias("scale"))
+    qdq = lambda x: (
+        F.greatest(
+            F.least(F.floor(x / F.col("scale") + F.lit(0.5)), F.lit(127)),
+            F.lit(-127),
+        )
+        * F.col("scale")
+    )
+    errs = F.transform(F.col("emb"), lambda x: F.abs(x - qdq(x)))
+    dec_sum = F.aggregate(
+        errs,
+        F.lit(0).cast("decimal(28,10)"),
+        # re-cast: decimal + decimal widens to (29,10), which would
+        # mismatch the accumulator type on the next fold step
+        lambda acc, err: (acc + det_round(err, 10).cast("decimal(28,10)")).cast(
+            "decimal(28,10)"
+        ),
+    )
+    return with_scale.select(
+        "vec_id",
+        F.size("emb").cast("long").alias("n_dims"),
+        "scale",
+        det_round(F.array_max(errs), 8).alias("max_abs_err"),
+        det_round(dec_sum.cast("double") / F.size("emb"), 8).alias("avg_err"),
+    )

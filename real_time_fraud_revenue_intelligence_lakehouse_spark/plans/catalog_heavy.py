@@ -309,3 +309,233 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", det_round(F.col("rank"), 8).alias("pagerank"))
+
+
+# --- TPC-H Q7-style nation-pair trade volume -------------------------------
+
+@query(
+    "q_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {SUM_DEC.format(c='volume')} AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation,
+             nc.n_name AS cust_nation,
+             year(cast(l.l_shipdate as date)) AS l_year,
+             {R4.format(c='l.l_extendedprice * (1 - l.l_discount)')} AS volume
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      WHERE l.l_shipdate >= DATE '1996-01-01'
+        AND l.l_shipdate < DATE '1998-01-01'
+        AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+    )
+    GROUP BY 1, 2, 3
+    """,
+    tags=("aggregate", "join", "heavy"),
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship year (reference analog: the cross-country revenue rollups in
+    `revenue_aggregations.py`). The nation-pair disjunction lives on
+    the two BROADCAST nation dims, so at 100 TB the plan is: shipdate
+    range pushed into the lineitem scan, one lineitem ⋈ orders
+    shuffle, then dim hash-joins with the pair filter applied before
+    the final 3-key aggregate (a handful of groups → bytes)."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    nc = n.select(F.col("n_nationkey").alias("c_natkey"), F.col("n_name").alias("cust_nation"))
+    ns = n.select(F.col("n_nationkey").alias("s_natkey"), F.col("n_name").alias("supp_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    flat = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_natkey"))
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_natkey"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            det_round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("volume"),
+        )
+    )
+    return flat.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum(F.col("volume").cast("decimal(38,4)")).cast("double").alias("revenue")
+    )
+
+
+# --- TPC-H Q9-style product profit -----------------------------------------
+
+@query(
+    "q_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {SUM_DEC.format(c='amount')} AS sum_profit
+    FROM (
+      SELECT ns.n_name AS nation,
+             year(cast(o.o_orderdate as date)) AS o_year,
+             {R4.format(c='l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * 0.6 * l.l_quantity')} AS amount
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("aggregate", "join", "heavy"),
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to this schema (no partsupp table:
+    supply cost is modeled as 60% of `p_retailprice`): per supplier
+    nation and order year, profit on parts whose name matches a
+    substring. The LIKE filter lands on the broadcast part dim and
+    prunes lineitem through the join; the only big shuffle is
+    lineitem ⋈ orders. Profit terms go through det_round then
+    decimal(38,4) accumulation so the sum is order-independent."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_natkey"), F.col("n_name").alias("nation"))
+    amount = det_round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity"),
+        4,
+    )
+    flat = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_natkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return flat.groupBy("nation", "o_year").agg(
+        F.sum(F.col("amount").cast("decimal(38,4)")).cast("double").alias("sum_profit")
+    )
+
+
+# --- TPC-H Q14-style promotion share ---------------------------------------
+
+@query(
+    "q_promo_share",
+    oracle=f"""
+    SELECT
+      {SUM_DEC.format(c="CASE WHEN p.p_type = 'PROMO' THEN volume ELSE 0 END")} AS promo_revenue,
+      {SUM_DEC.format(c='volume')} AS total_revenue,
+      {R4.format(c=(
+          '100.0 * ' + SUM_DEC.format(c="CASE WHEN p.p_type = 'PROMO' THEN volume ELSE 0 END")
+          + ' / ' + SUM_DEC.format(c='volume')
+      ))} AS promo_pct
+    FROM (
+      SELECT l_partkey,
+             {R4.format(c='l_extendedprice * (1 - l_discount)')} AS volume
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+    ) l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("aggregate", "join", "heavy"),
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO-type
+    parts — a single-row conditional-aggregate ratio. The month
+    predicate prunes the lineitem scan down to ~1/36 of rows BEFORE
+    the broadcast part join; the aggregate is map-side partial into
+    one global row, so the shuffle is a handful of bytes. At 100 TB
+    the scan range-prunes on the shipdate partition/statistics."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = read_table(spark, sf_dir, "part")
+    dec = lambda c: c.cast("decimal(38,4)")
+    flat = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        "p_type",
+        det_round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("volume"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(0.0)
+    agg = flat.agg(
+        F.sum(dec(promo)).cast("double").alias("promo_revenue"),
+        F.sum(dec(F.col("volume"))).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        det_round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4).alias("promo_pct"),
+    )
+
+
+# --- TPC-H Q19-style disjunctive bracket revenue ---------------------------
+
+@query(
+    "q_bracket_revenue",
+    oracle=f"""
+    SELECT {SUM_DEC.format(c=R4.format(c='l.l_extendedprice * (1 - l.l_discount)'))} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1  AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    tags=("aggregate", "join", "heavy"),
+)
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive (brand, size,
+    quantity) brackets — the classic OR-of-ANDs predicate test. The
+    part-only conjuncts (brand ∈ {…}, size ≥ 1) are implied by the
+    disjunction and get pushed to the broadcast part scan; the mixed
+    part×lineitem residual applies post-join. One global aggregate
+    row, so after the broadcast join the plan is pure scan throughput
+    — no shuffle of consequence at any scale."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    b = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+        )
+    )
+    return joined.filter(b).agg(
+        F.sum(
+            det_round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -165,6 +165,48 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stateful_profile",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             strftime(date_trunc('month', ts), '%Y-%m') AS batch_key,
+             count(*) AS batch_events,
+             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT user_id, batch_key,
+           CAST(batch_events AS BIGINT) AS batch_events,
+           CAST(sum(batch_events) OVER w AS BIGINT) AS total_events,
+           CAST(sum(cents) OVER w AS BIGINT) / 100.0 AS total_value
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY batch_key
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("streaming", "stateful", "pandas"),
+)
+def q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) verified
+    through its deterministic batch twin: the per-user running-profile
+    state machine of `streaming/stateful.py` replayed over event-month
+    "micro-batches" via applyInPandas — the SAME accumulator code the
+    stream executes, so the oracle checks the state-transition logic
+    itself (streaming-mode state carry-over is pinned by
+    tests/test_streaming.py::test_stateful_running_profiles, and
+    batch-vs-stream equality by test_stateful_batch_twin). Values
+    accumulate as integer cents, never float, so running totals are
+    order-independent at any partition layout."""
+    ev = read_table(spark, sf_dir, "events")
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import (
+        running_user_profiles_batch,
+    )
+
+    return running_user_profiles_batch(
+        ev, F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM")
+    )
+
+
+@query(
     "q_sliding_window",
     oracle="""
     WITH slots AS (

@@ -121,6 +121,11 @@ _FRONT: tuple[str, ...] = (
     "q_dup_ngram_ratio",
     "q_knn_label_vote",
     "q_dedup_pipeline",
+    # round-4: slot 50 of the window (the other round-4 additions —
+    # q_volume_shipping, q_product_profit, q_bracket_revenue,
+    # q_stateful_profile, q_unigram_logprob, q_fuzzy_match,
+    # q_embed_quantize — queue for the round-5 front window)
+    "q_promo_share",
 )
 
 

@@ -9,10 +9,29 @@ per-entity aggregates in `fraud_summary.py:91-134`: where the batch
 job recomputes user profiles from all history every 2 h, the stateful
 stream maintains them incrementally with O(keys) state.
 
+Both forms share one accumulator:
+
+- `running_user_profiles` — the real applyInPandasWithState stream
+  (state survives micro-batch boundaries; exercised against file
+  micro-batches in tests/test_streaming.py).
+- `running_user_profiles_batch` — the deterministic batch twin via
+  `applyInPandas`: the same per-key state machine replayed over an
+  explicit, data-derived batch key (e.g. event month). This is the
+  oracle-checkable face of the operator (`q_stateful_profile`).
+
+Exactness: values accumulate as integer CENTS (int64), never float —
+float summation is order-dependent and pandas' pairwise sum would
+drift from any SQL oracle. The batch entry point expects a Spark-side
+`cents` column (decimal-cast, see `with_cents`); the streaming form
+derives cents from `value` per batch, which is exact for 2-decimal
+inputs.
+
 Scale: state lives in the executor state store partitioned by key
 (one shuffle per micro-batch); Arrow batches flow per key-partition.
 Pair with watermark-based `GroupStateTimeout.EventTimeTimeout` in
 production so abandoned keys expire instead of accumulating forever.
+The batch twin is one applyInPandas shuffle on the key; per-key
+history (a handful of batch rows) is tiny regardless of corpus size.
 """
 
 from __future__ import annotations
@@ -20,7 +39,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING, Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -29,7 +49,36 @@ if TYPE_CHECKING:  # pragma: no cover
 OUTPUT_SCHEMA = (
     "user_id BIGINT, batch_events BIGINT, total_events BIGINT, total_value DOUBLE"
 )
-STATE_SCHEMA = "total_events BIGINT, total_value DOUBLE"
+STATE_SCHEMA = "total_events BIGINT, total_cents BIGINT"
+
+BATCH_OUTPUT_SCHEMA = (
+    "user_id BIGINT, batch_key STRING, batch_events BIGINT, "
+    "total_events BIGINT, total_value DOUBLE"
+)
+
+
+def cents_col(value_col: str = "value") -> Column:
+    """Exact integer cents from a 2-decimal money double: decimal cast
+    (engine-portable rounding) then *100 — never float arithmetic."""
+    return (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+
+
+def _acc(pdf: "pd.DataFrame") -> tuple[int, int]:
+    """Per-batch reduction: (row count, value cents) for one batch.
+    Uses the exact `cents` column when the caller provided it,
+    otherwise derives cents from `value` (exact for 2-dp inputs)."""
+    if "cents" in pdf.columns:
+        cents = int(pdf["cents"].sum())
+    else:
+        cents = int((pdf["value"] * 100).round().astype("int64").sum())
+    return len(pdf), cents
+
+
+def _step(state: tuple[int, int], n: int, cents: int) -> tuple[int, int]:
+    """THE state transition both forms share: fold one batch's
+    (count, cents) reduction into the running (events, cents) state."""
+    total_events, total_cents = state
+    return total_events + n, total_cents + cents
 
 
 def _update_user_profile(
@@ -37,21 +86,21 @@ def _update_user_profile(
 ) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
-    total_events, total_value = state.get if state.exists else (0, 0.0)
+    st = state.get if state.exists else (0, 0)
     batch_events = 0
-    batch_value = 0.0
+    batch_cents = 0
     for pdf in pdfs:
-        batch_events += len(pdf)
-        batch_value += float(pdf["value"].sum())
-    total_events += batch_events
-    total_value += batch_value
-    state.update((total_events, total_value))
+        n, c = _acc(pdf)
+        batch_events += n
+        batch_cents += c
+    st = _step(st, batch_events, batch_cents)
+    state.update(st)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "batch_events": [batch_events],
-            "total_events": [total_events],
-            "total_value": [round(total_value, 2)],
+            "total_events": [st[0]],
+            "total_value": [st[1] / 100.0],
         }
     )
 
@@ -66,4 +115,75 @@ def running_user_profiles(events: DataFrame) -> DataFrame:
         STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def _fold_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Replay the state machine for EVERY user in one partition with
+    one vectorized pass: rows arrive hash-partitioned by user and
+    sorted by (user, batch), so a grouped cumulative sum IS repeated
+    `_step` (integer addition is associative) applied in batch order.
+
+    One Python invocation per partition — NOT per key. Per-group
+    applyInPandas costs ~2 ms of Arrow/call overhead per key, which
+    at high key cardinality (millions of users) dominates the stage;
+    the per-partition fold amortizes that to ~one call per task.
+    Buffering bound: a partition holds (|users|/N) × |batches|
+    pre-reduced summary rows, not raw events."""
+    import pandas as pd
+
+    pdfs = list(batches)
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True)
+    g = pdf.groupby("user_id", sort=False)
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "batch_key": pdf["batch_key"],
+            "batch_events": pdf["n"],
+            "total_events": g["n"].cumsum(),
+            "total_value": g["cents"].cumsum() / 100.0,
+        }
+    )
+
+
+def running_user_profiles_batch(
+    events: DataFrame,
+    batch_key: Column,
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic batch twin of :func:`running_user_profiles`:
+    replays the per-user state machine over `batch_key` (a data-derived
+    micro-batch stand-in, e.g. event month) and emits one row per
+    (user, batch) with post-batch running totals.
+
+    Scale shape, stage by stage:
+    1. per-(user, batch) reduction (count + exact cents sum) happens
+       in the JVM as a map-side-combined groupBy BEFORE any Python —
+       never ship raw rows into Python when an associative reduce
+       works; only the (user × batch) summary rows cross Arrow;
+    2. an EXPLICIT repartition(N, user) — explicit so AQE cannot
+       coalesce the (bytes-tiny, group-heavy) exchange into one
+       partition and serialize the Python stage;
+    3. sortWithinPartitions(user, batch) + one mapInPandas fold per
+       partition (`_fold_partition`) — per-partition, not per-key,
+       Python invocation.
+    """
+    sc = events.sparkSession.sparkContext
+    n_parts = num_partitions or sc.defaultParallelism
+    reduced = (
+        events.select(
+            "user_id",
+            batch_key.cast("string").alias("batch_key"),
+            cents_col(value_col).alias("cents"),
+        )
+        .groupBy("user_id", "batch_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    return (
+        reduced.repartition(n_parts, "user_id")
+        .sortWithinPartitions("user_id", "batch_key")
+        .mapInPandas(_fold_partition, BATCH_OUTPUT_SCHEMA)
     )

@@ -319,6 +319,72 @@ def test_stateful_running_profiles(spark, tmp_path):
     assert (11, 1, 1, 1.0) in rows         # new key in batch 2
 
 
+def test_stateful_batch_twin(spark, tmp_path):
+    """The applyInPandas batch twin replays the applyInPandasWithState
+    stream exactly: feeding one month per micro-batch, the stream's
+    per-(user, batch) running totals equal the batch twin's
+    per-(user, month) rows — the same-state-machine guarantee behind
+    q_stateful_profile's batch oracle."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import (
+        running_user_profiles,
+        running_user_profiles_batch,
+    )
+
+    src = tmp_path / "twin_src"
+    src.mkdir()
+    now = time.time()
+    jan = [
+        _ev(1, "2024-01-05 10:00:00", user=7, value=2.25),
+        _ev(2, "2024-01-06 10:01:00", user=7, value=3.10),
+        _ev(3, "2024-01-07 10:02:00", user=9, value=5.00),
+    ]
+    feb = [
+        _ev(4, "2024-02-01 11:00:00", user=7, value=10.40),
+        _ev(5, "2024-02-02 11:01:00", user=11, value=1.99),
+        _ev(6, "2024-02-03 11:02:00", user=9, value=0.01),
+    ]
+    _write_json(str(src / "b1.json"), jan, now - 60)
+    _write_json(str(src / "b2.json"), feb, now)
+
+    out = running_user_profiles(
+        read_file_stream(spark, str(src), max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("twin_profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["user_id"], r["batch_events"], r["total_events"], r["total_value"])
+        for r in spark.table("twin_profiles").collect()
+    }
+
+    from datetime import datetime
+
+    batch_df = spark.createDataFrame(
+        [
+            tuple(
+                datetime.fromisoformat(v) if k == "ts" else v
+                for k, v in e.items()
+            )
+            for e in jan + feb
+        ],
+        schema=EVENTS_SCHEMA,
+    )
+    twin = running_user_profiles_batch(
+        batch_df, F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM")
+    )
+    twin_rows = {
+        (r["user_id"], r["batch_events"], r["total_events"], r["total_value"])
+        for r in twin.collect()
+    }
+    assert stream_rows == twin_rows
+    assert (7, 1, 3, 15.75) in twin_rows  # exact cents: 2.25+3.10+10.40
+
+
 def test_foreach_batch_merge_upserts(spark, tmp_path):
     """Streaming-silver: two micro-batches of upserts land in the
     target with latest-per-key semantics and idempotent keys."""

@@ -46,11 +46,13 @@ ALLPAIRS_OK = {
     "q_knn_label_vote",     # brute-force exactness tier, |Q|=50 (ANN index is the scale path)
     "q_kmv_distinct",       # 1-row exact-count aggregate cross joined (broadcast)
     "q_pagerank",           # 1-row node-count aggregate cross joined per round (broadcast)
+    "q_unigram_logprob",    # 1-row (N, |V|) stats aggregate cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
 ARROW_OK_PREFIXES = (
-    "q_multimodal", "q_ann_topk", "q_ivf_topk", "q_embed", "q_greedy_packing"
+    "q_multimodal", "q_ann_topk", "q_ivf_topk", "q_embed", "q_greedy_packing",
+    "q_stateful_profile",  # applyInPandas IS the operator (batch twin of applyInPandasWithState)
 )
 
 
