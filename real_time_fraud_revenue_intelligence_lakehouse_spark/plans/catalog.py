@@ -118,5 +118,6 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_scoring,
     catalog_sql,
     catalog_stream,
+    catalog_tpch,
     catalog_views,
 )

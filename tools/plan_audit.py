@@ -47,6 +47,8 @@ ALLPAIRS_OK = {
     "q_kmv_distinct",       # 1-row exact-count aggregate cross joined (broadcast)
     "q_pagerank",           # 1-row node-count aggregate cross joined per round (broadcast)
     "q_unigram_logprob",    # 1-row (N, |V|) stats aggregate cross joined (broadcast)
+    "q_dormant_customers",  # 1-row avg-balance threshold cross joined (broadcast)
+    "q_important_parts",    # 1-row global-share threshold cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
