@@ -106,6 +106,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_behavior,
     catalog_cleanse,
     catalog_corpus,
+    catalog_corpus2,
     catalog_gold,
     catalog_joins,
     catalog_ext,
