@@ -24,7 +24,7 @@ arithmetic (the bit-exactness trick the ANN tier already proves).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity as S
@@ -163,28 +163,11 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ext/similarity.ivf_assignments), which is exactly what an IVF-PQ
     index composes. The argmin is a map-side-combinable min(struct)
     aggregate, not a window sort."""
-    e = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", S.as_double(F.col("embedding")).alias("v")
-    )
-    sub = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub_id"),
-        F.col("v"),
-    ).select(
-        "vec_id",
-        "sub_id",
-        F.slice(F.col("v"), F.col("sub_id") * PQ_SUB + 1, PQ_SUB).alias("sv"),
-    )
-    cb = sub.filter(F.col("vec_id") < PQ_K).select(
-        "sub_id", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
-    )
-    sq = (
-        S.dot(F.col("sv"), F.col("sv"))
-        + S.dot(F.col("cv"), F.col("cv"))
-        - F.lit(2) * S.dot(F.col("sv"), F.col("cv"))
-    )
+    e = read_table(spark, sf_dir, "embeddings")
+    sub = _subvectors(e)
+    cb = _codebook(sub)
     scored = sub.join(F.broadcast(cb), "sub_id").select(
-        "vec_id", "sub_id", "code", det_round(sq, 6).alias("d")
+        "vec_id", "sub_id", "code", det_round(_sqdist(), 6).alias("d")
     )
     best = F.min(F.struct(F.col("d"), F.col("code")))
     return (
@@ -196,4 +179,182 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_b").getField("code").alias("code"),
             F.col("_b").getField("d").alias("dist"),
         )
+    )
+
+
+def _subvectors(e: DataFrame, unit: bool = False) -> DataFrame:
+    """(vec_id, sub_id, sv): each embedding split into PQ_M
+    double-precision subvectors (row-local explode, no shuffle).
+    ``unit=True`` L2-normalizes the whole vector first
+    (ext/similarity.unit_vectors — staged, norm computed once per
+    row) — then subspace L2² distances sum to 2-2·cosine, aligning
+    ADC ranking with the cosine metric the ANN tiers use."""
+    if unit:
+        e = S.unit_vectors(e)
+    return (
+        e.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub_id"),
+            F.col("v"),
+        )
+        .select(
+            "vec_id",
+            "sub_id",
+            F.slice(F.col("v"), F.col("sub_id") * PQ_SUB + 1, PQ_SUB).alias("sv"),
+        )
+    )
+
+
+def _codebook(sub: DataFrame) -> DataFrame:
+    """(sub_id, code, cv): seed-vector codebook — PQ_K codewords per
+    subspace, always broadcast-sized (PQ_M · PQ_K rows)."""
+    return sub.filter(F.col("vec_id") < PQ_K).select(
+        "sub_id", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+
+
+def _sqdist(a: str = "sv", b: str = "cv") -> F.Column:
+    """L2² between two subvector columns via the dot identity (see
+    _SQ — the bit-portable form both engines evaluate identically)."""
+    return (
+        S.dot(F.col(a), F.col(a))
+        + S.dot(F.col(b), F.col(b))
+        - F.lit(2) * S.dot(F.col(a), F.col(b))
+    )
+
+
+# --- IVF-PQ: cell-pruned candidates, ADC-scored ----------------------------
+
+IVFPQ_NPROBE = 2
+IVFPQ_K = 5
+IVFPQ_NQUERIES = 20  # queries = vec_id < 20 (matches the IVF tier)
+
+_COS6 = (
+    "(floor((list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    " * 1000000.0 + 0.5) / 1000000.0)"
+)
+
+
+@query(
+    "q_ivfpq_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DBL.format(v='embedding')} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % {S.CENTROID_MOD} = 0),
+    assign AS (
+      SELECT vec_id, centroid_id, crank FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS6.format(a='e.v', b='cent.cv')} DESC, cent.centroid_id
+               ) AS crank
+        FROM e, cent
+      )
+    ),
+    corpus_cells AS (SELECT vec_id AS match_id, centroid_id FROM assign WHERE crank = 1),
+    query_cells AS (SELECT vec_id AS query_id, centroid_id FROM assign
+                    WHERE crank <= {IVFPQ_NPROBE} AND vec_id < {IVFPQ_NQUERIES}),
+    cand AS (
+      SELECT DISTINCT query_id, match_id
+      FROM query_cells JOIN corpus_cells USING (centroid_id)
+      WHERE query_id <> match_id
+    ),
+    eu AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM e
+    ),
+    sub AS (
+      SELECT vec_id, s AS sub_id,
+             nv[(s*{PQ_SUB}+1):(s*{PQ_SUB}+{PQ_SUB})] AS sv
+      FROM eu, UNNEST(range({PQ_M})) AS u(s)
+    ),
+    cb AS (SELECT sub_id, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+    codes AS (
+      SELECT p.vec_id AS match_id, p.sub_id,
+             (min({{'d': {R6.format(c=_SQ.format(a='p.sv', b='c.cv'))}, 'c': c.code}})).c AS code
+      FROM sub p JOIN cb c USING (sub_id)
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT c.query_id, c.match_id,
+             cast(sum(cast({R6.format(c=_SQ.format(a='qs.sv', b='w.cv'))} as decimal(18,6))) as double)
+               AS approx_dist
+      FROM cand c
+      JOIN codes k ON k.match_id = c.match_id
+      JOIN cb w ON w.sub_id = k.sub_id AND w.code = k.code
+      JOIN sub qs ON qs.vec_id = c.query_id AND qs.sub_id = k.sub_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, match_id, approx_dist, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist, match_id
+      ) AS rank FROM adc
+    ) WHERE rank <= {IVFPQ_K}
+    """,
+    tags=("ext", "similarity", "quantize"),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 — the full production ANN composition
+    (ROADMAP round-5 item 5): IVF cells prune candidates to
+    nprobe/|C| of the corpus, then candidates are scored WITHOUT
+    touching their raw vectors — only their 4 PQ codes, looked up
+    against the query's subvectors (asymmetric distance computation).
+    Per-subspace distances round to 6 digits and sum through
+    decimal(18,6), so the ADC score is layout-independent and
+    oracle-hashable. At 100 TB: the corpus stores (centroid_id,
+    4 codes) = ~10 bytes/vector instead of 256; the codebook and the
+    per-query subvector LUT broadcast; the scoring join never reads
+    the embedding column — this plan IS the memory story that makes
+    billion-vector search fit a cluster."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < IVFPQ_NQUERIES)
+    cents = e.filter(F.col("vec_id") % S.CENTROID_MOD == 0)
+    corpus_cells = S.ivf_assignments(e, cents, nprobe=1, use_arrow=False).select(
+        F.col("vec_id").alias("match_id"), "centroid_id"
+    )
+    query_cells = S.ivf_assignments(
+        queries, cents, nprobe=IVFPQ_NPROBE, use_arrow=False
+    ).select(F.col("vec_id").alias("query_id"), "centroid_id")
+    cand = (
+        query_cells.join(corpus_cells, "centroid_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .distinct()
+    )
+    # unit-normalized subvectors: ADC L2² then sums to 2-2·cosine,
+    # so the quantized ranking approximates the cosine ranking the
+    # exact tiers use (recall-tested in tests/test_round5_queries).
+    sub = _subvectors(e, unit=True)
+    cb = _codebook(sub)
+    codes = (
+        sub.join(F.broadcast(cb), "sub_id")
+        .select(
+            F.col("vec_id").alias("match_id"),
+            "sub_id",
+            F.struct(det_round(_sqdist(), 6).alias("d"), F.col("code")).alias("_s"),
+        )
+        .groupBy("match_id", "sub_id")
+        .agg(F.min("_s").getField("code").alias("code"))
+    )
+    qsub = sub.join(
+        queries.select("vec_id"), "vec_id"
+    ).select(F.col("vec_id").alias("query_id"), "sub_id", "sv")
+    adc = (
+        cand.join(codes, "match_id")
+        .join(F.broadcast(cb), ["sub_id", "code"])
+        .join(F.broadcast(qsub), ["query_id", "sub_id"])
+        .groupBy("query_id", "match_id")
+        .agg(
+            F.sum(det_round(_sqdist(), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("match_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVFPQ_K)
+        .select("query_id", "match_id", "approx_dist", "rank")
     )

@@ -37,6 +37,7 @@ ALLPAIRS_OK = {
     "q_embed_top1",         # pre-normalized brute top-1, |Q|=50
     "q_embed_neardup",      # sampled exact all-pairs (distributed)
     "q_ivf_topk",           # centroid assignment: corpus × |C| broadcast
+    "q_ivfpq_topk",         # same centroid-assignment broadcast tier
     "q_tfidf_terms",        # 1-row N aggregate cross joined (broadcast)
     "q_dim_dates",          # date spine: 1-row sequence seed
     "q_source_mix",         # 1-row total/weight-sum aggregates cross joined (broadcast)
