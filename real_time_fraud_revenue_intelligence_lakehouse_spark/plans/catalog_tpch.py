@@ -417,6 +417,106 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q16: supplier variety per part class ----------------------------
+
+@query(
+    "q_part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+    tags=("aggregate", "anti", "tpch"),
+)
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (negative account balance standing in for the
+    customer-complaints comment filter): how many distinct suppliers
+    serve each qualifying (brand, size) class, excluding blacklisted
+    suppliers — NOT IN over a subquery + multi-key COUNT DISTINCT.
+    The blacklist is ids-only and broadcast as a LEFT ANTI join (the
+    NOT IN set provably has no NULLs — a WHERE on a non-null key —
+    so anti-join semantics are identical); part filters prune before
+    the join; the distinct-agg shuffles (brand, size, suppkey) once,
+    then collapses."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q20: suppliers with excess volume -------------------------------
+
+@query(
+    "q_excess_suppliers",
+    oracle="""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey,
+             cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_nationkey IN (1, 2, 3, 4, 5)
+      AND EXISTS (
+        SELECT 1 FROM vol v
+        JOIN part p ON p.p_partkey = v.l_partkey
+        WHERE v.l_suppkey = s.s_suppkey
+          AND p.p_type = 'ECONOMY'
+          AND v.qty > 45
+      )
+    """,
+    tags=("join", "semi", "subquery", "tpch"),
+)
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (year volume over lineitem standing in for the
+    partsupp availqty rule): suppliers in a nation set who moved >45
+    units of some ECONOMY part in 1997 — a nested aggregate feeding
+    an EXISTS chain. Decorrelated the way Catalyst would: per
+    (supplier, part) year volumes, ECONOMY filter via broadcast part
+    join, threshold, then the surviving supplier ids semi-join the
+    supplier scan. One lineitem shuffle on the compound key; every
+    later side is ids-only."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select("l_suppkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(1, 2, 3, 4, 5)
+    )
+    return s.join(vol, s.s_suppkey == vol.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
 # --- TPC-H Q2 essence: groupwise-min join-back -----------------------------
 
 @query(

