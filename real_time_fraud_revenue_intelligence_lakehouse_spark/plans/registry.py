@@ -61,71 +61,89 @@ def _load_all() -> None:
 # Verification priority: the driver's correctness gate walks queries()
 # in dict order with a ~50-entry per-round budget, so queries that
 # have never had a driver-green row come FIRST. After CORRECTNESS_r02
-# the union of r01+r02 green rows covers 98 of the round-2 queries;
-# the round-3 front window is the 7 still-unverified round-2 tail
-# entries plus every round-3 addition (42 total — inside one round's
-# budget), ordered cheapest-first by sf0.01 oracle-check runtime in
-# case the budget is time-based. Names not listed keep their
-# registration order after these.
+# the union of r01+r02 green rows covers 96 queries; this front window
+# is every remaining driver-unverified query (73 — all 71 selfchecked
+# green locally on 2026-08-14, plus the two rows-only iterative/sample
+# queries), ordered cheapest-first by measured sf0.01 selfcheck
+# runtime so a time-capped budget still maximizes green rows; the
+# heavy iterative/Python-stage queries (pagerank, stateful_profile)
+# close the window. q_greedy_packing already holds its rows-only row
+# from r02 and is excluded. Names not listed keep their registration
+# order after these.
 _FRONT: tuple[str, ...] = (
-    # round-2 additions the r2 window didn't reach
-    "q_intersect_check",
-    "q_map_functions",
-    "q_json_roundtrip",
-    "q_multimodal_resize",
-    "q_multimodal_framesample",
-    "q_text_cleanup",
-    "q_market_share",
-    # round-3: relational depth
-    "q_regexp_funcs",
-    "q_decimal_money",
-    "q_string_pad",
-    "q_array_ops",
-    "q_window_share",
-    "q_anti_join",
-    "q_semi_join",
-    "q_first_last",
-    "q_minmax_by",
-    "q_length_histogram",
-    "q_date_arith",
     "q_bool_bit_agg",
-    "q_stats_agg",
-    "q_running_total",
-    "q_rollup",
-    "q_profile_cardinality",
-    "q_filter_clause",
+    "q_string_pad",
+    "q_length_histogram",
+    "q_audio_frames",
+    "q_forecast_revenue",
+    "q_regexp_funcs",
     "q_unpivot",
     "q_scalar_subquery",
-    "q_local_supplier_volume",
-    "q_returned_revenue",
-    "q_having",
-    "q_correlated_subquery",
-    # round-3: streaming + behavioral
-    "q_kmv_distinct",
-    "q_bloom_prune",
+    "q_salted_agg",
+    "q_promo_share",
+    "q_embed_quantize",
+    "q_sample_limit",
+    "q_bracket_revenue",
+    "q_line_priority_mix",
+    "q_cust_order_distribution",
+    "q_multimodal_framesample",
+    "q_rollup",
+    "q_filter_clause",
+    "q_order_priority_check",
+    "q_top_supplier",
+    "q_part_supplier_variety",
+    "q_groupwise_min",
+    "q_profile_cardinality",
     "q_interval_join",
+    "q_rfm_segments",
+    "q_paragraph_dedup",
+    "q_excess_suppliers",
+    "q_text_cleanup",
+    "q_stats_agg",
+    "q_having",
     "q_sliding_window",
     "q_zscore_outliers",
+    "q_unigram_logprob",
+    "q_product_profit",
+    "q_dormant_customers",
+    "q_decimal_money",
+    "q_kmv_distinct",
     "q_winsorize",
-    "q_rfm_segments",
     "q_retention_cohort",
-    "q_event_funnel",
-    "q_salted_agg",
-    # round-3: corpus depth (heaviest oracles close the window)
+    "q_volume_shipping",
+    "q_intersect_check",
+    "q_semi_join",
+    "q_date_arith",
+    "q_running_total",
     "q_cms_heavy_hitters",
-    "q_audio_frames",
-    "q_exif_meta",
-    "q_pagerank",
+    "q_array_ops",
     "q_vector_norms",
-    "q_bm25",
-    "q_dup_ngram_ratio",
+    "q_waiting_suppliers",
+    "q_local_supplier_volume",
+    "q_returned_revenue",
+    "q_important_parts",
+    "q_map_functions",
+    "q_first_last",
+    "q_bloom_prune",
+    "q_json_roundtrip",
+    "q_window_share",
+    "q_anti_join",
+    "q_event_funnel",
+    "q_embed_pq",
     "q_knn_label_vote",
+    "q_ivfpq_topk",
+    "q_minmax_by",
+    "q_correlated_subquery",
+    "q_bm25",
+    "q_fuzzy_match",
+    "q_multimodal_resize",
+    "q_market_share",
+    "q_dup_ngram_ratio",
+    "q_exif_meta",
     "q_dedup_pipeline",
-    # round-4: slot 50 of the window (the other round-4 additions —
-    # q_volume_shipping, q_product_profit, q_bracket_revenue,
-    # q_stateful_profile, q_unigram_logprob, q_fuzzy_match,
-    # q_embed_quantize — queue for the round-5 front window)
-    "q_promo_share",
+    "q_pagerank",
+    "q_pagerank_converge",
+    "q_stateful_profile",
 )
 
 
