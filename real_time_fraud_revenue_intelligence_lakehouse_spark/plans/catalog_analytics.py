@@ -1,0 +1,377 @@
+"""Round-5 analytic depth — the warehouse/feature-prep shapes the
+earlier catalogs still lacked, each chosen for a distinct execution
+pattern:
+
+- q_event_transitions: first-order Markov transition matrix (the
+  sequence-model view of the reference's behavioral event stream —
+  `generator/events.py` emits the sessions these transitions
+  summarize): one lag window + one agg, probabilities by a second
+  window over the transition counts.
+- q_skyline: 2-D Pareto frontier (cheapest-and-biggest parts). The
+  naive form is a quadratic NOT EXISTS self-join (the oracle); the
+  engine form is the sort-based sweep — per-price max, running max
+  over strictly-cheaper prices, join back — which is one small-side
+  window over DISTINCT prices plus one equi-join, no self-join at any
+  scale.
+- q_median_mode: exact median (interpolated) and deterministic mode
+  (tie → lexicographically smallest) per group — the two "order
+  statistics SQL forgot" with explicit tie discipline so they can
+  hash-match.
+- q_priority_sample: Duffield-Lund-Thorup priority sampling — a
+  weighted sample with a DETERMINISTIC uniform (md5-derived 52-bit
+  fraction, exactly representable in a double), so the "random"
+  sample is reproducible, append-stable, and oracle-checkable. The
+  top-k-by-priority shape plans as TakeOrderedAndProject — no global
+  sort materialization at any scale.
+- q_token_entropy: per-source Shannon entropy of the token
+  distribution — the corpus-diversity signal training pipelines use
+  to detect template/boilerplate sources. Per-term contributions are
+  det-rounded then summed as decimal(28,8), so the float sum is
+  partition-layout-free (the unigram-LM trick).
+- q_robust_scale: median/IQR robust scaling with sentinel imputation
+  (negative balance = unknown → segment median) — the outlier-proof
+  cousin of z-score normalization (q_zscore_outliers) and the last
+  classic feature-prep op missing from the sampling/scoring family.
+
+All six are pure DataFrame plans — zero Python stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
+R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+R8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+
+# 52-bit md5 fraction: 13 hex chars = 52 bits < 2^53, so the integer
+# is EXACT in a double and h/2^52 is one correctly-rounded IEEE
+# division — bit-identical in any engine.
+H52 = "('0x' || substr(md5({x}), 1, 13))::BIGINT"
+TWO52 = float(2**52)
+
+
+def _h52(c: F.Column) -> F.Column:
+    """Spark twin of H52 (same md5 hex prefix, same 52-bit integer)."""
+    return F.conv(F.substring(F.md5(c), 1, 13), 16, 10).cast("long")
+
+
+# --- Markov transition matrix ----------------------------------------------
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, next_type, count(*) AS n
+      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_trans,
+           {r6} AS p_trans
+    FROM c
+    """.format(
+        r6=R6.format(
+            c="cast(n as double) / cast(sum(n) OVER (PARTITION BY prev_type) as double)"
+        )
+    ),
+    tags=("behavior", "window", "sequence"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type). The lag
+    window shuffles once on user_id (ordered by ts with event_id as
+    the unique tiebreak, so the sequence is total and deterministic);
+    the count agg and the per-prev normalization window both run on
+    the |types|² matrix — tiny at any corpus scale. n_trans/total is
+    a single int÷int double division (exact inputs < 2^53), so the
+    probability bits match any engine."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    t = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = t.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n_trans"))
+    tot = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        det_round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(tot).cast("double"), 6
+        ).alias("p_trans"),
+    )
+
+
+# --- Pareto skyline --------------------------------------------------------
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS INTEGER) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    tags=("relational", "skyline"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier: parts not dominated on (price ↓, size ↑).
+    The oracle is the textbook quadratic NOT EXISTS; the engine form
+    is the sort-sweep equivalence: a part survives iff it has the max
+    size within its exact price AND that size strictly exceeds the
+    max size over all strictly cheaper prices. The running max runs
+    over DISTINCT prices (already reduced), and the only full-table
+    op is one equi-join back on price — the classic O(n log n)
+    skyline, no self-join at any scale. Equal (price, size) twins
+    dominate neither and both survive, matching NOT EXISTS exactly."""
+    p = read_table(spark, sf_dir, "part")
+    grp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("grp_max"))
+    w = Window.orderBy(F.asc("p_retailprice")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pg = grp.withColumn("prev_max", F.max("grp_max").over(w))
+    return (
+        p.join(F.broadcast(pg), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("grp_max"))
+            & (F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# --- exact median + deterministic mode -------------------------------------
+
+
+@query(
+    "q_median_mode",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag,
+             {R4.format(c="median(l_quantity)")} AS med_qty,
+             {R4.format(c="median(l_extendedprice)")} AS med_price,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    mc AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    md AS (
+      SELECT l_returnflag, l_linestatus AS mode_status,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_linestatus ASC) AS rk
+      FROM mc
+    )
+    SELECT med.l_returnflag, med.med_qty, med.med_price,
+           CAST(med.n_rows AS BIGINT) AS n_rows, md.mode_status
+    FROM med JOIN md ON med.l_returnflag = md.l_returnflag AND md.rk = 1
+    """,
+    tags=("agg", "order-statistics"),
+)
+def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median and deterministic mode per return
+    flag. Median is Spark's exact `percentile(0.5)` (sort-based
+    within the agg, interpolating even-count midpoints exactly like
+    DuckDB's `median`); mode is made hash-checkable by pinning the
+    tie-break (highest count, then lexicographically smallest value)
+    via row_number over the (flag, status) count table — |groups|²
+    rows, so the ranking window is free. Two scans of lineitem
+    (median agg + mode counts) joined on the 3-row group key."""
+    li = read_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        det_round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("med_qty"),
+        det_round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("med_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    mc = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_linestatus")
+    )
+    mode = (
+        mc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"))
+    )
+    return med.join(F.broadcast(mode), "l_returnflag")
+
+
+# --- deterministic weighted (priority) sampling ----------------------------
+
+PRIO_K = 200
+
+
+@query(
+    "q_priority_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice,
+             cast({H52.format(x="cast(o_orderkey as varchar)")} as double)
+               / {TWO52!r} AS unif
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           {R6.format(c="o_totalprice / unif")} AS priority
+    FROM u
+    ORDER BY o_totalprice / unif DESC, o_orderkey ASC
+    LIMIT {PRIO_K}
+    """,
+    tags=("sampling", "weighted", "deterministic"),
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): weighted sample of
+    {PRIO_K} orders where P(selected) grows with o_totalprice, using
+    priority = weight / uniform. The uniform is a DETERMINISTIC
+    md5-derived 52-bit fraction — no RNG, so the sample is
+    reproducible across runs/engines and append-stable (a new row
+    never changes another row's priority; the same property the
+    train/test splitter relies on). Both engines compute h/2^52 and
+    w/u as single correctly-rounded IEEE divisions on identical
+    inputs → identical bits → identical ranking; exact ties break on
+    the key. Plans as TakeOrderedAndProject (per-partition heap +
+    driver-side k-merge), never a global sort."""
+    o = read_table(spark, sf_dir, "orders")
+    u = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (_h52(F.col("o_orderkey").cast("string")).cast("double") / F.lit(TWO52)).alias(
+            "unif"
+        ),
+    )
+    prio = F.col("o_totalprice") / F.col("unif")
+    return (
+        u.orderBy(prio.desc(), F.asc("o_orderkey"))
+        .limit(PRIO_K)
+        .select("o_orderkey", "o_totalprice", det_round(prio, 6).alias("priority"))
+    )
+
+
+# --- per-source token entropy ----------------------------------------------
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH ex AS (
+      SELECT source, u.tok
+      FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents), unnest(t) AS u(tok)
+    ),
+    cnt AS (SELECT source, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS n, count(*) AS v FROM cnt GROUP BY 1),
+    terms AS (
+      SELECT cnt.source,
+             cast({r8} as decimal(28,8)) AS term, tot.n, tot.v
+      FROM cnt JOIN tot USING (source)
+    )
+    SELECT source, CAST(any_value(n) AS BIGINT) AS n_tokens,
+           CAST(any_value(v) AS BIGINT) AS v_size,
+           {r6} AS entropy
+    FROM terms GROUP BY source
+    """.format(
+        r8=R8.format(
+            c="-(cast(c as double)/cast(n as double))"
+            " * ln(cast(c as double)/cast(n as double))"
+        ),
+        r6=R6.format(c="cast(sum(term) as double)"),
+    ),
+    tags=("ext", "text", "quality"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution (nats) —
+    low entropy flags template/boilerplate sources that inflate a
+    training corpus without adding signal. One explode+groupBy builds
+    per-source token counts (map-side combined); totals broadcast
+    back; each -p·ln(p) term is det-rounded to 8 digits and summed as
+    decimal(28,8) so the reduction is associative and
+    partition-layout-free (the unigram-LM trick, ext/text.py)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    ex = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = ex.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = cnt.join(F.broadcast(tot), "source").select(
+        "source",
+        "n",
+        "v",
+        det_round(-p * F.log(p), 8).cast("decimal(28,8)").alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.any_value("n").cast("long").alias("n_tokens"),
+        F.any_value("v").cast("long").alias("v_size"),
+        det_round(F.sum("term").cast("double"), 6).alias("entropy"),
+    )
+
+
+# --- robust scaling with sentinel imputation -------------------------------
+
+
+@query(
+    "q_robust_scale",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    ),
+    st AS (
+      SELECT c_mktsegment,
+             median(bal) AS med,
+             quantile_cont(bal, 0.75) - quantile_cont(bal, 0.25) AS iqr
+      FROM base GROUP BY 1
+    )
+    SELECT b.c_custkey, b.c_mktsegment,
+           {R4.format(c="coalesce(b.bal, st.med)")} AS bal_imputed,
+           {R4.format(c="(coalesce(b.bal, st.med) - st.med) / st.iqr")} AS bal_scaled
+    FROM base b JOIN st USING (c_mktsegment)
+    """,
+    tags=("sampling", "feature-prep"),
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling with sentinel imputation: negative
+    account balance is the 'unknown' sentinel → impute the segment
+    median, then scale as (x - median) / IQR — the outlier-proof
+    normalization (z-score's median/quartile cousin; q_winsorize and
+    q_zscore_outliers cover the other two classic treatments). One
+    agg over ~5 segments (exact interpolated percentiles), broadcast
+    back onto one customer scan — no second shuffle. Null-median
+    segments (all-sentinel) would propagate null, preserved as-is."""
+    c = read_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    st = base.groupBy("c_mktsegment").agg(
+        F.percentile("bal", F.lit(0.5)).alias("med"),
+        (F.percentile("bal", F.lit(0.75)) - F.percentile("bal", F.lit(0.25))).alias(
+            "iqr"
+        ),
+    )
+    imput = F.coalesce(F.col("bal"), F.col("med"))
+    return base.join(F.broadcast(st), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        det_round(imput, 4).alias("bal_imputed"),
+        det_round((imput - F.col("med")) / F.col("iqr"), 4).alias("bal_scaled"),
+    )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity as S
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
-from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import TOKS, _DBL
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import NORM, SHINGLES, TOKS, _DBL
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
@@ -357,4 +357,98 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= IVFPQ_K)
         .select("query_id", "match_id", "approx_dist", "rank")
+    )
+
+
+# --- lossless prefix-filtered set-similarity join (PPJoin family) ----------
+
+#: Jaccard threshold. 1/2 keeps the survive predicate INTEGER
+#: (2·|A∩B| ≥ |A∪B|) — no float boundary in either engine.
+PPJ_THETA_NUM, PPJ_THETA_DEN = 1, 2
+
+
+@query(
+    "q_prefix_jaccard_join",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, list_distinct({SHINGLES.format(t='toks')}) AS t FROM tk
+    ),
+    ex AS (SELECT doc_id, len(t) AS sz, u.sh FROM s, unnest(t) AS u(sh)),
+    -- exact: a pair below misses ONLY when the intersection is empty,
+    -- and empty-intersection pairs can never reach Jaccard >= theta.
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter,
+             any_value(a.sz) + any_value(b.sz) - count(*) AS uni
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS n_common,
+           CAST(uni AS BIGINT) AS n_union,
+           {R6.format(c="cast(inter as double) / cast(uni as double)")} AS jaccard
+    FROM pairs
+    WHERE {PPJ_THETA_DEN} * inter >= {PPJ_THETA_NUM} * uni
+    """,
+    tags=("ext", "dedup", "similarity-join"),
+)
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (3-shingle-set Jaccard ≥ 1/2,
+    the same normalized-token shingles the MinHash tier hashes) via
+    LOSSLESS prefix filtering (SSJoin/PPJoin): order each document's
+    distinct shingles rarest-first under one global order (document
+    frequency, then shingle), keep only the first |T| - ⌈θ·|T|⌉ + 1 as
+    the prefix, and join on prefix tokens. The prefix-filter lemma
+    (any pair with |A∩B| ≥ ⌈θ·max(|A|,|B|)⌉ shares its globally
+    rarest common token inside BOTH prefixes) makes the blocking
+    exact — unlike MinHash-LSH (q_lsh_pairs) there is no recall loss,
+    which is why the O(n²) oracle must match row-for-row. Rare-first
+    ordering is also the skew guard: join buckets are keyed by LOW
+    document-frequency shingles, so boilerplate buckets never form (cap
+    any residual hot token by df-thresholding the prefix join at
+    ingest if a corpus demands it). Verification re-joins the two
+    token arrays and keeps 2·|A∩B| ≥ |A∪B| — an integer predicate,
+    deterministic in any engine. Scale: vocabulary ≪ corpus so the
+    df table broadcasts; candidates ≪ n² by the filter; the only
+    O(corpus) shuffles are the explode-groupBy and the per-doc
+    row_number window."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
+    sets = toks.select(
+        "doc_id", F.array_distinct(X.shingles_of(F.col("toks"))).alias("t")
+    )
+    ex = sets.select("doc_id", F.size("t").alias("sz"), F.explode("t").alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    theta = float(PPJ_THETA_NUM) / PPJ_THETA_DEN
+    pref = (
+        ex.join(F.broadcast(vocab), "tok")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(theta) * F.col("sz")) + 1)
+        .select("tok", "doc_id")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ver = cand.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")), "doc_a"
+    ).join(sets.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")), "doc_b")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        ver.filter(F.lit(PPJ_THETA_DEN) * inter >= F.lit(PPJ_THETA_NUM) * uni)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_common"),
+            uni.cast("long").alias("n_union"),
+            det_round(inter.cast("double") / uni.cast("double"), 6).alias("jaccard"),
+        )
     )

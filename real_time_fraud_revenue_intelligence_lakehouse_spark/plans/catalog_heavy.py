@@ -230,7 +230,7 @@ def _pr_oracle() -> str:
         prev = f"it{k}"
     return f"""
     WITH pairs AS (
-      SELECT DISTINCT -l.l_suppkey AS s_node, o.o_custkey AS c_node
+      SELECT DISTINCT -(l.l_suppkey + 1) AS s_node, o.o_custkey AS c_node
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
     edges AS (
@@ -256,7 +256,8 @@ def _pr_oracle() -> str:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 3 unrolled iterations) over the
     bidirectional supplier↔customer trade graph (suppliers carry
-    negated ids to disjoint the key spaces). The iterative-algorithm
+    -(key+1) ids — negation alone would collide supplier 0 with
+    customer 0; both key spaces start at 0). The iterative-algorithm
     shape beyond connected components: each round is one edges⋈ranks
     join + per-dst aggregation — contributions quantized through
     decimal(28,14) so the sums are associative and layout-independent,
@@ -284,7 +285,7 @@ def _trade_graph(spark, sf_dir, year: int | None = None):
     o = o.select("o_orderkey", "o_custkey")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .select((-F.col("l_suppkey")).alias("s_node"), F.col("o_custkey").alias("c_node"))
+        .select((-(F.col("l_suppkey") + 1)).alias("s_node"), F.col("o_custkey").alias("c_node"))
         .distinct()
     )
     edges = (
@@ -634,4 +635,79 @@ def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- breadth-first search (frontier iteration vs recursive-CTE oracle) -----
+
+BFS_ROUNDS = 4
+
+
+@query(
+    "q_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT -(l_suppkey + 1) AS src, o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION
+      SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    walk(node, dist) AS (
+      SELECT (SELECT min(o_custkey) FROM orders) AS node, 0 AS dist
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.dist < {BFS_ROUNDS}
+    )
+    SELECT CASE WHEN node < 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+           CAST(CASE WHEN node < 0 THEN -node - 1 ELSE node END AS BIGINT) AS node_id,
+           CAST(min(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY 1, 2
+    """,
+    tags=("graph", "iterative", "heavy"),
+)
+def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest hop-distance (≤ {BFS_ROUNDS} hops) from
+    the lowest-keyed customer over the bidirectional supplier↔customer
+    trade graph — the frontier-iteration shape that emulates SQL's
+    recursive CTE (the oracle IS `WITH RECURSIVE`, the one classic
+    warehouse construct Spark SQL lacks). Each round: frontier ⋈ edges
+    (frontier broadcast — a frontier is ≤ |nodes| ≪ |edges|), then an
+    anti-join against the visited set so settled nodes never re-enter,
+    then a distinct. Fixed round count keeps the whole loop
+    oracle-exact (no convergence action); per-round localCheckpoint
+    caps lineage exactly like q_pagerank_converge. At 100 TB: edges
+    stay partitioned by src across rounds (one shuffle, reused), the
+    visited set grows monotonically and anti-joins shuffle-free while
+    it broadcasts; distances are small ints, so BFS traffic is
+    ids-only."""
+    edges, _nodes, _stats, _deg, _ranks = _trade_graph(spark, sf_dir)
+    o = read_table(spark, sf_dir, "orders")
+    seed = o.agg(F.min("o_custkey").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    dist = seed.localCheckpoint()
+    frontier = dist
+    for i in range(1, BFS_ROUNDS + 1):
+        frontier = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).alias("dist"))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(frontier).localCheckpoint()
+    return dist.select(
+        F.when(F.col("node") < 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        F.when(F.col("node") < 0, -F.col("node") - 1)
+        .otherwise(F.col("node"))
+        .cast("long")
+        .alias("node_id"),
+        F.col("dist").cast("long").alias("dist"),
     )

@@ -1,0 +1,252 @@
+"""Round-6 additions: analytic-depth invariants (Markov transitions,
+skyline dominance, order statistics, priority sampling, entropy,
+robust scaling), the lossless prefix-filter similarity join, and BFS
+frontier properties. Value correctness for every oracle-backed query
+lives in tools/selfcheck.py; these tests pin the *semantics* on
+planted fixtures and the invariants that must hold at any scale."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+
+    return registry.all_queries()[name]
+
+
+# --- Markov transitions ----------------------------------------------------
+
+def test_transition_probs_sum_to_one(spark):
+    rows = _q("q_event_transitions")(spark, SF_SMOKE).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        assert r["n_trans"] > 0
+        assert 0.0 < r["p_trans"] <= 1.0
+        by_prev.setdefault(r["prev_type"], 0.0)
+        by_prev[r["prev_type"]] += r["p_trans"]
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_transitions_planted_sequence(spark):
+    """u1: a→b→b→c gives transitions ab, bb, bc; u2: a→b gives ab.
+    P(b|a)=1, P(b|b)=P(c|b)=0.5."""
+    events = [
+        (1, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "b", 1.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "b", 1.0, "{}"),
+        (4, "2024-01-01 00:03:00", 1, "c", 1.0, "{}"),
+        (5, "2024-01-01 00:00:00", 2, "a", 1.0, "{}"),
+        (6, "2024-01-01 00:05:00", 2, "b", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            events, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts")).write.parquet(f"{d}/events.parquet")
+        out = {
+            (r["prev_type"], r["next_type"]): r
+            for r in _q("q_event_transitions")(spark, d).collect()
+        }
+    assert out[("a", "b")]["n_trans"] == 2 and out[("a", "b")]["p_trans"] == 1.0
+    assert out[("b", "b")]["p_trans"] == 0.5
+    assert out[("b", "c")]["p_trans"] == 0.5
+    assert ("c", "a") not in out  # sequences never cross users
+
+
+# --- skyline ---------------------------------------------------------------
+
+def _dominates(b, a):
+    return (
+        b["p_retailprice"] <= a["p_retailprice"]
+        and b["p_size"] >= a["p_size"]
+        and (b["p_retailprice"] < a["p_retailprice"] or b["p_size"] > a["p_size"])
+    )
+
+
+def test_skyline_sound_and_complete(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    sky = _q("q_skyline")(spark, SF_SMOKE).collect()
+    assert sky
+    # sound: no skyline member dominates another
+    for a in sky:
+        assert not any(_dominates(b, a) for b in sky if b is not a)
+    # complete: every excluded part is dominated by some skyline member
+    all_parts = read_table(spark, SF_SMOKE, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    sky_keys = {r["p_partkey"] for r in sky}
+    for p in all_parts:
+        if p["p_partkey"] not in sky_keys:
+            assert any(_dominates(s, p) for s in sky), p
+
+
+# --- median / mode ---------------------------------------------------------
+
+def test_median_mode_matches_driver_side(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    out = {r["l_returnflag"]: r for r in _q("q_median_mode")(spark, SF_SMOKE).collect()}
+    li = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_linestatus"
+    ).collect()
+    import statistics
+    from collections import Counter
+
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, rows in by_flag.items():
+        med = statistics.median(r["l_quantity"] for r in rows)
+        assert abs(out[flag]["med_qty"] - med) < 1e-6
+        counts = Counter(r["l_linestatus"] for r in rows)
+        top = max(counts.items(), key=lambda kv: (kv[1], ))
+        # engine tie-break: max count, then smallest value
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert out[flag]["mode_status"] == best
+        assert out[flag]["n_rows"] == len(rows)
+
+
+# --- priority sampling -----------------------------------------------------
+
+def test_priority_sample_deterministic_and_append_stable(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_analytics import PRIO_K
+
+    a = _q("q_priority_sample")(spark, SF_SMOKE).collect()
+    b = _q("q_priority_sample")(spark, SF_SMOKE).collect()
+    assert a == b
+    assert len(a) == PRIO_K
+    assert len({r["o_orderkey"] for r in a}) == PRIO_K
+    # priorities are a pure per-row function: the same order row keeps
+    # the same priority under any corpus growth (append-stability);
+    # verify the ordering is by priority desc.
+    prios = [r["priority"] for r in a]
+    assert prios == sorted(prios, reverse=True)
+
+
+def test_priority_sample_prefers_heavy_orders(spark):
+    """P(selected) rises with weight: the sampled mean o_totalprice
+    must exceed the population mean (priority = w/u)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    sample = _q("q_priority_sample")(spark, SF_SMOKE).collect()
+    pop_mean = (
+        read_table(spark, SF_SMOKE, "orders").agg(F.avg("o_totalprice")).collect()[0][0]
+    )
+    samp_mean = sum(r["o_totalprice"] for r in sample) / len(sample)
+    assert samp_mean > pop_mean
+
+
+# --- token entropy ---------------------------------------------------------
+
+def test_entropy_bounds(spark):
+    import math
+
+    rows = _q("q_token_entropy")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["v_size"] <= r["n_tokens"]
+        assert -1e-9 <= r["entropy"] <= math.log(r["v_size"]) + 1e-6
+
+
+# --- robust scaling --------------------------------------------------------
+
+def test_robust_scale_imputes_sentinels_to_segment_median(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    out = _q("q_robust_scale")(spark, SF_SMOKE)
+    cust = read_table(spark, SF_SMOKE, "customer")
+    joined = {
+        r["c_custkey"]: r
+        for r in out.join(
+            cust.select("c_custkey", "c_acctbal"), "c_custkey"
+        ).collect()
+    }
+    # sentinel rows all land exactly on their segment's median → scaled 0
+    sentinels = [r for r in joined.values() if r["c_acctbal"] < 0]
+    assert sentinels, "fixture should contain negative balances"
+    for r in sentinels:
+        assert abs(r["bal_scaled"]) < 1e-9
+    # non-sentinel rows keep their value
+    for r in joined.values():
+        if r["c_acctbal"] >= 0:
+            assert abs(r["bal_imputed"] - round(r["c_acctbal"], 4)) < 1e-6
+
+
+# --- prefix-filtered similarity join ---------------------------------------
+
+def test_prefix_join_finds_planted_neardup_only(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = [
+        (1, base, "en", "s1", len(base)),
+        (2, base + " tail tail2 tail3", "en", "s1", 1),  # near-dup of 1
+        (3, " ".join(f"z{i}" for i in range(60)), "en", "s1", 1),  # unrelated
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        pairs = {(r["doc_a"], r["doc_b"]): r for r in _q("q_prefix_jaccard_join")(spark, d).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["jaccard"] >= 0.5
+    assert not any(3 in p for p in pairs)
+
+
+def test_prefix_join_blocking_is_lossless(spark):
+    """At SF_SMOKE the engine pairs must equal the naive driver-side
+    all-pairs computation — recall loss in the prefix filter would
+    show as a missing pair."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in d.select(
+            "doc_id",
+            F.array_distinct(
+                X.shingles_of(X.tokens(X.norm_text(F.col("text"))))
+            ).alias("sh"),
+        ).collect()
+    }
+    ids = sorted(sets)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if 2 * inter >= uni:
+                expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q("q_prefix_jaccard_join")(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+# --- BFS -------------------------------------------------------------------
+
+def test_bfs_parity_seed_and_bounds(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_heavy import BFS_ROUNDS
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    rows = _q("q_bfs_distance")(spark, SF_SMOKE).collect()
+    assert rows
+    seed = (
+        read_table(spark, SF_SMOKE, "orders").agg(F.min("o_custkey")).collect()[0][0]
+    )
+    zero = [r for r in rows if r["dist"] == 0]
+    assert len(zero) == 1
+    assert zero[0]["node_type"] == "customer" and zero[0]["node_id"] == seed
+    for r in rows:
+        assert 0 <= r["dist"] <= BFS_ROUNDS
+        # bipartite alternation: customers at even hops, suppliers odd
+        expected_type = "customer" if r["dist"] % 2 == 0 else "supplier"
+        assert r["node_type"] == expected_type, r
