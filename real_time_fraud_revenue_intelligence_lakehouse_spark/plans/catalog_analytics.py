@@ -375,3 +375,201 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(imput, 4).alias("bal_imputed"),
         det_round((imput - F.col("med")) / F.col("iqr"), 4).alias("bal_scaled"),
     )
+
+
+# --- time-series gap fill + linear interpolation ---------------------------
+
+
+@query(
+    "q_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, cast(ts as date) AS day,
+             cast(sum(cast(value as decimal(18,2))) as double) AS day_value
+      FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM rng
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.day_value
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ),
+    f AS (
+      SELECT user_id, day, day_value,
+        last_value(day_value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(day_value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+      {R4.format(c=(
+          "CASE WHEN day_value IS NOT NULL THEN day_value "
+          "ELSE pv + (nv - pv) * (date_diff('day', pd, day)::DOUBLE"
+          " / date_diff('day', pd, nd)) END"
+      ))} AS filled_value,
+      CAST(CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM f
+    """,
+    tags=("timeseries", "window"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily gap fill with linear interpolation — the
+    time-series densification every forecasting/feature pipeline
+    needs: build each user's full day spine (`sequence` — row-local
+    expansion, no join against a global calendar), left-join the
+    observed daily sums, then interpolate missing days between the
+    previous and next observed values via ignore-nulls running
+    last/first windows. BOTH directions share one (user × day)
+    Exchange+Sort — Catalyst plans the forward and backward frames
+    over the same Window spec pair, so the whole fill is one shuffle
+    past the daily rollup. Interior gaps only by construction (the
+    spine is bounded by each user's min/max observed day), so the
+    interpolation formula is total. The deterministic user subset
+    (user_id % 20) keeps the declared-query output bounded; the
+    operator itself has no such restriction."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_value")
+    )
+    rng = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = rng.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    known_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    pv = F.last("day_value", ignorenulls=True).over(back)
+    pd_ = F.last(known_day, ignorenulls=True).over(back)
+    nv = F.first("day_value", ignorenulls=True).over(fwd)
+    nd = F.first(known_day, ignorenulls=True).over(fwd)
+    frac = F.datediff(F.col("day"), pd_).cast("double") / F.datediff(nd, pd_)
+    interp = F.when(
+        F.col("day_value").isNotNull(), F.col("day_value")
+    ).otherwise(pv + (nv - pv) * frac)
+    return j.select(
+        "user_id",
+        "day",
+        det_round(interp, 4).alias("filled_value"),
+        F.when(F.col("day_value").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+    )
+
+
+# --- rolling median --------------------------------------------------------
+
+
+@query(
+    "q_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {R4.format(c=(
+               "median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+               "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+           ))} AS roll_med
+    FROM events
+    """,
+    tags=("timeseries", "window", "order-statistics"),
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row rolling median per user — the robust smoother
+    (moving average's outlier-proof cousin). Spark has no holistic
+    window aggregates, so the frame materializes as a sorted array
+    (collect_list over ROWS BETWEEN 6 PRECEDING — O(w log w) per row,
+    fine for small w; a two-heap segment-tree operator is the path if
+    w grows to thousands) and the median indexes it: odd frame →
+    middle, even frame → mean of the two middles, the same
+    interpolation DuckDB's windowed `median` applies. One shuffle:
+    the user-keyed Exchange+Sort that every per-user window in the
+    suite shares."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col("value").cast("double")).over(w))
+    n = F.size(arr)
+    mid_hi = (n / 2 + 1).cast("int")   # n even: upper middle
+    mid_lo = (n / 2).cast("int")
+    odd_mid = ((n + 1) / 2).cast("int")
+    med = F.when(n % 2 == 1, F.element_at(arr, odd_mid)).otherwise(
+        (F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / 2.0
+    )
+    return e.select("event_id", "user_id", det_round(med, 4).alias("roll_med"))
+
+
+# --- median-absolute-deviation outliers ------------------------------------
+
+MAD_SCALE = 1.4826   # Φ⁻¹(0.75) normalizer: MAD → σ under normality
+MAD_CUT = 3.5
+
+
+@query(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           {R4.format(c=f"(d.value - d.med) / ({MAD_SCALE} * m.mad)")} AS rob_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs((d.value - d.med) / ({MAD_SCALE} * m.mad)) > {MAD_CUT}
+    """,
+    tags=("quality", "outliers", "order-statistics"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flags — the robust companion
+    to q_zscore_outliers: with median/MAD in place of mean/stddev, a
+    single extreme value cannot drag the threshold toward itself.
+    Two exact-percentile aggregations over ~|event_type| groups, each
+    broadcast back onto the fact scan (the double-pass is inherent:
+    MAD is a median OF deviations from a median). The 3.5 robust-z
+    cut runs on bit-identical doubles (same op order both engines),
+    so the boundary filter hash-gates."""
+    e = read_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    rob_z = (F.col("value") - F.col("med")) / (F.lit(MAD_SCALE) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rob_z) > MAD_CUT)
+        .select("event_id", "event_type", "value", det_round(rob_z, 4).alias("rob_z"))
+    )

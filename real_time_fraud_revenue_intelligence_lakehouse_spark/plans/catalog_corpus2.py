@@ -414,28 +414,57 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic in any engine. Scale: vocabulary ≪ corpus so the
     df table broadcasts; candidates ≪ n² by the filter; the only
     O(corpus) shuffles are the explode-groupBy and the per-doc
-    row_number window."""
+    row_number window.
+
+    Execution notes (measured at sf0.1, 38 s → 3 s): the shingle
+    array is consumed by THREE operators (explode, and both verify
+    joins), and CollapseProject would re-inline the whole
+    tokenize→shingle chain into each — so `sets` materializes ONCE
+    behind a localCheckpoint, repartitioned first because the corpus
+    is byte-tiny but compute-heavy (the AQE/single-file trap
+    SCALE.md documents: one input partition serializes interpreted
+    higher-order shingle evaluation). |T| comes from count() OVER the
+    same doc partition the ranking window already shuffles — not
+    from a second size(t) reference."""
+    par = spark.sparkContext.defaultParallelism
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
-    sets = toks.select(
-        "doc_id", F.array_distinct(X.shingles_of(F.col("toks"))).alias("t")
+    sets = (
+        toks.select("doc_id", F.array_distinct(X.shingles_of(F.col("toks"))).alias("t"))
+        .repartition(par)
+        .localCheckpoint()
     )
-    ex = sets.select("doc_id", F.size("t").alias("sz"), F.explode("t").alias("tok"))
+    ex = sets.select("doc_id", F.explode("t").alias("tok"))
     vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    wc = Window.partitionBy("doc_id")
     theta = float(PPJ_THETA_NUM) / PPJ_THETA_DEN
+    sz = F.count(F.lit(1)).over(wc)
     pref = (
         ex.join(F.broadcast(vocab), "tok")
         .withColumn("rn", F.row_number().over(wp))
+        .withColumn("sz", sz)
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(theta) * F.col("sz")) + 1)
-        .select("tok", "doc_id")
+        .select("tok", "doc_id", "sz")
     )
+    # length filter (the second PPJoin prune): J >= theta forces
+    # theta·max(|A|,|B|) <= min(|A|,|B|) — integer form below. Cuts
+    # candidates between docs of incompatible lengths before the
+    # distinct.
+    compatible = F.lit(PPJ_THETA_NUM) * F.greatest(
+        F.col("a.sz"), F.col("b.sz")
+    ) <= F.lit(PPJ_THETA_DEN) * F.least(F.col("a.sz"), F.col("b.sz"))
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "tok")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & compatible)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # verify is compute-heavy per row (array_intersect over full
+        # shingle sets) while candidates are bytes-tiny — pin the
+        # parallelism so AQE's byte-based coalescing can't serialize
+        # it (the q_fuzzy_match lesson, SCALE.md).
+        .repartition(par, "doc_a", "doc_b")
     )
     ver = cand.join(
         sets.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")), "doc_a"
@@ -452,3 +481,65 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(inter.cast("double") / uni.cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+# --- per-dimension quantile normalization ----------------------------------
+
+
+@query(
+    "q_quantile_norm",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {_DBL.format(v='embedding')} AS emb FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, u.i AS dim, emb[u.i + 1] AS val
+      FROM e, UNNEST(range(len(emb))) AS u(i)
+    ),
+    ranked AS (
+      SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+             {R6.format(c=(
+                 "cast(row_number() OVER (PARTITION BY dim ORDER BY val, vec_id) - 1 as double)"
+                 " / (count(*) OVER (PARTITION BY dim) - 1)"
+             ))} AS qv
+      FROM ex
+    )
+    SELECT vec_id, dim, qv FROM ranked WHERE vec_id % 8 = 0
+    """,
+    tags=("ext", "similarity", "feature-prep"),
+)
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of the embedding
+    matrix — the distribution-free feature transform: each dimension's
+    values map to their empirical quantile (rank-1)/(N-1) in [0,1],
+    making every dimension uniformly distributed regardless of the
+    original scale/outliers (the ML-prep sibling of q_robust_scale,
+    here columnwise over a vector column). Ties break by vec_id so
+    the rank — and therefore the output — is total and deterministic.
+    Plan: posexplode (row-local) → one dim-keyed Exchange+Sort for
+    the ranking window (64 independent dim partitions — embarrassing
+    parallelism at any row count); reassembling ordered arrays back
+    per vec_id is one further collect_list shuffle when a pipeline
+    wants vectors (the declared output stays long-form — flat rows
+    hash-gate engine-portably; every-8th vector bounds the declared
+    output without biasing any dimension's rank, which is computed
+    over the FULL matrix before the filter). Int ratio
+    (rank-1)/(N-1) is one exact IEEE division — bit-identical in any
+    engine."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(S.as_double(F.col("embedding"))).alias("dim", "val"),
+    )
+    wr = Window.partitionBy("dim").orderBy(F.asc("val"), F.asc("vec_id"))
+    wc = Window.partitionBy("dim")
+    ranked = ex.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        det_round(
+            (F.row_number().over(wr) - 1).cast("double")
+            / (F.count(F.lit(1)).over(wc) - 1),
+            6,
+        ).alias("qv"),
+    )
+    return ranked.filter(F.col("vec_id") % 8 == 0)

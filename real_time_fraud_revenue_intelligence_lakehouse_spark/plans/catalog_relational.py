@@ -956,3 +956,106 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(_rev(), 2).alias("revenue"),
         )
     )
+
+
+# --- KMV sketch set algebra (theta-sketch-style union/intersection) --------
+
+_KMV_U = "(('0x' || substr(md5(cast(o_custkey as varchar)), 1, 15))::BIGINT / 1152921504606846976.0)"
+
+
+@query(
+    "q_kmv_set_ops",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT {_KMV_U} AS u FROM orders WHERE year(cast(o_orderdate as date)) = 1995
+    ),
+    b AS (
+      SELECT DISTINCT {_KMV_U} AS u FROM orders WHERE year(cast(o_orderdate as date)) = 1996
+    ),
+    sa AS (SELECT u FROM a ORDER BY u LIMIT {_KMV_K}),
+    sb AS (SELECT u FROM b ORDER BY u LIMIT {_KMV_K}),
+    su AS (SELECT DISTINCT u FROM (SELECT u FROM sa UNION ALL SELECT u FROM sb)
+           ORDER BY u LIMIT {_KMV_K}),
+    kth AS (SELECT max(u) AS u_k, count(*) AS k FROM su),
+    rho AS (
+      SELECT count(*) AS n_both FROM su
+      WHERE u IN (SELECT u FROM sa) AND u IN (SELECT u FROM sb)
+    ),
+    ex AS (
+      SELECT count(DISTINCT CASE WHEN y IN (1995, 1996) THEN o_custkey END) AS n_union,
+             count(DISTINCT CASE WHEN y = 1995 THEN o_custkey END)
+               + count(DISTINCT CASE WHEN y = 1996 THEN o_custkey END)
+               - count(DISTINCT CASE WHEN y IN (1995, 1996) THEN o_custkey END) AS n_inter
+      FROM (SELECT o_custkey, year(cast(o_orderdate as date)) AS y FROM orders)
+    )
+    SELECT CAST(ex.n_union AS BIGINT) AS n_exact_union,
+           CAST(ex.n_inter AS BIGINT) AS n_exact_inter,
+           {R4.format(c='(kth.k - 1) / kth.u_k')} AS est_union,
+           {R4.format(c='(cast(rho.n_both as double) / kth.k) * ((kth.k - 1) / kth.u_k)')} AS est_inter,
+           {R4.format(c='cast(rho.n_both as double) / kth.k')} AS jaccard_est
+    FROM kth, rho, ex
+    """,
+    tags=("sketch", "aggregate"),
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET ALGEBRA on KMV (bottom-k) sketches: the
+    1995 and 1996 customer sets sketch independently (k smallest
+    md5-60bit hash fractions each — mergeable per-partition heaps,
+    never a global sort), then union = bottom-k of the merged
+    signatures with estimate (k-1)/u_(k), and intersection via the
+    theta rule: the fraction rho of union-sketch members present in
+    BOTH signatures scales the union estimate. Everything after the
+    two bottom-k's runs on ≤2k rows (broadcast); exact counts ride
+    along for the error columns. Deterministic end-to-end — the same
+    sketches any engine building from these bytes would produce —
+    which is what lets an *approximate* algorithm hash-gate."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+
+    def sig(year: int) -> DataFrame:
+        return (
+            o.filter(F.col("y") == year)
+            .select(F.col("o_custkey").cast("string").alias("k"))
+            .distinct()
+            .select((hash60(F.col("k")) / F.lit(float(1 << 60))).alias("u"))
+            .orderBy("u")
+            .limit(_KMV_K)
+        )
+
+    sa, sb = sig(1995), sig(1996)
+    su = sa.unionByName(sb).distinct().orderBy("u").limit(_KMV_K)
+    kth = su.agg(F.max("u").alias("u_k"), F.count(F.lit(1)).alias("k"))
+    both = (
+        su.join(sa, "u", "left_semi")
+        .join(sb, "u", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    in_year = lambda yr: F.when(F.col("y") == yr, F.col("o_custkey"))
+    ex = o.agg(
+        F.countDistinct(
+            F.when(F.col("y").isin(1995, 1996), F.col("o_custkey"))
+        ).alias("n_union"),
+        (
+            F.countDistinct(in_year(1995))
+            + F.countDistinct(in_year(1996))
+            - F.countDistinct(
+                F.when(F.col("y").isin(1995, 1996), F.col("o_custkey"))
+            )
+        ).alias("n_inter"),
+    )
+    est_union = (F.col("k") - 1) / F.col("u_k")
+    rho = F.col("n_both").cast("double") / F.col("k")
+    return (
+        kth.crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.col("n_union").cast("long").alias("n_exact_union"),
+            F.col("n_inter").cast("long").alias("n_exact_inter"),
+            det_round(est_union, 4).alias("est_union"),
+            det_round(rho * est_union, 4).alias("est_inter"),
+            det_round(rho, 4).alias("jaccard_est"),
+        )
+    )

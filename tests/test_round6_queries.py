@@ -250,3 +250,105 @@ def test_bfs_parity_seed_and_bounds(spark):
         # bipartite alternation: customers at even hops, suppliers odd
         expected_type = "customer" if r["dist"] % 2 == 0 else "supplier"
         assert r["node_type"] == expected_type, r
+
+
+# --- gap fill ---------------------------------------------------------------
+
+def test_gap_fill_interpolates_planted_gaps(spark):
+    events = [
+        # user 20 (passes the %20 subset): days 1 and 4 observed
+        (1, "2024-01-01 10:00:00", 20, "a", 10.0, "{}"),
+        (2, "2024-01-04 10:00:00", 20, "a", 40.0, "{}"),
+        # second observation on day 4 sums into that day
+        (3, "2024-01-04 11:00:00", 20, "a", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            events,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).write.parquet(f"{d}/events.parquet")
+        rows = {str(r["day"]): r for r in _q("q_gap_fill")(spark, d).collect()}
+    assert len(rows) == 4  # full spine, no missing days
+    assert rows["2024-01-01"]["filled_value"] == 10.0 and rows["2024-01-01"]["is_gap"] == 0
+    assert rows["2024-01-02"]["filled_value"] == 20.0 and rows["2024-01-02"]["is_gap"] == 1
+    assert rows["2024-01-03"]["filled_value"] == 30.0 and rows["2024-01-03"]["is_gap"] == 1
+    assert rows["2024-01-04"]["filled_value"] == 40.0 and rows["2024-01-04"]["is_gap"] == 0
+
+
+def test_gap_fill_spine_is_dense(spark):
+    out = _q("q_gap_fill")(spark, SF_SMOKE)
+    per_user = (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.datediff(F.max("day"), F.min("day")) + 1).alias("span"),
+        )
+        .collect()
+    )
+    assert per_user
+    for r in per_user:
+        assert r["n"] == r["span"], r
+
+
+# --- rolling median ---------------------------------------------------------
+
+def test_rolling_median_window_semantics(spark):
+    import statistics
+
+    events = [
+        (i, f"2024-01-01 00:{i:02d}:00", 7, "a", float(v), "{}")
+        for i, v in enumerate([5, 1, 9, 7, 3, 100, 2, 4, 6, 8])
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            events,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).write.parquet(f"{d}/events.parquet")
+        got = {r["event_id"]: r["roll_med"] for r in _q("q_rolling_median")(spark, d).collect()}
+    vals = [5, 1, 9, 7, 3, 100, 2, 4, 6, 8]
+    for i in range(len(vals)):
+        frame = vals[max(0, i - 6) : i + 1]
+        assert abs(got[i] - statistics.median(frame)) < 1e-9, (i, frame)
+
+
+# --- MAD outliers -----------------------------------------------------------
+
+def test_mad_flags_planted_outlier_only(spark):
+    events = [
+        (i, "2024-01-01 00:00:00", 1, "a", float(v), "{}")
+        for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 10, 1000])
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            events,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).write.parquet(f"{d}/events.parquet")
+        flagged = {r["event_id"] for r in _q("q_mad_outliers")(spark, d).collect()}
+    assert flagged == {9}
+
+
+# --- KMV set algebra --------------------------------------------------------
+
+def test_kmv_set_ops_estimates_reasonable(spark):
+    row = _q("q_kmv_set_ops")(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["jaccard_est"] <= 1.0
+    assert row["n_exact_inter"] <= row["n_exact_union"]
+    # k=64 sketch: loose 3-sigma-ish band (~1/sqrt(k) ≈ 12.5% rel error)
+    assert abs(row["est_union"] - row["n_exact_union"]) / row["n_exact_union"] < 0.5
+    if row["n_exact_inter"] > 0:
+        assert abs(row["est_inter"] - row["n_exact_inter"]) / row["n_exact_union"] < 0.5
+
+
+# --- quantile normalization --------------------------------------------------
+
+def test_quantile_norm_uniform_per_dim(spark):
+    out = _q("q_quantile_norm")(spark, SF_SMOKE)
+    stats = out.groupBy("dim").agg(
+        F.min("qv").alias("lo"), F.max("qv").alias("hi"), F.avg("qv").alias("mu")
+    ).collect()
+    assert stats
+    for r in stats:
+        assert 0.0 <= r["lo"] and r["hi"] <= 1.0
+        # subset is every 8th vector of a full-rank transform — mean
+        # stays near 0.5 unless the ranking is biased
+        assert 0.3 < r["mu"] < 0.7, r

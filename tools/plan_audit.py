@@ -50,6 +50,7 @@ ALLPAIRS_OK = {
     "q_unigram_logprob",    # 1-row (N, |V|) stats aggregate cross joined (broadcast)
     "q_dormant_customers",  # 1-row avg-balance threshold cross joined (broadcast)
     "q_important_parts",    # 1-row global-share threshold cross joined (broadcast)
+    "q_kmv_set_ops",        # 1-row sketch stats (u_k/k, rho, exact counts) cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
