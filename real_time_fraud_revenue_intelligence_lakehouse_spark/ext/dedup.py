@@ -125,6 +125,52 @@ def jaccard_pairs(
 LSH_MAX_BUCKET = 1000
 
 
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """UNVERIFIED banded-LSH candidate pairs ``(id_a, id_b)`` — the
+    blocking tier of :func:`minhash_lsh_pairs`, exposed separately so
+    callers can verify with their own similarity (or measure the
+    blocker's precision/recall against an exact tier, q_lsh_quality).
+    Ids-only traffic through the bucket self-join; optional
+    ``max_bucket`` drops pathological buckets via a window count over
+    the SAME (band_idx, band_key) the join shuffles on."""
+    r = k // bands
+    sig = with_minhash(df.select(F.col(id_col), F.col(text_col)), id_col, text_col, k=k)
+    base = sig.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
+                )
+                for b in range(bands)
+            ]
+        ).alias("bands"),
+    )
+    exploded = base.select(id_col, F.posexplode("bands").alias("band_idx", "band_key"))
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_idx", "band_key")
+        exploded = (
+            exploded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    a = exploded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -153,34 +199,8 @@ def minhash_lsh_pairs(
     tests/test_ext.py::test_lsh_bucket_cap); docs only reachable
     through a dropped bucket fall back to the exact-fingerprint tier,
     which already catches identical-boilerplate groups."""
-    r = k // bands
-    sig = with_minhash(df.select(F.col(id_col), F.col(text_col)), id_col, text_col, k=k)
-    base = sig.select(
-        F.col(id_col),
-        F.array(
-            *[
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
-                )
-                for b in range(bands)
-            ]
-        ).alias("bands"),
-    )
-    exploded = base.select(id_col, F.posexplode("bands").alias("band_idx", "band_key"))
-    if max_bucket is not None:
-        wb = Window.partitionBy("band_idx", "band_key")
-        exploded = (
-            exploded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
-    a = exploded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    b = exploded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cand = lsh_candidates(
+        df, id_col, text_col, k=k, bands=bands, max_bucket=max_bucket
     )
     toks = df.select(
         F.col(id_col),
@@ -478,4 +498,79 @@ def dup_clusters(
         F.col("node").alias(id_col),
         F.col("lbl").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    theta_num: int = 1,
+    theta_den: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join (distinct shingle-set Jaccard
+    ≥ theta_num/theta_den) via lossless prefix filtering
+    (SSJoin/PPJoin) — the zero-recall-loss alternative to
+    :func:`minhash_lsh_pairs`. See q_prefix_jaccard_join for the
+    lemma and the measured execution notes; the threshold test is the
+    integer predicate den·|A∩B| ≥ num·|A∪B|, so no float boundary
+    exists in any engine.
+
+    Returns (id_a, id_b, n_common, n_union, jaccard).
+    """
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import shingles_of
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.select(
+        F.col(id_col), tokens(norm_text(F.col(text_col))).alias("_toks")
+    )
+    sets = (
+        toks.select(
+            F.col(id_col),
+            F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("t"),
+        )
+        .repartition(par)
+        .localCheckpoint()
+    )
+    ex = sets.select(F.col(id_col), F.explode("t").alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wp = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("tok"))
+    wc = Window.partitionBy(id_col)
+    theta = float(theta_num) / theta_den
+    pref = (
+        ex.join(F.broadcast(vocab), "tok")
+        .withColumn("rn", F.row_number().over(wp))
+        .withColumn("sz", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(theta) * F.col("sz")) + 1)
+        .select("tok", id_col, "sz")
+    )
+    compatible = F.lit(theta_num) * F.greatest(
+        F.col("a.sz"), F.col("b.sz")
+    ) <= F.lit(theta_den) * F.least(F.col("a.sz"), F.col("b.sz"))
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & compatible)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+        .repartition(par, "id_a", "id_b")
+    )
+    ver = cand.join(
+        sets.select(F.col(id_col).alias("id_a"), F.col("t").alias("ta")), "id_a"
+    ).join(sets.select(F.col(id_col).alias("id_b"), F.col("t").alias("tb")), "id_b")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        ver.filter(F.lit(theta_den) * inter >= F.lit(theta_num) * uni)
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("n_common"),
+            uni.cast("long").alias("n_union"),
+            det_round(inter.cast("double") / uni.cast("double"), 6).alias("jaccard"),
+        )
     )

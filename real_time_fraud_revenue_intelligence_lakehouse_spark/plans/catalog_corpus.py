@@ -751,3 +751,56 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.array_max(errs), 8).alias("max_abs_err"),
         det_round(dec_sum.cast("double") / F.size("emb"), 8).alias("avg_err"),
     )
+
+
+# --- feature hashing (the hashing trick) -----------------------------------
+
+FEAT_DIM = 1024
+
+
+@query(
+    "q_feature_hash",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, u.tok
+      FROM (SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS t
+            FROM documents WHERE doc_id % 10 = 0), unnest(t) AS u(tok)
+    ),
+    f AS (
+      SELECT doc_id,
+             {H60.format(x='tok')} % {FEAT_DIM} AS f_idx,
+             CASE WHEN ({H60.format(x='tok')} >> 11) & 1 = 1 THEN 1 ELSE -1 END AS s
+      FROM ex
+    )
+    SELECT doc_id, CAST(f_idx AS BIGINT) AS f_idx, CAST(sum(s) AS BIGINT) AS w
+    FROM f GROUP BY 1, 2
+    HAVING sum(s) != 0
+    """,
+    tags=("ext", "text", "feature-prep"),
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the Weinberger hashing trick): token →
+    dimension h(tok) mod 1024 with a ±1 sign from an independent hash
+    bit, summed per (doc, dimension) — the unbounded-vocabulary
+    featurizer (no dictionary to build, broadcast, or version) whose
+    signed sums keep collision noise zero-mean. Entirely row-local
+    until ONE map-side-combined groupBy; the 60-bit md5 hash is the
+    same portable convention as the MinHash/KMV tiers, so any engine
+    reproduces the exact same sparse matrix. Zero-weight cells
+    (collision cancellations) drop on both sides. Output long-form
+    (doc, f_idx, w) — every 10th doc bounds the declared result."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60, norm_text, tokens
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    ex = d.select(
+        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("tok")
+    ).withColumn("hv", hash60(F.col("tok")))
+    s = F.when(
+        F.shiftright(F.col("hv"), 11).bitwiseAND(F.lit(1)) == 1, 1
+    ).otherwise(-1)
+    return (
+        ex.select("doc_id", F.pmod(F.col("hv"), F.lit(FEAT_DIM)).alias("f_idx"), s.alias("s"))
+        .groupBy("doc_id", "f_idx")
+        .agg(F.sum("s").cast("long").alias("w"))
+        .filter(F.col("w") != 0)
+    )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import dedup as D
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity as S
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
@@ -419,67 +420,31 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Execution notes (measured at sf0.1, 38 s → 3 s): the shingle
     array is consumed by THREE operators (explode, and both verify
     joins), and CollapseProject would re-inline the whole
-    tokenize→shingle chain into each — so `sets` materializes ONCE
-    behind a localCheckpoint, repartitioned first because the corpus
-    is byte-tiny but compute-heavy (the AQE/single-file trap
-    SCALE.md documents: one input partition serializes interpreted
-    higher-order shingle evaluation). |T| comes from count() OVER the
-    same doc partition the ranking window already shuffles — not
-    from a second size(t) reference."""
-    par = spark.sparkContext.defaultParallelism
-    d = read_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
-    sets = (
-        toks.select("doc_id", F.array_distinct(X.shingles_of(F.col("toks"))).alias("t"))
-        .repartition(par)
-        .localCheckpoint()
+    tokenize→shingle chain into each — so the shingle table
+    materializes ONCE behind a localCheckpoint, repartitioned first
+    because the corpus is byte-tiny but compute-heavy (the
+    AQE/single-file trap SCALE.md documents: one input partition
+    serializes interpreted higher-order shingle evaluation). |T|
+    comes from count() OVER the same doc partition the ranking
+    window already shuffles — not from a second size(t) reference.
+    A second prune (the PPJoin length filter num·max(|A|,|B|) ≤
+    den·min) drops length-incompatible candidates before the
+    distinct, and the array-intersect verify pins its parallelism
+    (the q_fuzzy_match lesson). Operator: ext/dedup.py
+    prefix_jaccard_pairs."""
+    out = D.prefix_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        theta_num=PPJ_THETA_NUM,
+        theta_den=PPJ_THETA_DEN,
     )
-    ex = sets.select("doc_id", F.explode("t").alias("tok"))
-    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
-    wc = Window.partitionBy("doc_id")
-    theta = float(PPJ_THETA_NUM) / PPJ_THETA_DEN
-    sz = F.count(F.lit(1)).over(wc)
-    pref = (
-        ex.join(F.broadcast(vocab), "tok")
-        .withColumn("rn", F.row_number().over(wp))
-        .withColumn("sz", sz)
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(theta) * F.col("sz")) + 1)
-        .select("tok", "doc_id", "sz")
-    )
-    # length filter (the second PPJoin prune): J >= theta forces
-    # theta·max(|A|,|B|) <= min(|A|,|B|) — integer form below. Cuts
-    # candidates between docs of incompatible lengths before the
-    # distinct.
-    compatible = F.lit(PPJ_THETA_NUM) * F.greatest(
-        F.col("a.sz"), F.col("b.sz")
-    ) <= F.lit(PPJ_THETA_DEN) * F.least(F.col("a.sz"), F.col("b.sz"))
-    cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), "tok")
-        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & compatible)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        # verify is compute-heavy per row (array_intersect over full
-        # shingle sets) while candidates are bytes-tiny — pin the
-        # parallelism so AQE's byte-based coalescing can't serialize
-        # it (the q_fuzzy_match lesson, SCALE.md).
-        .repartition(par, "doc_a", "doc_b")
-    )
-    ver = cand.join(
-        sets.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")), "doc_a"
-    ).join(sets.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")), "doc_b")
-    inter = F.size(F.array_intersect("ta", "tb"))
-    uni = F.size("ta") + F.size("tb") - inter
-    return (
-        ver.filter(F.lit(PPJ_THETA_DEN) * inter >= F.lit(PPJ_THETA_NUM) * uni)
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.cast("long").alias("n_common"),
-            uni.cast("long").alias("n_union"),
-            det_round(inter.cast("double") / uni.cast("double"), 6).alias("jaccard"),
-        )
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "n_common",
+        "n_union",
+        "jaccard",
     )
 
 
@@ -543,3 +508,78 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     return ranked.filter(F.col("vec_id") % 8 == 0)
+
+
+# --- LSH blocker quality vs the exact tier ---------------------------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import _bands_sql, _SIG_COLS  # noqa: E402
+
+
+@query(
+    "q_lsh_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct(toks) AS toks, {SHINGLES.format(t='toks')} AS sh FROM t),
+    sig AS (SELECT doc_id, toks, {_SIG_COLS} FROM sh),
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    s AS (SELECT doc_id, list_distinct(sh) AS st FROM sh),
+    exx AS (SELECT doc_id, len(st) AS sz, u.x AS shingle FROM s, unnest(st) AS u(x)),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM exx a JOIN exx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING 2 * count(*) >= any_value(a.sz) + any_value(b.sz) - count(*)
+    ),
+    hit AS (SELECT count(*) AS n_hit FROM cand JOIN truth USING (id_a, id_b)),
+    nc AS (SELECT count(*) AS n_cand FROM cand),
+    nt AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           {R6.format(c="cast(n_hit as double) / greatest(n_cand, 1)")} AS lsh_precision,
+           {R6.format(c="cast(n_hit as double) / greatest(n_truth, 1)")} AS lsh_recall
+    FROM hit, nc, nt
+    """,
+    tags=("ext", "dedup", "evaluation"),
+)
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH BLOCKER measured against
+    the engine's own exact tier — the evaluation harness a dedup
+    pipeline needs before trusting an approximate index: candidates =
+    raw band-join pairs (lsh_candidates, unverified, max_bucket=None
+    so the engine and the SQL replay are construction-identical);
+    truth = lossless prefix-filtered shingle-Jaccard-≥ 1/2 pairs
+    (prefix_jaccard_pairs — zero recall loss by the prefix lemma, so
+    it IS ground truth, not another approximation). Both tiers are
+    deterministic, which is what makes an *evaluation of an
+    approximation* hash-gateable. The three counts reduce to 1-row
+    aggregates and cross-join broadcast; precision/recall are exact
+    int÷int divisions."""
+    docs = read_table(spark, sf_dir, "documents")
+    cand = D.lsh_candidates(docs, "doc_id", "text", max_bucket=None)
+    truth = D.prefix_jaccard_pairs(docs, "doc_id", "text").select("id_a", "id_b")
+    hit = cand.join(truth, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        hit.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            det_round(
+                F.col("n_hit").cast("double") / F.greatest(F.col("n_cand"), F.lit(1)), 6
+            ).alias("lsh_precision"),
+            det_round(
+                F.col("n_hit").cast("double") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("lsh_recall"),
+        )
+    )

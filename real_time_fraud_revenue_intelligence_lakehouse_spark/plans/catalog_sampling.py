@@ -110,3 +110,39 @@ def q_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
     return greedy_pack_sequences(t, "n_tokens", 512, group_col="lang")
+
+
+# --- k-fold cross-validation assignment ------------------------------------
+
+KFOLDS = 5
+
+
+@query(
+    "q_kfold",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, lang, {H60_ID} % {KFOLDS} AS fold FROM documents)
+    SELECT CAST(fold AS BIGINT) AS fold, lang, count(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("ext", "sampling"),
+)
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) by content-hash
+    bucket — the train/test splitter generalized: fold = h(id) mod k
+    is disjoint and exhaustive BY CONSTRUCTION (every id lands in
+    exactly one fold), stable across reruns and appends, row-local,
+    no RNG. Grouped by lang to expose per-class fold balance — at any
+    scale this is one map-side-combined agg over a pure projection."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(KFOLDS))
+            .cast("long")
+            .alias("fold"),
+            "lang",
+        )
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -352,3 +352,56 @@ def test_quantile_norm_uniform_per_dim(spark):
         # subset is every 8th vector of a full-rank transform — mean
         # stays near 0.5 unless the ranking is biased
         assert 0.3 < r["mu"] < 0.7, r
+
+
+# --- LSH blocker quality ----------------------------------------------------
+
+def test_lsh_quality_consistent_counts(spark):
+    row = _q("q_lsh_quality")(spark, SF_SMOKE).collect()[0]
+    assert 0 <= row["n_hit"] <= min(row["n_cand"], row["n_truth"])
+    assert 0.0 <= row["lsh_precision"] <= 1.0
+    assert 0.0 <= row["lsh_recall"] <= 1.0
+    # the synthetic corpus plants unambiguous near-dups: the blocker
+    # must surface a usable share of the exact tier's pairs
+    if row["n_truth"] > 0:
+        assert row["lsh_recall"] > 0.5
+
+
+# --- k-fold -----------------------------------------------------------------
+
+def test_kfold_disjoint_and_exhaustive(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_sampling import KFOLDS
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    rows = _q("q_kfold")(spark, SF_SMOKE).collect()
+    folds = {r["fold"] for r in rows}
+    assert folds <= set(range(KFOLDS))
+    total = sum(r["n_docs"] for r in rows)
+    n_docs = read_table(spark, SF_SMOKE, "documents").count()
+    assert total == n_docs  # partition of the corpus: no doc lost or doubled
+
+
+# --- feature hashing --------------------------------------------------------
+
+def test_feature_hash_bounds_and_stability(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_corpus import FEAT_DIM
+
+    a = _q("q_feature_hash")(spark, SF_SMOKE).collect()
+    b = _q("q_feature_hash")(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    for r in a:
+        assert 0 <= r["f_idx"] < FEAT_DIM
+        assert r["w"] != 0
+    # total |w| is bounded by the token count of the hashed docs
+    from pyspark.sql import functions as SF
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import norm_text, tokens
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    n_toks = (
+        read_table(spark, SF_SMOKE, "documents")
+        .filter(SF.col("doc_id") % 10 == 0)
+        .select(SF.size(tokens(norm_text(SF.col("text")))).alias("n"))
+        .agg(SF.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(abs(r["w"]) for r in a) <= n_toks
