@@ -573,3 +573,71 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(rob_z) > MAD_CUT)
         .select("event_id", "event_type", "value", det_round(rob_z, 4).alias("rob_z"))
     )
+
+
+# --- exponentially weighted moving average ---------------------------------
+
+EWMA_DECAY = 0.8
+EWMA_SPAN = 16   # trailing frame length
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS a
+      FROM events
+    )
+    SELECT event_id, user_id,
+           {R4.format(c=(
+               "cast(list_sum(list_transform(range(len(a)), i -> "
+               f"CAST({R8.format(c=f'a[i+1] * pow({EWMA_DECAY}, len(a)-1-i)')} AS DECIMAL(28,8)))) as double)"
+               " / "
+               "cast(list_sum(list_transform(range(len(a)), i -> "
+               f"CAST({R8.format(c=f'pow({EWMA_DECAY}, len(a)-1-i)')} AS DECIMAL(28,8)))) as double)"
+           ))} AS ewma
+    FROM base
+    """,
+    tags=("timeseries", "window"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (decay 0.8) over each
+    user's trailing {EWMA_SPAN}-row frame — the adjust-normalized
+    form y = Σ dᵏ·x / Σ dᵏ (k = rows back), i.e. pandas' ewm
+    semantics truncated to a bounded frame so the closed form needs
+    no unbounded recursion and no d⁻ᵗ overflow. The frame
+    materializes once as an ordered array (one user-keyed
+    Exchange+Sort shared with every per-user window in the suite);
+    weights and weighted terms are det-rounded to 8 digits and folded
+    through decimal(28,8) accumulators, so the two sums are exact and
+    the only float steps (pow, the final division) run on identical
+    inputs in any engine."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.collect_list(F.col("value").cast("double")).over(w).alias("a"),
+    )
+    n = F.size(F.col("a"))
+    dec = lambda c: c.cast("decimal(28,8)")
+    zero = F.lit(0).cast("decimal(28,8)")
+    add = lambda acc, x: (acc + x).cast("decimal(28,8)")
+    wt = lambda x, i: det_round(
+        F.pow(F.lit(EWMA_DECAY), (n - 1 - i).cast("double")), 8
+    )
+    terms = F.transform(F.col("a"), lambda x, i: dec(det_round(x * F.pow(F.lit(EWMA_DECAY), (n - 1 - i).cast("double")), 8)))
+    wts = F.transform(F.col("a"), lambda x, i: dec(wt(x, i)))
+    num = F.aggregate(terms, zero, add)
+    den = F.aggregate(wts, zero, add)
+    return base.select(
+        "event_id",
+        "user_id",
+        det_round(num.cast("double") / den.cast("double"), 4).alias("ewma"),
+    )

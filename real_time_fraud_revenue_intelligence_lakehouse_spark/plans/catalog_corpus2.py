@@ -583,3 +583,101 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lsh_recall"),
         )
     )
+
+
+# --- MinHash estimator accuracy vs exact Jaccard ---------------------------
+
+_MH_EQ = " + ".join(
+    f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(X.MINHASH_K)
+)
+
+
+@query(
+    "q_minhash_accuracy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct(toks) AS toks, {SHINGLES.format(t='toks')} AS sh FROM t),
+    sig AS (SELECT doc_id, toks, {_SIG_COLS} FROM sh),
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    s AS (SELECT doc_id, list_distinct(sh) AS st FROM sh),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ({_MH_EQ}) / {float(X.MINHASH_K)!r} AS est
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b
+    ),
+    ex AS (
+      SELECT e.id_a, e.id_b,
+             {R6.format(c='e.est')} AS est_jaccard,
+             {R6.format(c=(
+                 "cast(len(list_intersect(sa.st, sb.st)) as double)"
+                 " / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))"
+             ))} AS exact_jaccard
+      FROM est e
+      JOIN s sa ON sa.doc_id = e.id_a
+      JOIN s sb ON sb.doc_id = e.id_b
+    )
+    SELECT id_a, id_b, est_jaccard, exact_jaccard,
+           abs(est_jaccard - exact_jaccard) AS abs_err
+    FROM ex
+    """,
+    tags=("ext", "dedup", "evaluation"),
+)
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair MinHash ACCURACY audit — the second half of the
+    sketch-evaluation harness (q_lsh_quality grades the blocker;
+    this grades the estimator): for every band-join candidate pair,
+    the k=8 signature-agreement Jaccard estimate next to the exact
+    distinct-shingle Jaccard and the absolute error. matches/k is an
+    exact int÷int division; the exact tier re-joins the once-
+    materialized shingle sets; both sides round before the
+    subtraction so abs_err is arithmetic on identical doubles. The
+    signature join is |cand|-sized (ids + 8 longs) — at corpus scale
+    this audit costs one broadcast of the signature table over the
+    candidate list, which is exactly how a production pipeline spot-
+    checks its sketch parameters before committing to a dedup run."""
+    docs = read_table(spark, sf_dir, "documents")
+    cand = D.lsh_candidates(docs, "doc_id", "text", max_bucket=None)
+    sig = X.with_minhash(docs.select("doc_id", "text"), "doc_id", "text")
+    k = X.MINHASH_K
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
+    )
+    est = (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", (matches / F.lit(float(k))).alias("est"))
+    )
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
+    sets = (
+        toks.select("doc_id", F.array_distinct(X.shingles_of(F.col("toks"))).alias("st"))
+        .repartition(par)
+        .localCheckpoint()
+    )
+    ver = est.join(
+        sets.select(F.col("doc_id").alias("id_a"), F.col("st").alias("ta")), "id_a"
+    ).join(sets.select(F.col("doc_id").alias("id_b"), F.col("st").alias("tb")), "id_b")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    exact = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    est_r = det_round(F.col("est"), 6)
+    exact_r = det_round(exact, 6)
+    return ver.select(
+        "id_a",
+        "id_b",
+        est_r.alias("est_jaccard"),
+        exact_r.alias("exact_jaccard"),
+        F.abs(est_r - exact_r).alias("abs_err"),
+    )

@@ -405,3 +405,45 @@ def test_feature_hash_bounds_and_stability(spark):
         .collect()[0][0]
     )
     assert sum(abs(r["w"]) for r in a) <= n_toks
+
+
+# --- MinHash accuracy -------------------------------------------------------
+
+def test_minhash_accuracy_error_bounded(spark):
+    rows = _q("q_minhash_accuracy")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-9
+    # k=8 signatures on planted near-dups: mean error should be modest
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.45
+
+
+# --- EWMA -------------------------------------------------------------------
+
+def test_ewma_semantics_on_planted_series(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_analytics import EWMA_DECAY, EWMA_SPAN
+
+    vals = [10.0, 20.0, 30.0, 40.0]
+    events = [
+        (i, f"2024-01-01 00:{i:02d}:00", 3, "a", v, "{}") for i, v in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            events,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).write.parquet(f"{d}/events.parquet")
+        got = {r["event_id"]: r["ewma"] for r in _q("q_ewma")(spark, d).collect()}
+    for t in range(len(vals)):
+        frame = vals[max(0, t - (EWMA_SPAN - 1)) : t + 1]
+        n = len(frame)
+        wts = [EWMA_DECAY ** (n - 1 - i) for i in range(n)]
+        expected = sum(w * x for w, x in zip(wts, frame)) / sum(wts)
+        assert abs(got[t] - expected) < 1e-3, (t, got[t], expected)
+
+
+def test_ewma_smooths_toward_recent_values(spark):
+    out = _q("q_ewma")(spark, SF_SMOKE).collect()
+    assert out and all(r["ewma"] is not None for r in out)
