@@ -804,3 +804,79 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").cast("long").alias("w"))
         .filter(F.col("w") != 0)
     )
+
+
+# --- bigram language-model scoring -----------------------------------------
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS.format(c='text')} AS toks FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, len(toks) - 1 AS nb,
+             list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bgs
+      FROM t WHERE len(toks) >= 2
+    ),
+    ex AS (SELECT doc_id, nb, u.bg FROM bt, unnest(bgs) AS u(bg)),
+    bc AS (SELECT bg, count(*) AS cbg FROM ex GROUP BY 1),
+    cc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cw FROM ex GROUP BY 1),
+    stats AS (SELECT count(DISTINCT split_part(bg, ' ', 1)) AS v FROM ex)
+    SELECT ex.doc_id, CAST(ex.nb AS BIGINT) AS nb,
+           {{r6}} AS avg_logprob
+    FROM ex
+    JOIN bc USING (bg)
+    JOIN cc ON cc.w1 = split_part(ex.bg, ' ', 1), stats
+    GROUP BY ex.doc_id, ex.nb
+    """.format(r6="{r6}").format(
+        r6=(
+            "(floor((cast(sum(cast(" + R8.format(
+                c="ln(cast(cbg + 1 as double) / cast(cw + v as double))"
+            ) + " as decimal(28,8))) as double) / ex.nb) * 1000000.0 + 0.5) / 1000000.0)"
+        )
+    ),
+    tags=("ext", "text", "quality"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model document scoring with add-one smoothing
+    — one Markov order above q_unigram_logprob: per-bigram
+    log P(w₂|w₁) = ln((c(w₁w₂)+1)/(c(w₁·)+V)) averaged over each
+    document's bigrams, the fluency/quality signal that separates
+    shuffled-token word salad from text with local structure (a
+    unigram model scores both identically). Same scale shape as the
+    unigram tier: bigram extraction is row-local, the bigram and
+    context-count tables are vocabulary-sized (≪ corpus) and
+    broadcast back, and per-doc means fold det-rounded decimals so
+    the sum is layout-free."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("tk"))
+    ex = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            (F.size("tk") - 1).alias("nb"),
+            F.explode(X.shingles_of(F.col("tk"), 2)).alias("bg"),
+        )
+    )
+    bc = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    cc = ex.select(w1.alias("w1")).groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    stats = cc.agg(F.count(F.lit(1)).alias("v"))
+    lp = det_round(
+        F.log(
+            (F.col("cbg") + 1).cast("double") / (F.col("cw") + F.col("v")).cast("double")
+        ),
+        8,
+    )
+    scored = (
+        ex.join(F.broadcast(bc), "bg")
+        .withColumn("w1", w1)
+        .join(F.broadcast(cc), "w1")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "nb", lp.cast("decimal(28,8)").alias("lp"))
+    )
+    return scored.groupBy("doc_id", "nb").agg(
+        det_round(F.sum("lp").cast("double") / F.col("nb"), 6).alias("avg_logprob")
+    )
