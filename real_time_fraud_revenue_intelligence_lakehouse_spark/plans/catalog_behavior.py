@@ -337,3 +337,177 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_id").alias("clicks_5m"),
         exact_sum("c_value", "click_value_5m"),
     )
+
+
+# --- forensic / fraud statistics -------------------------------------------
+
+R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
+@query(
+    "q_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT substr(cast(cast(floor(o_totalprice) as bigint) as varchar), 1, 1) AS digit,
+             count(*) AS n
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total FROM d)
+    SELECT digit, CAST(n AS BIGINT) AS n_orders,
+           {R6.format(c="cast(n as double) / total")} AS p_obs,
+           {R6.format(c="log10(1.0 + 1.0 / cast(digit as int))")} AS p_benford,
+           {R6.format(c="cast(n as double) / total - log10(1.0 + 1.0 / cast(digit as int))")} AS deviation
+    FROM d, tot
+    """,
+    tags=("behavior", "fraud", "statistics"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the classic
+    forensic-accounting screen (fabricated amounts drift from the
+    log10(1+1/d) leading-digit distribution that organic multi-scale
+    amounts follow). One map-side-combined 9-group agg + a 1-row
+    total broadcast; the observed share, the Benford expectation, and
+    the signed deviation per digit. Flagging logic (χ², MAD-of-
+    deviations) composes on these 9 rows driver-free."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.groupBy(
+        F.substring(F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = d.agg(F.sum("n_orders").alias("total"))
+    p_obs = F.col("n_orders").cast("double") / F.col("total")
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("int"))
+    return d.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        det_round(p_obs, 6).alias("p_obs"),
+        det_round(p_ben, 6).alias("p_benford"),
+        det_round(p_obs - p_ben, 6).alias("deviation"),
+    )
+
+
+DUP_BUCKET = 1000   # currency units per amount bucket
+DUP_DAYS = 90       # window within which repeats are suspicious
+
+
+@query(
+    "q_duplicate_invoice",
+    oracle=f"""
+    SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.o_totalprice AS price_a, b.o_totalprice AS price_b,
+           CAST(abs(date_diff('day', cast(a.o_orderdate as date),
+                              cast(b.o_orderdate as date))) AS BIGINT) AS days_apart
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND floor(a.o_totalprice / {DUP_BUCKET}) = floor(b.o_totalprice / {DUP_BUCKET})
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(date_diff('day', cast(a.o_orderdate as date),
+                       cast(b.o_orderdate as date))) <= {DUP_DAYS}
+    """,
+    tags=("behavior", "fraud", "join"),
+)
+def q_duplicate_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice screen: same customer, same {DUP_BUCKET}-unit
+    amount bucket, within {DUP_DAYS} days — the double-billing /
+    split-payment rule every AP-fraud playbook starts with. The
+    self-join equi-keys on (customer, amount bucket), so Spark plans
+    a hash join — the date band rides the join as a residual
+    predicate, never a cross product; bucketing the amount makes the
+    blocking key DENSE (exact float equality would silently match
+    nothing on real amounts). At 100 TB: self-join co-partitions on
+    the customer key orders are already bucketed by."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") / DUP_BUCKET).alias("bucket"),
+    )
+    a = o.select(
+        "o_custkey",
+        "bucket",
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_totalprice").alias("price_a"),
+        F.col("d").alias("d_a"),
+    )
+    b = o.select(
+        "o_custkey",
+        "bucket",
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_totalprice").alias("price_b"),
+        F.col("d").alias("d_b"),
+    )
+    days = F.abs(F.datediff(F.col("d_a"), F.col("d_b")))
+    return (
+        a.join(b, ["o_custkey", "bucket"])
+        .filter((F.col("key_a") < F.col("key_b")) & (days <= DUP_DAYS))
+        .select(
+            "o_custkey",
+            "key_a",
+            "key_b",
+            "price_a",
+            "price_b",
+            days.cast("long").alias("days_apart"),
+        )
+    )
+
+
+ROUND_Z = 2.0
+
+
+@query(
+    "q_round_amount_anomaly",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey, count(*) AS n,
+             sum(CASE WHEN cast(floor(o_totalprice) as bigint) % 10 = 0 THEN 1 ELSE 0 END) AS r10
+      FROM orders GROUP BY 1
+    ),
+    g AS (SELECT cast(sum(r10) as double) / sum(n) AS p0 FROM per)
+    SELECT o_custkey, CAST(n AS BIGINT) AS n_orders, CAST(r10 AS BIGINT) AS n_round,
+           {R6.format(c="cast(r10 as double) / n")} AS round_share,
+           {R6.format(c="(cast(r10 as double) / n - p0) / sqrt(p0 * (1 - p0) / n)")} AS z_score
+    FROM per, g
+    WHERE (cast(r10 as double) / n - p0) / sqrt(p0 * (1 - p0) / n) > {ROUND_Z}
+    """,
+    tags=("behavior", "fraud", "statistics"),
+)
+def q_round_amount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-amount anomaly screen: customers whose share of
+    round-ten order amounts exceeds the population rate by more than
+    {ROUND_Z} binomial standard errors — invented amounts
+    over-represent round numbers (the behavioral cousin of the
+    Benford digit audit, applied per entity with an
+    expected-vs-observed z test). One per-customer agg, a 1-row
+    global-rate broadcast, and a row-local z — the z filter runs on
+    bit-identical doubles (identical op order both engines), so the
+    boundary hash-gates."""
+    o = read_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.floor(F.col("o_totalprice")).cast("bigint") % 10 == 0, 1).otherwise(0)
+        ).alias("n_round"),
+    )
+    g = per.agg(
+        (
+            F.sum("n_round").cast("double") / F.sum("n_orders")
+        ).alias("p0")
+    )
+    share = F.col("n_round").cast("double") / F.col("n_orders")
+    z = (share - F.col("p0")) / F.sqrt(
+        F.col("p0") * (1 - F.col("p0")) / F.col("n_orders")
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .filter(z > ROUND_Z)
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_round").cast("long").alias("n_round"),
+            det_round(share, 6).alias("round_share"),
+            det_round(z, 6).alias("z_score"),
+        )
+    )

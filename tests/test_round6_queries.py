@@ -447,3 +447,66 @@ def test_ewma_semantics_on_planted_series(spark):
 def test_ewma_smooths_toward_recent_values(spark):
     out = _q("q_ewma")(spark, SF_SMOKE).collect()
     assert out and all(r["ewma"] is not None for r in out)
+
+
+# --- fraud statistics -------------------------------------------------------
+
+def test_benford_probabilities_form_distributions(spark):
+    import math
+
+    rows = {r["digit"]: r for r in _q("q_benford")(spark, SF_SMOKE).collect()}
+    assert set(rows) <= {str(d) for d in range(1, 10)}
+    assert abs(sum(r["p_obs"] for r in rows.values()) - 1.0) < 1e-4
+    for d, r in rows.items():
+        expected = math.log10(1 + 1 / int(d))
+        assert abs(r["p_benford"] - expected) < 1e-5
+        assert abs(r["deviation"] - (r["p_obs"] - r["p_benford"])) < 1e-5
+
+
+def test_duplicate_invoice_planted_pair(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_behavior import DUP_DAYS
+
+    orders = [
+        (1, 7, "O", 1500.0, "2024-01-01", "1-URGENT"),
+        (2, 7, "O", 1510.0, "2024-01-20", "1-URGENT"),   # same bucket, 19 days
+        (3, 7, "O", 9500.0, "2024-01-05", "1-URGENT"),   # different bucket
+        (4, 8, "O", 1500.0, "2024-01-02", "1-URGENT"),   # different customer
+        (5, 7, "O", 1501.0, "2025-01-01", "1-URGENT"),   # same bucket, too late
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).write.parquet(
+            f"{d}/orders.parquet"
+        )
+        pairs = [
+            (r["key_a"], r["key_b"], r["days_apart"])
+            for r in _q("q_duplicate_invoice")(spark, d).collect()
+        ]
+    assert pairs == [(1, 2, 19)]
+    assert 19 <= DUP_DAYS
+
+
+def test_round_amount_anomaly_flags_planted_round_payer(spark):
+    # customer 1: all 20 amounts round-ten; 50 background customers pay
+    # odd amounts — customer 1 is the only binomial outlier
+    orders = [(i, 1, "O", 100.0 + 10 * i, "2024-01-01", "x") for i in range(20)]
+    orders += [
+        (1000 + c * 30 + j, 10 + c, "O", 101.0 + j, "2024-01-01", "x")
+        for c in range(50)
+        for j in range(20)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).write.parquet(
+            f"{d}/orders.parquet"
+        )
+        flagged = {r["o_custkey"]: r for r in _q("q_round_amount_anomaly")(spark, d).collect()}
+    assert 1 in flagged
+    assert flagged[1]["round_share"] == 1.0
+    # background customers pay 101..120 → 10% round-ten, at the
+    # population rate → never 2 sigma above it
+    assert all(k == 1 for k in flagged)
