@@ -110,6 +110,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_corpus2,
     catalog_gold,
     catalog_joins,
+    catalog_monitoring,
     catalog_ext,
     catalog_heavy,
     catalog_incremental,

@@ -1,0 +1,259 @@
+"""Model-monitoring metrics — the drift/discrimination statistics a
+production fraud-scoring pipeline runs next to its marts (the
+reference trains and scores a fraud model, `ml/train.py` +
+`ml/models/fraud_detector.py`; these queries are the monitoring
+surface such a deployment needs: is the input distribution drifting,
+and does the score still separate classes?).
+
+- q_psi: Population Stability Index between two periods over the
+  amount-tier ladder — THE industry drift gate (PSI > 0.2 = retrain).
+- q_ks_test: exact two-sample Kolmogorov-Smirnov statistic — the
+  distribution-free drift test on the raw value, computed by cumsum
+  over DISTINCT values (ties resolved exactly, not by sort order).
+- q_auc: ROC AUC via the Mann-Whitney rank-sum identity with exact
+  average-rank tie handling — rank statistics are pure integer
+  arithmetic, so an evaluation metric usually quoted ±1e-3 here
+  hash-gates bit-exactly.
+
+All three reduce big scans to small aggregates before any window
+runs; every probability/logarithm term folds through det-rounded
+decimals (the entropy/unigram trick) so sums are layout-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+R8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+
+# The 5-way amount-tier ladder (same cuts as the cleanse tier).
+TIER = (
+    "CASE WHEN {c} < 50 THEN 'micro' WHEN {c} < 200 THEN 'low' "
+    "WHEN {c} < 1000 THEN 'medium' WHEN {c} < 5000 THEN 'high' "
+    "ELSE 'premium' END"
+)
+
+PSI_YEAR_A, PSI_YEAR_B = 1995, 1996
+
+
+@query(
+    "q_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT {TIER.format(c='o_totalprice')} AS tier,
+             year(cast(o_orderdate as date)) AS y
+      FROM orders
+      WHERE year(cast(o_orderdate as date)) IN ({PSI_YEAR_A}, {PSI_YEAR_B})
+    ),
+    c AS (
+      SELECT tier,
+             sum(CASE WHEN y = {PSI_YEAR_A} THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN y = {PSI_YEAR_B} THEN 1 ELSE 0 END) AS n_b
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+    SELECT tier, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           {R6.format(c="cast(n_a as double) / ta")} AS p_a,
+           {R6.format(c="cast(n_b as double) / tb")} AS p_b,
+           {R8.format(c=(
+               "(cast(n_a as double) / ta - cast(n_b as double) / tb)"
+               " * ln((cast(n_a as double) / ta) / (cast(n_b as double) / tb))"
+           ))} AS psi_term
+    FROM c, t
+    """,
+    tags=("monitoring", "drift", "statistics"),
+)
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between {PSI_YEAR_A} and
+    {PSI_YEAR_B} order-amount tiers: per tier,
+    (p_a − p_b)·ln(p_a/p_b); the PSI is the sum of the returned
+    psi_terms (kept per-tier so the drilldown shows WHICH bucket
+    moved). One conditional-sum agg over the year-pruned scan + a
+    1-row totals broadcast; the ln runs on identical divisions both
+    engines. Empty tiers would yield ±inf terms — the ladder is
+    total, and both engines would agree on the inf, but a production
+    gate adds the standard +ε floor."""
+    o = read_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    b = o.filter(y.isin(PSI_YEAR_A, PSI_YEAR_B)).select(
+        F.when(F.col("o_totalprice") < 50, "micro")
+        .when(F.col("o_totalprice") < 200, "low")
+        .when(F.col("o_totalprice") < 1000, "medium")
+        .when(F.col("o_totalprice") < 5000, "high")
+        .otherwise("premium")
+        .alias("tier"),
+        y.alias("y"),
+    )
+    c = b.groupBy("tier").agg(
+        F.sum(F.when(F.col("y") == PSI_YEAR_A, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("y") == PSI_YEAR_B, 1).otherwise(0)).alias("n_b"),
+    )
+    t = c.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    return c.crossJoin(F.broadcast(t)).select(
+        "tier",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        det_round(pa, 6).alias("p_a"),
+        det_round(pb, 6).alias("p_b"),
+        det_round((pa - pb) * F.log(pa / pb), 8).alias("psi_term"),
+    )
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_totalprice AS v, year(cast(o_orderdate as date)) AS y
+      FROM orders
+      WHERE year(cast(o_orderdate as date)) IN ({PSI_YEAR_A}, {PSI_YEAR_B})
+    ),
+    c AS (
+      SELECT v,
+             sum(CASE WHEN y = {PSI_YEAR_A} THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN y = {PSI_YEAR_B} THEN 1 ELSE 0 END) AS bb
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT sum(a) AS na, sum(bb) AS nb FROM c),
+    cum AS (
+      SELECT sum(a) OVER (ORDER BY v) AS ca,
+             sum(bb) OVER (ORDER BY v) AS cb
+      FROM c
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           {R6.format(c=(
+               "max(abs(cast(ca as double) / na - cast(cb as double) / nb))"
+           ))} AS ks_stat
+    FROM cum, t
+    GROUP BY t.na, t.nb
+    """,
+    tags=("monitoring", "drift", "statistics"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the two
+    periods' amount distributions: D = max |F̂_a(v) − F̂_b(v)|. Exact
+    tie handling by construction — counts aggregate per DISTINCT
+    value first, then ONE cumulative window over the distinct-value
+    table (|values| ≪ |rows|), so the CDF step lands after all equal
+    values regardless of sort stability. The single-partition window
+    runs on the reduced table; at extreme value-cardinality swap in
+    quantile binning (the PSI ladder) — the aggregation shape is
+    unchanged. The final max folds |diff| doubles computed from
+    identical integer divisions."""
+    o = read_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    b = o.filter(y.isin(PSI_YEAR_A, PSI_YEAR_B)).select(
+        F.col("o_totalprice").alias("v"), y.alias("y")
+    )
+    c = b.groupBy("v").agg(
+        F.sum(F.when(F.col("y") == PSI_YEAR_A, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("y") == PSI_YEAR_B, 1).otherwise(0)).alias("bb"),
+    )
+    t = c.agg(F.sum("a").alias("na"), F.sum("bb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        F.sum("a").over(w).alias("ca"), F.sum("bb").over(w).alias("cb")
+    )
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(det_round(F.max(diff), 6).alias("ks_stat"))
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "ks_stat",
+        )
+    )
+
+
+# AUC label/score: does a high order amount predict 'F' (fulfilled)
+# status? Arbitrary but fully deterministic — the point is the exact
+# rank-sum machinery, which transfers to any (score, label) pair.
+AUC_POS = "F"
+
+
+@query(
+    "q_auc",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_totalprice AS score,
+             CASE WHEN o_orderstatus = '{AUC_POS}' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    c AS (
+      SELECT score, count(*) AS n, sum(pos) AS np FROM s GROUP BY 1
+    ),
+    cum AS (
+      SELECT score, n, np,
+             coalesce(sum(n) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM c
+    ),
+    t AS (SELECT sum(np) AS n_pos, sum(n) - sum(np) AS n_neg FROM c),
+    r AS (
+      SELECT sum(cast(np as decimal(28,1))
+                 * cast(before + (n + 1) / 2.0 as decimal(28,1))) AS rank_sum
+      FROM cum
+    )
+    SELECT CAST(t.n_pos AS BIGINT) AS n_pos, CAST(t.n_neg AS BIGINT) AS n_neg,
+           {R6.format(c=(
+               "(cast(r.rank_sum as double) - cast(t.n_pos as double) * (t.n_pos + 1) / 2)"
+               " / (cast(t.n_pos as double) * t.n_neg)"
+           ))} AS auc
+    FROM r, t
+    """,
+    tags=("monitoring", "evaluation", "statistics"),
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank-sum identity:
+    AUC = (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋), with
+    average-rank tie handling (each distinct score's rows take rank
+    cum_before + (n+1)/2). AUC is invariant to monotone transforms,
+    so the raw amount IS the score — no model inference needed to
+    exercise the metric. Everything reduces to the distinct-score
+    table before the one cumulative window; the rank sum accumulates
+    in decimal(28,1) (ranks are integers or exact halves), so the
+    only float steps are the final three divisions — an evaluation
+    metric that hash-gates."""
+    o = read_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == AUC_POS, 1).otherwise(0).alias("pos"),
+    )
+    c = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = c.select(
+        "score", "n", "np", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before")
+    )
+    t = c.agg(
+        F.sum("np").alias("n_pos"), (F.sum("n") - F.sum("np")).alias("n_neg")
+    )
+    avg_rank = (F.col("before") + (F.col("n") + 1) / 2.0).cast("decimal(28,1)")
+    r = cum.select(
+        (F.col("np").cast("decimal(28,1)") * avg_rank).alias("rs")
+    ).agg(F.sum("rs").alias("rank_sum"))
+    auc = (
+        F.col("rank_sum").cast("double")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            det_round(auc, 6).alias("auc"),
+        )
+    )

@@ -510,3 +510,49 @@ def test_round_amount_anomaly_flags_planted_round_payer(spark):
     # background customers pay 101..120 → 10% round-ten, at the
     # population rate → never 2 sigma above it
     assert all(k == 1 for k in flagged)
+
+
+# --- model monitoring -------------------------------------------------------
+
+def test_psi_terms_form_valid_distributions(spark):
+    rows = _q("q_psi")(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r["p_a"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["p_b"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["psi_term"] >= -1e-9  # (pa-pb)·ln(pa/pb) is nonnegative
+
+
+def test_ks_stat_bounds_and_identity(spark):
+    row = _q("q_ks_test")(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["n_a"] > 0 and row["n_b"] > 0
+
+
+def test_auc_matches_sklearn_free_reference(spark):
+    """Driver-side exact AUC via the same rank-sum identity, computed
+    independently with pure Python, must agree."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    row = _q("q_auc")(spark, SF_SMOKE).collect()[0]
+    data = [
+        (r["o_totalprice"], 1 if r["o_orderstatus"] == "F" else 0)
+        for r in read_table(spark, SF_SMOKE, "orders").select(
+            "o_totalprice", "o_orderstatus"
+        ).collect()
+    ]
+    data.sort()
+    n_pos = sum(p for _, p in data)
+    n_neg = len(data) - n_pos
+    # average ranks with ties
+    i, rank_sum = 0, 0.0
+    while i < len(data):
+        j = i
+        while j < len(data) and data[j][0] == data[i][0]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2.0
+        rank_sum += avg_rank * sum(p for _, p in data[i:j])
+        i = j
+    expected = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
+    assert abs(row["auc"] - expected) < 1e-5

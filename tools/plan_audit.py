@@ -55,6 +55,9 @@ ALLPAIRS_OK = {
     "q_bigram_logprob",     # 1-row vocabulary-size aggregate cross joined (broadcast)
     "q_benford",            # 1-row total cross joined (broadcast)
     "q_round_amount_anomaly",  # 1-row global-rate cross joined (broadcast)
+    "q_psi",                # 1-row period-totals cross joined (broadcast)
+    "q_ks_test",            # 1-row sample-size totals cross joined (broadcast)
+    "q_auc",                # 1-row class-count totals cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
