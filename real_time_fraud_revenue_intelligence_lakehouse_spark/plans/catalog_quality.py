@@ -183,3 +183,54 @@ def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("missing_part") | F.col("missing_supp"))
         .distinct()
     )
+
+
+# --- privacy / governance: k-anonymity -------------------------------------
+
+KANON_K = 5
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+      FROM customer GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(group_size) AS total FROM g)
+    SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size,
+           CAST(CASE WHEN group_size < {KANON_K} THEN 1 ELSE 0 END AS BIGINT) AS violates_k,
+           (floor((cast(group_size as double) / total) * 1000000.0 + 0.5) / 1000000.0) AS row_share
+    FROM g, t
+    """,
+    tags=("quality", "privacy", "governance"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over the (nation, market-segment)
+    quasi-identifier: every equivalence class with its size, a
+    violates-k flag (size < {KANON_K} ⇒ those rows are
+    re-identifiable by the quasi-identifier alone), and its row
+    share — the privacy gate a training-data release pipeline runs
+    before exporting user-derived tables. One map-side-combined agg
+    over the quasi-identifier + a 1-row total broadcast; suppression
+    or generalization (coarsen the QI, drop violating classes)
+    composes downstream on these rows."""
+    c = read_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    t = g.agg(F.sum("group_size").alias("total"))
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    return g.crossJoin(F.broadcast(t)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.when(F.col("group_size") < KANON_K, 1).otherwise(0).cast("long").alias(
+            "violates_k"
+        ),
+        det_round(F.col("group_size").cast("double") / F.col("total"), 6).alias(
+            "row_share"
+        ),
+    )

@@ -91,3 +91,17 @@ def test_quality_suite_shape(spark):
     out = run_suite([check_not_null(df, "k"), check_unique(df, "k")]).collect()
     by_name = {r["check_name"]: (r["violations"], r["passed"]) for r in out}
     assert by_name == {"not_null_k": (1, False), "unique_k": (0, True)}
+
+
+def test_k_anonymity_accounts_for_every_row(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_quality import KANON_K
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.all_queries()["q_k_anonymity"](spark, SF_SMOKE).collect()
+    total = read_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r["group_size"] for r in rows) == total
+    for r in rows:
+        assert r["violates_k"] == (1 if r["group_size"] < KANON_K else 0)
+    assert abs(sum(r["row_share"] for r in rows) - 1.0) < 1e-3

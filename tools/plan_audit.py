@@ -58,6 +58,7 @@ ALLPAIRS_OK = {
     "q_psi",                # 1-row period-totals cross joined (broadcast)
     "q_ks_test",            # 1-row sample-size totals cross joined (broadcast)
     "q_auc",                # 1-row class-count totals cross joined (broadcast)
+    "q_k_anonymity",        # 1-row total cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
