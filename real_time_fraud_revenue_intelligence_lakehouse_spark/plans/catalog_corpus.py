@@ -880,3 +880,100 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id", "nb").agg(
         det_round(F.sum("lp").cast("double") / F.col("nb"), 6).alias("avg_logprob")
     )
+
+
+# --- deterministic augmentation (dropout + span masking) -------------------
+
+DROP_MOD = 10   # drop ~10% of tokens
+MASK_SPAN = 5   # span-corruption granularity (tokens per span)
+MASK_MOD = 7    # mask ~1/7 of spans
+MASK_TOKEN = "<mask>"
+
+
+@query(
+    "q_augment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS.format(c='text')} AS toks FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, u.i AS pos, toks[u.i + 1] AS tok
+      FROM t, UNNEST(range(len(toks))) AS u(i)
+    ),
+    dec AS (
+      SELECT doc_id, pos, tok,
+             {H60.format(x="doc_id || ':' || pos || ':' || tok")} % {DROP_MOD} != 0 AS keep,
+             {H60.format(x=f"doc_id || '#' || (pos // {MASK_SPAN})")} % {MASK_MOD} = 0 AS masked
+      FROM ex
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           md5(array_to_string(array_agg(tok ORDER BY pos) FILTER (WHERE keep), ' ')) AS drop_fp,
+           md5(array_to_string(
+               array_agg(CASE WHEN masked THEN '{MASK_TOKEN}' ELSE tok END ORDER BY pos), ' ')) AS mask_fp
+    FROM dec GROUP BY doc_id
+    """,
+    tags=("ext", "text", "augmentation"),
+)
+def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text augmentation — the two corruption modes a
+    training pipeline applies at scale, with NO RNG: (1) token
+    dropout keeps a token iff h(doc:pos:token) mod 10 ≠ 0, so the
+    corruption is reproducible per document across reruns, appends,
+    and engines (the epoch seed folds into the hash in production);
+    (2) T5-style span masking replaces every token of ~1/7 of the
+    5-token spans with a sentinel. Positional explode → row-local
+    hash decisions → ordered reassembly per doc (null-skipping
+    collect_list drops the dropout losses; array_sort on (pos, tok)
+    structs restores order) — one doc-keyed shuffle total, and the
+    output fingerprints make the augmented text itself hash-gateable
+    without shipping it."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    ex = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+
+    keep = (
+        F.pmod(
+            hash60(F.concat_ws(":", F.col("doc_id"), F.col("pos"), F.col("tok"))),
+            F.lit(DROP_MOD),
+        )
+        != 0
+    )
+    masked = (
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.floor(F.col("pos") / MASK_SPAN).cast("string"),
+                )
+            ),
+            F.lit(MASK_MOD),
+        )
+        == 0
+    )
+    dec = ex.select(
+        "doc_id",
+        "pos",
+        "tok",
+        keep.alias("keep"),
+        masked.alias("masked"),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "tok"))
+    mask_struct = F.struct(
+        "pos",
+        F.when(F.col("masked"), F.lit(MASK_TOKEN)).otherwise(F.col("tok")).alias("tok"),
+    )
+    join_toks = lambda c: F.md5(
+        F.concat_ws(" ", F.transform(F.array_sort(c), lambda s: s.getField("tok")))
+    )
+    return dec.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0)).cast("long").alias("n_masked"),
+        join_toks(F.collect_list(kept_struct)).alias("drop_fp"),
+        join_toks(F.collect_list(mask_struct)).alias("mask_fp"),
+    )

@@ -556,3 +556,21 @@ def test_auc_matches_sklearn_free_reference(spark):
     expected = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
     assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
     assert abs(row["auc"] - expected) < 1e-5
+
+
+# --- augmentation -----------------------------------------------------------
+
+def test_augment_is_deterministic_and_bounded(spark):
+    a = {r["doc_id"]: r for r in _q("q_augment")(spark, SF_SMOKE).collect()}
+    b = {r["doc_id"]: r for r in _q("q_augment")(spark, SF_SMOKE).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]  # reproducible corruption
+        r = a[k]
+        assert 0 < r["n_kept"] <= r["n_tokens"]
+        assert 0 <= r["n_masked"] <= r["n_tokens"]
+        assert r["drop_fp"] != r["mask_fp"] or r["n_masked"] == 0
+    # ~10% dropout at corpus level — catches an inverted keep predicate
+    kept = sum(r["n_kept"] for r in a.values())
+    toks = sum(r["n_tokens"] for r in a.values())
+    assert 0.85 <= kept / toks <= 0.95
