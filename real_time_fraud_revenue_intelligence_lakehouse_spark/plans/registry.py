@@ -144,6 +144,36 @@ _FRONT: tuple[str, ...] = (
     "q_pagerank",
     "q_pagerank_converge",
     "q_stateful_profile",
+    # round-5 additions (slots 74+, cheapest-first by idle-machine
+    # sf0.1 min-of-3) — reached only if the driver budget exceeds the
+    # 73 above; otherwise they hold the round-4 window's head.
+    "q_kfold",
+    "q_priority_sample",
+    "q_robust_scale",
+    "q_skyline",
+    "q_feature_hash",
+    "q_benford",
+    "q_round_amount_anomaly",
+    "q_duplicate_invoice",
+    "q_quantile_norm",
+    "q_token_entropy",
+    "q_k_anonymity",
+    "q_psi",
+    "q_gap_fill",
+    "q_rolling_median",
+    "q_event_transitions",
+    "q_ks_test",
+    "q_mad_outliers",
+    "q_auc",
+    "q_kmv_set_ops",
+    "q_median_mode",
+    "q_augment",
+    "q_ewma",
+    "q_bigram_logprob",
+    "q_minhash_accuracy",
+    "q_bfs_distance",
+    "q_prefix_jaccard_join",
+    "q_lsh_quality",
 )
 
 
