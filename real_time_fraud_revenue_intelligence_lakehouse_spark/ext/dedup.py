@@ -526,10 +526,18 @@ def prefix_jaccard_pairs(
     toks = df.select(
         F.col(id_col), tokens(norm_text(F.col(text_col))).alias("_toks")
     )
+    # Shingles hash to 60-bit longs BEFORE any set op (the
+    # jaccard_pairs convention): long-array intersects beat string
+    # arrays severalfold and the shuffles carry 8-byte keys. The
+    # oracle hashes with the same md5-60 fragment, so counts stay
+    # bit-identical; a 60-bit collision could only merge two shingles
+    # on BOTH sides at once (P ~ |vocab|^2 / 2^61).
     sets = (
         toks.select(
             F.col(id_col),
-            F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("t"),
+            F.array_distinct(
+                F.transform(shingles_of(F.col("_toks"), shingle_n), hash60)
+            ).alias("t"),
         )
         .repartition(par)
         .localCheckpoint()

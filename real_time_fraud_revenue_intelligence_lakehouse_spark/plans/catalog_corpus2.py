@@ -31,7 +31,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import dedup as D
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity as S
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
-from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import NORM, SHINGLES, TOKS, _DBL
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import H60, NORM, SHINGLES, TOKS, _DBL
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
@@ -375,7 +375,7 @@ PPJ_THETA_NUM, PPJ_THETA_DEN = 1, 2
       SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
     ),
     s AS (
-      SELECT doc_id, list_distinct({SHINGLES.format(t='toks')}) AS t FROM tk
+      SELECT doc_id, list_distinct(list_transform({SHINGLES.format(t='toks')}, s -> {H60.format(x='s')})) AS t FROM tk
     ),
     ex AS (SELECT doc_id, len(t) AS sz, u.sh FROM s, unnest(t) AS u(sh)),
     -- exact: a pair below misses ONLY when the intersection is empty,
@@ -527,7 +527,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext impo
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
-    s AS (SELECT doc_id, list_distinct(sh) AS st FROM sh),
+    s AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {H60.format(x='s')})) AS st FROM sh),
     exx AS (SELECT doc_id, len(st) AS sz, u.x AS shingle FROM s, unnest(st) AS u(x)),
     truth AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -604,7 +604,7 @@ _MH_EQ = " + ".join(
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
-    s AS (SELECT doc_id, list_distinct(sh) AS st FROM sh),
+    s AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {H60.format(x='s')})) AS st FROM sh),
     est AS (
       SELECT c.id_a, c.id_b,
              ({_MH_EQ}) / {float(X.MINHASH_K)!r} AS est
@@ -663,7 +663,12 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     toks = docs.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
     sets = (
-        toks.select("doc_id", F.array_distinct(X.shingles_of(F.col("toks"))).alias("st"))
+        toks.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(X.shingles_of(F.col("toks")), X.hash60)
+            ).alias("st"),
+        )
         .repartition(par)
         .localCheckpoint()
     )
