@@ -104,6 +104,7 @@ def q_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Themed catalog modules (each registers queries on import).
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa: E402,F401
     catalog_analytics,
+    catalog_analytics2,
     catalog_behavior,
     catalog_cleanse,
     catalog_corpus,

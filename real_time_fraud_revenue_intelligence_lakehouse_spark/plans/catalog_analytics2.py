@@ -1,0 +1,469 @@
+"""Round-6 analytic depth — warehouse shapes with distinct execution
+patterns the earlier catalogs still lacked:
+
+- q_topk_per_group: top-k rows per group via the two-stage salted
+  window — the skew-proof form of the classic row_number()<=k (a
+  5-group window over the full fact would put 1/5 of the table in one
+  task at 100 TB; the salt stage bounds every task).
+- q_cumulative_distinct: running distinct-user count per day — the
+  first-occurrence reduction (per-user min day) turns an unbounded
+  windowed COUNT(DISTINCT) into one agg + a days-sized cumsum.
+- q_twap: time-weighted average event value per user (each value
+  weighted by its holding duration until the next event) — the
+  finance/telemetry aggregate SQL AVG gets wrong.
+- q_yoy_growth: year-over-year revenue growth per nation — yearly
+  rollup then lag over a 25-partition window.
+- q_chi_square: χ², Cramér's V, and mutual information between order
+  priority and status from ONE contingency pass — the feature
+  association audit of a training pipeline.
+- q_weighted_sample: Efraimidis–Spirakis weighted sampling
+  (key = ln(u)/w with the deterministic md5 uniform) — the
+  reservoir-style cousin of q_priority_sample, planned as
+  TakeOrderedAndProject.
+- q_allocation: largest-remainder (Hamilton) integer allocation of a
+  fixed budget proportional to revenue — exactly sum-preserving, the
+  rounding shape pro-rata financial jobs need.
+
+The reference's revenue/risk marts (`revenue_aggregations.py`,
+`user_risk_profiles.py`) motivate the group-wise and ratio shapes;
+the association/allocation/sampling forms extend them to the
+feature-prep surface. All seven are pure DataFrame plans — zero
+Python stages, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
+R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+R8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+
+H52 = "('0x' || substr(md5({x}), 1, 13))::BIGINT"
+TWO52 = float(2**52)
+
+
+def _h52(c: F.Column) -> F.Column:
+    """52-bit md5 fraction numerator (exact in a double; see H52)."""
+    return F.conv(F.substring(F.md5(c), 1, 13), 16, 10).cast("long")
+
+
+# --- salted two-stage top-k per group ---------------------------------------
+
+TOPK_K = 3
+TOPK_SALTS = 32
+
+
+@query(
+    "q_topk_per_group",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    )
+    WHERE rk <= {TOPK_K}
+    """,
+    tags=("window", "topk", "skew"),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_K} orders by value per priority. The naive plan — one
+    row_number window partitioned by the 5 priorities — sends 1/5 of
+    the fact table into a single task; at 100 TB that task never
+    finishes. This plan salts first: stage 1 ranks within
+    (priority, pmod(hash(key), {TOPK_SALTS})) so every task holds a
+    bounded slice and keeps only its local top-{TOPK_K}; stage 2 ranks
+    the ≤ groups×salts×k survivors. Any global top-k row is a local
+    top-k row in its salt shard, so the result is exactly the naive
+    window's (the oracle runs the naive form). Ties on value break on
+    the unique key in BOTH stages, keeping the composition
+    deterministic."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    salted = o.withColumn(
+        "_salt", F.pmod(F.hash("o_orderkey"), F.lit(TOPK_SALTS))
+    )
+    w1 = Window.partitionBy("o_orderpriority", "_salt").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    local = salted.withColumn("_lrk", F.row_number().over(w1)).filter(
+        F.col("_lrk") <= TOPK_K
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("o_orderpriority", F.col("rk").cast("long").alias("rk"), "o_orderkey", "o_totalprice")
+    )
+
+
+# --- running distinct users --------------------------------------------------
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT first_day AS day, count(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+    tags=("window", "distinct", "behavior"),
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, per day. A windowed
+    COUNT(DISTINCT) is unbounded state; the first-occurrence rewrite
+    (each user contributes only on their min day) reduces the stream
+    to one per-user agg + a per-day agg, and the cumulative sum then
+    runs over |days| rows — a single-task window on an already-tiny
+    frame, valid at any corpus scale."""
+    e = read_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+# --- time-weighted average ---------------------------------------------------
+
+
+@query(
+    "q_twap",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, value,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - epoch_ms(ts)
+               AS dur_ms
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             sum(CAST({R4.format(c="value * dur_ms")} AS DECIMAL(38,4))) AS wsum,
+             sum(dur_ms) AS tot_ms, count(*) AS n_intervals
+      FROM seq WHERE dur_ms IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals,
+           CAST(tot_ms AS BIGINT) AS tot_ms,
+           {R6.format(c="CAST(wsum AS DOUBLE) / tot_ms")} AS twap_value
+    FROM agg WHERE tot_ms > 0
+    """,
+    tags=("window", "timeseries"),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user: each value is held
+    until the user's next event, so it weighs by its duration — the
+    aggregate plain AVG misstates whenever sampling is irregular
+    (exactly the shape of the reference's event stream,
+    `generator/events.py`). One lead window shuffles on user_id
+    (ordered by ts with the unique event_id tiebreak); products are
+    det-rounded then decimal-accumulated so the sum is
+    partition-layout-free; the final division is one exact-input IEEE
+    op. Zero-span users (all events at one instant) are excluded on
+    both sides."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ms = F.unix_millis(F.col("ts"))
+    seq = e.select(
+        "user_id",
+        "value",
+        (F.lead(ms).over(w) - ms).alias("dur_ms"),
+    ).filter(F.col("dur_ms").isNotNull())
+    agg = seq.groupBy("user_id").agg(
+        F.sum(det_round(F.col("value") * F.col("dur_ms"), 4).cast("decimal(38,4)")).alias("wsum"),
+        F.sum("dur_ms").alias("tot_ms"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return agg.filter(F.col("tot_ms") > 0).select(
+        "user_id",
+        "n_intervals",
+        F.col("tot_ms").cast("long").alias("tot_ms"),
+        det_round(F.col("wsum").cast("double") / F.col("tot_ms"), 6).alias("twap_value"),
+    )
+
+
+# --- year-over-year growth ---------------------------------------------------
+
+
+@query(
+    "q_yoy_growth",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, order_year, revenue,
+           {R4.format(c="(revenue - prev_rev) / prev_rev * 100.0")} AS yoy_pct
+    FROM (
+      SELECT n_name, order_year, revenue,
+             lag(revenue) OVER (PARTITION BY n_name ORDER BY order_year) AS prev_rev
+      FROM yearly
+    )
+    WHERE prev_rev IS NOT NULL AND prev_rev > 0
+    """,
+    tags=("window", "aggregate", "trend"),
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the rollup
+    the reference's monthly revenue mart implies at annual grain
+    (`revenue_aggregations.py:66-85`) plus the lag comparison. The
+    fact joins dims (both broadcast-sized here; custkey shuffle join
+    at 100 TB), aggregates to |nations|×|years| rows, and the lag
+    window runs on that tiny frame. Decimal revenue accumulation
+    keeps the doubles layout-free; the growth ratio divides two
+    exact-cent doubles."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("order_year")
+    return (
+        yearly.withColumn("prev_rev", F.lag("revenue").over(w))
+        .filter(F.col("prev_rev").isNotNull() & (F.col("prev_rev") > 0))
+        .select(
+            "n_name",
+            "order_year",
+            "revenue",
+            det_round((F.col("revenue") - F.col("prev_rev")) / F.col("prev_rev") * 100.0, 4).alias("yoy_pct"),
+        )
+    )
+
+
+# --- χ² / Cramér's V / mutual information ------------------------------------
+
+
+@query(
+    "q_chi_square",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS n_ab
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n_ab) AS n FROM cells),
+    marg AS (
+      SELECT a, b, n_ab,
+             sum(n_ab) OVER (PARTITION BY a) AS n_a,
+             sum(n_ab) OVER (PARTITION BY b) AS n_b
+      FROM cells
+    ),
+    terms AS (
+      SELECT
+        CAST({R8.format(c="pow(n_ab - CAST(n_a AS DOUBLE) * n_b / n, 2) / (CAST(n_a AS DOUBLE) * n_b / n)")} AS DECIMAL(38,8)) AS chi_term,
+        CAST({R8.format(c="CAST(n_ab AS DOUBLE) / n * ln(CAST(n_ab AS DOUBLE) * n / (CAST(n_a AS DOUBLE) * n_b))")} AS DECIMAL(38,8)) AS mi_term
+      FROM marg, tot
+    ),
+    dims AS (
+      SELECT count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+           {R6.format(c="CAST(chi2 AS DOUBLE)")} AS chi2,
+           {R6.format(c="sqrt(CAST(chi2 AS DOUBLE) / (n * least(ka - 1, kb - 1)))")} AS cramers_v,
+           {R6.format(c="CAST(mi AS DOUBLE)")} AS mutual_info
+    FROM (SELECT sum(chi_term) AS chi2, sum(mi_term) AS mi FROM terms), tot, dims
+    """,
+    tags=("stats", "aggregate"),
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association audit between order priority and status: χ²
+    statistic, Cramér's V effect size, and mutual information (nats)
+    from a single contingency pass — the categorical-feature screen a
+    training pipeline runs before one-hot-encoding (and the
+    independence check behind the reference's priority/status rollups).
+    One count agg reduces the fact to ≤ |a|×|b| cells; marginals come
+    from windows over that tiny frame, so nothing after the first
+    shuffle scales with the table. Per-cell terms are det-rounded then
+    decimal-summed — layout-free despite ln/pow."""
+    o = read_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    wa, wb = Window.partitionBy("a"), Window.partitionBy("b")
+    marg = cells.select(
+        "a", "b", "n_ab",
+        F.sum("n_ab").over(wa).alias("n_a"),
+        F.sum("n_ab").over(wb).alias("n_b"),
+    )
+    tot = cells.agg(F.sum("n_ab").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("a").alias("ka"), F.countDistinct("b").alias("kb")
+    )
+    nd = F.col("n").cast("double")
+    exp = F.col("n_a").cast("double") * F.col("n_b") / nd
+    chi_term = det_round(F.pow(F.col("n_ab") - exp, F.lit(2.0)) / exp, 8).cast("decimal(38,8)")
+    mi_term = det_round(
+        F.col("n_ab").cast("double") / nd
+        * F.log(F.col("n_ab").cast("double") * nd / (F.col("n_a").cast("double") * F.col("n_b"))),
+        8,
+    ).cast("decimal(38,8)")
+    sums = (
+        marg.crossJoin(F.broadcast(tot))
+        .select(chi_term.alias("chi_term"), mi_term.alias("mi_term"))
+        .agg(F.sum("chi_term").alias("chi2"), F.sum("mi_term").alias("mi"))
+    )
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
+            det_round(F.col("chi2").cast("double"), 6).alias("chi2"),
+            det_round(
+                F.sqrt(F.col("chi2").cast("double") / (F.col("n") * F.least(F.col("ka") - 1, F.col("kb") - 1))), 6
+            ).alias("cramers_v"),
+            det_round(F.col("mi").cast("double"), 6).alias("mutual_info"),
+        )
+    )
+
+
+# --- Efraimidis–Spirakis weighted sample -------------------------------------
+
+WS_K = 20
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice,
+             cast({H52.format(x="'ws-' || cast(o_orderkey as varchar)")} as double)
+               / {TWO52!r} AS unif
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           {R8.format(c="ln(unif) / o_totalprice")} AS es_key
+    FROM u
+    ORDER BY ln(unif) / o_totalprice DESC, o_orderkey ASC
+    LIMIT {WS_K}
+    """,
+    tags=("sampling", "weighted", "deterministic"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    rank by key = u^(1/w), equivalently ln(u)/w (monotone for
+    u ∈ (0,1)), keep the top {WS_K}. The uniform is the deterministic
+    md5 52-bit fraction (domain-tagged 'ws-' so this sample is
+    independent of q_priority_sample's), making the draw reproducible
+    and append-stable — adding rows never changes surviving keys.
+    Complements q_priority_sample: A-ES is the without-replacement
+    reservoir scheme; priority sampling the subset-sum estimator.
+    Plans as TakeOrderedAndProject (per-partition heap, driver k-merge
+    — no global sort at any scale)."""
+    o = read_table(spark, sf_dir, "orders")
+    u = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (
+            _h52(F.concat(F.lit("ws-"), F.col("o_orderkey").cast("string"))).cast("double")
+            / F.lit(TWO52)
+        ).alias("unif"),
+    )
+    es_key = F.log(F.col("unif")) / F.col("o_totalprice")
+    return (
+        u.orderBy(es_key.desc(), F.asc("o_orderkey"))
+        .limit(WS_K)
+        .select("o_orderkey", "o_totalprice", det_round(es_key, 8).alias("es_key"))
+    )
+
+
+# --- largest-remainder integer allocation ------------------------------------
+
+ALLOC_BUDGET = 10000
+
+
+@query(
+    "q_allocation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    sh AS (
+      SELECT n_name, revenue,
+             revenue / sum(revenue) OVER () * {ALLOC_BUDGET} AS share
+      FROM rev
+    ),
+    fl AS (
+      SELECT n_name, revenue, share,
+             CAST(floor(share) AS BIGINT) AS base,
+             row_number() OVER (ORDER BY share - floor(share) DESC, n_name ASC) AS frac_rank,
+             {ALLOC_BUDGET} - sum(CAST(floor(share) AS BIGINT)) OVER () AS slots
+      FROM sh
+    )
+    SELECT n_name, revenue,
+           CAST(base + CASE WHEN frac_rank <= slots THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM fl
+    """,
+    tags=("aggregate", "window", "finance"),
+)
+def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation: split an integer
+    budget of {ALLOC_BUDGET} units across nations proportional to
+    revenue so the allocations sum EXACTLY to the budget — floor every
+    share, then hand the leftover units to the largest fractional
+    parts (ties on name). Pro-rata financial distribution with naive
+    rounding drifts off the total; this is the standard fix. The fact
+    reduces to |nations| rows first; every window after that runs on
+    the tiny frame. Shares divide exact-cent doubles by their exact
+    sum, so fractional parts are bit-identical across engines."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+    wall = Window.partitionBy()
+    sh = rev.withColumn(
+        "share", F.col("revenue") / F.sum("revenue").over(wall) * F.lit(ALLOC_BUDGET)
+    )
+    frac = F.col("share") - F.floor("share")
+    fl = sh.select(
+        "n_name",
+        "revenue",
+        F.floor("share").cast("long").alias("base"),
+        F.row_number().over(Window.orderBy(frac.desc(), F.asc("n_name"))).alias("frac_rank"),
+        (F.lit(ALLOC_BUDGET) - F.sum(F.floor("share").cast("long")).over(wall)).alias("slots"),
+    )
+    return fl.select(
+        "n_name",
+        "revenue",
+        (F.col("base") + F.when(F.col("frac_rank") <= F.col("slots"), 1).otherwise(0)).cast("long").alias("alloc"),
+    )
