@@ -109,7 +109,9 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_cleanse,
     catalog_corpus,
     catalog_corpus2,
+    catalog_corpus3,
     catalog_gold,
+    catalog_graph,
     catalog_joins,
     catalog_monitoring,
     catalog_ext,

@@ -1,0 +1,284 @@
+"""Corpus infrastructure round 3 — the two text-pipeline builders the
+earlier corpus catalogs still lacked:
+
+- q_inverted_index: term → capped posting list (doc:tf entries) with
+  document frequency and collection frequency — the retrieval-index
+  build step behind BM25 (q_bm25 consumes these statistics; this
+  query materializes the index itself).
+- q_bpe_merges: a REAL byte-pair-encoding trainer — {BPE_ROUNDS}
+  greedy merge rounds over the word-type frequency table, each round
+  counting adjacent symbol pairs, picking the most frequent
+  (lexicographic tie-break), and applying the merge left-to-right
+  exactly like the canonical Sennrich BPE loop. The corpus is scanned
+  ONCE (word-type counts); every merge round then runs on the
+  {BPE_VOCAB}-row word-type table — the same trick production BPE
+  trainers use (operate on the type dictionary, not the token
+  stream), which is what makes iterative vocabulary learning viable
+  at 100 TB. The merge application is a left-fold over the symbol
+  array (merge-with-previous iff it equals the chosen pair and was
+  not itself just merged — provably identical to the index-skipping
+  scan because a merged symbol is strictly longer than its left
+  part); the DuckDB oracle applies the same merge via the run-parity
+  formulation (within each run of consecutive matching positions,
+  odd offsets merge), unrolled {BPE_ROUNDS} rounds deep.
+
+Both are pure DataFrame plans — the BPE fold is a Catalyst
+`aggregate` lambda, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import NORM, TOKS
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
+
+# --- inverted index ---------------------------------------------------------
+
+IDX_MIN_DF = 5  # drop hapax/rare terms from the materialized index
+IDX_POST_CAP = 10  # posting-list entries materialized per term
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({TOKS.format(c=NORM.format(c='text'))}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY term) AS df,
+             sum(tf) OVER (PARTITION BY term) AS cf
+      FROM tf
+    )
+    SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM r
+    WHERE df >= {IDX_MIN_DF} AND rn <= {IDX_POST_CAP}
+    GROUP BY 1, 2, 3
+    """,
+    tags=("ext", "text", "index"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index: per term, document frequency,
+    collection frequency, and the first {IDX_POST_CAP} postings as
+    deterministic "doc:tf" entries ordered by doc id. One tokenize +
+    explode pass, one (term, doc) shuffle for tf, then term-partition
+    windows for df/cf/rank — the textbook index build. The posting
+    cap bounds the materialized row count per term; at 100 TB the
+    stop-term windows are the skew risk and would take the salted
+    two-stage top-k (q_topk_per_group's plan) — here the df floor
+    already drops the hapax tail before the final aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(X.tokens(X.norm_text(F.col("text")))).alias("term")
+    )
+    tf = t.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    wt = Window.partitionBy("term")
+    r = tf.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.row_number().over(wt.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("df"),
+        F.sum("tf").over(wt).alias("cf"),
+    ).filter((F.col("df") >= IDX_MIN_DF) & (F.col("rn") <= IDX_POST_CAP))
+    entry = F.concat_ws(":", F.col("doc_id"), F.col("tf"))
+    return (
+        r.groupBy("term", "df", "cf")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", entry.alias("e")))),
+                    lambda x: x["e"],
+                ),
+                ",",
+            ).alias("postings")
+        )
+        .select("term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf"), "postings")
+    )
+
+
+# --- BPE merge trainer ------------------------------------------------------
+
+BPE_VOCAB = 60  # word types kept (by corpus frequency, tie → lexicographic)
+BPE_ROUNDS = 4  # greedy merges learned
+
+
+def _bpe_oracle() -> str:
+    """Unrolled {BPE_ROUNDS}-round BPE oracle. Each round: count
+    adjacent symbol pairs weighted by word frequency, pick argmax
+    (count desc, pair asc), then apply the merge via run-parity
+    (odd offsets within each run of consecutive matches merge — the
+    SQL-expressible equivalent of the canonical left-to-right scan)."""
+    parts = [
+        f"""
+    WITH words AS (
+      SELECT w AS word, count(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY 1
+    ),
+    w0 AS (
+      SELECT word, freq,
+             string_split(regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>', ' ') AS toks
+      FROM (SELECT word, freq,
+                   row_number() OVER (ORDER BY freq DESC, word ASC) AS rk
+            FROM words)
+      WHERE rk <= {BPE_VOCAB}
+    )"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""
+    p{r} AS (
+      SELECT bl, br, cnt FROM (
+        SELECT toks[i] AS bl, toks[i + 1] AS br, sum(freq) AS cnt
+        FROM {prev}, unnest(range(1, len(toks))) AS u(i)
+        GROUP BY 1, 2
+      ) ORDER BY cnt DESC, bl ASC, br ASC LIMIT 1
+    ),
+    x{r} AS (
+      SELECT word, freq, i, toks[i] AS tok,
+             CASE WHEN i < len(toks) AND toks[i] = p.bl AND toks[i + 1] = p.br
+                  THEN 1 ELSE 0 END AS m
+      FROM {prev}, p{r} p, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    y{r} AS (
+      SELECT word, freq, i, tok, m,
+             i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp
+      FROM x{r}
+    ),
+    z{r} AS (
+      SELECT word, freq, i, tok,
+             CASE WHEN m = 1 AND (row_number() OVER (
+                    PARTITION BY word, m, grp ORDER BY i)) % 2 = 1
+                  THEN 1 ELSE 0 END AS ms
+      FROM y{r}
+    ),
+    w{r} AS (
+      SELECT word, freq,
+             string_split(string_agg(
+               CASE WHEN ms = 1 THEN tok || nxt ELSE tok END, ' ' ORDER BY i), ' ')
+               AS toks
+      FROM (
+        SELECT word, freq, i, tok, ms,
+               lead(tok) OVER (PARTITION BY word ORDER BY i) AS nxt,
+               lag(ms, 1, 0) OVER (PARTITION BY word ORDER BY i) AS prev_ms
+        FROM z{r}
+      )
+      WHERE prev_ms = 0
+      GROUP BY 1, 2
+    )"""
+        )
+    body = ",".join(parts)
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, bl AS left_sym, br AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM p{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return body + "\n    " + selects
+
+
+#: Canonical left-to-right BPE merge as a Catalyst fold: append each
+#: symbol, but if the accumulator's last element equals the pair's
+#: left half and the incoming symbol its right half, replace the last
+#: element with the merged symbol. Equivalent to the index-skipping
+#: scan because a merged symbol (strictly longer) can never equal the
+#: pair's left half again in the same round.
+_BPE_FOLD = """
+aggregate(
+  toks,
+  cast(array() as array<string>),
+  (acc, x) -> if(size(acc) = 0,
+                 array(x),
+                 if(element_at(acc, size(acc)) = bl AND x = br,
+                    concat(slice(acc, 1, size(acc) - 1), array(concat(bl, br))),
+                    concat(acc, array(x))))
+)
+"""
+
+_BPE_PAIRS = """
+if(size(toks) < 2,
+   cast(array() as array<struct<bl: string, br: string>>),
+   transform(sequence(1, size(toks) - 1),
+             i -> struct(toks[i - 1] as bl, toks[i] as br)))
+"""
+
+
+@query("q_bpe_merges", oracle=_bpe_oracle(), tags=("ext", "text", "bpe", "iterative"))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary trainer: learn the first {BPE_ROUNDS} merges
+    over the corpus (see module docstring). Execution shape: ONE
+    corpus scan builds the word-type frequency table; the top
+    {BPE_VOCAB} types (weighted by corpus frequency) are pinned with
+    localCheckpoint, and each merge round is pair-explode → weighted
+    count → argmax (a 1-row TakeOrdered) → broadcast the winning pair
+    back over the type table and fold-merge its symbol arrays. Every
+    per-round input is O(vocab · word_len) — independent of corpus
+    size, the property that makes dictionary-based BPE training scale
+    (the reference's LLM-pipeline role for this engine is exactly
+    such corpus prep). localCheckpoint per round bounds the lineage
+    like the PageRank loop; no Python touches row data."""
+    d = read_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word")))
+    seqs = (
+        words.withColumn("rk", rk)
+        .filter(F.col("rk") <= BPE_VOCAB)
+        .select(
+            "word",
+            "freq",
+            F.split(
+                F.concat(F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit("</w>")),
+                " ",
+            ).alias("toks"),
+        )
+        .localCheckpoint()
+    )
+    bests = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            seqs.select("freq", F.explode(F.expr(_BPE_PAIRS)).alias("p"))
+            .select("freq", F.col("p.bl").alias("bl"), F.col("p.br").alias("br"))
+            .groupBy("bl", "br")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("bl"), F.asc("br"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        bests.append(best.withColumn("merge_rank", F.lit(r).cast("long")))
+        if r < BPE_ROUNDS:
+            seqs = (
+                seqs.crossJoin(F.broadcast(best.select("bl", "br")))
+                .select("word", "freq", F.expr(_BPE_FOLD).alias("toks"))
+                .localCheckpoint()
+            )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "merge_rank",
+        F.col("bl").alias("left_sym"),
+        F.col("br").alias("right_sym"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    )

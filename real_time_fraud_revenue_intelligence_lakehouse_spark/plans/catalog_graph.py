@@ -1,0 +1,314 @@
+"""Graph & co-occurrence analytics over the trade data — the
+association-mining and graph-topology shapes that complement the
+iterative algorithms in catalog_heavy (PageRank, BFS, label
+propagation in ext/dedup):
+
+- q_basket_lift: market-basket association — support and lift for
+  part pairs co-purchased within an order. The pair blow-up is
+  order-local (C(basket,2) per order), then ONE pair-key shuffle; the
+  classic frequent-itemset first pass (FP-growth's candidate tier).
+- q_knn_triangles: build a k-nearest-neighbor graph over suppliers
+  (similarity = #common customers), then count triangles and the
+  global clustering coefficient. kNN-graph construction + triangle
+  closure is the standard graph-ML pipeline for entity-clustering;
+  the kNN cap (k={K_NN}) keeps the graph O(k·n) edges at ANY corpus
+  scale, so the triangle join never sees a quadratic edge set.
+- q_graph_degree: log2-bucketed degree histogram of the bipartite
+  supplier↔customer trade graph — the skew diagnostic you run BEFORE
+  choosing join/salt strategies on a new graph.
+
+The reference's fraud domain motivates these: fraud rings surface as
+dense triangles in shared-entity graphs, and its user↔merchant event
+stream is exactly such a bipartite graph (`generator/events.py`).
+All pure DataFrame plans; counts are exact integers so every ratio
+divides exact inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+
+MIN_SUP = 2  # orders containing both parts
+K_NN = 3  # neighbors kept per supplier node
+
+
+# --- market-basket support / lift -------------------------------------------
+
+
+@query(
+    "q_basket_lift",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    singles AS (
+      SELECT l_partkey, count(*) AS part_orders FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_orders
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_SUP}
+    )
+    SELECT p.part_a, p.part_b, CAST(p.pair_orders AS BIGINT) AS pair_orders,
+           {R6.format(c="CAST(p.pair_orders AS DOUBLE) / n.n_orders")} AS support,
+           {R6.format(c="CAST(p.pair_orders AS DOUBLE) * n.n_orders / (sa.part_orders * CAST(sb.part_orders AS DOUBLE))")} AS lift
+    FROM pairs p
+    JOIN singles sa ON p.part_a = sa.l_partkey
+    JOIN singles sb ON p.part_b = sb.l_partkey
+    CROSS JOIN n
+    """,
+    tags=("graph", "basket", "join"),
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: for every part pair
+    co-purchased in ≥{MIN_SUP} orders, the support (share of orders
+    with both) and lift (observed co-rate over the independence
+    expectation — lift > 1 means genuinely bought together). The
+    self-join explodes only WITHIN an order (C(basket,2), bounded by
+    basket size), then one shuffle on the pair key aggregates; the
+    min-support HAVING prunes the long random-pair tail before the
+    singles join, and the singles/total sides are agg outputs orders
+    of magnitude smaller than the fact. Lift divides exact integers —
+    bit-stable."""
+    baskets = (
+        read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    singles = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= MIN_SUP)
+    )
+    sa = singles.select(
+        F.col("l_partkey").alias("part_a"), F.col("part_orders").alias("orders_a")
+    )
+    sb = singles.select(
+        F.col("l_partkey").alias("part_b"), F.col("part_orders").alias("orders_b")
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            det_round(F.col("pair_orders").cast("double") / F.col("n_orders"), 6).alias("support"),
+            det_round(
+                F.col("pair_orders").cast("double")
+                * F.col("n_orders")
+                / (F.col("orders_a") * F.col("orders_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --- kNN graph + triangle count ---------------------------------------------
+
+
+@query(
+    "q_knn_triangles",
+    oracle=f"""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sim AS (
+      SELECT a.supp AS s1, b.supp AS s2, count(*) AS common_cust
+      FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT s1 AS src, s2 AS dst, common_cust FROM sim
+      UNION ALL
+      SELECT s2 AS src, s1 AS dst, common_cust FROM sim
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY common_cust DESC, dst ASC) AS rn
+        FROM directed
+      ) WHERE rn <= {K_NN}
+    ),
+    edges AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    summary AS (
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM edges) AS n_edges,
+             (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+             (SELECT n_triangles FROM tri) AS n_triangles
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+           n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+           {R6.format(c="3.0 * n_triangles / n_wedges")} AS clustering
+    FROM summary
+    """,
+    tags=("graph", "triangles", "knn"),
+)
+def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-similarity kNN graph + triangle census. Similarity =
+    number of common customers (the shared-entity signal fraud-ring
+    detection keys on); each supplier keeps its top-{K_NN} neighbors
+    (ties → smaller id), the directed lists symmetrize into an
+    undirected edge set of at most {K_NN}·n edges, and triangles close
+    via the oriented two-hop join (a<b<c, so each triangle counts
+    once). Output: node/edge/wedge/triangle counts and the global
+    clustering coefficient 3·T/W. The kNN cap is what makes this
+    100 TB-safe: the similarity tier shuffles per-customer C(k,2)
+    pairs (bounded by per-customer breadth), the window tops ≤ n·deg
+    rows, and every triangle-join input is O(k·n) — no quadratic edge
+    set at any scale, unlike threshold graphs whose density is
+    data-dependent."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    sim = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("common_cust"))
+    )
+    directed = sim.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "common_cust"
+    ).unionByName(
+        sim.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "common_cust")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("common_cust"), F.asc("dst"))
+    knn = directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K_NN)
+    edges = (
+        knn.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        # feeds degree, wedges, and THREE triangle-join legs — pin it
+        # once (same pattern as the PageRank edge table).
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return summary.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        det_round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias("clustering"),
+    )
+
+
+# --- bipartite degree histogram ---------------------------------------------
+
+
+@query(
+    "q_graph_degree",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+      SELECT 'supplier' AS side, supp AS node, count(*) AS d FROM cs GROUP BY 2
+      UNION ALL
+      SELECT 'customer' AS side, cust AS node, count(*) AS d FROM cs GROUP BY 2
+    )
+    SELECT side, CAST(floor(ln(d) / ln(2)) AS BIGINT) AS deg_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
+    FROM deg
+    GROUP BY 1, 2
+    """,
+    tags=("graph", "histogram"),
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree histogram of the bipartite supplier↔
+    customer trade graph, per side — the first diagnostic on any new
+    graph: a heavy top bucket says "salt the hub keys before joining
+    on this graph" (the skew rule SCALE.md records). One distinct
+    reduce builds the edge list, two tiny aggs do the rest; the
+    bucket is floor(log2(d)) so the histogram stays ~32 rows at any
+    scale. Buckets via ln(d)/ln(2) on exact integer degrees — the
+    ratio is far from integer boundaries for d not a power of two,
+    and exact for powers of two, so floor is engine-stable."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = (
+        cs.groupBy(F.col("supp").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.lit("supplier").alias("side"), "node", "d")
+        .unionByName(
+            cs.groupBy(F.col("cust").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .select(F.lit("customer").alias("side"), "node", "d")
+        )
+    )
+    return (
+        deg.groupBy(
+            "side",
+            F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0))).cast("long").alias("deg_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").cast("long").alias("min_deg"),
+            F.max("d").cast("long").alias("max_deg"),
+        )
+    )
