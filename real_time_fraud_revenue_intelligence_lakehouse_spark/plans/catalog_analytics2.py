@@ -269,21 +269,24 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS n_ab
       FROM orders GROUP BY 1, 2
     ),
-    tot AS (SELECT sum(n_ab) AS n FROM cells),
+    na AS (SELECT o_orderpriority AS a, count(*) AS n_a FROM orders GROUP BY 1),
+    nb AS (SELECT o_orderstatus AS b, count(*) AS n_b FROM orders GROUP BY 1),
+    tot AS (SELECT sum(n_a) AS n FROM na),
     marg AS (
-      SELECT a, b, n_ab,
-             sum(n_ab) OVER (PARTITION BY a) AS n_a,
-             sum(n_ab) OVER (PARTITION BY b) AS n_b
-      FROM cells
+      -- densified: the chi-square sum runs over EVERY (a, b) cell,
+      -- including observed-zero ones (each contributes its expectation)
+      SELECT na.a, nb.b, na.n_a, nb.n_b, coalesce(c.n_ab, 0) AS n_ab
+      FROM na CROSS JOIN nb
+      LEFT JOIN cells c ON c.a = na.a AND c.b = nb.b
     ),
     terms AS (
       SELECT
         CAST({R8.format(c="pow(n_ab - CAST(n_a AS DOUBLE) * n_b / n, 2) / (CAST(n_a AS DOUBLE) * n_b / n)")} AS DECIMAL(38,8)) AS chi_term,
-        CAST({R8.format(c="CAST(n_ab AS DOUBLE) / n * ln(CAST(n_ab AS DOUBLE) * n / (CAST(n_a AS DOUBLE) * n_b))")} AS DECIMAL(38,8)) AS mi_term
+        CAST({R8.format(c="CASE WHEN n_ab = 0 THEN 0.0 ELSE CAST(n_ab AS DOUBLE) / n * ln(CAST(n_ab AS DOUBLE) * n / (CAST(n_a AS DOUBLE) * n_b)) END")} AS DECIMAL(38,8)) AS mi_term
       FROM marg, tot
     ),
     dims AS (
-      SELECT count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM cells
+      SELECT (SELECT count(*) FROM na) AS ka, (SELECT count(*) FROM nb) AS kb
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
            CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
@@ -308,22 +311,33 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = o.groupBy(
         F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
     ).agg(F.count(F.lit(1)).alias("n_ab"))
-    wa, wb = Window.partitionBy("a"), Window.partitionBy("b")
-    marg = cells.select(
-        "a", "b", "n_ab",
-        F.sum("n_ab").over(wa).alias("n_a"),
-        F.sum("n_ab").over(wb).alias("n_b"),
+    na = o.groupBy(F.col("o_orderpriority").alias("a")).agg(
+        F.count(F.lit(1)).alias("n_a")
     )
-    tot = cells.agg(F.sum("n_ab").alias("n"))
-    dims = cells.agg(
-        F.countDistinct("a").alias("ka"), F.countDistinct("b").alias("kb")
+    nb = o.groupBy(F.col("o_orderstatus").alias("b")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    # densified contingency: observed-zero cells still contribute their
+    # expectation to chi2 (and 0 to MI) — dropping them understates both.
+    marg = (
+        na.crossJoin(F.broadcast(nb))
+        .join(cells, ["a", "b"], "left")
+        .fillna(0, subset=["n_ab"])
+    )
+    tot = na.agg(F.sum("n_a").alias("n"))
+    dims = na.agg(F.count(F.lit(1)).alias("ka")).crossJoin(
+        F.broadcast(nb.agg(F.count(F.lit(1)).alias("kb")))
     )
     nd = F.col("n").cast("double")
     exp = F.col("n_a").cast("double") * F.col("n_b") / nd
     chi_term = det_round(F.pow(F.col("n_ab") - exp, F.lit(2.0)) / exp, 8).cast("decimal(38,8)")
     mi_term = det_round(
-        F.col("n_ab").cast("double") / nd
-        * F.log(F.col("n_ab").cast("double") * nd / (F.col("n_a").cast("double") * F.col("n_b"))),
+        F.when(F.col("n_ab") == 0, F.lit(0.0)).otherwise(
+            F.col("n_ab").cast("double") / nd
+            * F.log(
+                F.col("n_ab").cast("double") * nd / (F.col("n_a").cast("double") * F.col("n_b"))
+            )
+        ),
         8,
     ).cast("decimal(38,8)")
     sums = (

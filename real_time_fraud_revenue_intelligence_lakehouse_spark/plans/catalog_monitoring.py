@@ -257,3 +257,85 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(auc, 6).alias("auc"),
         )
     )
+
+
+# --- decile lift / gains table ----------------------------------------------
+
+
+@query(
+    "q_decile_lift",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice AS score,
+             CASE WHEN o_orderstatus = '{AUC_POS}' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    r AS (
+      SELECT pos,
+             row_number() OVER (ORDER BY score DESC, o_orderkey ASC) AS rn,
+             count(*) OVER () AS n
+      FROM s
+    ),
+    g AS (
+      SELECT CAST(floor((rn - 1) * 10.0 / n) + 1 AS BIGINT) AS decile,
+             count(*) AS n_rows, sum(pos) AS n_pos
+      FROM r GROUP BY 1
+    ),
+    t AS (SELECT sum(n_rows) AS nt, sum(n_pos) AS pt FROM g)
+    SELECT decile, CAST(n_rows AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           {R6.format(c="CAST(n_pos AS DOUBLE) / n_rows")} AS event_rate,
+           {R6.format(c="(CAST(n_pos AS DOUBLE) / n_rows) / (CAST(pt AS DOUBLE) / nt)")} AS lift,
+           {R6.format(c="CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / pt")} AS cum_capture
+    FROM g, t
+    """,
+    tags=("monitoring", "evaluation"),
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table: rows ranked by score (highest first, unique
+    key tiebreak) into 10 equal-count bands via the explicit
+    floor((rn-1)·10/n) rule — NOT ntile(), whose remainder placement
+    is engine-specific — then per-decile event rate, lift over the
+    global rate, and cumulative capture share. This is THE campaign/
+    fraud-triage evaluation artifact ("the top decile catches 34% of
+    fraud at 3.1x lift"). The ranking window is the one global-order
+    op (at 100 TB the band boundaries would come from a quantile
+    sketch instead); everything after runs on 10 rows. All ratios
+    divide exact integers."""
+    o = read_table(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == AUC_POS, 1).otherwise(0).alias("pos"),
+    )
+    r = s.select(
+        "pos",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("o_orderkey")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    g = (
+        r.groupBy(
+            (F.floor((F.col("rn") - 1) * 10.0 / F.col("n")) + 1)
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("pos").alias("n_pos"))
+    )
+    t = g.agg(F.sum("n_rows").alias("nt"), F.sum("n_pos").alias("pt"))
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rate = F.col("n_pos").cast("double") / F.col("n_rows")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            F.col("n_rows").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            det_round(rate, 6).alias("event_rate"),
+            det_round(rate / (F.col("pt").cast("double") / F.col("nt")), 6).alias("lift"),
+            det_round(
+                F.sum("n_pos").over(wcum).cast("double") / F.col("pt"), 6
+            ).alias("cum_capture"),
+        )
+    )

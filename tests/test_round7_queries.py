@@ -1,0 +1,370 @@
+"""Round-7 additions: salted top-k, cumulative distinct, TWAP, YoY,
+chi-square association, A-ES weighted sampling, Hamilton allocation,
+market-basket lift, kNN-graph triangles, degree histogram, inverted
+index, BPE merge training, and decile lift. Value correctness for the
+oracle-backed forms lives in tools/selfcheck.py; these tests pin the
+semantics on planted fixtures and the invariants that must hold at
+any scale."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+
+    return registry.all_queries()[name]
+
+
+ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate string, o_orderpriority string"
+)
+LINEITEM_COLS = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate string"
+)
+EVENTS_SCHEMA = (
+    "event_id long, ts string, user_id long, event_type string, value double, props string"
+)
+
+
+def _write_orders(spark, d, rows):
+    spark.createDataFrame(rows, ORDERS_SCHEMA).withColumn(
+        "o_orderdate", F.to_timestamp("o_orderdate")
+    ).write.parquet(f"{d}/orders.parquet")
+
+
+def _write_lineitem(spark, d, rows):
+    spark.createDataFrame(rows, LINEITEM_COLS).withColumn(
+        "l_shipdate", F.to_timestamp("l_shipdate")
+    ).write.parquet(f"{d}/lineitem.parquet")
+
+
+def _li(orderkey, partkey, suppkey):
+    return (orderkey, partkey, suppkey, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "1996-01-01")
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(rows, EVENTS_SCHEMA).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).write.parquet(f"{d}/events.parquet")
+
+
+# --- salted top-k per group -------------------------------------------------
+
+
+def test_topk_per_group_matches_naive_window(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_analytics2 import TOPK_K
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    got = {
+        (r["o_orderpriority"], r["rk"]): (r["o_orderkey"], r["o_totalprice"])
+        for r in _q("q_topk_per_group")(spark, SF_SMOKE).collect()
+    }
+    o = read_table(spark, SF_SMOKE, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    naive = {
+        (r["o_orderpriority"], r["rk"]): (r["o_orderkey"], r["o_totalprice"])
+        for r in o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_K)
+        .collect()
+    }
+    assert got == naive
+
+
+def test_topk_per_group_breaks_ties_on_key(spark):
+    rows = [
+        (10, 1, "O", 500.0, "2024-01-01", "P"),
+        (3, 1, "O", 500.0, "2024-01-01", "P"),
+        (7, 1, "O", 500.0, "2024-01-01", "P"),
+        (5, 1, "O", 500.0, "2024-01-01", "P"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, rows)
+        got = [
+            (r["rk"], r["o_orderkey"])
+            for r in _q("q_topk_per_group")(spark, d).orderBy("rk").collect()
+        ]
+    assert got == [(1, 3), (2, 5), (3, 7)]
+
+
+# --- cumulative distinct ----------------------------------------------------
+
+
+def test_cumulative_distinct_monotone_and_exhaustive(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    rows = _q("q_cumulative_distinct")(spark, SF_SMOKE).orderBy("day").collect()
+    assert rows
+    cum = 0
+    for r in rows:
+        cum += r["new_users"]
+        assert r["cum_users"] == cum  # running sum consistency
+    n_users = read_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert rows[-1]["cum_users"] == n_users  # every user counted exactly once
+
+
+# --- TWAP -------------------------------------------------------------------
+
+
+def test_twap_planted_durations(spark):
+    # u1 holds 10.0 for 10s then 20.0 (terminal, no duration) → twap 10
+    # u2 holds 10.0 for 10s, 30.0 for 30s → twap (100+900)/40 = 25
+    events = [
+        (1, "2024-01-01 00:00:00", 1, "a", 10.0, "{}"),
+        (2, "2024-01-01 00:00:10", 1, "a", 20.0, "{}"),
+        (3, "2024-01-01 00:00:00", 2, "a", 10.0, "{}"),
+        (4, "2024-01-01 00:00:10", 2, "a", 30.0, "{}"),
+        (5, "2024-01-01 00:00:40", 2, "a", 99.0, "{}"),
+        (6, "2024-01-01 00:00:00", 3, "a", 7.0, "{}"),  # single event: excluded
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, events)
+        out = {r["user_id"]: r for r in _q("q_twap")(spark, d).collect()}
+    assert out[1]["twap_value"] == 10.0 and out[1]["tot_ms"] == 10_000
+    assert out[2]["twap_value"] == 25.0 and out[2]["n_intervals"] == 2
+    assert 3 not in out
+
+
+# --- YoY growth -------------------------------------------------------------
+
+
+def test_yoy_growth_planted(spark):
+    orders = [
+        (1, 1, "O", 100.0, "1996-06-01", "P"),
+        (2, 1, "O", 150.0, "1997-06-01", "P"),
+        (3, 1, "O", 75.0, "1998-06-01", "P"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        spark.createDataFrame(
+            [(1, 5)], "c_custkey long, c_nationkey long"
+        ).write.parquet(f"{d}/customer.parquet")
+        spark.createDataFrame(
+            [(5, "ZANZIBAR")], "n_nationkey long, n_name string"
+        ).write.parquet(f"{d}/nation.parquet")
+        got = {
+            r["order_year"]: r["yoy_pct"]
+            for r in _q("q_yoy_growth")(spark, d).collect()
+        }
+    assert got == {1997: 50.0, 1998: -50.0}  # 1996 has no prior year
+
+
+# --- chi-square / MI --------------------------------------------------------
+
+
+def test_chi_square_independent_table_scores_zero(spark):
+    # priority ⟂ status: every (p, s) cell has identical count
+    orders = [
+        (i * 10 + j * 2 + k, 1, ["A", "B"][j], 100.0, "2024-01-01", ["P1", "P2"][k])
+        for i in range(25)
+        for j in range(2)
+        for k in range(2)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        row = _q("q_chi_square")(spark, d).collect()[0]
+    assert row["n_rows"] == 100 and row["dof"] == 1
+    assert row["chi2"] == 0.0 and row["cramers_v"] == 0.0 and row["mutual_info"] == 0.0
+
+
+def test_chi_square_dependent_table_saturates(spark):
+    # status is a function of priority → Cramér's V = 1
+    orders = [(i, 1, ["A", "B"][i % 2], 100.0, "2024-01-01", ["P1", "P2"][i % 2]) for i in range(100)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        row = _q("q_chi_square")(spark, d).collect()[0]
+    assert row["cramers_v"] == 1.0
+    assert abs(row["chi2"] - 100.0) < 1e-6  # chi2 = n for a perfect 2x2 association
+
+
+# --- A-ES weighted sample ---------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_append_stable(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_analytics2 import WS_K
+
+    a = _q("q_weighted_sample")(spark, SF_SMOKE).collect()
+    b = _q("q_weighted_sample")(spark, SF_SMOKE).collect()
+    assert [r["o_orderkey"] for r in a] == [r["o_orderkey"] for r in b]
+    assert len(a) == WS_K
+    assert all(r["es_key"] <= 0.0 for r in a)  # ln(u)/w with u in (0,1]
+
+
+# --- Hamilton allocation ----------------------------------------------------
+
+
+def test_allocation_preserves_budget_exactly(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_analytics2 import ALLOC_BUDGET
+
+    rows = _q("q_allocation")(spark, SF_SMOKE).collect()
+    assert rows
+    assert sum(r["alloc"] for r in rows) == ALLOC_BUDGET
+    total = sum(r["revenue"] for r in rows)
+    for r in rows:
+        exact = r["revenue"] / total * ALLOC_BUDGET
+        assert abs(r["alloc"] - exact) < 1.0  # each within 1 unit of pro-rata
+
+
+# --- market-basket lift -----------------------------------------------------
+
+
+def test_basket_lift_planted_association(spark):
+    # parts 1,2 co-occur in 3 of 5 orders; part 3 floats alone
+    li = (
+        [_li(1, 1, 1), _li(1, 2, 1)]
+        + [_li(2, 1, 1), _li(2, 2, 1)]
+        + [_li(3, 1, 1), _li(3, 2, 1)]
+        + [_li(4, 1, 1), _li(4, 3, 1)]
+        + [_li(5, 3, 1)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write_lineitem(spark, d, li)
+        out = {
+            (r["part_a"], r["part_b"]): r
+            for r in _q("q_basket_lift")(spark, d).collect()
+        }
+    r = out[(1, 2)]
+    assert r["pair_orders"] == 3
+    assert r["support"] == 0.6  # 3 of 5 orders
+    # lift = P(1,2) / (P(1)·P(2)) = 0.6 / (0.8 · 0.6) = 1.25
+    assert r["lift"] == 1.25
+    assert (1, 3) not in out  # single co-occurrence < MIN_SUP
+
+
+# --- kNN triangles ----------------------------------------------------------
+
+
+def test_knn_triangles_planted_clique(spark):
+    # 4 suppliers all serving the same 2 customers → K4: 4 triangles,
+    # 12 wedges, clustering exactly 1.
+    li, orders = [], []
+    ok = 1
+    for cust in (1, 2):
+        for supp in (1, 2, 3, 4):
+            orders.append((ok, cust, "O", 100.0, "2024-01-01", "P"))
+            li.append(_li(ok, 1, supp))
+            ok += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        _write_lineitem(spark, d, li)
+        row = _q("q_knn_triangles")(spark, d).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 6
+    assert row["n_triangles"] == 4 and row["n_wedges"] == 12
+    assert row["clustering"] == 1.0
+
+
+def test_knn_triangles_sf_consistency(spark):
+    row = _q("q_knn_triangles")(spark, SF_SMOKE).collect()[0]
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_graph import K_NN
+
+    # kNN cap: each node contributes ≤ K_NN directed picks
+    assert row["n_edges"] <= K_NN * row["n_nodes"]
+    assert 0.0 <= row["clustering"] <= 1.0
+
+
+# --- degree histogram -------------------------------------------------------
+
+
+def test_graph_degree_buckets_partition_nodes(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    rows = _q("q_graph_degree")(spark, SF_SMOKE).collect()
+    by_side = {}
+    for r in rows:
+        assert 2 ** r["deg_bucket"] <= r["max_deg"] < 2 ** (r["deg_bucket"] + 1) or (
+            r["min_deg"] >= 2 ** r["deg_bucket"]
+        )
+        by_side[r["side"]] = by_side.get(r["side"], 0) + r["n_nodes"]
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    n_supp = li.select("l_suppkey").distinct().count()
+    assert by_side["supplier"] == n_supp
+
+
+# --- inverted index ---------------------------------------------------------
+
+
+def test_inverted_index_planted_postings(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_corpus3 import IDX_MIN_DF
+
+    docs = [(i, "zebra stripes", "en", "s", 13) for i in range(IDX_MIN_DF)]
+    docs.append((90, "zebra zebra", "en", "s", 11))  # tf 2
+    docs.append((91, "plain text", "en", "s", 10))  # below df floor
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["term"]: r for r in _q("q_inverted_index")(spark, d).collect()}
+    z = out["zebra"]
+    assert z["df"] == IDX_MIN_DF + 1 and z["cf"] == IDX_MIN_DF + 2
+    assert z["postings"] == ",".join(
+        [f"{i}:1" for i in range(IDX_MIN_DF)] + ["90:2"]
+    )
+    assert "plain" not in out and "stripes" in out
+
+
+# --- BPE merges -------------------------------------------------------------
+
+
+def test_bpe_merges_run_parity_and_tie_break(spark):
+    # corpus: 'aaaa' ×10, 'bc' ×3.
+    # r1: (a,a) weight 30 (runs merge at odd offsets: a a a a → aa aa)
+    # r2: tie (aa,</w>)=10 vs (aa,aa)=10 → lexicographic: '</w>' < 'aa'
+    # r3: (aa,aa</w>) = 10
+    # r4: (b,c)=3 beats (c,</w>)=3 lexicographically
+    docs = [(i, " ".join(["aaaa"] * 10 + ["bc"] * 3), "en", "s", 1) for i in range(1)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in _q("q_bpe_merges")(spark, d).orderBy("merge_rank").collect()
+        ]
+    assert got == [
+        (1, "a", "a", 30),
+        (2, "aa", "</w>", 10),
+        (3, "aa", "aa</w>", 10),
+        (4, "b", "c", 3),
+    ]
+
+
+def test_bpe_merges_deterministic_on_corpus(spark):
+    a = _q("q_bpe_merges")(spark, SF_SMOKE).orderBy("merge_rank").collect()
+    b = _q("q_bpe_merges")(spark, SF_SMOKE).orderBy("merge_rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 4
+    assert all(r["pair_count"] > 0 for r in a)
+
+
+# --- decile lift ------------------------------------------------------------
+
+
+def test_decile_lift_capture_and_weighted_lift(spark):
+    rows = sorted(
+        _q("q_decile_lift")(spark, SF_SMOKE).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # cumulative capture is monotone and ends at 1
+    caps = [r["cum_capture"] for r in rows]
+    assert all(b >= a for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-6
+    # per-decile counts are equal within 1 (floor banding)
+    ns = [r["n"] for r in rows]
+    assert max(ns) - min(ns) <= 1
+    # lift averaged over deciles (weighted by n) is 1 by construction
+    total = sum(ns)
+    pos = sum(r["n_pos"] for r in rows)
+    w_lift = sum(r["lift"] * r["n"] for r in rows) / total
+    assert abs(w_lift - 1.0) < 1e-3
+    assert pos > 0

@@ -59,6 +59,10 @@ ALLPAIRS_OK = {
     "q_ks_test",            # 1-row sample-size totals cross joined (broadcast)
     "q_auc",                # 1-row class-count totals cross joined (broadcast)
     "q_k_anonymity",        # 1-row total cross joined (broadcast)
+    "q_chi_square",         # 1-row n/dof/marginal-dims aggregates cross joined (broadcast)
+    "q_basket_lift",        # 1-row order-count aggregate cross joined (broadcast)
+    "q_knn_triangles",      # 1-row edge/wedge/triangle counts cross joined (broadcast)
+    "q_decile_lift",        # 1-row global-rate totals cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
