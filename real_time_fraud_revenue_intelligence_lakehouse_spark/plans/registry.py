@@ -174,6 +174,21 @@ _FRONT: tuple[str, ...] = (
     "q_bfs_distance",
     "q_prefix_jaccard_join",
     "q_lsh_quality",
+    # round-6 additions (slots 101+, cheapest-first by warm sf0.01
+    # selfcheck runtime) — queue behind everything still unverified.
+    "q_weighted_sample",
+    "q_decile_lift",
+    "q_topk_per_group",
+    "q_allocation",
+    "q_graph_degree",
+    "q_cumulative_distinct",
+    "q_twap",
+    "q_basket_lift",
+    "q_yoy_growth",
+    "q_chi_square",
+    "q_bpe_merges",
+    "q_inverted_index",
+    "q_knn_triangles",
 )
 
 
