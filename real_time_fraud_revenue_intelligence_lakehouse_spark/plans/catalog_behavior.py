@@ -511,3 +511,114 @@ def q_round_amount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(z, 6).alias("z_score"),
         )
     )
+
+
+# --- Kaplan-Meier survival --------------------------------------------------
+
+R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+R8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+KM_TARGET = "purchase"
+
+
+@query(
+    "q_survival_km",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+             min(CASE WHEN event_type = '{KM_TARGET}' THEN ts END) AS t_target
+      FROM events GROUP BY 1
+    ),
+    obs AS (
+      SELECT CASE WHEN t_target IS NOT NULL
+                  THEN date_diff('day', CAST(t0 AS DATE), CAST(t_target AS DATE))
+                  ELSE date_diff('day', CAST(t0 AS DATE), CAST(t_last AS DATE)) END AS dur,
+             CASE WHEN t_target IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM users
+    ),
+    g AS (
+      SELECT dur, sum(ev) AS d, count(*) - sum(ev) AS c FROM obs GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n FROM obs),
+    r AS (
+      SELECT dur, d, c,
+             n - coalesce(sum(d + c) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM g, tot
+    ),
+    km AS (
+      SELECT dur, d, c, n_risk,
+             CASE WHEN d = 0 OR d = n_risk THEN CAST(0 AS DECIMAL(38,8))
+                  ELSE CAST({R8.format(c="ln(1 - CAST(d AS DOUBLE) / n_risk)")}
+                            AS DECIMAL(38,8)) END AS lnterm,
+             CASE WHEN d = n_risk AND d > 0 THEN 1 ELSE 0 END AS hit_zero
+      FROM r
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN max(hit_zero) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+                ELSE {R6.format(c="exp(CAST(sum(lnterm) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))")}
+           END AS survival
+    FROM km
+    """,
+    tags=("behavior", "survival", "statistics"),
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: users
+    enter at their first event; a first '{KM_TARGET}' is the event,
+    users without one are right-censored at their last activity — the
+    time-to-conversion estimator that handles censoring correctly
+    (naive conversion-rate-by-day ignores users still "alive"). One
+    per-user agg reduces the event log; the risk table and the
+    product-limit estimator run on |distinct durations| rows. The
+    running product is computed as exp(Σ ln(1−d/n)) with det-rounded
+    decimal-accumulated terms — layout-free and engine-portable; the
+    d = n_risk boundary (curve hits exactly 0, ln singular) is carried
+    as an explicit flag instead."""
+    e = read_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(F.when(F.col("event_type") == KM_TARGET, F.col("ts"))).alias("t_target"),
+    )
+    has = F.col("t_target").isNotNull()
+    obs = users.select(
+        F.when(
+            has, F.datediff(F.to_date("t_target"), F.to_date("t0"))
+        ).otherwise(F.datediff(F.to_date("t_last"), F.to_date("t0"))).alias("dur"),
+        F.when(has, 1).otherwise(0).alias("ev"),
+    )
+    g = obs.groupBy("dur").agg(
+        F.sum("ev").alias("d"), (F.count(F.lit(1)) - F.sum("ev")).alias("c")
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("n"))
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = g.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
+    )
+    km = r.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.when((F.col("d") == 0) | (F.col("d") == F.col("n_risk")), F.lit(0).cast("decimal(38,8)"))
+        .otherwise(
+            det_round(F.log(F.lit(1) - F.col("d").cast("double") / F.col("n_risk")), 8).cast(
+                "decimal(38,8)"
+            )
+        )
+        .alias("lnterm"),
+        F.when((F.col("d") == F.col("n_risk")) & (F.col("d") > 0), 1).otherwise(0).alias("hit_zero"),
+    )
+    return km.select(
+        F.col("dur").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.max("hit_zero").over(wcum) == 1, F.lit(0.0))
+        .otherwise(det_round(F.exp(F.sum("lnterm").over(wcum).cast("double")), 6))
+        .alias("survival"),
+    )

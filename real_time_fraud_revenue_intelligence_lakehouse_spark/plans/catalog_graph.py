@@ -323,3 +323,102 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").cast("long").alias("max_deg"),
         )
     )
+
+
+# --- item-item collaborative filtering ---------------------------------------
+
+ITEM_K = 3  # similar items kept per part
+
+
+@query(
+    "q_item_sim",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    singles AS (
+      SELECT l_partkey, count(*) AS part_orders FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_SUP}
+    ),
+    directed AS (
+      SELECT pa AS part, pb AS neighbor, co FROM pairs
+      UNION ALL
+      SELECT pb AS part, pa AS neighbor, co FROM pairs
+    ),
+    scored AS (
+      SELECT d.part, d.neighbor, d.co,
+             d.co / sqrt(sa.part_orders * CAST(sb.part_orders AS DOUBLE)) AS sim
+      FROM directed d
+      JOIN singles sa ON d.part = sa.l_partkey
+      JOIN singles sb ON d.neighbor = sb.l_partkey
+    )
+    SELECT part, neighbor, CAST(co AS BIGINT) AS co_orders,
+           {R6.format(c="sim")} AS sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT part, neighbor, co, sim,
+             row_number() OVER (PARTITION BY part
+                                ORDER BY sim DESC, neighbor ASC) AS rk
+      FROM scored
+    )
+    WHERE rk <= {ITEM_K}
+    """,
+    tags=("graph", "recommender", "window"),
+)
+def q_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    parts over binary order-occurrence vectors (co/√(nₐ·n_b)), top
+    {ITEM_K} neighbors per part — the classic "customers also bought"
+    recommender build. Reuses the basket-pair tier (per-order sorted-
+    set comprehension, one shuffle, min-support prune) so the
+    similarity graph never sees the random-pair tail; the per-part
+    ranking window runs on the pruned pair set, whose per-part width
+    the support floor bounds. Similarity divides exact integers by a
+    sqrt of exact integers — bit-stable; ranking ties break on the
+    neighbor id."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    singles = grouped.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("part_orders"))
+    pair_expr = (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+    )
+    pairs = (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= MIN_SUP)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("part"), F.col("pb").alias("neighbor"), "co"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("part"), F.col("pa").alias("neighbor"), "co")
+    )
+    sa = singles.select(F.col("l_partkey").alias("part"), F.col("part_orders").alias("na"))
+    sb = singles.select(F.col("l_partkey").alias("neighbor"), F.col("part_orders").alias("nb"))
+    scored = (
+        directed.join(sa, "part")
+        .join(sb, "neighbor")
+        .withColumn("sim", F.col("co") / F.sqrt(F.col("na") * F.col("nb").cast("double")))
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ITEM_K)
+        .select(
+            "part",
+            "neighbor",
+            F.col("co").cast("long").alias("co_orders"),
+            det_round(F.col("sim"), 6).alias("sim"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -29,6 +29,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars impo
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
+R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
 R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
 R8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
 
@@ -338,4 +339,111 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_pos").over(wcum).cast("double") / F.col("pt"), 6
             ).alias("cum_capture"),
         )
+    )
+
+
+# --- CUSUM change-point detection -------------------------------------------
+
+CUSUM_K = 0.5  # slack, in std units
+CUSUM_H = 5.0  # alarm threshold, in std units
+
+
+@query(
+    "q_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(rev AS DECIMAL(38,2))) AS DOUBLE) / count(*) AS mean
+      FROM daily
+    ),
+    st AS (
+      -- two-pass centered variance: deviations are ~1e6 where raw
+      -- squares are ~1e12 — the det-rounded long stays far from 2^63
+      -- (floor(rev^2 * 1e6) overflowed Spark's long-typed floor)
+      SELECT n, mean,
+             sqrt(CAST(sum(CAST({R4.format(c="(rev - mean) * (rev - mean)")}
+                  AS DECIMAL(38,4))) AS DOUBLE) / (n - 1)) AS sd
+      FROM daily, m GROUP BY n, mean
+    ),
+    d AS (
+      SELECT day, rev,
+             CAST({R6.format(c="(rev - mean) / sd - " + repr(CUSUM_K))} AS DECIMAL(38,6)) AS dev
+      FROM daily, st
+    ),
+    c AS (
+      SELECT day, rev, dev,
+             sum(dev) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+      FROM d
+    ),
+    s AS (
+      SELECT day, rev, dev, cu,
+             CAST(cu AS DOUBLE) - least(CAST(min(cu) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 0.0)
+               AS cusum
+      FROM c
+    )
+    SELECT day, rev AS revenue,
+           {R6.format(c="CAST(dev AS DOUBLE)")} AS zdev,
+           {R6.format(c="cusum")} AS cusum,
+           CAST(CASE WHEN cusum > {CUSUM_H!r} THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM s
+    """,
+    tags=("monitoring", "changepoint", "timeseries"),
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detector over daily revenue: the
+    sequential statistic s_t = max(0, s_{{t-1}} + (z_t − k)) flags a
+    sustained upward mean shift when it crosses h — the classic SPC
+    drift alarm (k=0.5σ slack, h=5σ), complementing the distribution
+    gates (PSI/KS) with a TIME-ORDERED one. The recursion is not a
+    window aggregate, but it has the closed reflection form
+    s_t = cum_t − min(0, min_{{j≤t}} cum_j), so two cumulative windows
+    over the |days|-sized frame compute it exactly. Deviations are
+    det-rounded into decimal(38,6) before the cumulative sums —
+    associative, layout-free; day-level revenue reduces the fact
+    first, so nothing past the first agg scales with the table."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("rev").cast("decimal(38,2)")).cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+    dev2 = det_round((F.col("rev") - F.col("mean")) * (F.col("rev") - F.col("mean")), 4)
+    st = (
+        daily.crossJoin(F.broadcast(m))
+        .groupBy("n", "mean")
+        .agg(
+            F.sqrt(
+                F.sum(dev2.cast("decimal(38,4)")).cast("double") / (F.col("n") - 1)
+            ).alias("sd")
+        )
+    )
+    d = daily.crossJoin(F.broadcast(st)).select(
+        "day",
+        "rev",
+        det_round((F.col("rev") - F.col("mean")) / F.col("sd") - CUSUM_K, 6)
+        .cast("decimal(38,6)")
+        .alias("dev"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.withColumn("cu", F.sum("dev").over(wcum))
+    s = c.withColumn(
+        "cusum",
+        F.col("cu").cast("double")
+        - F.least(F.min("cu").over(wcum).cast("double"), F.lit(0.0)),
+    )
+    return s.select(
+        "day",
+        F.col("rev").alias("revenue"),
+        det_round(F.col("dev").cast("double"), 6).alias("zdev"),
+        det_round(F.col("cusum"), 6).alias("cusum"),
+        F.when(F.col("cusum") > CUSUM_H, 1).otherwise(0).cast("long").alias("alarm"),
     )

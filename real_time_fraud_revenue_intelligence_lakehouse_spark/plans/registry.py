@@ -189,6 +189,9 @@ _FRONT: tuple[str, ...] = (
     "q_bpe_merges",
     "q_inverted_index",
     "q_knn_triangles",
+    "q_survival_km",
+    "q_cusum",
+    "q_item_sim",
 )
 
 

@@ -368,3 +368,101 @@ def test_decile_lift_capture_and_weighted_lift(spark):
     w_lift = sum(r["lift"] * r["n"] for r in rows) / total
     assert abs(w_lift - 1.0) < 1e-3
     assert pos > 0
+
+
+# --- Kaplan-Meier -----------------------------------------------------------
+
+
+def test_survival_km_planted_curve(spark):
+    # u1,u2 convert on day 2 (of 4 at risk) → S(2)=0.5; u3 censored day 5;
+    # u4 converts day 7 with n_risk=1 → curve hits exactly 0.
+    events = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-03 00:00:00", 1, "purchase", 1.0, "{}"),
+        (3, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"),
+        (4, "2024-01-03 00:00:00", 2, "purchase", 1.0, "{}"),
+        (5, "2024-01-01 00:00:00", 3, "view", 1.0, "{}"),
+        (6, "2024-01-06 00:00:00", 3, "click", 1.0, "{}"),
+        (7, "2024-01-01 00:00:00", 4, "view", 1.0, "{}"),
+        (8, "2024-01-08 00:00:00", 4, "purchase", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, events)
+        rows = {r["duration_days"]: r for r in _q("q_survival_km")(spark, d).collect()}
+    assert rows[2]["n_risk"] == 4 and rows[2]["n_events"] == 2
+    assert rows[2]["survival"] == 0.5
+    assert rows[5]["n_censored"] == 1 and rows[5]["survival"] == 0.5
+    assert rows[7]["n_risk"] == 1 and rows[7]["survival"] == 0.0
+
+
+def test_survival_km_monotone_on_corpus(spark):
+    rows = sorted(
+        _q("q_survival_km")(spark, SF_SMOKE).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    s = [r["survival"] for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in s)
+    assert all(b <= a + 1e-9 for a, b in zip(s, s[1:]))  # non-increasing
+    # risk set shrinks by exactly the departures at each step
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt["n_risk"] == prev["n_risk"] - prev["n_events"] - prev["n_censored"]
+
+
+# --- CUSUM ------------------------------------------------------------------
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    # 30 stable days at ~100, then 10 shifted days at ~200: the alarm
+    # must stay silent in the stable window and fire inside the shift.
+    orders = [(i, 1, "O", 100.0 + (i % 3), f"2024-01-{i % 30 + 1:02d}", "P") for i in range(30)]
+    orders += [(100 + i, 1, "O", 200.0 + (i % 3), f"2024-02-{i + 1:02d}", "P") for i in range(10)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        rows = sorted(_q("q_cusum")(spark, d).collect(), key=lambda r: r["day"])
+    assert all(r["cusum"] >= 0.0 for r in rows)
+    jan = [r for r in rows if r["day"].month == 1]
+    feb = [r for r in rows if r["day"].month == 2]
+    assert all(r["alarm"] == 0 for r in jan)
+    assert any(r["alarm"] == 1 for r in feb)
+    # recursion cross-check: s_t == max(0, s_{t-1} + zdev_t) within rounding
+    s = 0.0
+    for r in rows:
+        s = max(0.0, s + r["zdev"])
+        assert abs(s - r["cusum"]) < 1e-4, (r["day"], s, r["cusum"])
+
+
+# --- item-item CF -----------------------------------------------------------
+
+
+def test_item_sim_planted_cosine(spark):
+    # parts 1,2 in 3 common orders of 4/3 appearances → sim 3/sqrt(12)
+    li = (
+        [_li(1, 1, 1), _li(1, 2, 1)]
+        + [_li(2, 1, 1), _li(2, 2, 1)]
+        + [_li(3, 1, 1), _li(3, 2, 1)]
+        + [_li(4, 1, 1), _li(4, 3, 1)]
+        + [_li(5, 3, 1)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write_lineitem(spark, d, li)
+        out = {(r["part"], r["neighbor"]): r for r in _q("q_item_sim")(spark, d).collect()}
+    import math
+
+    exp = round(math.floor((3 / math.sqrt(4 * 3)) * 1e6 + 0.5) / 1e6, 6)
+    assert out[(1, 2)]["sim"] == exp and out[(2, 1)]["sim"] == exp
+    assert out[(1, 2)]["rk"] == 1 and out[(1, 2)]["co_orders"] == 3
+    assert (1, 3) not in out  # below min support
+
+
+def test_item_sim_respects_k_cap(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_graph import ITEM_K
+
+    rows = _q("q_item_sim")(spark, SF_SMOKE).collect()
+    assert rows
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r["part"], []).append(r["rk"])
+    for part, rks in per_part.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= ITEM_K

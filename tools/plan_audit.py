@@ -63,6 +63,8 @@ ALLPAIRS_OK = {
     "q_basket_lift",        # 1-row order-count aggregate cross joined (broadcast)
     "q_knn_triangles",      # 1-row edge/wedge/triangle counts cross joined (broadcast)
     "q_decile_lift",        # 1-row global-rate totals cross joined (broadcast)
+    "q_cusum",              # 1-row mean/sd stats cross joined (broadcast)
+    "q_survival_km",        # 1-row population-size aggregate cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
