@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import NORM, TOKS
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
@@ -281,4 +282,78 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bl").alias("left_sym"),
         F.col("br").alias("right_sym"),
         F.col("cnt").cast("long").alias("pair_count"),
+    )
+
+
+# --- readability scoring ----------------------------------------------------
+
+R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
+R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+
+# Heuristic counts (identical RE2-compatible regexes on both engines):
+# sentences = punctuation runs [.!?]+ (min 1), words = whitespace
+# tokens, syllables = vowel groups [aeiouy]+ in the lowercased text.
+_SENT_RE = "[.!?]+"
+_SYL_RE = "[aeiouy]+"
+
+
+@query(
+    "q_readability",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             greatest(len(regexp_extract_all(text, '{_SENT_RE}')), 1) AS sentences,
+             len(regexp_extract_all(trim(text), '\\S+')) AS words,
+             greatest(len(regexp_extract_all(lower(text), '{_SYL_RE}')), 1) AS syllables
+      FROM documents
+      WHERE trim(text) <> ''
+    ),
+    f AS (
+      SELECT source, sentences, words, syllables,
+             CAST({R4.format(c=(
+                 "206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)"
+                 " - 84.6 * (CAST(syllables AS DOUBLE) / words)"
+             ))} AS DECIMAL(38,4)) AS flesch
+      FROM d WHERE words > 0
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS total_words,
+           {R6.format(c="CAST(sum(flesch) AS DOUBLE) / count(*)")} AS avg_flesch
+    FROM f GROUP BY 1
+    """,
+    tags=("ext", "text", "quality"),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source: 206.835 − 1.015·(words/
+    sentence) − 84.6·(syllables/word), with regex-heuristic sentence/
+    syllable counts (punctuation runs; vowel groups) — the fluency
+    gate corpus pipelines run next to stopword/length quality scores
+    (quality_score, gopher_quality), and a per-SOURCE aggregate so
+    template-heavy feeds stand out. Counting is three regexp_count
+    passes fused into one scan (row-local, codegen); per-doc scores
+    det-round into decimal(38,4) before the source-level mean, so the
+    aggregate is layout-free. All ratios divide exact integers."""
+    d = read_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    counted = d.select(
+        "source",
+        F.greatest(F.regexp_count(F.col("text"), F.lit(_SENT_RE)), F.lit(1)).alias("sentences"),
+        F.regexp_count(F.trim(F.col("text")), F.lit(r"\S+")).alias("words"),
+        F.greatest(
+            F.regexp_count(F.lower(F.col("text")), F.lit(_SYL_RE)), F.lit(1)
+        ).alias("syllables"),
+    ).filter(F.col("words") > 0)
+    flesch = det_round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words")),
+        4,
+    ).cast("decimal(38,4)")
+    return (
+        counted.withColumn("flesch", flesch)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            det_round(F.sum("flesch").cast("double") / F.count(F.lit(1)), 6).alias("avg_flesch"),
+        )
     )

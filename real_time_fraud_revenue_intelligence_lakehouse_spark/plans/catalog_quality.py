@@ -21,6 +21,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.quality impo
     check_unique,
     run_suite,
 )
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
@@ -233,4 +234,162 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.col("group_size").cast("double") / F.col("total"), 6).alias(
             "row_share"
         ),
+    )
+
+
+# --- functional-dependency discovery ----------------------------------------
+
+R6Q = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+
+#: Candidate FDs profiled over the part table (lhs → rhs).
+FD_CANDIDATES = (
+    ("p_partkey", "p_name"),
+    ("p_name", "p_brand"),
+    ("p_brand", "p_type"),
+    ("p_type", "p_size"),
+)
+
+
+@query(
+    "q_fd_discovery",
+    oracle="""
+    {body}
+    """.format(
+        body="\n    UNION ALL\n    ".join(
+            f"""SELECT '{lhs}->{rhs}' AS fd,
+           CAST(count(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT ({lhs}, {rhs})) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT ({lhs}, {rhs})) - count(DISTINCT {lhs}) AS BIGINT)
+             AS violations,
+           CAST(CASE WHEN count(DISTINCT ({lhs}, {rhs})) = count(DISTINCT {lhs})
+                     THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM part"""
+            for lhs, rhs in FD_CANDIDATES
+        )
+    ),
+    tags=("quality", "profiling"),
+)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs:
+    lhs → rhs holds iff every lhs value maps to exactly one rhs value,
+    i.e. |distinct (lhs, rhs)| = |distinct lhs| — the data-profiling
+    primitive behind key detection, normalization advice, and schema
+    drift alarms (a dependency that held yesterday and breaks today is
+    an upstream bug). ONE scan serves all candidates: the pair list
+    unpivots via explode into (fd, lhs, rhs) rows, then a single
+    two-level distinct aggregation scores every FD — vs the naive
+    one-scan-per-candidate loop, the profile cost stays flat as the
+    candidate list grows (the property that matters when profiling
+    hundreds of pairs at 100 TB)."""
+    p = read_table(spark, sf_dir, "part")
+    stacked = p.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{lhs}->{rhs}").alias("fd"),
+                        F.col(lhs).cast("string").alias("l"),
+                        F.col(rhs).cast("string").alias("r"),
+                    )
+                    for lhs, rhs in FD_CANDIDATES
+                ]
+            )
+        ).alias("x")
+    ).select("x.fd", "x.l", "x.r")
+    per_pair = stacked.groupBy("fd", "l", "r").agg(F.count(F.lit(1)).alias("_n"))
+    per_lhs = per_pair.groupBy("fd", "l").agg(F.count(F.lit(1)).alias("n_r"))
+    return per_lhs.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_lhs"),
+        F.sum("n_r").alias("n_pairs"),
+        (F.sum("n_r") - F.count(F.lit(1))).alias("violations"),
+        F.when(F.sum("n_r") == F.count(F.lit(1)), 1).otherwise(0).cast("long").alias("holds"),
+    ).select(
+        "fd",
+        F.col("n_lhs").cast("long").alias("n_lhs"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("violations").cast("long").alias("violations"),
+        "holds",
+    )
+
+
+# --- cross-table reconciliation ---------------------------------------------
+
+RECON_TOL = 0.05  # relative-difference alarm threshold
+
+
+@query(
+    "q_reconciliation",
+    oracle=f"""
+    WITH o AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS orders_total,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT date_trunc('month', CAST(ord.o_orderdate AS DATE)) AS month,
+             CAST(sum(CAST({{r2}} AS DECIMAL(18,2))) AS DOUBLE) AS lineitem_total,
+             count(DISTINCT li.l_orderkey) AS n_li_orders
+      FROM lineitem li JOIN orders ord ON li.l_orderkey = ord.o_orderkey
+      GROUP BY 1
+    )
+    SELECT o.month, o.orders_total,
+           coalesce(l.lineitem_total, 0.0) AS lineitem_total,
+           CAST(o.n_orders AS BIGINT) AS n_orders,
+           CAST(coalesce(l.n_li_orders, 0) AS BIGINT) AS n_li_orders,
+           {{r6}} AS rel_diff,
+           CAST(CASE WHEN abs(o.orders_total - coalesce(l.lineitem_total, 0.0))
+                          > {RECON_TOL} * o.orders_total
+                     THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM o LEFT JOIN l ON o.month = l.month
+    """.format(
+        r2="(floor((li.l_extendedprice * (1 - li.l_discount)) * 100.0 + 0.5) / 100.0)",
+        r6=R6Q.format(
+            c="abs(o.orders_total - coalesce(l.lineitem_total, 0.0)) / o.orders_total"
+        ),
+    ),
+    tags=("quality", "reconciliation"),
+)
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mart reconciliation: per order month, the orders-table revenue
+    vs the lineitem-derived revenue (discounted extended price), with
+    order-count coverage and a relative-difference alarm — the
+    summing-check every warehouse runs between a fact and its rollup
+    (the reference reconciles its revenue marts against raw payments
+    the same way). Both sides reduce to |months| rows before the
+    join; the lineitem branch shuffles once on orderkey to pick up the
+    month. Decimal accumulation + det-rounded per-line revenue keep
+    both totals layout-free, so the alarm bit itself is hash-stable."""
+    o = read_table(spark, sf_dir, "orders")
+    om = o.groupBy(F.date_trunc("month", F.to_date("o_orderdate")).alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("orders_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        det_round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+        .cast("decimal(18,2)")
+        .alias("rev"),
+    )
+    lm = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.date_trunc("month", F.to_date("o_orderdate")).alias("month"))
+        .agg(
+            F.sum("rev").cast("double").alias("lineitem_total"),
+            F.countDistinct("l_orderkey").alias("n_li_orders"),
+        )
+    )
+    j = om.join(lm, "month", "left")
+    lt = F.coalesce(F.col("lineitem_total"), F.lit(0.0))
+    return j.select(
+        "month",
+        "orders_total",
+        lt.alias("lineitem_total"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.coalesce(F.col("n_li_orders"), F.lit(0)).cast("long").alias("n_li_orders"),
+        det_round(F.abs(F.col("orders_total") - lt) / F.col("orders_total"), 6).alias("rel_diff"),
+        F.when(F.abs(F.col("orders_total") - lt) > RECON_TOL * F.col("orders_total"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("alarm"),
     )

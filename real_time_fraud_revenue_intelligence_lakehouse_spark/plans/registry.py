@@ -192,6 +192,9 @@ _FRONT: tuple[str, ...] = (
     "q_survival_km",
     "q_cusum",
     "q_item_sim",
+    "q_readability",
+    "q_fd_discovery",
+    "q_reconciliation",
 )
 
 

@@ -466,3 +466,93 @@ def test_item_sim_respects_k_cap(spark):
     for part, rks in per_part.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= ITEM_K
+
+
+# --- FD discovery -----------------------------------------------------------
+
+
+def test_fd_discovery_planted_dependency(spark):
+    # p_partkey→p_name holds (key); p_brand→p_type violated by brand B1
+    parts = [
+        (1, "alpha", "B1", "T1", 5, 10.0),
+        (2, "beta", "B1", "T2", 5, 10.0),
+        (3, "gamma", "B2", "T3", 5, 10.0),
+        (4, "delta", "B2", "T3", 5, 10.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            parts,
+            "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+        ).write.parquet(f"{d}/part.parquet")
+        out = {r["fd"]: r for r in _q("q_fd_discovery")(spark, d).collect()}
+    assert out["p_partkey->p_name"]["holds"] == 1
+    assert out["p_partkey->p_name"]["violations"] == 0
+    b = out["p_brand->p_type"]
+    assert b["holds"] == 0 and b["n_lhs"] == 2 and b["n_pairs"] == 3 and b["violations"] == 1
+
+
+def test_fd_discovery_consistency_on_corpus(spark):
+    rows = _q("q_fd_discovery")(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_pairs"] >= r["n_lhs"]
+        assert r["violations"] == r["n_pairs"] - r["n_lhs"]
+        assert r["holds"] == (1 if r["violations"] == 0 else 0)
+    # partkey is the table key → its FD must hold
+    assert {r["fd"]: r["holds"] for r in rows}["p_partkey->p_name"] == 1
+
+
+# --- reconciliation ---------------------------------------------------------
+
+
+def test_reconciliation_planted_mismatch(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_quality import RECON_TOL
+
+    # month 1 reconciles exactly; month 2's lineitem side is short 50%
+    orders = [
+        (1, 1, "O", 200.0, "2024-01-15", "P"),
+        (2, 1, "O", 200.0, "2024-02-15", "P"),
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 200.0, 0.0, 0.0, "N", "O", "2024-01-16"),
+        (2, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "2024-02-16"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        _write_lineitem(spark, d, li)
+        out = {r["month"].month: r for r in _q("q_reconciliation")(spark, d).collect()}
+    assert out[1]["alarm"] == 0 and out[1]["rel_diff"] == 0.0
+    assert out[2]["alarm"] == 1 and out[2]["rel_diff"] == 0.5
+    assert out[2]["n_orders"] == 1 and out[2]["n_li_orders"] == 1
+    assert RECON_TOL < 0.5
+
+
+# --- readability ------------------------------------------------------------
+
+
+def test_readability_planted_formula(spark):
+    # "the cat sat." → 3 words, 1 sentence, 3 syllables (e/a/a)
+    # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    docs = [(1, "the cat sat.", "en", "simple", 12)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        row = _q("q_readability")(spark, d).collect()[0]
+    assert row["n_docs"] == 1 and row["total_words"] == 3
+    assert abs(row["avg_flesch"] - (206.835 - 1.015 * 3 - 84.6 * 1.0)) < 1e-3
+
+
+def test_readability_orders_simple_before_dense(spark):
+    # many short monosyllabic sentences must out-score one long
+    # polysyllabic run-on
+    docs = [
+        (1, "we go. we sit. we eat. it is so.", "en", "simple", 30),
+        (2, "organizational sustainability considerations notwithstanding expeditious implementation", "en", "dense", 90),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r["avg_flesch"] for r in _q("q_readability")(spark, d).collect()}
+    assert out["simple"] > out["dense"]
