@@ -77,6 +77,11 @@ def main() -> None:
         "q_velocity_window",     # range-frame window
         "q_minhash_signature",   # corpus shingle pipeline
         "q_dedup_exact",         # hash-shuffle dedup
+        "q_basket_lift",         # per-order pair comprehension + pair-key agg
+        "q_knn_triangles",       # co-occurrence self-join + kNN cap + triangle closure
+        "q_item_sim",            # pruned pair tier + per-part ranking window
+        "q_bpe_merges",          # corpus scan + 4 vocab-table merge rounds
+        "q_inverted_index",      # (term,doc) shuffle + term windows
     ]
     print(f"{'query':24s} {'1x':>8s} {'10x':>8s} {'ratio':>7s}")
     for name in probes:
