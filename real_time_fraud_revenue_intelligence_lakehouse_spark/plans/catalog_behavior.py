@@ -622,3 +622,70 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(det_round(F.exp(F.sum("lnterm").over(wcum).cast("double")), 6))
         .alias("survival"),
     )
+
+
+# --- range anti-join: abandoned intents --------------------------------------
+
+ABANDON_DAYS = 7
+
+
+@query(
+    "q_abandoned",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    flagged AS (
+      SELECT c.user_id,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = c.user_id
+                 AND p.ts >= c.ts
+                 AND p.ts < c.ts + INTERVAL {ABANDON_DAYS} DAY
+             ) THEN 0 ELSE 1 END AS abandoned
+      FROM clicks c
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(abandoned) AS BIGINT) AS n_abandoned,
+           {R4.format(c="CAST(sum(abandoned) AS DOUBLE) / count(*)")} AS abandon_rate
+    FROM flagged GROUP BY 1
+    """,
+    tags=("behavior", "anti-join", "temporal"),
+)
+def q_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment screen: per user, clicks NOT followed by a purchase
+    within {ABANDON_DAYS} days — the temporal NOT-EXISTS shape behind
+    cart-abandonment, un-actioned-alert, and dropped-case metrics
+    (the follow-up analysis to q_event_funnel's conversion view). The
+    engine form is a LEFT ANTI join whose condition carries the
+    equi-key (user) plus the time-range residual — Spark keeps the
+    hash join on user_id and evaluates the range as a residual filter,
+    so the probe never expands; only (user_id, ts) ships from the
+    purchase side. Per-user rates then aggregate exact integers."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") < F.col("cts") + F.expr(f"INTERVAL {ABANDON_DAYS} DAYS"))
+    )
+    abandoned = clicks.join(purchases, cond, "left_anti").groupBy(
+        F.col("cu").alias("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_abandoned"))
+    totals = clicks.groupBy(F.col("cu").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    j = totals.join(abandoned, "user_id", "left").fillna(0, subset=["n_abandoned"])
+    return j.select(
+        "user_id",
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+        F.col("n_abandoned").cast("long").alias("n_abandoned"),
+        det_round(F.col("n_abandoned").cast("double") / F.col("n_clicks"), 4).alias("abandon_rate"),
+    )

@@ -447,3 +447,172 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.col("cusum"), 6).alias("cusum"),
         F.when(F.col("cusum") > CUSUM_H, 1).otherwise(0).cast("long").alias("alarm"),
     )
+
+
+# --- OLS trend + forecast ---------------------------------------------------
+
+OLS_HORIZON = 7  # days ahead to project
+
+
+@query(
+    "q_ols_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tx AS (
+      SELECT date_diff('day', (SELECT min(day) FROM daily), day) AS t, rev
+      FROM daily
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(t) AS DOUBLE) / count(*) AS tbar,
+             CAST(sum(CAST(rev AS DECIMAL(38,2))) AS DOUBLE) / count(*) AS ybar,
+             max(t) AS tmax
+      FROM tx
+    ),
+    c AS (
+      SELECT n, tbar, ybar, tmax,
+             CAST(sum(CAST({R4.format(c="(t - tbar) * (rev - ybar)")} AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST({R4.format(c="(t - tbar) * (t - tbar)")} AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST({R4.format(c="(rev - ybar) * (rev - ybar)")} AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM tx, m GROUP BY n, tbar, ybar, tmax
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           {R6.format(c="sxy / sxx")} AS slope,
+           {R6.format(c="ybar - (sxy / sxx) * tbar")} AS intercept,
+           {R6.format(c="(sxy * sxy) / (sxx * syy)")} AS r2,
+           {R6.format(c=f"(ybar - (sxy / sxx) * tbar) + (sxy / sxx) * (tmax + {OLS_HORIZON})")} AS forecast
+    FROM c
+    """,
+    tags=("monitoring", "regression", "timeseries"),
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend over daily revenue: slope,
+    intercept, R², and the {OLS_HORIZON}-day-ahead projection — the
+    "is revenue structurally growing and by how much" question the
+    reference's dashboards answer by eye, as a hash-gated statistic.
+    Two-pass centered sums (means first, then det-rounded centered
+    products folded through decimal(38,4)) keep every sum layout-free
+    and far from the long-floor overflow the raw-moment form hits
+    (the q_cusum lesson); the day-level reduce bounds everything
+    downstream at |days| rows. Closed-form OLS needs no iteration —
+    the right tool before reaching for gradient descent."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    tx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "d0").alias("t"), "rev"
+    )
+    m = tx.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("tbar"),
+        (F.sum(F.col("rev").cast("decimal(38,2)")).cast("double") / F.count(F.lit(1))).alias("ybar"),
+        F.max("t").alias("tmax"),
+    )
+    ct = F.col("t") - F.col("tbar")
+    cy = F.col("rev") - F.col("ybar")
+    c = (
+        tx.crossJoin(F.broadcast(m))
+        .groupBy("n", "tbar", "ybar", "tmax")
+        .agg(
+            F.sum(det_round(ct * cy, 4).cast("decimal(38,4)")).cast("double").alias("sxy"),
+            F.sum(det_round(ct * ct, 4).cast("decimal(38,4)")).cast("double").alias("sxx"),
+            F.sum(det_round(cy * cy, 4).cast("decimal(38,4)")).cast("double").alias("syy"),
+        )
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    intercept = F.col("ybar") - slope * F.col("tbar")
+    return c.select(
+        F.col("n").cast("long").alias("n_days"),
+        det_round(slope, 6).alias("slope"),
+        det_round(intercept, 6).alias("intercept"),
+        det_round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 6).alias("r2"),
+        det_round(intercept + slope * (F.col("tmax") + OLS_HORIZON), 6).alias("forecast"),
+    )
+
+
+# --- day-of-week seasonal anomaly -------------------------------------------
+
+SEAS_Z = 3.0  # flag threshold in per-weekday std units
+
+
+@query(
+    "q_seasonal_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             -- DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based
+             dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT dow, count(*) AS n,
+             CAST(sum(CAST(rev AS DECIMAL(38,2))) AS DOUBLE) / count(*) AS mu
+      FROM daily GROUP BY 1
+    ),
+    sd AS (
+      SELECT d.dow, m.n, m.mu,
+             sqrt(CAST(sum(CAST({R4.format(c="(d.rev - m.mu) * (d.rev - m.mu)")}
+                  AS DECIMAL(38,4))) AS DOUBLE) / (m.n - 1)) AS sigma
+      FROM daily d JOIN m ON d.dow = m.dow
+      GROUP BY d.dow, m.n, m.mu
+    )
+    SELECT d.day, CAST(d.dow AS BIGINT) AS dow, d.rev,
+           {R6.format(c="s.mu")} AS dow_mean,
+           {R6.format(c="(d.rev - s.mu) / s.sigma")} AS resid_z,
+           CAST(CASE WHEN abs(d.rev - s.mu) > {SEAS_Z!r} * s.sigma
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag
+    FROM daily d JOIN sd s ON d.dow = s.dow
+    """,
+    tags=("monitoring", "anomaly", "timeseries"),
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly screen: each day's revenue scored
+    against ITS OWN weekday's mean/std (Monday vs Mondays), so weekly
+    rhythm doesn't masquerade as anomaly the way it does under the
+    global z-score (q_zscore_outliers) — the standard first
+    de-seasonalization in revenue monitoring. Day-level reduce, then
+    7-group two-pass centered stats broadcast back over the day
+    frame; same decimal-fold discipline as q_cusum/q_ols_trend.
+    Weekday indexing is normalized to Spark's 1=Sunday convention
+    (DuckDB's dayofweek is 0-based — the oracle shifts by one)."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev"))
+    m = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("rev").cast("decimal(38,2)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    dev = F.col("rev") - F.col("mu")
+    sd = (
+        daily.join(F.broadcast(m), "dow")
+        .groupBy("dow", "n", "mu")
+        .agg(
+            F.sqrt(
+                F.sum(det_round(dev * dev, 4).cast("decimal(38,4)")).cast("double")
+                / (F.col("n") - 1)
+            ).alias("sigma")
+        )
+    )
+    return (
+        daily.join(F.broadcast(sd.select("dow", "mu", "sigma")), "dow")
+        .select(
+            "day",
+            F.col("dow").cast("long").alias("dow"),
+            "rev",
+            det_round(F.col("mu"), 6).alias("dow_mean"),
+            det_round((F.col("rev") - F.col("mu")) / F.col("sigma"), 6).alias("resid_z"),
+            F.when(F.abs(F.col("rev") - F.col("mu")) > SEAS_Z * F.col("sigma"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("flag"),
+        )
+    )

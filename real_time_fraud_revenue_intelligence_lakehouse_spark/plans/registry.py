@@ -195,6 +195,9 @@ _FRONT: tuple[str, ...] = (
     "q_readability",
     "q_fd_discovery",
     "q_reconciliation",
+    "q_abandoned",
+    "q_ols_trend",
+    "q_seasonal_anomaly",
 )
 
 

@@ -556,3 +556,69 @@ def test_readability_orders_simple_before_dense(spark):
         ).write.parquet(f"{d}/documents.parquet")
         out = {r["source"]: r["avg_flesch"] for r in _q("q_readability")(spark, d).collect()}
     assert out["simple"] > out["dense"]
+
+
+# --- OLS trend --------------------------------------------------------------
+
+
+def test_ols_trend_planted_perfect_line(spark):
+    # daily revenue 100 + 10*t → slope 10, r2 1, forecast at tmax+7
+    orders = [(i, 1, "O", 100.0 + 10.0 * i, f"2024-01-{i + 1:02d}", "P") for i in range(20)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        row = _q("q_ols_trend")(spark, d).collect()[0]
+    assert row["n_days"] == 20
+    assert abs(row["slope"] - 10.0) < 1e-6
+    assert abs(row["intercept"] - 100.0) < 1e-6
+    assert abs(row["r2"] - 1.0) < 1e-6
+    assert abs(row["forecast"] - (100.0 + 10.0 * 26)) < 1e-6
+
+
+# --- seasonal anomaly -------------------------------------------------------
+
+
+def test_seasonal_anomaly_flags_shifted_weekday_only(spark):
+    # 30 weeks: Mondays at 100±1, one Monday at 1000 → only that day
+    # flags (enough weeks that the outlier can't mask itself by
+    # inflating its own weekday's sigma); a global z-score would also
+    # flag ordinary high weekdays.
+    import datetime
+
+    orders = []
+    k = 0
+    base = datetime.date(2024, 1, 1)  # a Monday
+    for w in range(30):
+        for doff in range(7):
+            day = base + datetime.timedelta(days=7 * w + doff)
+            amt = 100.0 + doff * 50 + (w % 3)  # weekday-dependent level
+            if w == 4 and doff == 0:
+                amt = 1000.0  # the anomalous Monday
+            orders.append((k, 1, "O", amt, day.isoformat(), "P"))
+            k += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        rows = _q("q_seasonal_anomaly")(spark, d).collect()
+    flagged = [r["day"].isoformat() for r in rows if r["flag"] == 1]
+    assert flagged == ["2024-01-29"]
+    dows = {r["day"].isoformat(): r["dow"] for r in rows}
+    assert dows["2024-01-01"] == 2  # Monday = 2 in Spark's 1=Sunday convention
+
+
+# --- abandonment ------------------------------------------------------------
+
+
+def test_abandoned_planted_window(spark):
+    events = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),   # converted (+2d)
+        (2, "2024-01-03 00:00:00", 1, "purchase", 1.0, "{}"),
+        (3, "2024-02-01 00:00:00", 1, "click", 1.0, "{}"),   # abandoned (no purchase after)
+        (4, "2024-01-01 00:00:00", 2, "click", 1.0, "{}"),   # abandoned (+8d is outside)
+        (5, "2024-01-09 00:00:00", 2, "purchase", 1.0, "{}"),
+        (6, "2024-01-01 00:00:00", 3, "click", 1.0, "{}"),   # abandoned (other user's purchase)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, events)
+        out = {r["user_id"]: r for r in _q("q_abandoned")(spark, d).collect()}
+    assert out[1]["n_clicks"] == 2 and out[1]["n_abandoned"] == 1 and out[1]["abandon_rate"] == 0.5
+    assert out[2]["n_abandoned"] == 1
+    assert out[3]["n_abandoned"] == 1

@@ -65,6 +65,7 @@ ALLPAIRS_OK = {
     "q_decile_lift",        # 1-row global-rate totals cross joined (broadcast)
     "q_cusum",              # 1-row mean/sd stats cross joined (broadcast)
     "q_survival_km",        # 1-row population-size aggregate cross joined (broadcast)
+    "q_ols_trend",          # 1-row min-day anchor + moment stats cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
