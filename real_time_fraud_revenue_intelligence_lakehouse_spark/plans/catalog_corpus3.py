@@ -114,15 +114,16 @@ BPE_VOCAB = 60  # word types kept (by corpus frequency, tie → lexicographic)
 BPE_ROUNDS = 4  # greedy merges learned
 
 
-def _bpe_oracle() -> str:
-    """Unrolled {BPE_ROUNDS}-round BPE oracle. Each round: count
-    adjacent symbol pairs weighted by word frequency, pick argmax
-    (count desc, pair asc), then apply the merge via run-parity
-    (odd offsets within each run of consecutive matches merge — the
-    SQL-expressible equivalent of the canonical left-to-right scan)."""
+def _bpe_train_ctes() -> list:
+    """Unrolled {BPE_ROUNDS}-round BPE training CTEs. Each round:
+    count adjacent symbol pairs weighted by word frequency, pick
+    argmax (count desc, pair asc), then apply the merge via
+    run-parity (odd offsets within each run of consecutive matches
+    merge — the SQL-expressible equivalent of the canonical
+    left-to-right scan)."""
     parts = [
         f"""
-    WITH words AS (
+    words AS (
       SELECT w AS word, count(*) AS freq
       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
             FROM documents)
@@ -181,13 +182,16 @@ def _bpe_oracle() -> str:
       GROUP BY 1, 2
     )"""
         )
-    body = ",".join(parts)
+    return parts
+
+
+def _bpe_oracle() -> str:
     selects = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, bl AS left_sym, br AS right_sym, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM p{r}"
         for r in range(1, BPE_ROUNDS + 1)
     )
-    return body + "\n    " + selects
+    return "WITH " + ",".join(_bpe_train_ctes()) + "\n    " + selects
 
 
 #: Canonical left-to-right BPE merge as a Catalyst fold: append each
@@ -216,22 +220,10 @@ if(size(toks) < 2,
 """
 
 
-@query("q_bpe_merges", oracle=_bpe_oracle(), tags=("ext", "text", "bpe", "iterative"))
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vocabulary trainer: learn the first {BPE_ROUNDS} merges
-    over the corpus (see module docstring). Execution shape: ONE
-    corpus scan builds the word-type frequency table; the top
-    {BPE_VOCAB} types (weighted by corpus frequency) are pinned with
-    localCheckpoint, and each merge round is pair-explode → weighted
-    count → argmax (a 1-row TakeOrdered) → broadcast the winning pair
-    back over the type table and fold-merge its symbol arrays. Every
-    per-round input is O(vocab · word_len) — independent of corpus
-    size, the property that makes dictionary-based BPE training scale
-    (the reference's LLM-pipeline role for this engine is exactly
-    such corpus prep). localCheckpoint per round bounds the lineage
-    like the PageRank loop; no Python touches row data."""
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-type frequency table — the ONE full scan BPE needs."""
     d = read_table(spark, sf_dir, "documents")
-    words = (
+    return (
         d.select(
             F.explode(
                 F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
@@ -240,18 +232,34 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def _bpe_toks(word: F.Column) -> F.Column:
+    """word → symbol array: chars followed by the </w> end marker."""
+    return F.split(
+        F.concat(F.regexp_replace(word, "(.)", "$1 "), F.lit("</w>")), " "
+    )
+
+
+def _bpe_apply(frame: DataFrame, best: DataFrame, keep: list) -> DataFrame:
+    """Apply one learned merge to a toks-bearing frame (fold; see
+    _BPE_FOLD). ``keep`` lists the passthrough columns."""
+    return (
+        frame.crossJoin(F.broadcast(best.select("bl", "br")))
+        .select(*keep, F.expr(_BPE_FOLD).alias("toks"))
+        .localCheckpoint()
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list:
+    """Learn BPE_ROUNDS merges; returns the 1-row best-pair frames
+    (bl, br, cnt), each localCheckpointed."""
+    words = _bpe_words(spark, sf_dir)
     rk = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word")))
     seqs = (
         words.withColumn("rk", rk)
         .filter(F.col("rk") <= BPE_VOCAB)
-        .select(
-            "word",
-            "freq",
-            F.split(
-                F.concat(F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit("</w>")),
-                " ",
-            ).alias("toks"),
-        )
+        .select("word", "freq", _bpe_toks(F.col("word")).alias("toks"))
         .localCheckpoint()
     )
     bests = []
@@ -267,13 +275,30 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .localCheckpoint()
         )
-        bests.append(best.withColumn("merge_rank", F.lit(r).cast("long")))
+        bests.append(best)
         if r < BPE_ROUNDS:
-            seqs = (
-                seqs.crossJoin(F.broadcast(best.select("bl", "br")))
-                .select("word", "freq", F.expr(_BPE_FOLD).alias("toks"))
-                .localCheckpoint()
-            )
+            seqs = _bpe_apply(seqs, best, ["word", "freq"])
+    return bests
+
+
+@query("q_bpe_merges", oracle=_bpe_oracle(), tags=("ext", "text", "bpe", "iterative"))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary trainer: learn the first {BPE_ROUNDS} merges
+    over the corpus (see module docstring). Execution shape: ONE
+    corpus scan builds the word-type frequency table; the top
+    {BPE_VOCAB} types (weighted by corpus frequency) are pinned with
+    localCheckpoint, and each merge round is pair-explode → weighted
+    count → argmax (a 1-row TakeOrdered) → broadcast the winning pair
+    back over the type table and fold-merge its symbol arrays. Every
+    per-round input is O(vocab · word_len) — independent of corpus
+    size, the property that makes dictionary-based BPE training scale
+    (the reference's LLM-pipeline role for this engine is exactly
+    such corpus prep). localCheckpoint per round bounds the lineage
+    like the PageRank loop; no Python touches row data."""
+    bests = [
+        b.withColumn("merge_rank", F.lit(r).cast("long"))
+        for r, b in enumerate(_bpe_train(spark, sf_dir), start=1)
+    ]
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -356,4 +381,119 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("words").cast("long").alias("total_words"),
             det_round(F.sum("flesch").cast("double") / F.count(F.lit(1)), 6).alias("avg_flesch"),
         )
+    )
+
+
+# --- BPE encoding (apply learned merges) ------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    """Training CTEs (for p1..p{BPE_ROUNDS}) + apply rounds over the
+    FULL vocabulary (same run-parity machinery, no frequency), then
+    per-source fertility/compression from the word-type join."""
+    parts = list(_bpe_train_ctes())
+    parts.append(
+        r"""
+    sw AS (
+      SELECT source, w AS word, count(*) AS cnt
+      FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    aw0 AS (
+      SELECT word,
+             string_split(regexp_replace(word, '(.)', '\1 ', 'g') || '</w>', ' ') AS toks
+      FROM (SELECT DISTINCT word FROM sw)
+    )"""
+    )
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"aw{r - 1}"
+        parts.append(
+            f"""
+    ax{r} AS (
+      SELECT word, i, toks[i] AS tok,
+             CASE WHEN i < len(toks) AND toks[i] = p.bl AND toks[i + 1] = p.br
+                  THEN 1 ELSE 0 END AS m
+      FROM {prev}, p{r} p, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    ay{r} AS (
+      SELECT word, i, tok, m,
+             i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp
+      FROM ax{r}
+    ),
+    az{r} AS (
+      SELECT word, i, tok,
+             CASE WHEN m = 1 AND (row_number() OVER (
+                    PARTITION BY word, m, grp ORDER BY i)) % 2 = 1
+                  THEN 1 ELSE 0 END AS ms
+      FROM ay{r}
+    ),
+    aw{r} AS (
+      SELECT word,
+             string_split(string_agg(
+               CASE WHEN ms = 1 THEN tok || nxt ELSE tok END, ' ' ORDER BY i), ' ')
+               AS toks
+      FROM (
+        SELECT word, i, tok, ms,
+               lead(tok) OVER (PARTITION BY word ORDER BY i) AS nxt,
+               lag(ms, 1, 0) OVER (PARTITION BY word ORDER BY i) AS prev_ms
+        FROM az{r}
+      )
+      WHERE prev_ms = 0
+      GROUP BY 1
+    )"""
+        )
+    final = f"""
+    SELECT sw.source,
+           CAST(sum(sw.cnt) AS BIGINT) AS n_words,
+           CAST(sum(sw.cnt * len(a.toks)) AS BIGINT) AS n_tokens,
+           {R6.format(c="CAST(sum(sw.cnt * len(a.toks)) AS DOUBLE) / sum(sw.cnt)")} AS fertility,
+           {R6.format(c="CAST(sum(sw.cnt * (length(sw.word) + 1)) AS DOUBLE) / sum(sw.cnt * len(a.toks))")} AS compression
+    FROM sw JOIN aw{BPE_ROUNDS} a ON sw.word = a.word
+    GROUP BY 1"""
+    return "WITH " + ",".join(parts) + "\n    " + final
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle(), tags=("ext", "text", "bpe", "iterative"))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application — the other half of the BPE loop: apply
+    the {BPE_ROUNDS} learned merges to the FULL word-type vocabulary
+    and report per-source fertility (tokens per word) and compression
+    (symbols before/after) — the metrics that tell you whether a
+    vocabulary fits a corpus (fertility spikes on out-of-domain
+    sources). Same dictionary trick as training: merges fold over the
+    word-TYPE table (≪ token stream), and the token stream only ever
+    joins word→token_count — so encoding cost is one (source, word)
+    aggregation plus a types-sized join, at any corpus scale. The
+    oracle unrolls the same apply rounds with run-parity merges over
+    the whole vocabulary."""
+    bests = _bpe_train(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    sw = (
+        d.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    aw = (
+        sw.select("word")
+        .distinct()
+        .select("word", _bpe_toks(F.col("word")).alias("toks"))
+        .localCheckpoint()
+    )
+    for best in bests:
+        aw = _bpe_apply(aw, best, ["word"])
+    enc = sw.join(aw, "word")
+    n_tokens = F.sum(F.col("cnt") * F.size("toks"))
+    return enc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        n_tokens.cast("long").alias("n_tokens"),
+        det_round(n_tokens.cast("double") / F.sum("cnt"), 6).alias("fertility"),
+        det_round(
+            F.sum(F.col("cnt") * (F.length("word") + 1)).cast("double") / n_tokens, 6
+        ).alias("compression"),
     )

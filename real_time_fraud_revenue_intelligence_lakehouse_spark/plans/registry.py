@@ -198,6 +198,7 @@ _FRONT: tuple[str, ...] = (
     "q_abandoned",
     "q_ols_trend",
     "q_seasonal_anomaly",
+    "q_bpe_encode",
 )
 
 

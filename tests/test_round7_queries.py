@@ -622,3 +622,30 @@ def test_abandoned_planted_window(spark):
     assert out[1]["n_clicks"] == 2 and out[1]["n_abandoned"] == 1 and out[1]["abandon_rate"] == 0.5
     assert out[2]["n_abandoned"] == 1
     assert out[3]["n_abandoned"] == 1
+
+
+# --- BPE encode -------------------------------------------------------------
+
+
+def test_bpe_encode_planted_compression(spark):
+    # same corpus as the merge test: merges collapse 'aaaa' to ONE
+    # token (via the round-1/2/3 chain) and 'bc' to two.
+    # fertility = (10·1 + 3·2)/13; compression = (10·5 + 3·3)/16.
+    docs = [(1, " ".join(["aaaa"] * 10 + ["bc"] * 3), "en", "s", 1)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        row = _q("q_bpe_encode")(spark, d).collect()[0]
+    assert row["n_words"] == 13 and row["n_tokens"] == 16
+    assert abs(row["fertility"] - 16 / 13) < 1e-6
+    assert abs(row["compression"] - 59 / 16) < 1e-6
+
+
+def test_bpe_encode_bounds_on_corpus(spark):
+    rows = _q("q_bpe_encode")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] <= 0 or r["fertility"] >= 1.0  # </w> keeps ≥1 token/word
+        assert r["compression"] >= 1.0  # merges never grow a sequence
+        assert r["n_tokens"] <= r["n_words"] * 30
