@@ -176,3 +176,88 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
     return kept.unionByName(inserted)
+
+
+# --- SCD2 point-in-time lookup ----------------------------------------------
+
+R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
+
+
+@query(
+    "q_scd2_lookup",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_seg
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type AS segment, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_seg IS NULL OR prev_seg <> event_type
+    ),
+    dim AS (
+      SELECT user_id, segment, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id) AS valid_to
+      FROM changes
+    ),
+    facts AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.segment,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST({R4.format(c="f.value")} AS DECIMAL(38,4))) AS DOUBLE)
+             AS total_value,
+           {R4.format(c=(
+               "CAST(sum(CAST(" + R4.format(c="f.value") + " AS DECIMAL(38,4))) AS DOUBLE)"
+               " / count(*)"
+           ))} AS avg_value
+    FROM facts f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts > d.valid_from
+     AND (d.valid_to IS NULL OR f.ts <= d.valid_to)
+    GROUP BY 1
+    """,
+    tags=("marts", "scd2", "temporal", "join"),
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — THE reason SCD2 exists: each
+    purchase fact joins the segment interval the user was in COMING
+    INTO the purchase (valid_from < ts ≤ valid_to; the purchase
+    itself opens a new interval, so the strict bound picks the prior
+    state — "what were they doing when they bought"), then value
+    aggregates per segment. A type-1 join here silently attributes
+    old facts to current segments — the classic late-arriving-
+    dimension bug this pattern prevents. First-ever-event purchases
+    have no prior state and drop out of the inner join on both sides. The join keeps the user_id equi-key hash join with the
+    interval bounds as residual filter (same shape as q_abandoned);
+    intervals partition each user's timeline, so exactly one dim row
+    matches per fact and the join never expands. Purchase values
+    det-round into decimal(38,4) before summing — layout-free."""
+    ev = read_table(spark, sf_dir, "events")
+    dim = scd2_from_events(ev, "user_id", "event_type", "ts", "event_id").select(
+        F.col("user_id").alias("du"), "segment", "valid_from", "valid_to"
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    cond = (
+        (F.col("user_id") == F.col("du"))
+        & (F.col("ts") > F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") <= F.col("valid_to")))
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    vdec = det_round(F.col("value"), 4).cast("decimal(38,4)")
+    return (
+        facts.join(dim, cond)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(vdec).cast("double").alias("total_value"),
+            det_round(F.sum(vdec).cast("double") / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+    )

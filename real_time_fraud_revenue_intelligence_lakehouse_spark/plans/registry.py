@@ -199,6 +199,7 @@ _FRONT: tuple[str, ...] = (
     "q_ols_trend",
     "q_seasonal_anomaly",
     "q_bpe_encode",
+    "q_scd2_lookup",
 )
 
 

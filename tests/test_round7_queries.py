@@ -649,3 +649,25 @@ def test_bpe_encode_bounds_on_corpus(spark):
         assert r["n_tokens"] <= 0 or r["fertility"] >= 1.0  # </w> keeps ≥1 token/word
         assert r["compression"] >= 1.0  # merges never grow a sequence
         assert r["n_tokens"] <= r["n_words"] * 30
+
+
+# --- SCD2 point-in-time lookup ----------------------------------------------
+
+
+def test_scd2_lookup_attributes_to_prior_segment(spark):
+    # u1: view(day1) → purchase(day2, 50) → purchase(day3, 70).
+    # 1st purchase attributes to 'view'; 2nd to the 'purchase' segment
+    # opened by the 1st. u2's first-ever event is a purchase → no
+    # prior state → excluded.
+    events = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-02 00:00:00", 1, "purchase", 50.0, "{}"),
+        (3, "2024-01-03 00:00:00", 1, "purchase", 70.0, "{}"),
+        (4, "2024-01-01 00:00:00", 2, "purchase", 999.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, events)
+        out = {r["segment"]: r for r in _q("q_scd2_lookup")(spark, d).collect()}
+    assert out["view"]["n_purchases"] == 1 and out["view"]["total_value"] == 50.0
+    assert out["purchase"]["n_purchases"] == 1 and out["purchase"]["total_value"] == 70.0
+    assert sum(r["n_purchases"] for r in out.values()) == 2  # u2's dropped
