@@ -481,3 +481,96 @@ def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("base") + F.when(F.col("frac_rank") <= F.col("slots"), 1).otherwise(0)).cast("long").alias("alloc"),
     )
+
+
+# --- leave-one-out target encoding -------------------------------------------
+
+TE_SMOOTH = 20  # prior pseudo-count for the smoothed variant
+
+
+@query(
+    "q_target_encoding",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT category, count(*) AS n, sum(y) AS n_pos FROM s GROUP BY 1
+    ),
+    prior AS (SELECT CAST(sum(n_pos) AS DOUBLE) / sum(n) AS p FROM g),
+    loo AS (
+      SELECT s.category, s.y,
+             CAST(g.n_pos - s.y AS DOUBLE) / (g.n - 1) AS enc
+      FROM s JOIN g ON s.category = g.category
+      WHERE g.n > 1
+    )
+    SELECT l.category, CAST(g.n AS BIGINT) AS n, CAST(g.n_pos AS BIGINT) AS n_pos,
+           {{r6mean}} AS mean_target,
+           {{r6pos}} AS loo_mean_pos,
+           {{r6neg}} AS loo_mean_neg,
+           {{r6sm}} AS smoothed
+    FROM loo l
+    JOIN g ON l.category = g.category
+    CROSS JOIN prior
+    GROUP BY l.category, g.n, g.n_pos, prior.p
+    """.format(
+        r6mean="(floor((CAST(g.n_pos AS DOUBLE) / g.n) * 1000000.0 + 0.5) / 1000000.0)",
+        r6pos="(floor((sum(CASE WHEN l.y = 1 THEN l.enc END) / nullif(count(CASE WHEN l.y = 1 THEN 1 END), 0)) * 1000000.0 + 0.5) / 1000000.0)",
+        r6neg="(floor((sum(CASE WHEN l.y = 0 THEN l.enc END) / nullif(count(CASE WHEN l.y = 0 THEN 1 END), 0)) * 1000000.0 + 0.5) / 1000000.0)",
+        r6sm=f"(floor(((g.n_pos + {TE_SMOOTH} * prior.p) / (g.n + {TE_SMOOTH})) * 1000000.0 + 0.5) / 1000000.0)",
+    ),
+    tags=("feature-prep", "encoding"),
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against the
+    fulfilled label — the high-cardinality-categorical encoder that
+    replaces one-hot at scale, with the leakage discipline that makes
+    it safe: each row's encoding excludes ITS OWN label
+    ((Σy − yᵢ)/(n − 1)), so the feature never memorizes the target.
+    Row-level encodings are exercised for real (computed per row,
+    then summarized as the per-class means, which take exactly two
+    values per category — the formula's fingerprint); the smoothed
+    variant shrinks toward the global prior with {TE_SMOOTH}
+    pseudo-counts. One broadcast of the category stats back over the
+    fact; every ratio divides exact integers."""
+    o = read_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    prior = g.agg((F.sum("n_pos").cast("double") / F.sum("n")).alias("p"))
+    loo = (
+        s.join(F.broadcast(g), "category")
+        .filter(F.col("n") > 1)
+        .withColumn("enc", (F.col("n_pos") - F.col("y")).cast("double") / (F.col("n") - 1))
+    )
+    pos_enc = F.sum(F.when(F.col("y") == 1, F.col("enc")))
+    neg_enc = F.sum(F.when(F.col("y") == 0, F.col("enc")))
+    n_posr = F.count(F.when(F.col("y") == 1, True))
+    n_negr = F.count(F.when(F.col("y") == 0, True))
+    return (
+        loo.crossJoin(F.broadcast(prior))
+        .groupBy("category", "n", "n_pos", "p")
+        .agg(
+            det_round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("mean_target"),
+            det_round(pos_enc / F.nullif(n_posr, F.lit(0)), 6).alias("loo_mean_pos"),
+            det_round(neg_enc / F.nullif(n_negr, F.lit(0)), 6).alias("loo_mean_neg"),
+            det_round(
+                (F.col("n_pos") + TE_SMOOTH * F.col("p")) / (F.col("n") + TE_SMOOTH), 6
+            ).alias("smoothed"),
+        )
+        .select(
+            "category",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            "mean_target",
+            "loo_mean_pos",
+            "loo_mean_neg",
+            "smoothed",
+        )
+    )

@@ -1278,3 +1278,55 @@ def q_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return X.cleanup_text(noisy, "doc_id", "text")
+
+
+@query(
+    "q_langid_confusion",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_lang_hits_sql(ws)} AS h_{lang}' for lang, ws in X.LANG_STOPWORDS.items())}
+      FROM documents
+    ),
+    best AS (
+      SELECT *, greatest({', '.join(f'h_{lang}' for lang in X.LANG_STOPWORDS)}) AS best
+      FROM hits
+    ),
+    pred AS (
+      SELECT lang AS lang_true, {_LANG_CASE} AS lang_pred FROM best
+    ),
+    m AS (
+      SELECT lang_true, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT lang_true, lang_pred, CAST(n AS BIGINT) AS n,
+           {{r6}} AS recall_share
+    FROM m
+    """.format(
+        r6="(floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang_true)) * 1000000.0 + 0.5) / 1000000.0)"
+    ),
+    tags=("ext", "text", "evaluation"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the stopword-vote language identifier
+    against the table's labeled `lang` — the evaluation surface the
+    classifier needs before it gates a corpus (per-true-language
+    recall shares expose which languages leak into 'und' or each
+    other; on the synthetic corpus the interesting signal is the
+    shared-vocabulary confusion structure itself). Prediction is the
+    same row-local expression as q_lang_id; the matrix is one count
+    aggregation over ≤ |langs|² cells, and the recall normalization
+    is a window over that tiny frame. Ratios divide exact integers."""
+    d = read_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("lang_true"), X.lang_id(F.col("text")).alias("lang_pred")
+    )
+    m = pred.groupBy("lang_true", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as _W
+
+    wt = _W.partitionBy("lang_true")
+    return m.select(
+        "lang_true",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        det_round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("recall_share"),
+    )

@@ -200,6 +200,8 @@ _FRONT: tuple[str, ...] = (
     "q_seasonal_anomaly",
     "q_bpe_encode",
     "q_scd2_lookup",
+    "q_langid_confusion",
+    "q_target_encoding",
 )
 
 

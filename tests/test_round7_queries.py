@@ -671,3 +671,53 @@ def test_scd2_lookup_attributes_to_prior_segment(spark):
     assert out["view"]["n_purchases"] == 1 and out["view"]["total_value"] == 50.0
     assert out["purchase"]["n_purchases"] == 1 and out["purchase"]["total_value"] == 70.0
     assert sum(r["n_purchases"] for r in out.values()) == 2  # u2's dropped
+
+
+# --- lang-id confusion ------------------------------------------------------
+
+
+def test_langid_confusion_is_stochastic_matrix(spark):
+    rows = _q("q_langid_confusion")(spark, SF_SMOKE).collect()
+    assert rows
+    by_true = {}
+    for r in rows:
+        assert r["n"] > 0
+        by_true.setdefault(r["lang_true"], 0.0)
+        by_true[r["lang_true"]] += r["recall_share"]
+    for lang, tot in by_true.items():
+        assert abs(tot - 1.0) < 1e-4, (lang, tot)
+
+
+# --- target encoding --------------------------------------------------------
+
+
+def test_target_encoding_loo_formula(spark):
+    # category A: 4 rows, 3 positive → loo_pos = 2/3, loo_neg = 1 (3/3)
+    orders = [
+        (1, 1, "F", 1.0, "2024-01-01", "A"),
+        (2, 1, "F", 1.0, "2024-01-01", "A"),
+        (3, 1, "F", 1.0, "2024-01-01", "A"),
+        (4, 1, "O", 1.0, "2024-01-01", "A"),
+        (5, 1, "F", 1.0, "2024-01-01", "B"),
+        (6, 1, "O", 1.0, "2024-01-01", "B"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        out = {r["category"]: r for r in _q("q_target_encoding")(spark, d).collect()}
+    a = out["A"]
+    assert a["n"] == 4 and a["n_pos"] == 3 and a["mean_target"] == 0.75
+    assert abs(a["loo_mean_pos"] - 2 / 3) < 1e-6
+    assert a["loo_mean_neg"] == 1.0
+    b = out["B"]
+    assert b["loo_mean_pos"] == 0.0 and b["loo_mean_neg"] == 1.0  # n=2 LOO extremes
+
+
+def test_target_encoding_never_leaks_own_label(spark):
+    # leakage fingerprint: within a category, the positive-row encoding
+    # is STRICTLY below the negative-row encoding (each excludes itself)
+    rows = _q("q_target_encoding")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["loo_mean_pos"] is not None and r["loo_mean_neg"] is not None and 0 < r["n_pos"] < r["n"]:
+            assert r["loo_mean_pos"] < r["loo_mean_neg"]
+        assert 0.0 <= r["smoothed"] <= 1.0
