@@ -60,3 +60,71 @@ def test_csv_json_sources_match_parquet(spark, tmp_path):
 
     assert sorted(map(tuple, _rollup(csv_df))) == expected
     assert sorted(map(tuple, _rollup(json_df))) == expected
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Parquet schema evolution: a writer adds a column mid-stream;
+    mergeSchema reads both generations, old files surface NULL for
+    the new column, and aggregates over the shared columns are
+    unchanged — the append-only table-evolution contract a lakehouse
+    must honor (the Delta-backed reference gets this from the format;
+    the parquet path must match it)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    old = ev.limit(40)
+    new = ev.limit(80).subtract(old).withColumn("schema_ver", F.lit(2))
+    path = str(tmp_path / "evolving.parquet")
+    old.write.mode("append").parquet(path)
+    new.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "schema_ver" in merged.columns
+    assert merged.count() == 80
+    assert merged.filter(F.col("schema_ver").isNull()).count() == 40
+    # shared-column aggregate identical to reading without the option
+    plain = spark.read.parquet(path)
+    a = merged.agg(F.sum("value")).collect()[0][0]
+    b = plain.agg(F.sum("value")).collect()[0][0]
+    assert a == b
+
+
+def test_corrupt_json_records_permissive_and_drop(spark, tmp_path):
+    """Malformed-row discipline on the JSON source: PERMISSIVE mode
+    captures broken lines in a corrupt-record column without killing
+    the batch; DROPMALFORMED yields only the clean rows. At 100 TB a
+    single bad producer line must never fail an ingest job."""
+    p = tmp_path / "raw.jsonl"
+    p.write_text(
+        '{"event_id": 1, "user_id": 7, "value": 1.5}\n'
+        '{"event_id": 2, "user_id": 8, "value": BROKEN}\n'
+        '{"event_id": 3, "user_id": 9, "value": 3.0}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    perm.cache()
+    try:
+        assert perm.count() == 3
+        bad = perm.filter(F.col("_corrupt_record").isNotNull()).collect()
+        assert len(bad) == 1 and "BROKEN" in bad[0]["_corrupt_record"]
+        good_ids = {r["event_id"] for r in perm.filter(F.col("_corrupt_record").isNull()).collect()}
+        assert good_ids == {1, 3}
+    finally:
+        perm.unpersist()
+    dropped = (
+        spark.read.schema(T.StructType(schema.fields[:3]))
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r["event_id"] for r in dropped.collect()} == {1, 3}
