@@ -129,6 +129,46 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected supplier kNN-graph edge set (a < b), checkpointed.
+
+    Pair generation stays a per-key self-join here (NOT the sorted-
+    set array comprehension q_basket_lift uses): per-customer
+    supplier sets are wide (~40 at sf0.1), and materializing C(k,2)
+    nested-array structs per row measured 2x slower than streaming
+    the same pairs out of a sort-merge join. Baskets are narrow
+    (~4 parts), so the array form wins there — pick per shape."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    sim = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("common_cust"))
+    )
+    directed = sim.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "common_cust"
+    ).unionByName(
+        sim.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "common_cust")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("common_cust"), F.asc("dst"))
+    knn = directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K_NN)
+    return (
+        knn.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        # feeds degree, wedges, and THREE triangle-join legs — pin it
+        # once (same pattern as the PageRank edge table).
+        .localCheckpoint()
+    )
+
+
 # --- kNN graph + triangle count ---------------------------------------------
 
 
@@ -198,41 +238,7 @@ def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, and every triangle-join input is O(k·n) — no quadratic edge
     set at any scale, unlike threshold graphs whose density is
     data-dependent."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-    )
-    # Pair generation stays a per-key self-join here (NOT the sorted-
-    # set array comprehension q_basket_lift uses): per-customer
-    # supplier sets are wide (~40 at sf0.1), and materializing C(k,2)
-    # nested-array structs per row measured 2× slower than streaming
-    # the same pairs out of a sort-merge join. Baskets are narrow
-    # (~4 parts), so the array form wins there — pick per shape.
-    a, b = cs.alias("a"), cs.alias("b")
-    sim = (
-        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
-        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
-        .agg(F.count(F.lit(1)).alias("common_cust"))
-    )
-    directed = sim.select(
-        F.col("s1").alias("src"), F.col("s2").alias("dst"), "common_cust"
-    ).unionByName(
-        sim.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "common_cust")
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("common_cust"), F.asc("dst"))
-    knn = directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K_NN)
-    edges = (
-        knn.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        # feeds degree, wedges, and THREE triangle-join legs — pin it
-        # once (same pattern as the PageRank edge table).
-        .localCheckpoint()
-    )
+    edges = _knn_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -421,4 +427,80 @@ def q_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(F.col("sim"), 6).alias("sim"),
             F.col("rk").cast("long").alias("rk"),
         )
+    )
+
+
+# --- community detection over the kNN graph ----------------------------------
+
+
+@query(
+    "q_graph_communities",
+    oracle=f"""
+    WITH RECURSIVE
+    cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sim AS (
+      SELECT a.supp AS s1, b.supp AS s2, count(*) AS common_cust
+      FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT s1 AS src, s2 AS dst, common_cust FROM sim
+      UNION ALL
+      SELECT s2 AS src, s1 AS dst, common_cust FROM sim
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY common_cust DESC, dst ASC) AS rn
+        FROM directed
+      ) WHERE rn <= {K_NN}
+    ),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn
+    ),
+    bi AS (
+      SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM bi),
+    comp(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT bi.dst, c.lbl FROM comp c JOIN bi ON bi.src = c.node
+    ),
+    labels AS (SELECT node, min(lbl) AS cid FROM comp GROUP BY 1),
+    sizes AS (SELECT cid, count(*) AS community_size FROM labels GROUP BY 1)
+    SELECT CAST(community_size AS BIGINT) AS community_size,
+           CAST(count(*) AS BIGINT) AS n_communities
+    FROM sizes GROUP BY 1
+    """,
+    tags=("graph", "communities", "iterative"),
+)
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the supplier kNN graph — the
+    community structure the triangle census (q_knn_triangles)
+    summarizes locally, computed globally, as a size histogram. This
+    is a cross-domain REUSE of the dedup stack's large-star/small-star
+    operator (ext/dedup.connected_components_star, Kiveris et al.):
+    the same O(log diameter) two-pass rounds that collapse duplicate
+    clusters collapse trade communities, because both are just
+    undirected edge frames. The oracle computes the identical
+    transitive closure with a recursive CTE. kNN capping keeps the
+    edge set O(k·n) at any scale; each CC round is two groupBy-join
+    passes over the CURRENT (shrinking) edge set."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.dedup import connected_components_star
+
+    edges = _knn_edges(spark, sf_dir).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    labels = connected_components_star(edges)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("community_size"))
+    return sizes.groupBy("community_size").agg(
+        F.count(F.lit(1)).alias("n_communities")
+    ).select(
+        F.col("community_size").cast("long").alias("community_size"),
+        F.col("n_communities").cast("long").alias("n_communities"),
     )

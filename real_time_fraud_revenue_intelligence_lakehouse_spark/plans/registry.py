@@ -202,6 +202,7 @@ _FRONT: tuple[str, ...] = (
     "q_scd2_lookup",
     "q_langid_confusion",
     "q_target_encoding",
+    "q_graph_communities",
 )
 
 

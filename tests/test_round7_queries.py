@@ -721,3 +721,30 @@ def test_target_encoding_never_leaks_own_label(spark):
         if r["loo_mean_pos"] is not None and r["loo_mean_neg"] is not None and 0 < r["n_pos"] < r["n"]:
             assert r["loo_mean_pos"] < r["loo_mean_neg"]
         assert 0.0 <= r["smoothed"] <= 1.0
+
+
+# --- graph communities ------------------------------------------------------
+
+
+def test_graph_communities_planted_two_cliques(spark):
+    # suppliers {1,2,3} serve customer 1; suppliers {11,12} serve
+    # customer 2 — two disjoint communities of sizes 3 and 2.
+    li, orders, ok = [], [], 1
+    for cust, supps in ((1, (1, 2, 3)), (2, (11, 12))):
+        for supp in supps:
+            orders.append((ok, cust, "O", 100.0, "2024-01-01", "P"))
+            li.append(_li(ok, 1, supp))
+            ok += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        _write_lineitem(spark, d, li)
+        out = {r["community_size"]: r["n_communities"]
+               for r in _q("q_graph_communities")(spark, d).collect()}
+    assert out == {3: 1, 2: 1}
+
+
+def test_graph_communities_partition_nodes(spark):
+    rows = _q("q_graph_communities")(spark, SF_SMOKE).collect()
+    total_nodes = sum(r["community_size"] * r["n_communities"] for r in rows)
+    tri = _q("q_knn_triangles")(spark, SF_SMOKE).collect()[0]
+    assert total_nodes == tri["n_nodes"]  # same edge set, same node universe
