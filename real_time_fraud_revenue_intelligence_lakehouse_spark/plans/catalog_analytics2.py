@@ -574,3 +574,87 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "smoothed",
         )
     )
+
+
+# --- difference-in-differences ----------------------------------------------
+
+DID_PRE, DID_POST = 1996, 1997
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS treated,
+             CASE WHEN year(l.l_shipdate) = {DID_POST} THEN 1 ELSE 0 END AS post,
+             count(*) AS n,
+             CAST(sum(CAST({R4.format(c="l.l_extendedprice * (1 - l.l_discount)")}
+                  AS DECIMAL(38,4))) AS DOUBLE) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) IN ({DID_PRE}, {DID_POST})
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 0 THEN rev / n END) AS t_pre,
+        max(CASE WHEN treated = 1 AND post = 1 THEN rev / n END) AS t_post,
+        max(CASE WHEN treated = 0 AND post = 0 THEN rev / n END) AS c_pre,
+        max(CASE WHEN treated = 0 AND post = 1 THEN rev / n END) AS c_post,
+        CAST(sum(n) AS BIGINT) AS n_lines
+      FROM cells
+    )
+    SELECT n_lines,
+           {R6.format(c="t_pre")} AS treated_pre, {R6.format(c="t_post")} AS treated_post,
+           {R6.format(c="c_pre")} AS control_pre, {R6.format(c="c_post")} AS control_post,
+           {R6.format(c="(t_post - t_pre) - (c_post - c_pre)")} AS did
+    FROM m
+    """,
+    tags=("stats", "causal", "aggregate"),
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal-inference workhorse for
+    "did the promo line's revenue move MORE than the market between
+    {DID_PRE} and {DID_POST}?" — treated (PROMO parts) vs control,
+    pre vs post, DiD = (T₂−T₁) − (C₂−C₁) on per-line mean revenue,
+    netting out both the group level and the market-wide trend that a
+    naive before/after comparison confounds. One broadcast part join,
+    one 4-cell aggregate; everything after is scalar arithmetic on
+    exact decimal-folded cell sums. The year filter pushes to the
+    lineitem scan."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(DID_PRE, DID_POST)
+    )
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").cast("int").alias("treated")
+    )
+    rev = det_round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(38,4)"
+    )
+    cells = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "treated",
+            (F.year("l_shipdate") == DID_POST).cast("int").alias("post"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(rev).cast("double").alias("rev"))
+    )
+    cell = lambda t, po: F.max(
+        F.when((F.col("treated") == t) & (F.col("post") == po), F.col("rev") / F.col("n"))
+    )
+    m = cells.agg(
+        cell(1, 0).alias("t_pre"),
+        cell(1, 1).alias("t_post"),
+        cell(0, 0).alias("c_pre"),
+        cell(0, 1).alias("c_post"),
+        F.sum("n").cast("long").alias("n_lines"),
+    )
+    return m.select(
+        "n_lines",
+        det_round(F.col("t_pre"), 6).alias("treated_pre"),
+        det_round(F.col("t_post"), 6).alias("treated_post"),
+        det_round(F.col("c_pre"), 6).alias("control_pre"),
+        det_round(F.col("c_post"), 6).alias("control_post"),
+        det_round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
+        ).alias("did"),
+    )

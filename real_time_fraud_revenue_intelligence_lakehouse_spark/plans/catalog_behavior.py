@@ -689,3 +689,145 @@ def q_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_abandoned").cast("long").alias("n_abandoned"),
         det_round(F.col("n_abandoned").cast("double") / F.col("n_clicks"), 4).alias("abandon_rate"),
     )
+
+
+# --- top event paths ---------------------------------------------------------
+
+PATH_LEN = 3
+PATH_TOP = 10
+
+
+@query(
+    "q_event_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM seq WHERE rn <= {PATH_LEN}
+      GROUP BY 1
+      HAVING count(*) = {PATH_LEN}
+    ),
+    counted AS (
+      SELECT path, count(*) AS n_users FROM paths GROUP BY 1
+    )
+    SELECT path, CAST(n_users AS BIGINT) AS n_users, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT path, n_users,
+             row_number() OVER (ORDER BY n_users DESC, path ASC) AS rk
+      FROM counted
+    )
+    WHERE rk <= {PATH_TOP}
+    """,
+    tags=("behavior", "sequence", "topk"),
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top opening paths: each user's first {PATH_LEN} events joined
+    into a '>'-separated path string, ranked by how many users share
+    it — the sequence-mining view ("what do journeys look like?")
+    next to the transition matrix's one-step view
+    (q_event_transitions). One user-keyed rank window bounds per-user
+    work to {PATH_LEN} rows; path assembly is an ordered in-group
+    aggregation (sort_array over (rn, type) structs — deterministic,
+    unlike bare collect_list); the final top-{PATH_TOP} is a
+    TakeOrdered over the path-count table. Users with fewer than
+    {PATH_LEN} events are excluded on both sides."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= PATH_LEN)
+    paths = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", F.col("event_type").alias("t")))),
+                    lambda x: x["t"],
+                ),
+                ">",
+            ).alias("path"),
+        )
+        .filter(F.col("_n") == PATH_LEN)
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        counted.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n_users"), F.asc("path")))
+        )
+        .filter(F.col("rk") <= PATH_TOP)
+        .select("path", F.col("n_users").cast("long").alias("n_users"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# --- cohort LTV curve --------------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    cohort_sizes AS (
+      SELECT cohort, count(*) AS n_users FROM firsts GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort,
+             date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS age_days,
+             sum(CAST({R4.format(c="e.value")} AS DECIMAL(38,4))) AS r
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort, CAST(r.age_days AS BIGINT) AS age_days,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           CAST(r.r AS DOUBLE) AS revenue,
+           {R4.format(c=(
+               "CAST(sum(r.r) OVER (PARTITION BY r.cohort ORDER BY r.age_days "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / s.n_users"
+           ))} AS cum_ltv_per_user
+    FROM rev r JOIN cohort_sizes s ON r.cohort = s.cohort
+    """,
+    tags=("behavior", "cohort", "window"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen
+    day, purchase revenue accumulated by cohort age (days since
+    entry), normalized per user — the money-weighted companion to
+    q_retention_cohort's headcount view, and the curve every growth
+    team reads ("does month-3 LTV cover acquisition cost?"). One
+    per-user first-event agg, one join back onto purchases, one
+    (cohort, age) agg; the cumulative window then runs over the tiny
+    cohort×age matrix. Purchase values det-round into decimal(38,4)
+    before any sum — layout-free."""
+    e = read_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy("cohort", F.datediff(F.to_date("ts"), "cohort").alias("age_days"))
+        .agg(F.sum(det_round(F.col("value"), 4).cast("decimal(38,4)")).alias("r"))
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sizes, "cohort")
+        .select(
+            "cohort",
+            F.col("age_days").cast("long").alias("age_days"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("r").cast("double").alias("revenue"),
+            det_round(
+                F.sum("r").over(wcum).cast("double") / F.col("n_users"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+    )

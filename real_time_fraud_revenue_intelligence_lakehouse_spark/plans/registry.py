@@ -203,6 +203,9 @@ _FRONT: tuple[str, ...] = (
     "q_langid_confusion",
     "q_target_encoding",
     "q_graph_communities",
+    "q_event_paths",
+    "q_cohort_ltv",
+    "q_diff_in_diff",
 )
 
 

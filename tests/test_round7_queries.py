@@ -748,3 +748,73 @@ def test_graph_communities_partition_nodes(spark):
     total_nodes = sum(r["community_size"] * r["n_communities"] for r in rows)
     tri = _q("q_knn_triangles")(spark, SF_SMOKE).collect()[0]
     assert total_nodes == tri["n_nodes"]  # same edge set, same node universe
+
+
+# --- event paths ------------------------------------------------------------
+
+
+def test_event_paths_planted(spark):
+    # two users share a>b>c; one user goes a>c>b; a 2-event user drops
+    events = [
+        (1, "2024-01-01 00:00:00", 1, "a", 0.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "b", 0.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "c", 0.0, "{}"),
+        (4, "2024-01-01 00:03:00", 1, "d", 0.0, "{}"),  # beyond PATH_LEN
+        (5, "2024-01-01 00:00:00", 2, "a", 0.0, "{}"),
+        (6, "2024-01-01 00:01:00", 2, "b", 0.0, "{}"),
+        (7, "2024-01-01 00:02:00", 2, "c", 0.0, "{}"),
+        (8, "2024-01-01 00:00:00", 3, "a", 0.0, "{}"),
+        (9, "2024-01-01 00:01:00", 3, "c", 0.0, "{}"),
+        (10, "2024-01-01 00:02:00", 3, "b", 0.0, "{}"),
+        (11, "2024-01-01 00:00:00", 4, "a", 0.0, "{}"),
+        (12, "2024-01-01 00:01:00", 4, "b", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, events)
+        rows = _q("q_event_paths")(spark, d).orderBy("rk").collect()
+    assert [(r["path"], r["n_users"], r["rk"]) for r in rows] == [
+        ("a>b>c", 2, 1),
+        ("a>c>b", 1, 2),
+    ]
+
+
+# --- cohort LTV -------------------------------------------------------------
+
+
+def test_cohort_ltv_monotone_and_normalized(spark):
+    rows = _q("q_cohort_ltv")(spark, SF_SMOKE).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_days"])
+        ltv = [r["cum_ltv_per_user"] for r in rs]
+        assert all(b >= a for a, b in zip(ltv, ltv[1:]))  # cumulative
+        assert all(r["age_days"] >= 0 for r in rs)
+        assert len({r["n_users"] for r in rs}) == 1  # size constant per cohort
+
+
+# --- diff-in-diff -----------------------------------------------------------
+
+
+def test_diff_in_diff_planted_effect(spark):
+    # control doubles 100→200; treated would double 150→300 but gets
+    # +50 uplift → 350. DiD = (350-150) - (200-100) = 100.
+    parts = [(1, "x", "B", "PROMO", 1, 1.0), (2, "y", "B", "STANDARD", 1, 1.0)]
+    li = []
+    k = 1
+    for part, year, price in ((1, 1996, 150.0), (1, 1997, 350.0), (2, 1996, 100.0), (2, 1997, 200.0)):
+        for _ in range(3):  # 3 identical lines per cell
+            li.append((k, part, 1, 1, 1.0, price, 0.0, 0.0, "N", "O", f"{year}-06-01"))
+            k += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            parts,
+            "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+        ).write.parquet(f"{d}/part.parquet")
+        _write_lineitem(spark, d, li)
+        row = _q("q_diff_in_diff")(spark, d).collect()[0]
+    assert row["treated_pre"] == 150.0 and row["treated_post"] == 350.0
+    assert row["control_pre"] == 100.0 and row["control_post"] == 200.0
+    assert row["did"] == 100.0 and row["n_lines"] == 12
