@@ -658,3 +658,80 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
         ).alias("did"),
     )
+
+
+# --- percent-of-parent hierarchical rollup -----------------------------------
+
+
+@query(
+    "q_parent_share",
+    oracle=f"""
+    WITH base AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    nation_rows AS (
+      SELECT 'nation' AS level, region, nation, revenue,
+             {R6.format(c="revenue / sum(revenue) OVER (PARTITION BY region)")}
+               AS share_of_parent
+      FROM base
+    ),
+    region_rows AS (
+      SELECT 'region' AS level, region, CAST(NULL AS VARCHAR) AS nation,
+             CAST(sum(CAST(revenue AS DECIMAL(38,2))) AS DOUBLE) AS revenue,
+             {R6.format(c=(
+                 "CAST(sum(CAST(revenue AS DECIMAL(38,2))) AS DOUBLE)"
+                 " / sum(CAST(sum(CAST(revenue AS DECIMAL(38,2))) AS DOUBLE)) OVER ()"
+             ))} AS share_of_parent
+      FROM base GROUP BY region
+    )
+    SELECT * FROM nation_rows UNION ALL SELECT * FROM region_rows
+    """,
+    tags=("aggregate", "window", "hierarchy"),
+)
+def q_parent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-PARENT across a hierarchy: each nation's share of
+    its region and each region's share of the grand total, in one
+    long-form frame — the drill-down ratio OLAP tools label "% of
+    parent row total" (q_window_share's flat percent-of-total can't
+    express the middle level). The base rollup reduces the fact once;
+    both levels then derive from the |nations|-sized frame (a window
+    per region; a re-aggregate + whole-frame window for regions).
+    Revenue sums are decimal-accumulated at every level, so shares
+    divide exact-cent doubles."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+    wr = Window.partitionBy("region")
+    nation_rows = base.select(
+        F.lit("nation").alias("level"),
+        "region",
+        "nation",
+        "revenue",
+        det_round(F.col("revenue") / F.sum("revenue").over(wr), 6).alias("share_of_parent"),
+    )
+    regions = base.groupBy("region").agg(
+        F.sum(F.col("revenue").cast("decimal(38,2)")).cast("double").alias("revenue")
+    )
+    wall = Window.partitionBy()
+    region_rows = regions.select(
+        F.lit("region").alias("level"),
+        "region",
+        F.lit(None).cast("string").alias("nation"),
+        "revenue",
+        det_round(F.col("revenue") / F.sum("revenue").over(wall), 6).alias("share_of_parent"),
+    )
+    return nation_rows.unionByName(region_rows)

@@ -497,3 +497,106 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * (F.length("word") + 1)).cast("double") / n_tokens, 6
         ).alias("compression"),
     )
+
+
+# --- PMI collocations -------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH t AS (
+      SELECT {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT u AS tok, count(*) AS n FROM (SELECT unnest(toks) AS u FROM t)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nt FROM uni),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS n_bi
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      GROUP BY 1, 2
+      HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT b.w1, b.w2, b.n_bi,
+             ln(CAST(b.n_bi AS DOUBLE) * tot.nt / (u1.n * CAST(u2.n AS DOUBLE)))
+               AS pmi
+      FROM bi b
+      JOIN uni u1 ON b.w1 = u1.tok
+      JOIN uni u2 ON b.w2 = u2.tok
+      CROSS JOIN tot
+    )
+    SELECT w1, w2, CAST(n_bi AS BIGINT) AS n_bi,
+           {{r6}} AS pmi, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT w1, w2, n_bi, pmi,
+             row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rk
+      FROM scored
+    )
+    WHERE rk <= {PMI_TOP}
+    """.format(r6="(floor((pmi) * 1000000.0 + 0.5) / 1000000.0)"),
+    tags=("ext", "text", "collocation"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: adjacent-token pairs ranked by
+    pointwise mutual information, PMI = ln(P(w1,w2)/(P(w1)·P(w2))) —
+    the measure that separates genuinely-bound phrases from pairs of
+    merely-frequent words (which is exactly what raw bigram counts,
+    q_bigram_logprob's input, cannot do). One tokenize pass feeds
+    both the unigram table and the adjacent-pair explode; the
+    min-count floor prunes the noisy tail BEFORE the unigram joins
+    (PMI of rare pairs is pathologically inflated — the floor is
+    statistical hygiene, not just cost control). Top-{PMI_TOP} is a
+    TakeOrdered over the scored pair table; ties break
+    lexicographically. The approximate bigram probability uses the
+    unigram total as denominator on both engines, so the ratio
+    divides exact integers."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(X.tokens(X.norm_text(F.col("text"))).alias("toks"))
+    uni = t.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = uni.agg(F.sum("n").alias("nt"))
+    pair_expr = (
+        "if(size(toks) < 2, cast(array() as array<struct<w1: string, w2: string>>), "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i - 1] as w1, toks[i] as w2)))"
+    )
+    bi = (
+        t.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_bi"))
+        .filter(F.col("n_bi") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("n_bi").cast("double") * F.col("nt") / (F.col("n1") * F.col("n2").cast("double"))
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))),
+        )
+        .filter(F.col("rk") <= PMI_TOP)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_bi").cast("long").alias("n_bi"),
+            det_round(F.col("pmi"), 6).alias("pmi"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

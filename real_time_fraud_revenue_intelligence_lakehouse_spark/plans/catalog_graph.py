@@ -504,3 +504,97 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("community_size").cast("long").alias("community_size"),
         F.col("n_communities").cast("long").alias("n_communities"),
     )
+
+
+# --- bounded weighted shortest path (Bellman-Ford rounds) --------------------
+
+BF_ROUNDS = 4
+
+
+def _bf_oracle() -> str:
+    rounds = []
+    for r in range(1, BF_ROUNDS + 1):
+        rounds.append(
+            f"""
+    d{r} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{r - 1} d JOIN ew e ON e.src = d.node
+      ) GROUP BY 1
+    )"""
+        )
+    return (
+        f"""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sim AS (
+      SELECT a.supp AS s1, b.supp AS s2, count(*) AS common_cust
+      FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+    ),
+    ew AS (
+      SELECT s1 AS src, s2 AS dst, 1.0 / common_cust AS w FROM sim
+      UNION ALL
+      SELECT s2 AS src, s1 AS dst, 1.0 / common_cust AS w FROM sim
+    ),
+    src AS (SELECT min(supp) AS s FROM cs),
+    d0 AS (SELECT s AS node, 0.0 AS dist FROM src),"""
+        + ",".join(rounds)
+        + f"""
+    SELECT node,
+           (floor((dist) * 1000000.0 + 0.5) / 1000000.0) AS dist
+    FROM d{BF_ROUNDS}
+    """
+    )
+
+
+@query("q_cheapest_route", oracle=_bf_oracle(), tags=("graph", "shortest-path", "iterative"))
+def q_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest path: {BF_ROUNDS} Bellman-Ford
+    relaxation rounds from the minimum supplier node over the
+    co-service graph, edge cost 1/common_customers (strong ties are
+    cheap) — the weighted companion to q_bfs_distance's hop counting,
+    and the min-plus matrix shape (distance products) Spark lacks as
+    a builtin. Each round is one join of the current distance frame
+    against the edge list plus a min aggregate; the distance frame is
+    node-sized and the rounds are a FIXED horizon, so the oracle
+    unrolls exactly (recursive CTEs with min-plus don't terminate on
+    cyclic graphs — bounding the horizon is what makes the shape
+    well-defined on both engines). Costs add in round order on both
+    sides, so the doubles agree bit-for-bit."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    sim = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("common_cust"))
+    )
+    w = (F.lit(1.0) / F.col("common_cust")).alias("w")
+    ew = (
+        sim.select(F.col("s1").alias("src"), F.col("s2").alias("dst"), w)
+        .unionByName(sim.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), w))
+        .localCheckpoint()
+    )
+    src = cs.agg(F.min("supp").alias("node")).select("node", F.lit(0.0).alias("dist"))
+    dist = src.localCheckpoint()
+    for _ in range(BF_ROUNDS):
+        relax = dist.join(ew, dist.node == ew.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("node", det_round(F.col("dist"), 6).alias("dist"))

@@ -206,6 +206,9 @@ _FRONT: tuple[str, ...] = (
     "q_event_paths",
     "q_cohort_ltv",
     "q_diff_in_diff",
+    "q_pmi_collocations",
+    "q_parent_share",
+    "q_cheapest_route",
 )
 
 

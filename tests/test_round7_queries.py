@@ -818,3 +818,91 @@ def test_diff_in_diff_planted_effect(spark):
     assert row["treated_pre"] == 150.0 and row["treated_post"] == 350.0
     assert row["control_pre"] == 100.0 and row["control_post"] == 200.0
     assert row["did"] == 100.0 and row["n_lines"] == 12
+
+
+# --- PMI collocations -------------------------------------------------------
+
+
+def test_pmi_planted_collocation(spark):
+    # repeating 'zig zag alpha beta': zig-zag / zag-alpha / alpha-beta
+    # each occur 6x (PMI ln(4), tie broken lexicographically) while
+    # the wrap-around beta-zig occurs only 5x (PMI ln(10/3)) — the
+    # weaker association must rank strictly last.
+    import math
+
+    text = " ".join(["zig zag alpha beta"] * 6)
+    docs = [(1, text, "en", "s", len(text))]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = _q("q_pmi_collocations")(spark, d).orderBy("rk").collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [
+        ("alpha", "beta"), ("zag", "alpha"), ("zig", "zag"), ("beta", "zig"),
+    ]
+    assert abs(rows[0]["pmi"] - math.log(4)) < 1e-5
+    assert rows[3]["n_bi"] == 5
+    assert abs(rows[3]["pmi"] - math.log(5 * 24 / 36)) < 1e-5
+
+
+# --- percent of parent ------------------------------------------------------
+
+
+def test_parent_share_sums_to_one_per_level(spark):
+    rows = _q("q_parent_share")(spark, SF_SMOKE).collect()
+    regions = [r for r in rows if r["level"] == "region"]
+    nations = [r for r in rows if r["level"] == "nation"]
+    assert abs(sum(r["share_of_parent"] for r in regions) - 1.0) < 1e-4
+    by_region = {}
+    for r in nations:
+        assert r["nation"] is not None
+        by_region.setdefault(r["region"], 0.0)
+        by_region[r["region"]] += r["share_of_parent"]
+    for reg, tot in by_region.items():
+        assert abs(tot - 1.0) < 1e-4, (reg, tot)
+    # region revenue equals the sum of its nations
+    nat_rev = {}
+    for r in nations:
+        nat_rev[r["region"]] = nat_rev.get(r["region"], 0.0) + r["revenue"]
+    for r in regions:
+        assert abs(r["revenue"] - nat_rev[r["region"]]) < 1e-6
+
+
+# --- bounded Bellman-Ford ---------------------------------------------------
+
+
+def test_cheapest_route_planted_weights(spark):
+    # line graph 1-2-3 via shared customers: w(1,2)=1/2 (2 common),
+    # w(2,3)=1 (1 common). dist: 1→0, 2→0.5, 3→1.5
+    li, orders, ok = [], [], 1
+    for cust, supps in ((1, (1, 2)), (2, (1, 2)), (3, (2, 3))):
+        for supp in supps:
+            orders.append((ok, cust, "O", 100.0, "2024-01-01", "P"))
+            li.append(_li(ok, 1, supp))
+            ok += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        _write_lineitem(spark, d, li)
+        out = {r["node"]: r["dist"] for r in _q("q_cheapest_route")(spark, d).collect()}
+    assert out == {1: 0.0, 2: 0.5, 3: 1.5}
+
+
+def test_cheapest_route_triangle_shortcut(spark):
+    # direct edge 1-3 is weak (w=1); the 1-2-3 detour is strong
+    # (w=1/3 each) → Bellman-Ford must prefer the 2-hop 2/3 path.
+    li, orders, ok = [], [], 1
+    shared = {(1, 2): 3, (2, 3): 3, (1, 3): 1}
+    cust = 1
+    for (sa, sb), n in shared.items():
+        for _ in range(n):
+            for supp in (sa, sb):
+                orders.append((ok, cust, "O", 100.0, "2024-01-01", "P"))
+                li.append(_li(ok, 1, supp))
+                ok += 1
+            cust += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        _write_lineitem(spark, d, li)
+        out = {r["node"]: r["dist"] for r in _q("q_cheapest_route")(spark, d).collect()}
+    assert out[2] == round(1 / 3, 6) or abs(out[2] - 1 / 3) < 1e-6
+    assert abs(out[3] - 2 / 3) < 1e-6  # NOT the direct w=1 edge

@@ -67,6 +67,7 @@ ALLPAIRS_OK = {
     "q_survival_km",        # 1-row population-size aggregate cross joined (broadcast)
     "q_ols_trend",          # 1-row min-day anchor + moment stats cross joined (broadcast)
     "q_target_encoding",    # 1-row global-prior aggregate cross joined (broadcast)
+    "q_pmi_collocations",   # 1-row unigram-total aggregate cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
