@@ -31,6 +31,14 @@ def det_round(col: Column, ndigits: int = 4) -> Column:
     on exact half-way doubles. `floor(x*10^n + 0.5)/10^n` is plain
     IEEE-754 arithmetic — bit-identical everywhere for identical
     inputs. The DuckDB oracles use the same formula (ROUND_SQL).
+
+    DOMAIN BOUND: Spark's floor(double) returns LONG, so |x|·10^n
+    must stay below 2^63 (DuckDB floors in double and silently keeps
+    going — the engines DIVERGE past the bound instead of erroring;
+    q_cusum round 6 hit this on raw rev² moments). For squares or
+    products of large values, center first (two-pass variance — see
+    q_cusum/q_ols_trend/q_seasonal_anomaly) or accumulate exact
+    decimals without rounding (q_stats_agg's decimal moments).
     """
     scale = F.lit(float(10**ndigits))
     return F.floor(col * scale + F.lit(0.5)) / scale

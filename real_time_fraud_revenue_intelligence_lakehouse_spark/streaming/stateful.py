@@ -187,3 +187,124 @@ def running_user_profiles_batch(
         .sortWithinPartitions("user_id", "batch_key")
         .mapInPandas(_fold_partition, BATCH_OUTPUT_SCHEMA)
     )
+
+
+# --- streaming CUSUM drift alarm --------------------------------------------
+
+#: s is held in integer MICROS (1e-6 z-units): the recursion
+#: s = max(0, s + dev) runs in exact int64 arithmetic, so the stream
+#: and its batch twin agree bit-for-bit regardless of batch split
+#: (float state would accumulate differently across micro-batches).
+CUSUM_OUTPUT_SCHEMA = (
+    "series_key STRING, batch_rows BIGINT, total_rows BIGINT, "
+    "s_end DOUBLE, n_alarms BIGINT"
+)
+CUSUM_STATE_SCHEMA = "s_micros BIGINT, total_rows BIGINT, n_alarms BIGINT"
+
+_M = 1_000_000
+
+
+def _cusum_fold(
+    s_micros: int, n_alarms: int, values, mean: float, std: float, k: float, h: float
+) -> tuple[int, int, int]:
+    """THE shared per-row fold (stream and batch twin): dev in micros
+    via the det_round convention (floor(x·1e6 + 0.5)), then the
+    clipped integer recursion; alarms counted when s crosses h."""
+    import math
+
+    h_micros = int(math.floor(h * _M + 0.5))
+    n = 0
+    for v in values:
+        dev = int(math.floor(((v - mean) / std - k) * _M + 0.5))
+        s_micros = max(0, s_micros + dev)
+        if s_micros > h_micros:
+            n_alarms += 1
+        n += 1
+    return s_micros, n_alarms, n
+
+
+def _update_cusum(mean: float, std: float, k: float, h: float):
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        st = state.get if state.exists else (0, 0, 0)
+        s_micros, total_rows, n_alarms = st
+        batch_rows = 0
+        for pdf in pdfs:
+            # deterministic in-batch order: event time then unique id
+            pdf = pdf.sort_values(["ts", "event_id"])
+            s_micros, n_alarms, n = _cusum_fold(
+                s_micros, n_alarms, pdf["value"].tolist(), mean, std, k, h
+            )
+            batch_rows += n
+        total_rows += batch_rows
+        state.update((s_micros, total_rows, n_alarms))
+        yield pd.DataFrame(
+            {
+                "series_key": [key[0]],
+                "batch_rows": [batch_rows],
+                "total_rows": [total_rows],
+                "s_end": [s_micros / _M],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    return update
+
+
+def running_cusum(
+    events: DataFrame,
+    mean: float,
+    std: float,
+    k: float = 0.5,
+    h: float = 5.0,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Streaming CUSUM drift alarm: per key, the one-sided
+    s = max(0, s + ((value − mean)/std − k)) recursion maintained
+    across micro-batches with O(keys) state — the incremental form of
+    q_cusum's batch reflection closed form, for when the drift gate
+    must fire WITHIN the stream instead of at the nightly rollup.
+    ``mean``/``std`` are reference statistics (from the training
+    window, like PSI's baseline) — a drift detector that re-estimates
+    its own baseline from the drifting stream defeats itself."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update_cusum(mean, std, k, h),
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_cusum_batch(
+    events: DataFrame,
+    mean: float,
+    std: float,
+    k: float = 0.5,
+    h: float = 5.0,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Batch twin: one applyInPandas pass per key over the full
+    history in (ts, event_id) order — produces the stream's FINAL
+    state per key (same integer-micros fold, so equal bit-for-bit
+    however the stream was micro-batched)."""
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s_micros, n_alarms, n = _cusum_fold(
+            0, 0, pdf["value"].tolist(), mean, std, k, h
+        )
+        return pd.DataFrame(
+            {
+                "series_key": [pdf[key_col].iloc[0]],
+                "batch_rows": [n],
+                "total_rows": [n],
+                "s_end": [s_micros / _M],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandas(run, CUSUM_OUTPUT_SCHEMA)

@@ -655,3 +655,61 @@ def test_sliding_windows_in_stream(spark, tmp_path):
         ("2024-01-01T10:00:00", 2),
         ("2024-01-01T10:30:00", 1),
     ]
+
+
+def test_streaming_cusum_state_carries_and_matches_batch_twin(spark, tmp_path):
+    """Streaming CUSUM: the integer-micros recursion carries across
+    micro-batches, alarms fire on a planted shift, and the stream's
+    final per-key state equals the batch twin run on the full history
+    (bit-for-bit — the state is int64, so micro-batch boundaries
+    cannot change it)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import (
+        running_cusum,
+        running_cusum_batch,
+    )
+
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    now = time.time()
+    # mean=10, std=2, k=0.5: values at 10 → dev=-0.5 (s pinned at 0);
+    # values at 16 → dev=+2.5/row → s crosses h=5 on the 3rd shifted row
+    _write_json(
+        str(src / "b1.json"),
+        [_ev(i, f"2024-01-01 10:{i:02d}:00", user=1, value=10.0) for i in range(1, 6)],
+        now - 60,
+    )
+    _write_json(
+        str(src / "b2.json"),
+        [_ev(10 + i, f"2024-01-01 11:{i:02d}:00", user=1, value=16.0) for i in range(1, 6)],
+        now,
+    )
+    stream = running_cusum(
+        read_file_stream(spark, str(src), max_files_per_trigger=1),
+        mean=10.0, std=2.0, k=0.5, h=5.0, key_col="event_type",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.table("cusum_stream").collect(), key=lambda r: r["total_rows"]
+    )
+    assert rows[0]["s_end"] == 0.0 and rows[0]["n_alarms"] == 0  # stable batch
+    final_stream = rows[-1]
+    assert final_stream["total_rows"] == 10
+    assert final_stream["s_end"] == 12.5  # 5 shifted rows x 2.5
+    assert final_stream["n_alarms"] == 3  # rows 3,4,5 after crossing h
+    # batch twin over the SAME history → identical final state
+    hist = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).json(str(src))
+    twin = running_cusum_batch(
+        hist, mean=10.0, std=2.0, k=0.5, h=5.0, key_col="event_type"
+    ).collect()[0]
+    assert twin["s_end"] == final_stream["s_end"]
+    assert twin["n_alarms"] == final_stream["n_alarms"]
+    assert twin["total_rows"] == final_stream["total_rows"]
