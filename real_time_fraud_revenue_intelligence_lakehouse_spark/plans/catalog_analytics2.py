@@ -85,25 +85,21 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's (the oracle runs the naive form). Ties on value break on
     the unique key in BOTH stages, keeping the composition
     deterministic."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.topk import salted_topk
+
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_orderkey", "o_totalprice"
     )
-    salted = o.withColumn(
-        "_salt", F.pmod(F.hash("o_orderkey"), F.lit(TOPK_SALTS))
+    ranked = salted_topk(
+        o,
+        group_cols=["o_orderpriority"],
+        order_cols=[F.desc("o_totalprice")],
+        tiebreak_col="o_orderkey",
+        k=TOPK_K,
+        salts=TOPK_SALTS,
     )
-    w1 = Window.partitionBy("o_orderpriority", "_salt").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    local = salted.withColumn("_lrk", F.row_number().over(w1)).filter(
-        F.col("_lrk") <= TOPK_K
-    )
-    w2 = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        local.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= TOPK_K)
-        .select("o_orderpriority", F.col("rk").cast("long").alias("rk"), "o_orderkey", "o_totalprice")
+    return ranked.select(
+        "o_orderpriority", F.col("rk").cast("long").alias("rk"), "o_orderkey", "o_totalprice"
     )
 
 
@@ -464,22 +460,10 @@ def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
     )
-    wall = Window.partitionBy()
-    sh = rev.withColumn(
-        "share", F.col("revenue") / F.sum("revenue").over(wall) * F.lit(ALLOC_BUDGET)
-    )
-    frac = F.col("share") - F.floor("share")
-    fl = sh.select(
-        "n_name",
-        "revenue",
-        F.floor("share").cast("long").alias("base"),
-        F.row_number().over(Window.orderBy(frac.desc(), F.asc("n_name"))).alias("frac_rank"),
-        (F.lit(ALLOC_BUDGET) - F.sum(F.floor("share").cast("long")).over(wall)).alias("slots"),
-    )
-    return fl.select(
-        "n_name",
-        "revenue",
-        (F.col("base") + F.when(F.col("frac_rank") <= F.col("slots"), 1).otherwise(0)).cast("long").alias("alloc"),
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.allocation import largest_remainder
+
+    return largest_remainder(rev, key_col="n_name", weight_col="revenue", budget=ALLOC_BUDGET).select(
+        "n_name", "revenue", "alloc"
     )
 
 

@@ -58,3 +58,43 @@ def test_merge_upsert_idempotent(spark):
     once = merge_upsert(target, source, ["k"])
     twice = merge_upsert(once, source, ["k"])
     assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_salted_topk_equals_naive_window_any_salts(spark):
+    from pyspark.sql import Window
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.topk import salted_topk
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    o = read_table(spark, SF_SMOKE, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    naive = {
+        (r["o_orderstatus"], r["rk"], r["o_orderkey"])
+        for r in o.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).collect()
+    }
+    for salts in (1, 2, 32):  # salt count must never change the result
+        got = {
+            (r["o_orderstatus"], r["rk"], r["o_orderkey"])
+            for r in salted_topk(
+                o, ["o_orderstatus"], [F.desc("o_totalprice")], "o_orderkey", 5, salts=salts
+            ).collect()
+        }
+        assert got == naive, salts
+
+
+def test_largest_remainder_sum_preserving_extremes(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.allocation import largest_remainder
+
+    # pathological weights: one dominant, several tiny, one zero
+    df = spark.createDataFrame(
+        [("a", 97.3), ("b", 1.1), ("c", 1.1), ("d", 0.5), ("e", 0.0)],
+        "k string, w double",
+    )
+    for budget in (1, 7, 100, 9999):
+        rows = largest_remainder(df, "k", "w", budget).collect()
+        assert sum(r["alloc"] for r in rows) == budget
+        assert all(r["alloc"] >= 0 for r in rows)
+        by = {r["k"]: r["alloc"] for r in rows}
+        assert by["e"] <= 1  # zero weight gets at most a remainder unit
