@@ -831,3 +831,208 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+# --- funnel with per-step time budgets ---------------------------------------
+
+FUNNEL_STEP1_H = 1   # view → click budget (hours)
+FUNNEL_STEP2_H = 24  # click → purchase budget (hours)
+
+
+@query(
+    "q_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL {FUNNEL_STEP1_H} HOUR
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL {FUNNEL_STEP2_H} HOUR
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT 1 AS stage_no, 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+      UNION ALL
+      SELECT 2, 'click_1h', (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT 3, 'purchase_24h', (SELECT count(*) FROM p)
+    )
+    SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           {R4.format(c="CAST(n_users AS DOUBLE) / (SELECT n_users FROM counts WHERE stage_no = 1)")} AS conv_from_top
+    FROM counts
+    """,
+    tags=("behavior", "funnel", "temporal"),
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with per-step TIME BUDGETS: click must follow the first
+    view within {FUNNEL_STEP1_H}h and purchase within
+    {FUNNEL_STEP2_H}h of that click — the constrained form of
+    q_event_funnel (unbounded funnels overstate conversion by
+    counting next-quarter purchases). Each stage is one min-aggregate
+    semi-joined to the prior stage's anchor with a range residual on
+    the user-key hash join — the q_abandoned shape chained twice.
+    Counts are exact; rates divide exact integers."""
+    e = read_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {FUNNEL_STEP1_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(f"INTERVAL {FUNNEL_STEP2_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"), "n_users")
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(2).alias("stage_no"), F.lit("click_1h").alias("stage"), "n_users"))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(3).alias("stage_no"), F.lit("purchase_24h").alias("stage"), "n_users"))
+    )
+    top = counts.filter(F.col("stage_no") == 1).select(F.col("n_users").alias("n_top"))
+    return counts.crossJoin(F.broadcast(top)).select(
+        F.col("stage_no").cast("long").alias("stage_no"),
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+        det_round(F.col("n_users").cast("double") / F.col("n_top"), 4).alias("conv_from_top"),
+    )
+
+
+# --- two-proportion A/B test -------------------------------------------------
+
+AB_Z_CRIT = 1.96
+
+
+@query(
+    "q_ab_test",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             ('0x' || substr(md5('ab-' || cast(user_id as varchar)), 1, 13))::BIGINT % 2 AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+      -- converted = purchased within 24h of first activity (every user
+      -- eventually purchases in this corpus; the windowed definition
+      -- keeps the rate interior so the z machinery is exercised)
+      SELECT t.user_id FROM (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY 1
+      ) t
+      WHERE t.tp IS NOT NULL AND t.tp <= t.t0 + INTERVAL 1 DAY
+    ),
+    arms AS (
+      SELECT a.arm, count(*) AS n,
+             sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS nc
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS n0,
+        max(CASE WHEN arm = 0 THEN nc END) AS c0,
+        max(CASE WHEN arm = 1 THEN n END) AS n1,
+        max(CASE WHEN arm = 1 THEN nc END) AS c1
+      FROM arms
+    ),
+    z AS (
+      SELECT n0, c0, n1, c1,
+             CAST(c0 AS DOUBLE) / n0 AS p0, CAST(c1 AS DOUBLE) / n1 AS p1,
+             CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pp
+      FROM w
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           {R4.format(c="p0")} AS rate_control,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+           {R4.format(c="p1")} AS rate_treat,
+           CASE WHEN pp > 0 AND pp < 1
+                THEN {R6.format(c="(p1 - p0) / sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))")}
+           END AS z_stat,
+           CAST(CASE WHEN pp > 0 AND pp < 1
+                      AND abs((p1 - p0) / sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)))
+                          > {AB_Z_CRIT!r} THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM z
+    """,
+    tags=("behavior", "experiment", "statistics"),
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test: users split 50/50 by the
+    domain-tagged md5 hash (append-stable, engine-portable — the
+    same assignment discipline as the train/test splitter), converted
+    = any purchase; z = (p₁−p₀)/√(p̂(1−p̂)(1/n₀+1/n₁)) with the pooled
+    rate — the experimentation-platform readout. On hash-split arms
+    of the same population the test should (correctly) find nothing:
+    the null machinery is what's being verified. Per-user reduce →
+    2-row arm table → scalar arithmetic; every ratio divides exact
+    integers."""
+    e = read_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    arm = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab-"), F.col("user_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+        F.lit(2),
+    ).alias("arm")
+    assign = users.select("user_id", arm)
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    conv = (
+        firsts.filter(
+            F.col("tp").isNotNull()
+            & (F.col("tp") <= F.col("t0") + F.expr("INTERVAL 1 DAYS"))
+        )
+        .select("user_id")
+        .withColumn("_c", F.lit(1))
+    )
+    arms = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("nc"))
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("nc"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("nc"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    interior = (pp > 0) & (pp < 1)
+    zexpr = F.when(
+        interior,
+        (p1 - p0) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        det_round(p0, 4).alias("rate_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("c1").cast("long").alias("conv_treat"),
+        det_round(p1, 4).alias("rate_treat"),
+        det_round(zexpr, 6).alias("z_stat"),
+        F.when(F.abs(zexpr) > AB_Z_CRIT, 1).otherwise(0).cast("long").alias("significant"),
+    )

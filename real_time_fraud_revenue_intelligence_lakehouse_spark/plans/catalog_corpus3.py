@@ -600,3 +600,94 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# --- embedding centroid drift -----------------------------------------------
+
+R8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+
+
+@query(
+    "q_embed_drift",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id % 2 AS period, i - 1 AS dim, embedding[i] AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    c AS (
+      SELECT period, dim,
+             CAST(sum(CAST({R8.format(c="val")} AS DECIMAL(38,8))) AS DOUBLE)
+               / count(*) AS m
+      FROM x GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.dim, a.m AS ma, b.m AS mb
+      FROM c a JOIN c b ON a.dim = b.dim AND a.period = 0 AND b.period = 1
+    ),
+    s AS (
+      SELECT count(*) AS n_dims,
+             CAST(sum(CAST({R8.format(c="ma * mb")} AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+             CAST(sum(CAST({R8.format(c="ma * ma")} AS DECIMAL(38,8))) AS DOUBLE) AS na2,
+             CAST(sum(CAST({R8.format(c="mb * mb")} AS DECIMAL(38,8))) AS DOUBLE) AS nb2,
+             CAST(sum(CAST({R8.format(c="(ma - mb) * (ma - mb)")} AS DECIMAL(38,8))) AS DOUBLE) AS d2
+      FROM j
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM embeddings
+    )
+    SELECT counts.n_a, counts.n_b, CAST(s.n_dims AS BIGINT) AS n_dims,
+           {{r6cos}} AS cos_sim,
+           {{r6l2}} AS l2_shift
+    FROM s, counts
+    """.format(
+        r6cos="(floor((dot / sqrt(na2 * nb2)) * 1000000.0 + 0.5) / 1000000.0)",
+        r6l2="(floor((sqrt(d2)) * 1000000.0 + 0.5) / 1000000.0)",
+    ),
+    tags=("ext", "embedding", "monitoring"),
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: centroid of each pseudo-period
+    (vec_id parity — deterministic stand-in for a time split), then
+    the cosine between the two centroids and the L2 shift — the
+    embedding-pipeline health check (an encoder change or input-mix
+    shift moves the centroid long before downstream metrics notice;
+    cosine < ~0.99 on stable traffic is a re-index alarm). One
+    posexplode pass + a (period, dim) aggregation; everything after
+    runs on 2×|dims| rows. Per-dim means and the cosine/L2 terms
+    det-round into decimal(38,8) before summation — layout-free, and
+    float→double promotion is exact on both engines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(2)).alias("period"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    c = x.groupBy("period", "dim").agg(
+        (
+            F.sum(det_round(F.col("val").cast("double"), 8).cast("decimal(38,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    a = c.filter(F.col("period") == 0).select("dim", F.col("m").alias("ma"))
+    b = c.filter(F.col("period") == 1).select("dim", F.col("m").alias("mb"))
+    j = a.join(b, "dim")
+    dec8 = lambda col: F.sum(det_round(col, 8).cast("decimal(38,8)")).cast("double")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        dec8(F.col("ma") * F.col("mb")).alias("dot"),
+        dec8(F.col("ma") * F.col("ma")).alias("na2"),
+        dec8(F.col("mb") * F.col("mb")).alias("nb2"),
+        dec8((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias("d2"),
+    )
+    counts = emb.agg(
+        F.sum(F.when(F.pmod("vec_id", F.lit(2)) == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.pmod("vec_id", F.lit(2)) == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    return s.crossJoin(F.broadcast(counts)).select(
+        "n_a",
+        "n_b",
+        F.col("n_dims").cast("long").alias("n_dims"),
+        det_round(F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 6).alias("cos_sim"),
+        det_round(F.sqrt(F.col("d2")), 6).alias("l2_shift"),
+    )

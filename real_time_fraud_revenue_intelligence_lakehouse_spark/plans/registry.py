@@ -209,6 +209,9 @@ _FRONT: tuple[str, ...] = (
     "q_pmi_collocations",
     "q_parent_share",
     "q_cheapest_route",
+    "q_embed_drift",
+    "q_ab_test",
+    "q_funnel_windowed",
 )
 
 

@@ -906,3 +906,92 @@ def test_cheapest_route_triangle_shortcut(spark):
         out = {r["node"]: r["dist"] for r in _q("q_cheapest_route")(spark, d).collect()}
     assert out[2] == round(1 / 3, 6) or abs(out[2] - 1 / 3) < 1e-6
     assert abs(out[3] - 2 / 3) < 1e-6  # NOT the direct w=1 edge
+
+
+# --- windowed funnel --------------------------------------------------------
+
+
+def test_funnel_windowed_budgets_enforced(spark):
+    # u1 converts inside both budgets; u2's click is 2h after view
+    # (out of the 1h budget); u3's purchase is 2 days after click.
+    events = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:30:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 10:00:00", 1, "purchase", 0.0, "{}"),
+        (4, "2024-01-01 00:00:00", 2, "view", 0.0, "{}"),
+        (5, "2024-01-01 02:00:00", 2, "click", 0.0, "{}"),
+        (6, "2024-01-01 03:00:00", 2, "purchase", 0.0, "{}"),
+        (7, "2024-01-01 00:00:00", 3, "view", 0.0, "{}"),
+        (8, "2024-01-01 00:30:00", 3, "click", 0.0, "{}"),
+        (9, "2024-01-03 01:00:00", 3, "purchase", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, events)
+        out = {r["stage"]: r for r in _q("q_funnel_windowed")(spark, d).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click_1h"]["n_users"] == 2      # u2 missed the 1h budget
+    assert out["purchase_24h"]["n_users"] == 1  # u3 missed the 24h budget
+    assert out["purchase_24h"]["conv_from_top"] == round(1 / 3, 4) or abs(out["purchase_24h"]["conv_from_top"] - 1/3) < 1e-3
+
+
+# --- A/B test ---------------------------------------------------------------
+
+
+def test_ab_test_null_on_hash_split(spark):
+    # hash-split arms of ONE population: rates near-equal, |z| far
+    # from significance — the null machinery must hold
+    row = _q("q_ab_test")(spark, SF_SMOKE).collect()[0]
+    assert row["n_control"] > 0 and row["n_treat"] > 0
+    assert row["conv_control"] <= row["n_control"]
+    assert row["conv_treat"] <= row["n_treat"]
+    assert 0.0 <= row["rate_control"] <= 1.0 and 0.0 <= row["rate_treat"] <= 1.0
+    if row["z_stat"] is not None:  # degenerate pooled rate → NULL by contract
+        assert abs(row["z_stat"]) < 5.0  # same-population split: no real effect
+
+
+def test_ab_test_detects_planted_effect(spark):
+    # construct users whose conversion depends on their md5 arm:
+    # arm-1 users purchase within a day, arm-0 users never do
+    import hashlib
+
+    events, eid = [], 1
+    for u in range(1, 201):
+        arm = int(hashlib.md5(f"ab-{u}".encode()).hexdigest()[:13], 16) % 2
+        events.append((eid, "2024-01-01 00:00:00", u, "view", 0.0, "{}")); eid += 1
+        if arm == 1:
+            events.append((eid, "2024-01-01 05:00:00", u, "purchase", 1.0, "{}")); eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, events)
+        row = _q("q_ab_test")(spark, d).collect()[0]
+    assert row["rate_control"] == 0.0 and row["rate_treat"] == 1.0
+    assert row["significant"] == 1 and row["z_stat"] > 10
+
+
+# --- embedding drift --------------------------------------------------------
+
+
+def test_embed_drift_identical_halves_score_high(spark):
+    # identical vectors in both periods → cosine exactly 1, shift 0
+    vecs = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(10)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        row = _q("q_embed_drift")(spark, d).collect()[0]
+    assert row["n_a"] == 5 and row["n_b"] == 5 and row["n_dims"] == 4
+    assert row["cos_sim"] == 1.0 and row["l2_shift"] == 0.0
+
+
+def test_embed_drift_orthogonal_shift_detected(spark):
+    # period 0 on axis x, period 1 on axis y → cosine 0, shift sqrt(2)
+    import math
+
+    vecs = [(2 * i, [1.0, 0.0], 0) for i in range(5)]
+    vecs += [(2 * i + 1, [0.0, 1.0], 0) for i in range(5)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        row = _q("q_embed_drift")(spark, d).collect()[0]
+    assert row["cos_sim"] == 0.0
+    assert abs(row["l2_shift"] - math.sqrt(2)) < 1e-6

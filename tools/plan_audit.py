@@ -68,6 +68,8 @@ ALLPAIRS_OK = {
     "q_ols_trend",          # 1-row min-day anchor + moment stats cross joined (broadcast)
     "q_target_encoding",    # 1-row global-prior aggregate cross joined (broadcast)
     "q_pmi_collocations",   # 1-row unigram-total aggregate cross joined (broadcast)
+    "q_embed_drift",        # 1-row period-count aggregate cross joined (broadcast)
+    "q_funnel_windowed",    # 1-row top-of-funnel anchor cross joined (broadcast)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
