@@ -719,3 +719,157 @@ def q_parent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.col("revenue") / F.sum("revenue").over(wall), 6).alias("share_of_parent"),
     )
     return nation_rows.unionByName(region_rows)
+
+
+# --- price/volume revenue bridge ---------------------------------------------
+
+BRIDGE_Y1, BRIDGE_Y2 = 1996, 1997
+
+
+@query(
+    "q_revenue_bridge",
+    oracle=f"""
+    WITH y AS (
+      SELECT year(l_shipdate) AS yr,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS qty,
+             CAST(sum(CAST({R4.format(c="l_extendedprice * (1 - l_discount)")}
+                  AS DECIMAL(38,4))) AS DOUBLE) AS rev
+      FROM lineitem
+      WHERE year(l_shipdate) IN ({BRIDGE_Y1}, {BRIDGE_Y2})
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN yr = {BRIDGE_Y1} THEN qty END) AS q1,
+        max(CASE WHEN yr = {BRIDGE_Y1} THEN rev END) AS r1,
+        max(CASE WHEN yr = {BRIDGE_Y2} THEN qty END) AS q2,
+        max(CASE WHEN yr = {BRIDGE_Y2} THEN rev END) AS r2
+      FROM y
+    ),
+    p AS (SELECT q1, r1, q2, r2, r1 / q1 AS p1, r2 / q2 AS p2 FROM w)
+    SELECT r1 AS rev_pre, r2 AS rev_post,
+           {R4.format(c="r2 - r1")} AS delta_rev,
+           {R4.format(c="p1 * (q2 - q1)")} AS volume_effect,
+           {R4.format(c="q1 * (p2 - p1)")} AS price_effect,
+           {R4.format(c="(p2 - p1) * (q2 - q1)")} AS cross_effect
+    FROM p
+    """,
+    tags=("finance", "aggregate"),
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume revenue bridge between {BRIDGE_Y1} and
+    {BRIDGE_Y2}: ΔRev decomposes EXACTLY into p₁·Δq (volume effect) +
+    q₁·Δp (price effect) + Δp·Δq (cross/mix) — the finance
+    "waterfall" that answers whether revenue moved because of volume
+    or pricing (identity pinned by test). Two year-cells from one
+    pruned scan; unit price divides exact decimal-folded sums, and
+    the decomposition is scalar arithmetic on those exact inputs."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(BRIDGE_Y1, BRIDGE_Y2)
+    )
+    rev = det_round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(38,4)")
+    y = li.groupBy(F.year("l_shipdate").alias("yr")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,3)")).cast("double").alias("qty"),
+        F.sum(rev).cast("double").alias("rev"),
+    )
+    w = y.agg(
+        F.max(F.when(F.col("yr") == BRIDGE_Y1, F.col("qty"))).alias("q1"),
+        F.max(F.when(F.col("yr") == BRIDGE_Y1, F.col("rev"))).alias("r1"),
+        F.max(F.when(F.col("yr") == BRIDGE_Y2, F.col("qty"))).alias("q2"),
+        F.max(F.when(F.col("yr") == BRIDGE_Y2, F.col("rev"))).alias("r2"),
+    )
+    p1 = F.col("r1") / F.col("q1")
+    p2 = F.col("r2") / F.col("q2")
+    return w.select(
+        F.col("r1").alias("rev_pre"),
+        F.col("r2").alias("rev_post"),
+        det_round(F.col("r2") - F.col("r1"), 4).alias("delta_rev"),
+        det_round(p1 * (F.col("q2") - F.col("q1")), 4).alias("volume_effect"),
+        det_round(F.col("q1") * (p2 - p1), 4).alias("price_effect"),
+        det_round((p2 - p1) * (F.col("q2") - F.col("q1")), 4).alias("cross_effect"),
+    )
+
+
+# --- golden-record survivorship ----------------------------------------------
+
+
+@query(
+    "q_golden_record",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_totalprice, o_orderpriority,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_latest
+      FROM orders
+    ),
+    modes AS (
+      SELECT o_custkey, o_orderpriority AS mode_priority FROM (
+        SELECT o_custkey, o_orderpriority, count(*) AS c,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY count(*) DESC, o_orderpriority ASC) AS rm
+        FROM orders GROUP BY 1, 2
+      ) WHERE rm = 1
+    ),
+    base AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             min(CAST(o_orderdate AS DATE)) AS first_seen,
+             max(o_totalprice) AS max_order_value
+      FROM orders GROUP BY 1
+    )
+    SELECT b.o_custkey AS customer, b.n_orders, b.first_seen, b.max_order_value,
+           r.o_orderstatus AS latest_status, m.mode_priority
+    FROM base b
+    JOIN (SELECT o_custkey, o_orderstatus FROM ranked WHERE rn_latest = 1) r
+      ON b.o_custkey = r.o_custkey
+    JOIN modes m ON b.o_custkey = m.o_custkey
+    """,
+    tags=("mdm", "window", "survivorship"),
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: one consolidated row per customer
+    with per-FIELD merge rules — most-recent wins (latest status, by
+    order date with the unique key as tiebreak), first wins
+    (first-seen date), greatest wins (max order value), and most-
+    frequent wins (mode priority, ties → lexicographic) — the MDM
+    merge step after entity resolution (fuzzy_match/dedup find the
+    duplicates; this decides which field values survive). One shuffle
+    on the entity key serves the ranking window, the mode count, and
+    the plain aggregates; every rule is deterministic, so the golden
+    record itself hash-gates."""
+    o = read_table(spark, sf_dir, "orders")
+    w_latest = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        o.withColumn("rn", F.row_number().over(w_latest))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderstatus").alias("latest_status"))
+    )
+    w_mode = Window.partitionBy("o_custkey").orderBy(
+        F.desc("c"), F.asc("o_orderpriority")
+    )
+    modes = (
+        o.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rm", F.row_number().over(w_mode))
+        .filter(F.col("rm") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    base = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.to_date("o_orderdate")).alias("first_seen"),
+        F.max("o_totalprice").alias("max_order_value"),
+    )
+    return (
+        base.join(latest, "o_custkey")
+        .join(modes, "o_custkey")
+        .select(
+            F.col("o_custkey").alias("customer"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "first_seen",
+            "max_order_value",
+            "latest_status",
+            "mode_priority",
+        )
+    )

@@ -212,6 +212,8 @@ _FRONT: tuple[str, ...] = (
     "q_embed_drift",
     "q_ab_test",
     "q_funnel_windowed",
+    "q_revenue_bridge",
+    "q_golden_record",
 )
 
 

@@ -995,3 +995,61 @@ def test_embed_drift_orthogonal_shift_detected(spark):
         row = _q("q_embed_drift")(spark, d).collect()[0]
     assert row["cos_sim"] == 0.0
     assert abs(row["l2_shift"] - math.sqrt(2)) < 1e-6
+
+
+# --- revenue bridge ---------------------------------------------------------
+
+
+def test_revenue_bridge_decomposition_identity(spark):
+    row = _q("q_revenue_bridge")(spark, SF_SMOKE).collect()[0]
+    # the waterfall must reconstruct the delta exactly (within rounding)
+    recon = row["volume_effect"] + row["price_effect"] + row["cross_effect"]
+    assert abs(recon - row["delta_rev"]) < 1e-2
+    assert abs(row["delta_rev"] - (row["rev_post"] - row["rev_pre"])) < 1e-2
+
+
+def test_revenue_bridge_planted_pure_price_move(spark):
+    # same quantities both years, unit price doubles → all delta is
+    # price effect; volume and cross are exactly zero
+    li = []
+    k = 1
+    for year, price in ((1996, 10.0), (1997, 20.0)):
+        for _ in range(5):
+            li.append((k, 1, 1, 1, 2.0, price * 2, 0.0, 0.0, "N", "O", f"{year}-06-01"))
+            k += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_lineitem(spark, d, li)
+        row = _q("q_revenue_bridge")(spark, d).collect()[0]
+    assert row["volume_effect"] == 0.0 and row["cross_effect"] == 0.0
+    assert row["price_effect"] == row["delta_rev"] == 100.0
+
+
+# --- golden record ----------------------------------------------------------
+
+
+def test_golden_record_survivorship_rules(spark):
+    orders = [
+        (1, 7, "O", 100.0, "2024-01-01", "B"),
+        (2, 7, "F", 300.0, "2024-03-01", "A"),  # latest order → status F
+        (3, 7, "P", 200.0, "2024-02-01", "A"),
+        (4, 7, "O", 150.0, "2024-02-15", "C"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        row = _q("q_golden_record")(spark, d).collect()[0]
+    assert row["customer"] == 7 and row["n_orders"] == 4
+    assert row["latest_status"] == "F"
+    assert row["first_seen"].isoformat() == "2024-01-01"
+    assert row["max_order_value"] == 300.0
+    assert row["mode_priority"] == "A"  # 2×A beats 1×B, 1×C
+
+
+def test_golden_record_mode_tie_breaks_lexicographic(spark):
+    orders = [
+        (1, 7, "O", 100.0, "2024-01-01", "Z"),
+        (2, 7, "O", 100.0, "2024-01-02", "M"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders)
+        row = _q("q_golden_record")(spark, d).collect()[0]
+    assert row["mode_priority"] == "M"
