@@ -691,3 +691,123 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 6).alias("cos_sim"),
         det_round(F.sqrt(F.col("d2")), 6).alias("l2_shift"),
     )
+
+
+# --- exact-substring duplicate spans ----------------------------------------
+
+SPAN_K = 8  # tokens per rolling shingle = minimum reported span length
+
+H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, len(toks) AS n_toks, i,
+             {H60.format(x=f"array_to_string(list_slice(toks, i, i + {SPAN_K} - 1), ' ')")} AS h
+      FROM t, unnest(range(1, len(toks) - {SPAN_K} + 2)) AS u(i)
+    ),
+    dup AS (
+      SELECT h FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+    ),
+    pos AS (
+      SELECT s.doc_id, s.n_toks, s.i AS istart, s.i + {SPAN_K} - 1 AS iend
+      FROM sh s JOIN dup d ON s.h = d.h
+    ),
+    marked AS (
+      SELECT doc_id, n_toks, istart, iend,
+             CASE WHEN istart > coalesce(max(iend) OVER (
+                    PARTITION BY doc_id ORDER BY istart
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM pos
+    ),
+    islands AS (
+      SELECT doc_id, n_toks, istart, iend,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY istart
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, n_toks, island_id,
+             max(iend) - min(istart) + 1 AS span_tokens
+      FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_tokens) AS BIGINT) AS longest_span,
+           (floor((CAST(sum(span_tokens) AS DOUBLE) / n_toks) * 1000000.0 + 0.5)
+             / 1000000.0) AS dup_token_share
+    FROM spans GROUP BY doc_id, n_toks
+    """,
+    tags=("ext", "dedup", "spans"),
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate SPANS — the token-span dedup tier of
+    Lee et al.'s "Deduplicating Training Data" family that the
+    doc/paragraph/shingle tiers don't give you: maximal runs of
+    ≥{SPAN_K} consecutive tokens that appear verbatim in ANOTHER
+    document. Pipeline: rolling {SPAN_K}-token shingle hashes (60-bit
+    md5 longs, the jaccard_pairs convention), cross-doc duplicated
+    hashes via one count-distinct-docs agg, then each doc's
+    duplicated positions merge into maximal spans by the canonical
+    gaps-and-islands interval union (running-max-end window → island
+    ids → per-island extents — overlapping shingle windows must NOT
+    double-count coverage, which naive run-grouping gets wrong).
+    Output per affected doc: span count, longest span, duplicated-
+    token share (the per-doc removal signal). Cost: one shingle
+    explode (≈ tokens/doc positions), one hash agg, one doc-keyed
+    window — linear in corpus size, no pairing stage at all (unlike
+    MinHash-LSH, the span tier never enumerates doc PAIRS)."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
+    shingle_expr = (
+        f"transform(sequence(1, greatest(size(toks) - {SPAN_K} + 1, 0)), "
+        f"i -> struct(i AS istart, "
+        f"conv(substring(md5(array_join(slice(toks, i, {SPAN_K}), ' ')), 1, 15), 16, 10) AS hs))"
+    )
+    sh = t.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.explode(F.expr(shingle_expr)).alias("s"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        F.col("s.istart").alias("istart"),
+        F.col("s.hs").cast("long").alias("h"),
+    )
+    dup = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).filter(
+        F.col("nd") > 1
+    )
+    pos = sh.join(dup.select("h"), "h").select(
+        "doc_id", "n_toks", "istart", (F.col("istart") + SPAN_K - 1).alias("iend")
+    )
+    wprev = Window.partitionBy("doc_id").orderBy("istart").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marked = pos.withColumn(
+        "new_island",
+        F.when(
+            F.col("istart") > F.coalesce(F.max("iend").over(wprev), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    )
+    wcum = Window.partitionBy("doc_id").orderBy("istart").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = marked.withColumn("island_id", F.sum("new_island").over(wcum))
+    spans = islands.groupBy("doc_id", "n_toks", "island_id").agg(
+        (F.max("iend") - F.min("istart") + 1).alias("span_tokens")
+    )
+    return spans.groupBy("doc_id", "n_toks").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_tokens").cast("long").alias("longest_span"),
+        det_round(F.sum("span_tokens").cast("double") / F.col("n_toks"), 6).alias("dup_token_share"),
+    ).select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "longest_span",
+        "dup_token_share",
+    )

@@ -214,6 +214,7 @@ _FRONT: tuple[str, ...] = (
     "q_funnel_windowed",
     "q_revenue_bridge",
     "q_golden_record",
+    "q_dup_spans",
 )
 
 

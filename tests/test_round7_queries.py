@@ -1053,3 +1053,45 @@ def test_golden_record_mode_tie_breaks_lexicographic(spark):
         _write_orders(spark, d, orders)
         row = _q("q_golden_record")(spark, d).collect()[0]
     assert row["mode_priority"] == "M"
+
+
+# --- exact-substring duplicate spans ----------------------------------------
+
+
+def test_dup_spans_planted_verbatim_overlap(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_corpus3 import SPAN_K
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12-token verbatim span
+    docs = [
+        (1, shared + " unique one tail here", "en", "s", 1),
+        (2, "different head text then " + shared, "en", "s", 1),
+        (3, "completely unrelated words only appear here once today", "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in _q("q_dup_spans")(spark, d).collect()}
+    assert set(out) == {1, 2}  # doc 3 shares nothing
+    for doc_id in (1, 2):
+        assert out[doc_id]["n_spans"] == 1
+        assert out[doc_id]["longest_span"] == 12
+    assert 12 >= SPAN_K
+
+
+def test_dup_spans_interval_union_no_double_count(spark):
+    # one doc fully contained in another → share for the contained
+    # doc is exactly 1.0 (overlapping shingle windows must merge)
+    body = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        (1, body, "en", "s", 1),
+        (2, "prefix words here " + body + " suffix words there", "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in _q("q_dup_spans")(spark, d).collect()}
+    assert out[1]["dup_token_share"] == 1.0  # fully duplicated
+    assert out[1]["n_spans"] == 1 and out[1]["longest_span"] == 30
+    assert out[2]["longest_span"] == 30
