@@ -1036,3 +1036,69 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(zexpr, 6).alias("z_stat"),
         F.when(F.abs(zexpr) > AB_Z_CRIT, 1).otherwise(0).cast("long").alias("significant"),
     )
+
+
+# --- DAU / WAU / stickiness --------------------------------------------------
+
+WAU_DAYS = 7
+
+
+@query(
+    "q_active_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN du u
+        ON u.day > d.day - {WAU_DAYS} AND u.day <= d.day
+      GROUP BY 1
+    )
+    SELECT d.day, CAST(a.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           {R4.format(c="CAST(a.dau AS DOUBLE) / w.wau")} AS stickiness
+    FROM days d JOIN dau a ON d.day = a.day JOIN wau w ON d.day = w.day
+    """,
+    tags=("behavior", "engagement", "window"),
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-{WAU_DAYS}-day WAU / stickiness (DAU÷WAU) — the
+    product-engagement headline. Rolling DISTINCT counts don't fold
+    into window frames (distinctness isn't decomposable), so the
+    trailing count is a day-spine range join over the per-day
+    DISTINCT (day, user) reduce — exact and deterministic; at 100 TB
+    the exact tier is replaced by per-day HLL sketches merged over
+    the trailing window (the approx_variants pattern), with this
+    exact form as its oracle at validation scale. The range join
+    expands each user-day into ≤{WAU_DAYS} spine rows — bounded
+    fan-out, one shuffle."""
+    e = read_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # each user-day contributes to the next WAU_DAYS spine days: a
+    # map-side sequence explode + EQUI join (broadcast day spine) —
+    # a pure range join would plan as a nested loop here.
+    expanded = du.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {WAU_DAYS - 1}))")
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        expanded.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            det_round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )

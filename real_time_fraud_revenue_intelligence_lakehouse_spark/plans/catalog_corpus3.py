@@ -811,3 +811,67 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "longest_span",
         "dup_token_share",
     )
+
+
+# --- vocabulary coverage / OOV rate -----------------------------------------
+
+VOCAB_TOP = 500
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, unnest({TOKS.format(c=NORM.format(c='text'))}) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk FROM counts
+      ) WHERE rk <= {VOCAB_TOP}
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           (floor((CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*)) * 1000000.0 + 0.5) / 1000000.0) AS oov_rate
+    FROM t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY 1
+    """,
+    tags=("ext", "text", "vocabulary"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-{VOCAB_TOP}
+    vocabulary — the coverage check run before freezing a tokenizer or
+    embedding table (a source whose OOV rate spikes needs vocab
+    growth or gets down-weighted; fertility's cousin at the word
+    level). One tokenize pass feeds both the global counts (→ ranked
+    vocab, broadcast back) and the per-source scan; the OOV test is a
+    broadcast LEFT join against the {VOCAB_TOP}-row vocab. Rates
+    divide exact integers."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("source", F.explode(X.tokens(X.norm_text(F.col("text")))).alias("tok"))
+    counts = t.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+        )
+        .filter(F.col("rk") <= VOCAB_TOP)
+        .select("tok")
+        .withColumn("_v", F.lit(1))
+    )
+    return (
+        t.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            det_round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

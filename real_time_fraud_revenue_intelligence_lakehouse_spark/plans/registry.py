@@ -215,6 +215,8 @@ _FRONT: tuple[str, ...] = (
     "q_revenue_bridge",
     "q_golden_record",
     "q_dup_spans",
+    "q_vocab_coverage",
+    "q_active_users",
 )
 
 

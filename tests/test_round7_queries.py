@@ -1095,3 +1095,54 @@ def test_dup_spans_interval_union_no_double_count(spark):
     assert out[1]["dup_token_share"] == 1.0  # fully duplicated
     assert out[1]["n_spans"] == 1 and out[1]["longest_span"] == 30
     assert out[2]["longest_span"] == 30
+
+
+# --- vocab coverage ---------------------------------------------------------
+
+
+def test_vocab_coverage_bounds_and_planted_oov(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_corpus3 import VOCAB_TOP
+
+    # tiny corpus: vocab cap far above distinct tokens → zero OOV;
+    # then a source whose tokens are all hapax-unique still fits when
+    # total vocab < cap
+    docs = [(i, "common words repeat here", "en", "core", 1) for i in range(5)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        row = _q("q_vocab_coverage")(spark, d).collect()[0]
+    assert row["n_oov"] == 0 and row["oov_rate"] == 0.0
+    assert VOCAB_TOP >= 4
+    rows = _q("q_vocab_coverage")(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["n_oov"] <= r["n_tokens"]
+
+
+# --- DAU / WAU --------------------------------------------------------------
+
+
+def test_active_users_planted_rolling_distinct(spark):
+    # u1 active day1+day2; u2 active day1 only; u3 active day9 only.
+    events = [
+        (1, "2024-01-01 10:00:00", 1, "a", 0.0, "{}"),
+        (2, "2024-01-02 10:00:00", 1, "a", 0.0, "{}"),
+        (3, "2024-01-01 11:00:00", 2, "a", 0.0, "{}"),
+        (4, "2024-01-09 11:00:00", 3, "a", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, events)
+        out = {r["day"].isoformat(): r for r in _q("q_active_users")(spark, d).collect()}
+    assert out["2024-01-01"]["dau"] == 2 and out["2024-01-01"]["wau"] == 2
+    assert out["2024-01-02"]["dau"] == 1 and out["2024-01-02"]["wau"] == 2  # u1+u2 in window
+    assert out["2024-01-09"]["dau"] == 1 and out["2024-01-09"]["wau"] == 1  # day1/2 aged out
+    assert out["2024-01-02"]["stickiness"] == 0.5
+
+
+def test_active_users_wau_dominates_dau(spark):
+    rows = _q("q_active_users")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["wau"] >= r["dau"] > 0
+        assert 0.0 < r["stickiness"] <= 1.0

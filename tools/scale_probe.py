@@ -82,6 +82,7 @@ def main() -> None:
         "q_item_sim",            # pruned pair tier + per-part ranking window
         "q_bpe_merges",          # corpus scan + 4 vocab-table merge rounds
         "q_inverted_index",      # (term,doc) shuffle + term windows
+        "q_dup_spans",           # rolling shingles + hash agg + island windows (pair-free)
     ]
     print(f"{'query':24s} {'1x':>8s} {'10x':>8s} {'ratio':>7s}")
     for name in probes:
