@@ -785,21 +785,10 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = sh.join(dup.select("h"), "h").select(
         "doc_id", "n_toks", "istart", (F.col("istart") + SPAN_K - 1).alias("iend")
     )
-    wprev = Window.partitionBy("doc_id").orderBy("istart").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    marked = pos.withColumn(
-        "new_island",
-        F.when(
-            F.col("istart") > F.coalesce(F.max("iend").over(wprev), F.lit(-1)) + 1, 1
-        ).otherwise(0),
-    )
-    wcum = Window.partitionBy("doc_id").orderBy("istart").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    islands = marked.withColumn("island_id", F.sum("new_island").over(wcum))
-    spans = islands.groupBy("doc_id", "n_toks", "island_id").agg(
-        (F.max("iend") - F.min("istart") + 1).alias("span_tokens")
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.intervals import union_intervals
+
+    spans = union_intervals(pos, ["doc_id", "n_toks"], "istart", "iend").withColumn(
+        "span_tokens", F.col("end") - F.col("start") + 1
     )
     return spans.groupBy("doc_id", "n_toks").agg(
         F.count(F.lit(1)).alias("n_spans"),

@@ -98,3 +98,30 @@ def test_largest_remainder_sum_preserving_extremes(spark):
         assert all(r["alloc"] >= 0 for r in rows)
         by = {r["k"]: r["alloc"] for r in rows}
         assert by["e"] <= 1  # zero weight gets at most a remainder unit
+
+
+def test_union_intervals_merges_overlap_and_adjacency(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.intervals import union_intervals
+
+    rows = [
+        ("a", 1, 5), ("a", 4, 8),    # overlap → one island 1-8
+        ("a", 9, 10),                # adjacent (9 = 8+1) → merges at adjacency=1
+        ("a", 20, 25),               # disjoint
+        ("b", 3, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = {
+        (r["k"], r["island_id"]): (r["start"], r["end"], r["n_intervals"])
+        for r in union_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert got == {
+        ("a", 1): (1, 10, 3),
+        ("a", 2): (20, 25, 1),
+        ("b", 1): (3, 3, 1),
+    }
+    strict = {
+        (r["k"], r["island_id"]): (r["start"], r["end"])
+        for r in union_intervals(df, ["k"], "s", "e", adjacency=0).collect()
+    }
+    # with adjacency=0 the touching 9-10 interval stays separate
+    assert strict[("a", 1)] == (1, 8) and strict[("a", 2)] == (9, 10)
