@@ -62,14 +62,13 @@ def _load_all() -> None:
 # in dict order with a ~50-entry per-round budget, so queries that
 # have never had a driver-green row come FIRST. After CORRECTNESS_r02
 # the union of r01+r02 green rows covers 96 queries; this front window
-# is every remaining driver-unverified query (73 — all 71 selfchecked
-# green locally on 2026-08-14, plus the two rows-only iterative/sample
-# queries), ordered cheapest-first by measured sf0.01 selfcheck
-# runtime so a time-capped budget still maximizes green rows; the
-# heavy iterative/Python-stage queries (pagerank, stateful_profile)
-# close the window. q_greedy_packing already holds its rows-only row
-# from r02 and is excluded. Names not listed keep their registration
-# order after these.
+# holds every remaining driver-unverified query (all selfchecked
+# green locally), ordered cheapest-first by measured runtime within
+# each addition batch so a time-capped budget still maximizes green
+# rows: first the 73 pre-round-5 stragglers, then the round-5 batch,
+# then the round-6 batches in landing order. q_greedy_packing already
+# holds its rows-only row from r02 and is excluded. Names not listed
+# keep their registration order after these.
 _FRONT: tuple[str, ...] = (
     "q_bool_bit_agg",
     "q_string_pad",
