@@ -873,3 +873,148 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mode_priority",
         )
     )
+
+
+# --- revenue concentration: Gini + Pareto share ------------------------------
+
+
+@query(
+    "q_gini",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS i,
+             row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS top_rank,
+             count(*) OVER () AS n
+      FROM cust
+    ),
+    s AS (
+      SELECT max(n) AS n,
+             CAST(sum(CAST(rev AS DECIMAL(38,2))) AS DOUBLE) AS tot,
+             CAST(sum(CAST({R4.format(c="i * rev")} AS DECIMAL(38,4))) AS DOUBLE) AS iw,
+             CAST(sum(CAST(CASE WHEN top_rank <= n // 5 THEN rev ELSE 0 END
+                  AS DECIMAL(38,2))) AS DOUBLE) AS top20
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers, tot AS total_rev,
+           {R6.format(c="2.0 * iw / (n * tot) - (n + 1.0) / n")} AS gini,
+           {R6.format(c="top20 / tot")} AS top20_share
+    FROM s
+    """,
+    tags=("stats", "concentration", "window"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient over per-customer
+    revenue (rank formula G = 2Σi·xᵢ/(nΣx) − (n+1)/n on the ascending
+    sort — exact, no binning) plus the literal Pareto check (share of
+    revenue held by the top 20% of customers) — the whale-dependence
+    metrics behind credit/churn risk assessments. The fact reduces to
+    |customers| rows first; the two ranking windows run on that agg
+    output (at true scale the ascending rank would come from a
+    quantile-sketch CDF instead). Ties on revenue are rank-order
+    independent for the Gini sum (equal xᵢ commute), and the explicit
+    key tiebreak pins the top-20% cut. Rank·revenue products
+    det-round into decimal(38,4) — layout-free."""
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    ranked = cust.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(Window.orderBy(F.asc("rev"), F.asc("o_custkey"))).alias("i"),
+        F.row_number().over(Window.orderBy(F.desc("rev"), F.asc("o_custkey"))).alias("top_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    s = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("rev").cast("decimal(38,2)")).cast("double").alias("tot"),
+        F.sum(det_round(F.col("i") * F.col("rev"), 4).cast("decimal(38,4)")).cast("double").alias("iw"),
+        F.sum(
+            F.when(F.col("top_rank") <= F.floor(F.col("n") / 5), F.col("rev")).otherwise(0.0).cast("decimal(38,2)")
+        ).cast("double").alias("top20"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("tot").alias("total_rev"),
+        det_round(
+            2.0 * F.col("iw") / (F.col("n") * F.col("tot")) - (F.col("n") + 1.0) / F.col("n"), 6
+        ).alias("gini"),
+        det_round(F.col("top20") / F.col("tot"), 6).alias("top20_share"),
+    )
+
+
+# --- ship-latency SLA --------------------------------------------------------
+
+SLA_DAYS = 60
+
+
+@query(
+    "q_latency_sla",
+    oracle=f"""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+               AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {{r4p50}} AS p50_days,
+           {{r4p95}} AS p95_days,
+           CAST(sum(CASE WHEN days > {SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_breach,
+           {{r4br}} AS breach_rate
+    FROM lat GROUP BY 1
+    """.format(
+        r4p50="(floor((quantile_cont(days, 0.50)) * 10000.0 + 0.5) / 10000.0)",
+        r4p95="(floor((quantile_cont(days, 0.95)) * 10000.0 + 0.5) / 10000.0)",
+        r4br=f"(floor((CAST(sum(CASE WHEN days > {SLA_DAYS} THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0)",
+    ),
+    tags=("operations", "aggregate", "percentile"),
+)
+def q_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA per priority: exact interpolated
+    p50/p95 of the ship delay plus the share of lines breaching the
+    {SLA_DAYS}-day promise — the fulfillment-operations readout
+    (and the operational twin of the fraud-side velocity windows).
+    Latencies are small exact integers, so the interpolated quantile
+    is a deterministic arithmetic blend on both engines (Spark
+    `percentile` ≡ DuckDB `quantile_cont`); negative-latency rows
+    (data errors) are excluded symmetrically. One join + one
+    5-group aggregate."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
+        )
+    )
+    pct = F.percentile(F.col("days"), F.array(F.lit(0.50), F.lit(0.95)))
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            pct.alias("_p"),
+            F.sum(F.when(F.col("days") > SLA_DAYS, 1).otherwise(0)).alias("n_breach"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            det_round(F.col("_p")[0], 4).alias("p50_days"),
+            det_round(F.col("_p")[1], 4).alias("p95_days"),
+            F.col("n_breach").cast("long").alias("n_breach"),
+            det_round(F.col("n_breach").cast("double") / F.col("n_lines"), 4).alias("breach_rate"),
+        )
+    )

@@ -216,6 +216,8 @@ _FRONT: tuple[str, ...] = (
     "q_dup_spans",
     "q_vocab_coverage",
     "q_active_users",
+    "q_gini",
+    "q_latency_sla",
 )
 
 

@@ -1146,3 +1146,48 @@ def test_active_users_wau_dominates_dau(spark):
     for r in rows:
         assert r["wau"] >= r["dau"] > 0
         assert 0.0 < r["stickiness"] <= 1.0
+
+
+# --- Gini / Pareto ----------------------------------------------------------
+
+
+def test_gini_planted_extremes(spark):
+    # perfectly equal revenues → gini 0; one whale and many zeros-ish
+    orders_eq = [(i, i, "O", 100.0, "2024-01-01", "P") for i in range(1, 11)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders_eq)
+        row = _q("q_gini")(spark, d).collect()[0]
+    assert row["n_customers"] == 10
+    assert row["gini"] == 0.0
+    assert row["top20_share"] == 0.2  # top 2 of 10 equal customers
+    # one whale holding ~all revenue → gini near (n-1)/n
+    orders_wh = [(1, 1, "O", 100000.0, "2024-01-01", "P")]
+    orders_wh += [(i, i, "O", 1.0, "2024-01-01", "P") for i in range(2, 11)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(spark, d, orders_wh)
+        row = _q("q_gini")(spark, d).collect()[0]
+    assert row["gini"] > 0.89
+    assert row["top20_share"] > 0.999
+
+
+def test_gini_bounds_on_corpus(spark):
+    row = _q("q_gini")(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["gini"] < 1.0
+    assert 0.2 <= row["top20_share"] <= 1.0  # top-20% hold at least 20%
+
+
+# --- latency SLA ------------------------------------------------------------
+
+
+def test_latency_sla_consistency(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_analytics2 import SLA_DAYS
+
+    rows = _q("q_latency_sla")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_days"] <= r["p95_days"]
+        assert 0.0 <= r["breach_rate"] <= 1.0
+        assert r["n_breach"] <= r["n_lines"]
+        # p95 above the SLA implies a breach share above ~5%
+        if r["p95_days"] > SLA_DAYS:
+            assert r["breach_rate"] >= 0.05 - 1e-9
