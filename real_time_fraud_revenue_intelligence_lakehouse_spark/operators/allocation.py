@@ -31,7 +31,22 @@ def largest_remainder(
     (one row per allocation target — nations, campaigns, shards), not
     a raw fact table; reduce first."""
     wall = Window.partitionBy()
-    share = F.col(weight_col) / F.sum(weight_col).over(wall) * F.lit(budget)
+    # Degenerate guard: when sum(weight) is 0 or NULL the proportional
+    # share is undefined — without this, share/alloc silently become
+    # NULL and the sum(alloc)==budget contract breaks. Fail loudly
+    # instead via raise_error so the caller sees the bad frame.
+    total_w = F.sum(weight_col).over(wall)
+    checked_total = F.when(
+        total_w.isNull() | (total_w == 0),
+        F.raise_error(
+            F.lit(
+                "largest_remainder: sum(weight_col) is 0 or NULL — "
+                "proportional allocation is undefined; filter or "
+                "reweight the frame first"
+            )
+        ).cast("double"),
+    ).otherwise(total_w)
+    share = F.col(weight_col) / checked_total * F.lit(budget)
     frac = share - F.floor(share)
     sh = df.select(
         "*",

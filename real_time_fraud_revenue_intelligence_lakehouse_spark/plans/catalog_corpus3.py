@@ -764,10 +764,17 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH, the span tier never enumerates doc PAIRS)."""
     d = read_table(spark, sf_dir, "documents")
     t = d.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
+    # Guard short docs explicitly: sequence(1, 0) in Spark is the
+    # DESCENDING [1, 0] (not empty), so without the if() a doc with
+    # < SPAN_K tokens emits i=0 and slice(toks, 0, ...) throws
+    # INVALID_PARAMETER_VALUE.START — while the DuckDB oracle's
+    # range(1, n) is empty and returns normally.
     shingle_expr = (
-        f"transform(sequence(1, greatest(size(toks) - {SPAN_K} + 1, 0)), "
+        f"if(size(toks) < {SPAN_K}, "
+        f"cast(array() as array<struct<istart:int,hs:string>>), "
+        f"transform(sequence(1, size(toks) - {SPAN_K} + 1), "
         f"i -> struct(i AS istart, "
-        f"conv(substring(md5(array_join(slice(toks, i, {SPAN_K}), ' ')), 1, 15), 16, 10) AS hs))"
+        f"conv(substring(md5(array_join(slice(toks, i, {SPAN_K}), ' ')), 1, 15), 16, 10) AS hs)))"
     )
     sh = t.select(
         "doc_id",

@@ -287,8 +287,16 @@ def running_cusum_batch(
 ) -> DataFrame:
     """Batch twin: one applyInPandas pass per key over the full
     history in (ts, event_id) order — produces the stream's FINAL
-    state per key (same integer-micros fold, so equal bit-for-bit
-    however the stream was micro-batched)."""
+    state per key (same integer-micros fold).
+
+    Equality with the stream holds only under IN-ORDER ARRIVAL: the
+    clipped max(0, s+dev) recursion is order-sensitive, and the
+    stream sorts only WITHIN each micro-batch, so micro-batch
+    boundaries must respect global (ts, event_id) order for the two
+    folds to agree bit-for-bit. File-source replay of time-ordered
+    partitions satisfies this; an out-of-order event-time stream
+    needs watermark-based reordering before the fold (integer-micros
+    state removes float drift, not ordering sensitivity)."""
 
     def run(pdf):
         import pandas as pd

@@ -100,6 +100,22 @@ def test_largest_remainder_sum_preserving_extremes(spark):
         assert by["e"] <= 1  # zero weight gets at most a remainder unit
 
 
+def test_largest_remainder_all_zero_weights_fails_loudly(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.allocation import largest_remainder
+
+    # regression: an all-zero (or all-NULL) weight frame used to
+    # yield NULL allocations, silently breaking sum(alloc)==budget
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    for rows in ([("a", 0.0), ("b", 0.0)], [("a", None), ("b", None)]):
+        df = spark.createDataFrame(rows, "k string, w double")
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+            largest_remainder(df, "k", "w", 10).collect()
+        assert "largest_remainder" in str(ei.value)
+
+
 def test_union_intervals_merges_overlap_and_adjacency(spark):
     from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.intervals import union_intervals
 

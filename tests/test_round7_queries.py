@@ -1097,6 +1097,30 @@ def test_dup_spans_interval_union_no_double_count(spark):
     assert out[2]["longest_span"] == 30
 
 
+def test_dup_spans_short_and_empty_docs_do_not_crash(spark):
+    # regression: docs with < SPAN_K tokens used to hit Spark's
+    # sequence(1, 0) == [1, 0] descending quirk, emitting i=0 and
+    # crashing slice() with INVALID_PARAMETER_VALUE.START while the
+    # DuckDB oracle (whose range(1, n) is empty) returned normally.
+    shared = " ".join(f"tok{i}" for i in range(12))
+    docs = [
+        (1, shared + " unique one", "en", "s", 1),
+        (2, "head then " + shared, "en", "s", 1),
+        (3, "tiny doc", "en", "s", 1),  # 2 tokens < SPAN_K
+        (4, "", "en", "s", 1),  # empty text
+        (5, "exactly seven tokens sit right here now", "en", "s", 1),  # SPAN_K-1
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in _q("q_dup_spans")(spark, d).collect()}
+    # short/empty docs emit zero shingles → absent from output; the
+    # planted pair still resolves
+    assert set(out) == {1, 2}
+    assert out[1]["longest_span"] == 12
+
+
 # --- vocab coverage ---------------------------------------------------------
 
 
