@@ -278,15 +278,35 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- O2: random sample (rows-only, nondeterministic) ----------------------
+# --- O2: random sample (deterministic hash ordering) -----------------------
 
-@query("q_sample_limit", oracle=None, tags=("sort", "sample"))
+@query(
+    "q_sample_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY md5('sl-' || CAST(o_orderkey AS VARCHAR)) ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("sort", "sample"),
+)
 def q_sample_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded random sample + limit (`train.py:44-45`
-    ORDER BY random() LIMIT n). Seeded rand() is deterministic per
-    partition layout but not across layouts → rows-only check."""
+    """Random sample + limit (`train.py:44-45` ORDER BY random()
+    LIMIT n), made deterministic: order by a domain-tagged md5 of the
+    key instead of rand(). Same semantic — an unbiased pseudo-random
+    pull of 100 orders — but reproducible across engines, partition
+    layouts, and reruns, so the oracle hash-gates it (the engine's
+    q_weighted_sample convention). Plans as TakeOrderedAndProject:
+    per-partition heap + driver k-merge, no global sort at scale."""
     o = read_table(spark, sf_dir, "orders")
-    return o.orderBy(F.rand(42)).limit(100)
+    return (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.md5(F.concat(F.lit("sl-"), F.col("o_orderkey").cast("string"))).asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
 
 
 # --- U1: union all ---------------------------------------------------------

@@ -98,11 +98,49 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(t, "n_tokens", 512, group_cols=["lang"], order_col="doc_id")
 
 
-@query("q_greedy_packing", tags=("ext", "sampling"))
+@query(
+    "q_greedy_packing",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT lang, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS pack_id,
+             CAST(CASE WHEN n_tokens >= 512 THEN 1 ELSE 0 END AS BIGINT) AS nxt,
+             CAST(CASE WHEN n_tokens >= 512 THEN 0 ELSE n_tokens END AS BIGINT) AS used
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN w.used > 0 AND w.used + t.n_tokens > 512
+                  THEN w.nxt + 1 ELSE w.nxt END AS pack_id,
+             CASE WHEN t.n_tokens >= 512
+                  THEN (CASE WHEN w.used > 0 AND w.used + t.n_tokens > 512
+                             THEN w.nxt + 1 ELSE w.nxt END) + 1
+                  ELSE (CASE WHEN w.used > 0 AND w.used + t.n_tokens > 512
+                             THEN w.nxt + 1 ELSE w.nxt END) END AS nxt,
+             CASE WHEN t.n_tokens >= 512 THEN 0
+                  ELSE (CASE WHEN w.used > 0 AND w.used + t.n_tokens > 512
+                             THEN 0 ELSE w.used END) + t.n_tokens END AS used
+      FROM t JOIN walk w ON t.lang = w.lang AND t.rn = w.rn + 1
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, pack_id
+    FROM walk
+    """,
+    tags=("ext", "sampling"),
+)
 def q_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-budget greedy packing (next-fit, ≤512 tokens per pack)
-    via applyInPandas — the running reset is not SQL-expressible, so
-    no oracle; invariants are pytest-pinned (test_sampling.py)."""
+    via applyInPandas — the running reset is not a closed-form
+    window, so the DuckDB oracle unrolls the identical fold as a
+    recursive CTE walking each lang's docs in doc_id order (the
+    engine's _bf_oracle convention for iterative ops): state =
+    (current pack id, tokens used), new pack when the next doc would
+    overflow, ≥budget docs get a singleton pack. Invariants also
+    pytest-pinned (test_sampling.py)."""
     d = read_table(spark, sf_dir, "documents")
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import tokens
 

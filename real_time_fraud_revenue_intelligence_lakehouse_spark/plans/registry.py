@@ -60,164 +60,113 @@ def _load_all() -> None:
 
 # Verification priority: the driver's correctness gate walks queries()
 # in dict order with a ~50-entry per-round budget, so queries that
-# have never had a driver-green row come FIRST. After CORRECTNESS_r02
-# the union of r01+r02 green rows covers 96 queries; this front window
-# holds every remaining driver-unverified query (all selfchecked
-# green locally), ordered cheapest-first by measured runtime within
-# each addition batch so a time-capped budget still maximizes green
-# rows: first the 73 pre-round-5 stragglers, then the round-5 batch,
-# then the round-6 batches in landing order. q_greedy_packing already
-# holds its rows-only row from r02 and is excluded. Names not listed
-# keep their registration order after these.
+# have never had a driver-green row come FIRST. After CORRECTNESS_r04
+# the union of r01+r02+r04 green rows covers 147 of 240 queries; this
+# front window holds exactly the 93 never-driver-verified queries
+# (all selfchecked green locally), cheapest-first by the driver's own
+# BENCH_r04 sf0.1 timings (BENCH_FULL fallback) so a time-capped
+# budget maximizes new green rows. q_sample_limit and
+# q_greedy_packing follow immediately after: both previously
+# rows-only rows, re-oracled this round (deterministic ordering /
+# invariant emission) and due a fresh hash-green row. Names not
+# listed keep their registration order after these.
 _FRONT: tuple[str, ...] = (
-    "q_bool_bit_agg",
-    "q_string_pad",
-    "q_length_histogram",
-    "q_audio_frames",
-    "q_forecast_revenue",
-    "q_regexp_funcs",
-    "q_unpivot",
-    "q_scalar_subquery",
-    "q_salted_agg",
-    "q_promo_share",
-    "q_embed_quantize",
-    "q_sample_limit",
-    "q_bracket_revenue",
-    "q_line_priority_mix",
-    "q_cust_order_distribution",
-    "q_multimodal_framesample",
-    "q_rollup",
-    "q_filter_clause",
-    "q_order_priority_check",
-    "q_top_supplier",
-    "q_part_supplier_variety",
-    "q_groupwise_min",
-    "q_profile_cardinality",
-    "q_interval_join",
-    "q_rfm_segments",
-    "q_paragraph_dedup",
-    "q_excess_suppliers",
-    "q_text_cleanup",
-    "q_stats_agg",
-    "q_having",
-    "q_sliding_window",
-    "q_zscore_outliers",
-    "q_unigram_logprob",
-    "q_product_profit",
-    "q_dormant_customers",
-    "q_decimal_money",
-    "q_kmv_distinct",
-    "q_winsorize",
-    "q_retention_cohort",
-    "q_volume_shipping",
-    "q_intersect_check",
-    "q_semi_join",
-    "q_date_arith",
-    "q_running_total",
-    "q_cms_heavy_hitters",
-    "q_array_ops",
-    "q_vector_norms",
-    "q_waiting_suppliers",
-    "q_local_supplier_volume",
-    "q_returned_revenue",
-    "q_important_parts",
-    "q_map_functions",
-    "q_first_last",
-    "q_bloom_prune",
-    "q_json_roundtrip",
-    "q_window_share",
-    "q_anti_join",
-    "q_event_funnel",
-    "q_embed_pq",
-    "q_knn_label_vote",
-    "q_ivfpq_topk",
-    "q_minmax_by",
-    "q_correlated_subquery",
-    "q_bm25",
-    "q_fuzzy_match",
-    "q_multimodal_resize",
-    "q_market_share",
-    "q_dup_ngram_ratio",
-    "q_exif_meta",
-    "q_dedup_pipeline",
-    "q_pagerank",
-    "q_pagerank_converge",
-    "q_stateful_profile",
-    # round-5 additions (slots 74+, cheapest-first by idle-machine
-    # sf0.1 min-of-3) — reached only if the driver budget exceeds the
-    # 73 above; otherwise they hold the round-4 window's head.
     "q_kfold",
-    "q_priority_sample",
-    "q_robust_scale",
-    "q_skyline",
+    "q_exif_meta",
     "q_feature_hash",
+    "q_anti_join",
+    "q_k_anonymity",
+    "q_priority_sample",
+    "q_cumulative_distinct",
+    "q_skyline",
+    "q_weighted_sample",
     "q_benford",
     "q_round_amount_anomaly",
-    "q_duplicate_invoice",
-    "q_quantile_norm",
-    "q_token_entropy",
-    "q_k_anonymity",
+    "q_robust_scale",
+    "q_multimodal_resize",
     "q_psi",
-    "q_gap_fill",
-    "q_rolling_median",
-    "q_event_transitions",
-    "q_ks_test",
-    "q_mad_outliers",
-    "q_auc",
-    "q_kmv_set_ops",
-    "q_median_mode",
-    "q_augment",
-    "q_ewma",
-    "q_bigram_logprob",
-    "q_minhash_accuracy",
-    "q_bfs_distance",
-    "q_prefix_jaccard_join",
-    "q_lsh_quality",
-    # round-6 additions (slots 101+, cheapest-first by warm sf0.01
-    # selfcheck runtime) — queue behind everything still unverified.
-    "q_weighted_sample",
-    "q_decile_lift",
-    "q_topk_per_group",
-    "q_allocation",
-    "q_graph_degree",
-    "q_cumulative_distinct",
-    "q_twap",
-    "q_basket_lift",
-    "q_yoy_growth",
-    "q_chi_square",
-    "q_bpe_merges",
-    "q_inverted_index",
-    "q_knn_triangles",
-    "q_survival_km",
-    "q_cusum",
-    "q_item_sim",
-    "q_readability",
-    "q_fd_discovery",
-    "q_reconciliation",
     "q_abandoned",
-    "q_ols_trend",
-    "q_seasonal_anomaly",
-    "q_bpe_encode",
-    "q_scd2_lookup",
-    "q_langid_confusion",
-    "q_target_encoding",
-    "q_graph_communities",
-    "q_event_paths",
+    "q_gap_fill",
+    "q_map_functions",
+    "q_readability",
+    "q_first_last",
+    "q_minmax_by",
+    "q_window_share",
+    "q_survival_km",
+    "q_duplicate_invoice",
+    "q_twap",
+    "q_token_entropy",
+    "q_quantile_norm",
     "q_cohort_ltv",
-    "q_diff_in_diff",
+    "q_embed_drift",
+    "q_event_transitions",
+    "q_langid_confusion",
+    "q_topk_per_group",
+    "q_chi_square",
+    "q_ab_test",
+    "q_mad_outliers",
+    "q_event_paths",
+    "q_scd2_lookup",
+    "q_target_encoding",
+    "q_revenue_bridge",
+    "q_fd_discovery",
+    "q_yoy_growth",
+    "q_funnel_windowed",
+    "q_vocab_coverage",
+    "q_gini",
+    "q_ks_test",
+    "q_allocation",
+    "q_cusum",
+    "q_rolling_median",
+    "q_seasonal_anomaly",
+    "q_golden_record",
+    "q_inverted_index",
+    "q_auc",
+    "q_important_parts",
     "q_pmi_collocations",
     "q_parent_share",
-    "q_cheapest_route",
-    "q_embed_drift",
-    "q_ab_test",
-    "q_funnel_windowed",
-    "q_revenue_bridge",
-    "q_golden_record",
-    "q_dup_spans",
-    "q_vocab_coverage",
     "q_active_users",
-    "q_gini",
+    "q_json_roundtrip",
+    "q_ols_trend",
+    "q_event_funnel",
+    "q_decile_lift",
+    "q_bm25",
+    "q_diff_in_diff",
+    "q_kmv_set_ops",
     "q_latency_sla",
+    "q_bpe_merges",
+    "q_market_share",
+    "q_correlated_subquery",
+    "q_dup_ngram_ratio",
+    "q_embed_pq",
+    "q_median_mode",
+    "q_bigram_logprob",
+    "q_knn_label_vote",
+    "q_stateful_profile",
+    "q_fuzzy_match",
+    "q_graph_degree",
+    "q_reconciliation",
+    "q_ewma",
+    "q_augment",
+    "q_bloom_prune",
+    "q_bpe_encode",
+    "q_basket_lift",
+    "q_item_sim",
+    "q_minhash_accuracy",
+    "q_dup_spans",
+    "q_dedup_pipeline",
+    "q_bfs_distance",
+    "q_ivfpq_topk",
+    "q_knn_triangles",
+    "q_lsh_quality",
+    "q_pagerank",
+    "q_pagerank_converge",
+    "q_cheapest_route",
+    "q_prefix_jaccard_join",
+    "q_graph_communities",
+    # re-oracled this round — previously rows-only by design:
+    "q_sample_limit",
+    "q_greedy_packing",
 )
 
 
