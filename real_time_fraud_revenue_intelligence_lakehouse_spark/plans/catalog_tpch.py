@@ -567,3 +567,82 @@ def q_groupwise_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_suppkey").alias("best_suppkey"))
         .select("partkey", "best_suppkey", "min_price")
     )
+
+
+# --- TPC-H Q2: min-cost supplier over the full dim chain -------------------
+
+@query(
+    "q_min_cost_supplier",
+    oracle=f"""
+    WITH up AS (
+      SELECT l_partkey, l_suppkey,
+             min({R2.format(c='l_extendedprice / l_quantity')}) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT u.l_partkey, u.l_suppkey, u.cost, s.s_name, s.s_acctbal, n.n_name
+      FROM up u
+      JOIN supplier s ON s.s_suppkey = u.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    mn AS (SELECT l_partkey, min(cost) AS min_cost FROM eligible GROUP BY 1)
+    SELECT p.p_partkey AS partkey, p.p_brand, e.s_name, e.n_name,
+           e.cost AS min_cost, e.s_acctbal
+    FROM eligible e
+    JOIN mn m ON m.l_partkey = e.l_partkey AND e.cost = m.min_cost
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size = 5 AND p.p_type = 'STANDARD'
+    """,
+    tags=("join", "aggregate", "subquery", "tpch"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 FULL shape (q_groupwise_min keeps only the essence):
+    the correlated min runs over the complete part→supplier→nation→
+    region dim chain — cheapest EUROPE supplier for each STANDARD
+    size-5 part, all tied suppliers returned with their nation and
+    account balance, exactly the `WHERE cost = (SELECT min(cost) ...
+    WHERE region = ...)` correlation of the original. lineitem
+    unit-price minima stand in for partsupp supplycost (no partsupp
+    in this star schema, SURVEY §2 N/A note). Plan: one lineitem
+    shuffle to (partkey, suppkey) minima; the region-filtered
+    supplier dim chain broadcasts (supplier ≪ fact by ~4 orders of
+    magnitude in any TPC-H-scaled corpus); the correlated min is one
+    partkey agg joined back on (key, cost = min) — both sides already
+    partition on partkey, so AQE reuses the exchange; the part
+    filter broadcasts and prunes before output. det_round on the
+    unit price makes the double equality join bit-safe on both
+    engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    up = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            det_round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+        ).alias("cost")
+    )
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = read_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eligible = up.join(F.broadcast(s), up.l_suppkey == F.col("s_suppkey"))
+    mn = eligible.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    return (
+        eligible.join(mn, (eligible.l_partkey == mn.pk) & (eligible.cost == mn.min_cost))
+        .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("cost").alias("min_cost"),
+            "s_acctbal",
+        )
+    )

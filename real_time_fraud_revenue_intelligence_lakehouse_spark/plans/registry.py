@@ -167,6 +167,8 @@ _FRONT: tuple[str, ...] = (
     # re-oracled this round — previously rows-only by design:
     "q_sample_limit",
     "q_greedy_packing",
+    # new this round (TPC-H Q2 full dim-chain anchor):
+    "q_min_cost_supplier",
 )
 
 
