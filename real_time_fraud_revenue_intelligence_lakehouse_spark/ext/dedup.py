@@ -323,7 +323,9 @@ def _canon_edges(pairs: DataFrame) -> DataFrame:
     )
 
 
-def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+def connected_components_star(
+    edges: DataFrame, max_iters: int = 25, assume_canonical: bool = False
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") →
     (node, cluster_id = component-min).
@@ -336,8 +338,16 @@ def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFram
     :func:`dup_clusters`; both produce identical labels
     (tests/test_ext.py equivalence on a deep chain).
 
-    ``edges``: undirected pairs in columns (id_a, id_b)."""
-    E = _canon_edges(edges).localCheckpoint()
+    ``edges``: undirected pairs in columns (id_a, id_b).
+    ``assume_canonical``: skip the canonicalize+dedup+materialize
+    prologue when the caller's edge frame is ALREADY (a < b),
+    self-loop-free, deduped, and materialized (e.g. the checkpointed
+    kNN builders) — saves one distinct shuffle and one redundant
+    checkpoint job."""
+    if assume_canonical:
+        E = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    else:
+        E = _canon_edges(edges).localCheckpoint()
 
     def sym(e: DataFrame) -> DataFrame:
         return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(

@@ -500,7 +500,9 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _knn_edges(spark, sf_dir).select(
         F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
-    labels = connected_components_star(edges)
+    # _knn_edges output is already canonical (least/greatest +
+    # distinct) AND checkpointed — skip CC's redundant prologue.
+    labels = connected_components_star(edges, assume_canonical=True)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("community_size"))
     return sizes.groupBy("community_size").agg(
         F.count(F.lit(1)).alias("n_communities")

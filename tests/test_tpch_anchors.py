@@ -230,3 +230,62 @@ def test_groupwise_min_agrees_with_brute_force(spark):
     for k, (supp, price) in out.items():
         assert price == brute[k][0]
         assert supp == brute[k][1]
+
+
+def test_min_cost_supplier_q2_invariants(spark):
+    """Q2 full shape: every reported row's supplier must be in EUROPE,
+    its cost must equal the brute minimum over EUROPE suppliers of
+    that part, every tied supplier appears, and the part passes the
+    (size, type) filter — recomputed independently of the query."""
+    rows = _q("q_min_cost_supplier")(spark, SF_SMOKE).collect()
+    li = _t(spark, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100.0 + F.lit(0.5))
+            / 100.0
+        ).alias("up"),
+    )
+    eu_nations = {
+        r["n_nationkey"]
+        for r in _t(spark, "nation")
+        .join(
+            _t(spark, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .collect()
+    }
+    eu_supps = {
+        r["s_suppkey"]
+        for r in _t(spark, "supplier").collect()
+        if r["s_nationkey"] in eu_nations
+    }
+    parts_ok = {
+        r["p_partkey"]
+        for r in _t(spark, "part")
+        .filter((F.col("p_size") == 5) & (F.col("p_type") == "STANDARD"))
+        .collect()
+    }
+    # brute per-(part, supp) min cost, EUROPE suppliers only
+    cost = {}
+    for r in li.collect():
+        if r["l_suppkey"] in eu_supps:
+            k = (r["l_partkey"], r["l_suppkey"])
+            cost[k] = min(cost.get(k, float("inf")), r["up"])
+    best = {}
+    for (pk, sk), c in cost.items():
+        best[pk] = min(best.get(pk, float("inf")), c)
+    expect = {
+        (pk, sk)
+        for (pk, sk), c in cost.items()
+        if pk in parts_ok and c == best[pk]
+    }
+    got = set()
+    for r in rows:
+        assert r["partkey"] in parts_ok
+        assert abs(r["min_cost"] - best[r["partkey"]]) < 1e-9
+        got.add(r["partkey"])
+    # every part with an eligible EUROPE supplier and a qualifying
+    # part filter must appear (all tied suppliers → >= part coverage)
+    assert got == {pk for (pk, _s) in expect}
+    assert len(rows) == len(expect)

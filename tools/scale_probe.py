@@ -9,10 +9,29 @@ to a 1000-executor cluster; super-linear growth flags a plan whose
 cost is concentrated in a non-scalable stage.
 
 Usage: python tools/scale_probe.py [sf_dir]
+Env:  SCALE_PROBE_AMP      amplification factor (default 10; 100 for
+                           the quadratic-tail probe — heavier build)
+      SCALE_PROBE_QUERIES  comma-separated query ids overriding the
+                           default probe list
+      SCALE_PROBE_SALT_DOCS=1  salt each document copy's text with a
+                           per-copy token interleaved every 2 tokens:
+                           copies of one doc stop being near-dups of
+                           each other (every 3-shingle carries the
+                           salt), while copy i of A ~ copy i of B iff
+                           A ~ B — so TRUE similarity pairs grow
+                           ~AMP x (a genuinely bigger corpus), not
+                           ~AMP^2 x (an AMP-way-duplicated one).
+                           Verbatim duplication is the dedup WORST
+                           case (kept as the 10x stress); salted is
+                           the right 100x probe for the pair tiers,
+                           whose output would otherwise be quadratic
+                           BY CONSTRUCTION and fill the disk, not
+                           reveal a plan flaw.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -22,7 +41,7 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-AMP = 10
+AMP = int(os.environ.get("SCALE_PROBE_AMP", "10"))
 
 # (table, key columns to offset per copy) — offsets keep keys disjoint
 # across copies so group/join cardinality grows with the data.
@@ -35,12 +54,39 @@ OFFSETS = {
 }
 
 
-def amplify(df: DataFrame, keys: list[str], shift: int) -> DataFrame:
-    out = df
+SALT_DOCS = os.environ.get("SCALE_PROBE_SALT_DOCS", "") == "1"
+
+
+def _salt_text(copy: DataFrame, i: int) -> DataFrame:
+    # interleave a per-copy token after every 2nd token: every
+    # 3-shingle of copy i contains cp<i>, so shingle sets of
+    # different copies are disjoint (no cross-copy near-dups), while
+    # same-index copies of similar docs remain similar.
+    salt = f"cp{i}"
+    return copy.withColumn(
+        "text",
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda x, pos: F.when(
+                        pos % 2 == 1, F.array(x, F.lit(salt))
+                    ).otherwise(F.array(x)),
+                )
+            ),
+            " ",
+        ),
+    )
+
+
+def amplify(df: DataFrame, keys: list[str], shift: int, table: str) -> DataFrame:
+    out = df if not (SALT_DOCS and table == "documents") else _salt_text(df, 0)
     for i in range(1, AMP):
         copy = df
         for k in keys:
             copy = copy.withColumn(k, F.col(k) + i * shift)
+        if SALT_DOCS and table == "documents":
+            copy = _salt_text(copy, i)
         out = out.unionByName(copy)
     return out
 
@@ -53,12 +99,12 @@ def main() -> None:
     spark = get_spark("scale-probe", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
-    base = str(Path("/tmp/scale_probe_10x"))
+    base = str(Path(f"/tmp/scale_probe_{AMP}x" + ("_salted" if SALT_DOCS else "")))
     shift = 100_000_000
     for t, keys in OFFSETS.items():
         dst = f"{base}/{t}.parquet"
         if not Path(dst).exists():
-            amplify(read_table(spark, sf, t), keys, shift).write.mode(
+            amplify(read_table(spark, sf, t), keys, shift, t).write.mode(
                 "overwrite"
             ).parquet(dst)
     # tables the probe queries need but we don't amplify (dims)
@@ -84,7 +130,10 @@ def main() -> None:
         "q_inverted_index",      # (term,doc) shuffle + term windows
         "q_dup_spans",           # rolling shingles + hash agg + island windows (pair-free)
     ]
-    print(f"{'query':24s} {'1x':>8s} {'10x':>8s} {'ratio':>7s}")
+    override = os.environ.get("SCALE_PROBE_QUERIES", "").strip()
+    if override:
+        probes = [q.strip() for q in override.split(",") if q.strip()]
+    print(f"{'query':24s} {'1x':>8s} {AMP:>7d}x {'ratio':>7s}")
     for name in probes:
         for sfdir in (sf, base):
             qs[name](spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
