@@ -1018,3 +1018,101 @@ def q_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(F.col("n_breach").cast("double") / F.col("n_lines"), 4).alias("breach_rate"),
         )
     )
+
+
+# --- deterministic bootstrap confidence interval ---------------------------
+
+BOOT_B = 48  # replicates (one bit of the 60-bit order hash each)
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_totalprice,
+             ('0x' || substr(md5('bs-' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h1
+      FROM orders
+    ),
+    reps AS (SELECT unnest(range({BOOT_B})) AS b),
+    mem AS (
+      SELECT r.b, h.o_totalprice
+      FROM h, reps r
+      WHERE ((h.h1 >> r.b) & 1) = 0
+    ),
+    m AS (
+      SELECT b,
+             cast(sum(cast(o_totalprice as decimal(18,2))) as double) / count(*) AS rep_mean
+      FROM mem GROUP BY 1
+    ),
+    g AS (SELECT {R6.format(c=f'sum(rep_mean) / {BOOT_B}.0')} AS grand FROM m),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_reps,
+             {R4.format(c='quantile_cont(rep_mean, 0.025)')} AS ci_lo,
+             {R4.format(c='quantile_cont(rep_mean, 0.975)')} AS ci_hi,
+             {R4.format(c=f'sqrt(sum((rep_mean - grand) * (rep_mean - grand)) / ({BOOT_B} - 1))')} AS se_boot
+      FROM m, g GROUP BY grand
+    ),
+    full_m AS (
+      SELECT {R4.format(c='cast(sum(cast(o_totalprice as decimal(18,2))) as double) / count(*)')} AS mean_full
+      FROM orders
+    )
+    SELECT n_reps, mean_full, ci_lo, ci_hi, se_boot FROM stats, full_m
+    """,
+    tags=("statistics", "sampling", "deterministic"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value, RNG-free:
+    {BOOT_B} half-sample replicates (subagging) where replicate b
+    contains an order iff BIT b of the order's domain-tagged md5
+    60-bit hash is 0 — ONE hash per row serves every replicate
+    (md5 bits are pairwise-independent coin flips; hashing per
+    (row, replicate) measured ~7x slower for no statistical gain).
+    Reproducible across engines, layouts, and reruns, so the CI
+    itself hash-gates. Replicate means use exact decimal sums
+    (identical doubles both engines); the bootstrap SE centers
+    against a det-rounded grand mean (the two-pass centered-variance
+    convention from q_cusum/q_ols_trend); the CI is the exact
+    interpolated 2.5/97.5 percentile of the replicate means. Plan:
+    one row-local hash projection, a map-side {BOOT_B}-way bit-test
+    expansion, one {BOOT_B}-group decimal agg — at 100 TB the only
+    shuffle is {BOOT_B} rows of partial sums."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    h = o.select(
+        "o_totalprice",
+        F.expr(
+            "cast(conv(substr(md5('bs-' || cast(o_orderkey as string)), 1, 15), 16, 10) as bigint)"
+        ).alias("h1"),
+    )
+    reps = spark.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
+    mem = h.crossJoin(F.broadcast(reps)).filter(
+        F.expr("(shiftright(h1, b) & 1) = 0")
+    )
+    m = mem.groupBy("b").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rep_mean")
+    )
+    g = m.agg(det_round(F.sum("rep_mean") / F.lit(float(BOOT_B)), 6).alias("grand"))
+    dev2 = (F.col("rep_mean") - F.col("grand")) * (F.col("rep_mean") - F.col("grand"))
+    stats = (
+        m.crossJoin(F.broadcast(g))
+        .groupBy("grand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reps"),
+            det_round(F.percentile(F.col("rep_mean"), F.lit(0.025)), 4).alias("ci_lo"),
+            det_round(F.percentile(F.col("rep_mean"), F.lit(0.975)), 4).alias("ci_hi"),
+            det_round(F.sqrt(F.sum(dev2) / F.lit(float(BOOT_B - 1))), 4).alias("se_boot"),
+        )
+        .drop("grand")
+    )
+    full_m = o.agg(
+        det_round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_full")
+    )
+    return stats.crossJoin(F.broadcast(full_m)).select(
+        "n_reps", "mean_full", "ci_lo", "ci_hi", "se_boot"
+    )

@@ -1330,3 +1330,116 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         det_round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("recall_share"),
     )
+
+
+# --- ANN retrieval-quality evaluation (recall@10 / nDCG@10) ----------------
+
+#: 1/log2(rank+1) for ranks 1..10 and their sum (the ideal DCG),
+#: precomputed in Python and injected as LITERALS into both engines —
+#: no trust in either engine's log2 ulp behavior.
+_DCG_W = [
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+]
+_IDCG_10 = "4.543559338088346"
+_DCG_CASE = "CASE rank " + " ".join(
+    f"WHEN {r} THEN {w}" for r, w in enumerate(_DCG_W, start=1)
+) + " ELSE 0.0 END"
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DBL.format(v='embedding')} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    truth AS (
+      SELECT query_id, match_id, rank FROM (
+        SELECT query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_r(_COS.format(a='qv', b='c.v'), 6)} DESC, c.vec_id
+               ) AS rank
+        FROM q, e c WHERE c.vec_id <> query_id
+      ) WHERE rank <= 10
+    ),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % {S.CENTROID_MOD} = 0),
+    assign AS (
+      SELECT vec_id, centroid_id, crank FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_r(_COS.format(a='e.v', b='cent.cv'), 6)} DESC, cent.centroid_id
+               ) AS crank
+        FROM e, cent
+      )
+    ),
+    corpus_cells AS (SELECT vec_id AS match_id, centroid_id FROM assign WHERE crank = 1),
+    query_cells AS (SELECT vec_id AS query_id, centroid_id FROM assign
+                    WHERE crank <= 2 AND vec_id < 20),
+    cand AS (
+      SELECT DISTINCT query_id, match_id
+      FROM query_cells JOIN corpus_cells USING (centroid_id)
+      WHERE query_id <> match_id
+    ),
+    approx AS (
+      SELECT query_id, match_id, rank FROM (
+        SELECT cand.query_id, cand.match_id,
+               row_number() OVER (
+                 PARTITION BY cand.query_id
+                 ORDER BY {_r(_COS.format(a='eq.v', b='ec.v'), 6)} DESC, cand.match_id
+               ) AS rank
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e ec ON ec.vec_id = cand.match_id
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT a.query_id, a.rank,
+             CASE WHEN t.match_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM approx a
+      LEFT JOIN truth t ON t.query_id = a.query_id AND t.match_id = a.match_id
+    )
+    SELECT query_id,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           {_r('sum(hit) / 10.0', 4)} AS recall_10,
+           {_r(f'sum(hit * ({_DCG_CASE})) / {_IDCG_10}', 4)} AS ndcg_10
+    FROM hits GROUP BY 1
+    """,
+    tags=("ext", "similarity", "evaluation"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the IVF index against the
+    exact tier — recall@10 and nDCG@10 per query, the numbers a
+    training-data pipeline checks BEFORE trusting an approximate
+    index for corpus-wide retrieval (the q_lsh_quality convention,
+    applied to vector search): truth = brute-force cosine top-10,
+    approx = the engine's own ivf_topk (nprobe=2), hit = approx
+    result present in truth, nDCG discounts by literal 1/log2(r+1)
+    weights precomputed in Python and shared verbatim with the
+    oracle (neither engine's log2 is trusted). Both tiers are
+    deterministic, so the evaluation itself hash-gates. At scale the
+    truth tier runs on a query SAMPLE (this 20-query panel) while
+    the index serves the corpus — evaluation cost is |sample|·n, not
+    n²."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    truth = S.brute_force_topk(e, q, k=10).select(
+        "query_id", F.col("match_id").alias("t_match")
+    )
+    approx = S.ivf_topk(e, q, k=10, nprobe=2)
+    hits = approx.join(
+        truth,
+        (approx.query_id == truth.query_id) & (approx.match_id == truth.t_match),
+        "left",
+    ).select(
+        approx.query_id.alias("qid"),
+        approx.rank.alias("rank"),
+        F.when(F.col("t_match").isNull(), 0).otherwise(1).alias("hit"),
+    )
+    dcg_w = F.expr(_DCG_CASE)
+    return hits.groupBy(F.col("qid").alias("query_id")).agg(
+        F.sum("hit").cast("long").alias("n_hits"),
+        det_round(F.sum("hit") / F.lit(10.0), 4).alias("recall_10"),
+        det_round(F.sum(F.col("hit") * dcg_w) / F.lit(float(_IDCG_10)), 4).alias("ndcg_10"),
+    )

@@ -1059,3 +1059,185 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(rho, 4).alias("jaccard_est"),
         )
     )
+
+
+# --- HyperLogLog registers (deterministic, exact-checkable) ----------------
+
+#: 256 registers (8 index bits of the 60-bit hash; 52 tail bits).
+_HLL_M = 256
+#: alpha_256 * m^2 * 2^53 as one double literal shared by BOTH
+#: engines, so the estimate is the same IEEE arithmetic everywhere.
+_HLL_NUM = "4.2399330249068963e+20"
+_HLL_H = "('0x' || substr(md5(cast(o_custkey as varchar)), 1, 15))::BIGINT"
+
+
+@query(
+    "q_hll_registers",
+    oracle=f"""
+    WITH h AS (SELECT {_HLL_H} AS h FROM orders),
+    rho AS (
+      SELECT (h >> 52) AS idx,
+             CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                  ELSE strpos(lpad(bin(h & 4503599627370495), 52, '0'), '1')
+             END AS r
+      FROM h
+    ),
+    reg AS (
+      SELECT g.idx, coalesce(max(rho.r), 0) AS m_j
+      FROM (SELECT unnest(range({_HLL_M})) AS idx) g
+      LEFT JOIN rho ON rho.idx = g.idx
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT sum((CAST(1 AS BIGINT) << (53 - m_j))) AS s_int,
+             sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v
+      FROM reg
+    ),
+    est AS (
+      SELECT CASE WHEN ({_HLL_NUM} / CAST(s_int AS DOUBLE)) <= 2.5 * {_HLL_M} AND v > 0
+                  THEN {_HLL_M} * ln({_HLL_M} / CAST(v AS DOUBLE))
+                  ELSE {_HLL_NUM} / CAST(s_int AS DOUBLE) END AS e,
+             CAST(v AS BIGINT) AS n_zero_registers
+      FROM s
+    ),
+    exact AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+    SELECT n_exact,
+           {R4.format(c='e')} AS n_estimated,
+           {R4.format(c='abs(e - n_exact) / n_exact')} AS rel_error,
+           n_zero_registers
+    FROM est, exact
+    """,
+    tags=("sketch", "aggregate"),
+)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles, fully deterministic —
+    the third sketch of the family (KMV bottom-k `q_kmv_distinct`,
+    Count-Min `q_cms_heavy_hitters`): 256 registers indexed by the
+    top 8 bits of the md5-60 hash, register value = leading-zero
+    rank of the 52-bit tail (computed by STRING search over the
+    padded binary — no float log2, so both engines agree bit-for-
+    bit), estimate = alpha·m²/Σ2^-M_j with the standard small-range
+    linear-counting correction. The harmonic sum runs ENTIRELY in
+    integers (Σ 2^(53-M_j) ≤ 2^61, exact BIGINT), so unlike
+    approx_count_distinct (error-band-tested only), this HLL is an
+    exact function of the data and hash-gates. Plan: one map-side-
+    combined (idx → max rho) agg — 256-row state, the mergeable-
+    sketch shape that makes HLL THE distributed distinct counter at
+    100 TB (partial registers merge by elementwise max, no rescan).
+    No pre-distinct: duplicates cannot change a max."""
+    o = read_table(spark, sf_dir, "orders")
+    h = o.select(
+        F.expr(
+            "conv(substr(md5(cast(o_custkey as string)), 1, 15), 16, 10)"
+        ).cast("long").alias("h")
+    )
+    rho = h.select(
+        F.expr("shiftright(h, 52)").alias("idx"),
+        F.expr(
+            "CASE WHEN (h & 4503599627370495) = 0 THEN 53 "
+            "ELSE locate('1', lpad(bin(h & 4503599627370495), 52, '0')) END"
+        ).alias("r"),
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").alias("idx"))
+    reg = (
+        grid.join(rho.groupBy("idx").agg(F.max("r").alias("mx")), "idx", "left")
+        .select("idx", F.coalesce(F.col("mx"), F.lit(0)).alias("m_j"))
+    )
+    s = reg.agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_j)")).alias("s_int"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("v"),
+    )
+    e_raw = F.lit(float(_HLL_NUM)) / F.col("s_int").cast("double")
+    e = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / F.col("v").cast("double")),
+    ).otherwise(e_raw)
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return (
+        s.crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            det_round(e, 4).alias("n_estimated"),
+            det_round(F.abs(e - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
+            F.col("v").cast("long").alias("n_zero_registers"),
+        )
+    )
+
+
+# --- Z-order (Morton) clustering key ---------------------------------------
+
+#: 8-bit quantizers for the two clustering dimensions.
+_ZQ_PX = "least(255, cast(floor(o_totalprice / 2000.0) as bigint))"
+_ZQ_PY = (
+    "least(255, greatest(0, cast(floor("
+    "datediff(cast(o_orderdate as date), cast('1995-01-01' as date)) / 16.0"
+    ") as bigint)))"
+)
+_ZQ_PY_DUCK = (
+    "least(255, greatest(0, cast(floor("
+    "date_diff('day', DATE '1995-01-01', cast(o_orderdate as date)) / 16.0"
+    ") as bigint)))"
+)
+#: Morton interleave of two 8-bit ints as pure integer arithmetic
+#: (floor-div + mod — no engine bit operators), generated ONCE and
+#: shared verbatim by both engines.
+_Z_INTERLEAVE = " + ".join(
+    f"((cast(floor({{px}} / {1 << i}.0) as bigint) % 2) * {1 << (2 * i + 1)})"
+    f" + ((cast(floor({{py}} / {1 << i}.0) as bigint) % 2) * {1 << (2 * i)})"
+    for i in range(8)
+)
+
+
+@query(
+    "q_zorder_key",
+    oracle=f"""
+    WITH q AS (
+      SELECT {_ZQ_PX} AS px, {_ZQ_PY_DUCK} AS py FROM orders
+    ),
+    z AS (
+      SELECT px, py, ({_Z_INTERLEAVE.format(px='px', py='py')}) AS zkey FROM q
+    )
+    SELECT cast(floor(zkey / 1024.0) as bigint) AS z_bucket,
+           count(*) AS n_orders,
+           min(px) AS px_min, max(px) AS px_max,
+           min(py) AS py_min, max(py) AS py_max
+    FROM z GROUP BY 1
+    """,
+    tags=("scalar", "layout", "zorder"),
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key — the multi-dimensional data-
+    layout primitive behind Delta's OPTIMIZE ZORDER BY (gated in this
+    container, sources/delta_maintenance.py; the KEY computation is
+    engine work and runs for keeps here): quantize (total price,
+    order date) to 8 bits each and interleave the bits, so
+    lexicographic order on zkey keeps BOTH dimensions locally dense —
+    files written in zkey order serve min/max skipping on EITHER
+    column, where a plain sort serves only its leading column. The
+    interleave is pure integer floor-div/mod arithmetic generated
+    once in Python and shared verbatim with the oracle (no engine
+    bit-operator trust). Output: per 1024-wide zkey bucket, the count
+    and both dimensions' min/max extents — the bounded-extent
+    property IS the file-skipping guarantee (every bucket spans ≤ an
+    1/8 x 1/4 tile of the quantized plane, test-pinned). Plan: one
+    row-local projection + one map-side-combined agg; at 100 TB this
+    runs in the write path as `repartitionByRange(zkey)`."""
+    o = read_table(spark, sf_dir, "orders")
+    q = o.select(
+        F.expr(_ZQ_PX).alias("px"), F.expr(_ZQ_PY).alias("py")
+    )
+    z = q.select(
+        "px", "py", F.expr(_Z_INTERLEAVE.format(px="px", py="py")).alias("zkey")
+    )
+    return (
+        z.groupBy(
+            F.expr("cast(floor(zkey / 1024.0) as bigint)").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("px").alias("px_min"),
+            F.max("px").alias("px_max"),
+            F.min("py").alias("py_min"),
+            F.max("py").alias("py_max"),
+        )
+    )

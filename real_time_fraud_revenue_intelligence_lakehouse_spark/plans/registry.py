@@ -167,8 +167,14 @@ _FRONT: tuple[str, ...] = (
     # re-oracled this round — previously rows-only by design:
     "q_sample_limit",
     "q_greedy_packing",
-    # new this round (TPC-H Q2 full dim-chain anchor):
+    # new this round (TPC-H Q2 full dim-chain anchor + round-8
+    # additions: HLL sketch, ANN retrieval eval, bootstrap CI,
+    # Z-order layout key):
     "q_min_cost_supplier",
+    "q_hll_registers",
+    "q_ann_recall",
+    "q_bootstrap_ci",
+    "q_zorder_key",
 )
 
 

@@ -1,0 +1,142 @@
+"""Round-8 additions: deterministic HyperLogLog registers, ANN
+retrieval-quality evaluation (recall@10 / nDCG@10), subsample-
+bootstrap CI, Z-order clustering key, and the TPC-H Q2 full-shape
+anchor's companion invariants. Value correctness for the oracle-
+backed forms lives in tools/selfcheck.py; these pin the invariants a
+hash compare can't see — estimator error bands, metric ranges,
+CI coverage of the point estimate, and Z-order's bounded-extent
+(file-skipping) guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+
+    return registry.all_queries()[name]
+
+
+def _t(spark, name):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
+
+    return read_table(spark, SF_SMOKE, name)
+
+
+# --- HLL -------------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_band(spark):
+    """256 registers → theoretical σ ≈ 1.04/√256 = 6.5%; assert the
+    estimate lands within 3σ (a deterministic estimator either passes
+    forever or is wrong — no flake)."""
+    row = _q("q_hll_registers")(spark, SF_SMOKE).collect()[0]
+    assert row["n_exact"] > 0
+    assert row["rel_error"] <= 0.20
+    # rel_error is det-rounded from the UNROUNDED estimate, so the
+    # recomputation from the rounded one agrees only to ~1e-4
+    recomputed = abs(row["n_estimated"] - row["n_exact"]) / row["n_exact"]
+    assert abs(recomputed - row["rel_error"]) < 1e-3
+    assert 0 <= row["n_zero_registers"] <= 256
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Mergeability — THE property that makes HLL the distributed
+    distinct counter: registers of (A ∪ B) == elementwise max of
+    registers(A), registers(B). Verified by splitting orders on
+    parity and recomputing with the query's own hash/register
+    arithmetic."""
+    o = _t(spark, "orders").select("o_custkey")
+    h = o.select(
+        F.expr(
+            "conv(substr(md5(cast(o_custkey as string)), 1, 15), 16, 10)"
+        ).cast("long").alias("h"),
+        (F.col("o_custkey") % 2).alias("side"),
+    )
+    rho = h.select(
+        "side",
+        F.expr("shiftright(h, 52)").alias("idx"),
+        F.expr(
+            "CASE WHEN (h & 4503599627370495) = 0 THEN 53 "
+            "ELSE locate('1', lpad(bin(h & 4503599627370495), 52, '0')) END"
+        ).alias("r"),
+    )
+    full = {r["idx"]: r["m"] for r in rho.groupBy("idx").agg(F.max("r").alias("m")).collect()}
+    parts = rho.groupBy("side", "idx").agg(F.max("r").alias("m")).collect()
+    merged: dict = {}
+    for r in parts:
+        merged[r["idx"]] = max(merged.get(r["idx"], 0), r["m"])
+    assert merged == full
+
+
+# --- ANN retrieval evaluation ----------------------------------------------
+
+
+def test_ann_recall_metric_ranges_and_consistency(spark):
+    rows = _q("q_ann_recall")(spark, SF_SMOKE).collect()
+    assert len(rows) == 20  # one row per query in the panel
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert abs(r["recall_10"] - r["n_hits"] / 10.0) < 1e-9
+        assert 0.0 <= r["ndcg_10"] <= 1.0
+        # a hit at any rank contributes positive discounted gain
+        assert (r["ndcg_10"] > 0) == (r["n_hits"] > 0)
+    # the IVF index must retrieve SOMETHING on this corpus
+    assert sum(r["n_hits"] for r in rows) > 0
+
+
+def test_ann_recall_perfect_when_index_is_exhaustive(spark):
+    """With nprobe == number of cells the IVF search IS brute force —
+    recall@10 must be exactly 1 for every query (the evaluation
+    harness's own sanity check)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity as S
+
+    e = _t(spark, "embeddings")
+    n_cells = e.filter(F.col("vec_id") % S.CENTROID_MOD == 0).count()
+    q = e.filter(F.col("vec_id") < 5)
+    truth = S.brute_force_topk(e, q, k=10).select(
+        "query_id", F.col("match_id").alias("t_match")
+    )
+    approx = S.ivf_topk(e, q, k=10, nprobe=n_cells)
+    hits = approx.join(
+        truth,
+        (approx.query_id == truth.query_id) & (approx.match_id == truth.t_match),
+        "left_semi",
+    )
+    assert hits.count() == 5 * 10
+
+
+# --- bootstrap CI ----------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark):
+    row = _q("q_bootstrap_ci")(spark, SF_SMOKE).collect()[0]
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_analytics2 import BOOT_B
+
+    assert row["n_reps"] == BOOT_B
+    assert row["ci_lo"] < row["ci_hi"]
+    assert row["ci_lo"] <= row["mean_full"] <= row["ci_hi"]
+    assert row["se_boot"] > 0
+    # the 95% band of a mean over thousands of orders is narrow
+    assert (row["ci_hi"] - row["ci_lo"]) / row["mean_full"] < 0.25
+
+
+# --- Z-order key -----------------------------------------------------------
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The file-skipping guarantee: a 1024-wide zkey bucket fixes the
+    top bits of BOTH interleaved dimensions, so each bucket's px and
+    py extents are ≤ 31 (5 free low bits each) — a lexicographic sort
+    on one column could never bound the other."""
+    rows = _q("q_zorder_key")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["px_min"] <= r["px_max"] <= 255
+        assert 0 <= r["py_min"] <= r["py_max"] <= 255
+        assert r["px_max"] - r["px_min"] <= 31
+        assert r["py_max"] - r["py_min"] <= 31
+    assert sum(r["n_orders"] for r in rows) == _t(spark, "orders").count()
