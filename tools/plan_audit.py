@@ -70,11 +70,15 @@ ALLPAIRS_OK = {
     "q_pmi_collocations",   # 1-row unigram-total aggregate cross joined (broadcast)
     "q_embed_drift",        # 1-row period-count aggregate cross joined (broadcast)
     "q_funnel_windowed",    # 1-row top-of-funnel anchor cross joined (broadcast)
+    "q_hll_registers",      # 1-row exact-count aggregate cross joined (broadcast)
+    "q_ann_recall",         # brute-truth tier on the 20-query panel + IVF centroid broadcast (the q_ivf_topk/q_knn_label_vote class)
+    "q_bootstrap_ci",       # 1-row grand-mean + full-mean aggregates cross joined (broadcast); replicate expansion is a 48-row broadcast
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
 ARROW_OK_PREFIXES = (
     "q_multimodal", "q_ann_topk", "q_ivf_topk", "q_embed", "q_greedy_packing",
+    "q_ann_recall",  # rides ivf_topk's Arrow centroid-assignment stage
     "q_stateful_profile",  # applyInPandas IS the operator (batch twin of applyInPandasWithState)
 )
 
