@@ -641,3 +641,105 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         det_round(num.cast("double") / den.cast("double"), 4).alias("ewma"),
     )
+
+
+# --- Holt-Winters double exponential smoothing -----------------------------
+
+HW_ALPHA, HW_BETA = 0.3, 0.1
+
+
+@query(
+    "q_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE wk AS (
+      SELECT o_orderpriority AS pri,
+             CAST(date_trunc('week', o_orderdate) AS DATE) AS w,
+             cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT pri, x, row_number() OVER (PARTITION BY pri ORDER BY w) AS rn
+      FROM wk
+    ),
+    hw AS (
+      SELECT pri, rn, x, x AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(0.0 AS DOUBLE) AS sae
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.pri, s.rn, s.x,
+             {HW_ALPHA} * s.x + {1 - HW_ALPHA} * (h.l + h.b) AS l,
+             {HW_BETA} * (({HW_ALPHA} * s.x + {1 - HW_ALPHA} * (h.l + h.b)) - h.l)
+               + {1 - HW_BETA} * h.b AS b,
+             h.sae + abs(s.x - (h.l + h.b)) AS sae
+      FROM s JOIN hw h ON s.pri = h.pri AND s.rn = h.rn + 1
+    ),
+    last AS (
+      SELECT pri, rn, l, b, sae,
+             row_number() OVER (PARTITION BY pri ORDER BY rn DESC) AS rk
+      FROM hw
+    )
+    SELECT pri AS priority, CAST(rn AS BIGINT) AS n_weeks,
+           {R4.format(c='l')} AS level_end,
+           {R4.format(c='b')} AS trend_end,
+           {R4.format(c='l + 4 * b')} AS forecast_4w,
+           {R4.format(c='sae / (rn - 1)')} AS mae_1step
+    FROM last WHERE rk = 1
+    """,
+    tags=("timeseries", "forecast", "iterative"),
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend, α=0.3,
+    β=0.1) over each priority class's weekly revenue series, with the
+    one-step-ahead MAE accumulated during the SAME fold — the
+    trend-aware forecaster q_ewma (level only) and q_ols_trend
+    (global line) bracket. The recursion ℓ_t = αx + (1-α)(ℓ+b) is
+    order-sensitive and has no closed window form, so the engine runs
+    it as ONE array-local F.aggregate fold over each series
+    (collect_list → sorted struct array → left fold with a
+    (level, trend, sae) struct accumulator — one shuffle per series
+    key, zero Python, zero driver actions however long the series),
+    and the oracle unrolls the identical left fold as a recursive CTE
+    (the greedy-packing convention). Both engines execute the same
+    double arithmetic in the same order, so outputs hash-match.
+    At 100 TB series are key-partitioned; a series too long for one
+    array folds segment-wise with carried state (the CUSUM batch-twin
+    pattern)."""
+    o = read_table(spark, sf_dir, "orders")
+    wk = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("w"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("x")
+        )
+    )
+    ser = wk.groupBy("priority").agg(
+        F.array_sort(F.collect_list(F.struct("w", "x"))).alias("arr")
+    )
+    a, b_ = F.lit(HW_ALPHA), F.lit(HW_BETA)
+    init = F.struct(
+        F.element_at(F.col("arr"), 1)["x"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("sae"),
+    )
+    def step(acc, e):
+        x = e["x"]
+        newl = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        newb = b_ * (newl - acc["l"]) + (F.lit(1.0) - b_) * acc["b"]
+        sae = acc["sae"] + F.abs(x - (acc["l"] + acc["b"]))
+        return F.struct(newl.alias("l"), newb.alias("b"), sae.alias("sae"))
+
+    folded = ser.select(
+        "priority",
+        F.size("arr").alias("n_weeks"),
+        F.aggregate(F.expr("slice(arr, 2, size(arr) - 1)"), init, step).alias("st"),
+    )
+    return folded.select(
+        "priority",
+        F.col("n_weeks").cast("long").alias("n_weeks"),
+        det_round(F.col("st.l"), 4).alias("level_end"),
+        det_round(F.col("st.b"), 4).alias("trend_end"),
+        det_round(F.col("st.l") + 4 * F.col("st.b"), 4).alias("forecast_4w"),
+        det_round(F.col("st.sae") / (F.col("n_weeks") - 1), 4).alias("mae_1step"),
+    )

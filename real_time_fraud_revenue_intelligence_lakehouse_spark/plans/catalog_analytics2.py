@@ -40,6 +40,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars impo
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
+R2 = "(floor(({c}) * 100.0 + 0.5) / 100.0)"
 R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
 R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
 R8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
@@ -1115,4 +1116,74 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.crossJoin(F.broadcast(full_m)).select(
         "n_reps", "mean_full", "ci_lo", "ci_hi", "se_boot"
+    )
+
+
+# --- exact weighted median -------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             {R2.format(c='l_extendedprice / l_quantity')} AS price,
+             cast(sum(cast(l_quantity as decimal(18,2))) as double) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, price, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM v
+    )
+    SELECT flag, price AS wmedian,
+           {R2.format(c='tw')} AS total_weight
+    FROM (
+      SELECT flag, price, tw,
+             row_number() OVER (PARTITION BY flag ORDER BY price) AS rk
+      FROM c WHERE 2.0 * cw >= tw
+    ) WHERE rk = 1
+    """,
+    tags=("aggregate", "order-statistics", "weighted"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted (lower) median unit price per return
+    flag — the order statistic SQL's percentile/median can't weight:
+    the smallest price whose cumulative quantity reaches half the
+    group's total. Prices det-round to cents and pre-aggregate per
+    (flag, price) — the cumulative window then runs over the DISTINCT
+    price ladder (bounded domain), not the raw fact, so the one sort
+    per group is tiny at any scale; weights sum as exact decimals so
+    the 2·cum ≥ total threshold sees identical doubles in both
+    engines. Lower-median semantics (no interpolation) keep the
+    answer an actual traded price."""
+    li = read_table(spark, sf_dir, "lineitem")
+    v = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            det_round(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias("price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("w"))
+    )
+    wc = Window.partitionBy("flag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("flag")
+    c = v.select(
+        "flag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    ).filter(2.0 * F.col("cw") >= F.col("tw"))
+    rk = Window.partitionBy("flag").orderBy("price")
+    return (
+        c.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "flag",
+            F.col("price").alias("wmedian"),
+            det_round(F.col("tw"), 2).alias("total_weight"),
+        )
     )

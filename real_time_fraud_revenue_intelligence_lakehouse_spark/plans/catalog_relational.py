@@ -1241,3 +1241,89 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("py").alias("py_max"),
         )
     )
+
+
+# --- consistent-hash shard rebalancing audit -------------------------------
+
+_SH_OLD, _SH_NEW = 16, 17  # shard counts before/after the scale-out
+_SH_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@query(
+    "q_shard_rebalance",
+    oracle=f"""
+    WITH k AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    h AS (
+      SELECT key, {_SH_H.format(x='cast(key as varchar)')} AS hk FROM k
+    ),
+    e AS (
+      SELECT k.key, u.s,
+             {_SH_H.format(x="cast(k.key as varchar) || '#' || cast(u.s as varchar)")} AS sc
+      FROM k, (SELECT unnest(range({_SH_NEW})) AS s) u
+    ),
+    hrw AS (
+      SELECT key,
+             max(CASE WHEN s < {_SH_OLD} THEN {{'sc': sc, 'ns': -s}} END) AS o,
+             max({{'sc': sc, 'ns': -s}}) AS n
+      FROM e GROUP BY 1
+    ),
+    per_key AS (
+      SELECT h.key,
+             CASE WHEN (h.hk % {_SH_OLD}) <> (h.hk % {_SH_NEW}) THEN 1 ELSE 0 END AS mv_mod,
+             CASE WHEN hrw.o.ns <> hrw.n.ns THEN 1 ELSE 0 END AS mv_hrw
+      FROM h JOIN hrw ON hrw.key = h.key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(mv_mod) AS BIGINT) AS moved_mod,
+           {R4.format(c='sum(mv_mod) / CAST(count(*) AS DOUBLE)')} AS frac_mod,
+           CAST(sum(mv_hrw) AS BIGINT) AS moved_hrw,
+           {R4.format(c='sum(mv_hrw) / CAST(count(*) AS DOUBLE)')} AS frac_hrw
+    FROM per_key
+    """,
+    tags=("scalar", "layout", "hash"),
+)
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalancing audit: what fraction of keys MOVE when a
+    {_SH_OLD}-shard layout scales to {_SH_NEW}, under (a) mod-hash
+    placement — the naive scheme, which remaps ~{_SH_OLD}/{_SH_NEW}
+    of ALL keys and forces a near-total reshuffle of a 100 TB
+    bucketed table — vs (b) rendezvous (HRW) hashing — argmax over
+    per-(key, shard) md5 scores, where only keys whose NEW shard's
+    score wins move (expected 1/{_SH_NEW}). The argmax tie-breaks by
+    lexicographic struct max (score, then lowest shard id) so both
+    engines agree exactly. This is the engine's data-layout answer to
+    cluster scale-out: HRW placement keys stay put, so bucketed joins
+    survive topology changes without rewriting the table. Plan: one
+    distinct over the key column, a {_SH_NEW}-row broadcast expand,
+    one key-grouped struct-max agg, one 1-row reduction."""
+    o = read_table(spark, sf_dir, "orders")
+    k = o.select(F.col("o_custkey").alias("key")).distinct()
+    hk = F.expr(
+        "cast(conv(substr(md5(cast(key as string)), 1, 15), 16, 10) as bigint)"
+    )
+    shards = spark.range(_SH_NEW).select(F.col("id").alias("s"))
+    e = k.crossJoin(F.broadcast(shards)).select(
+        "key",
+        "s",
+        F.expr(
+            "cast(conv(substr(md5(cast(key as string) || '#' || cast(s as string)), 1, 15), 16, 10) as bigint)"
+        ).alias("sc"),
+    )
+    pair = F.struct(F.col("sc").alias("sc"), (-F.col("s")).alias("ns"))
+    hrw = e.groupBy("key").agg(
+        F.max(F.when(F.col("s") < _SH_OLD, pair)).alias("o"),
+        F.max(pair).alias("n"),
+    )
+    per_key = k.select("key", hk.alias("hk")).join(hrw, "key").select(
+        F.when((F.col("hk") % _SH_OLD) != (F.col("hk") % _SH_NEW), 1)
+        .otherwise(0)
+        .alias("mv_mod"),
+        F.when(F.col("o.ns") != F.col("n.ns"), 1).otherwise(0).alias("mv_hrw"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("mv_mod").cast("long").alias("moved_mod"),
+        det_round(F.sum("mv_mod") / F.count(F.lit(1)).cast("double"), 4).alias("frac_mod"),
+        F.sum("mv_hrw").cast("long").alias("moved_hrw"),
+        det_round(F.sum("mv_hrw") / F.count(F.lit(1)).cast("double"), 4).alias("frac_hrw"),
+    )

@@ -175,6 +175,9 @@ _FRONT: tuple[str, ...] = (
     "q_ann_recall",
     "q_bootstrap_ci",
     "q_zorder_key",
+    "q_holt_winters",
+    "q_shard_rebalance",
+    "q_weighted_median",
 )
 
 

@@ -140,3 +140,77 @@ def test_zorder_buckets_bound_both_dimensions(spark):
         assert r["px_max"] - r["px_min"] <= 31
         assert r["py_max"] - r["py_min"] <= 31
     assert sum(r["n_orders"] for r in rows) == _t(spark, "orders").count()
+
+
+# --- Holt-Winters ----------------------------------------------------------
+
+
+def test_holt_winters_constant_series_has_zero_trend(spark):
+    """A constant series must converge to level == the constant,
+    trend == 0, MAE == 0 — the forecaster's identity check, run
+    through the REGISTERED query on a planted orders table."""
+    import tempfile
+
+    import datetime
+
+    monday = datetime.date(1995, 1, 2)
+    rows = [
+        (i, 1, "O", 100.0, str(monday + datetime.timedelta(days=7 * i)), "1-URGENT")
+        for i in range(20)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("date")).write.parquet(
+            f"{d}/orders.parquet"
+        )
+        out = {r["priority"]: r for r in _q("q_holt_winters")(spark, d).collect()}
+    r = out["1-URGENT"]
+    # one order of 100.0 per distinct week → constant weekly revenue
+    assert r["trend_end"] == 0.0
+    assert r["level_end"] == 100.0
+    assert r["mae_1step"] == 0.0
+    assert r["forecast_4w"] == 100.0
+
+
+# --- shard rebalance -------------------------------------------------------
+
+
+def test_shard_rebalance_hrw_beats_mod_by_an_order(spark):
+    row = _q("q_shard_rebalance")(spark, SF_SMOKE).collect()[0]
+    assert row["n_keys"] > 0
+    # mod remaps ~16/17 of keys; HRW ~1/17 — the whole point
+    assert row["frac_mod"] > 0.8
+    assert row["frac_hrw"] < 0.2
+    assert row["moved_hrw"] < row["moved_mod"]
+
+
+# --- weighted median -------------------------------------------------------
+
+
+def test_weighted_median_against_brute_force(spark):
+    rows = {r["flag"]: r["wmedian"] for r in _q("q_weighted_median")(spark, SF_SMOKE).collect()}
+    li = _t(spark, "lineitem").select(
+        "l_returnflag",
+        (
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100.0 + F.lit(0.5))
+            / 100.0
+        ).alias("p"),
+        F.col("l_quantity").alias("w"),
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append((r["p"], float(r["w"])))
+    for flag, pairs in groups.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        cum = 0.0
+        for p, w in pairs:
+            cum += w
+            if 2 * cum >= tot:
+                assert rows[flag] == p, flag
+                break
