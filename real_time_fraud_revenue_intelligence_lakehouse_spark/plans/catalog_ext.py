@@ -1443,3 +1443,117 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.sum("hit") / F.lit(10.0), 4).alias("recall_10"),
         det_round(F.sum(F.col("hit") * dcg_w) / F.lit(float(_IDCG_10)), 4).alias("ndcg_10"),
     )
+
+
+# --- cluster-quality evaluation (silhouette) --------------------------------
+
+_SIL_PANEL = 60  # evaluation panel size
+
+
+@query(
+    "q_silhouette",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DBL.format(v='embedding')} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % {S.CENTROID_MOD} = 0),
+    panel AS (SELECT vec_id, v FROM e WHERE vec_id < {_SIL_PANEL}),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT p.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {_r(_COS.format(a='p.v', b='cent.cv'), 6)} DESC, cent.centroid_id
+               ) AS crank
+        FROM panel p, cent
+      ) WHERE crank = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS i, ca.centroid_id AS ci, cb.centroid_id AS cj,
+             CAST(1.0 - {_r(_COS.format(a='a.v', b='b.v'), 6)} AS DECIMAL(28,8)) AS d
+      FROM panel a JOIN assign ca ON ca.vec_id = a.vec_id,
+           panel b JOIN assign cb ON cb.vec_id = b.vec_id
+      WHERE a.vec_id <> b.vec_id
+    ),
+    md AS (
+      SELECT i, ci, cj, cast(sum(d) as double) / count(*) AS mean_d
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT i, ci,
+             max(CASE WHEN cj = ci THEN mean_d END) AS a,
+             min(CASE WHEN cj <> ci THEN mean_d END) AS b
+      FROM md GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT i, ci,
+             CASE WHEN a IS NULL THEN 0.0
+                  ELSE {_r('(b - a) / greatest(a, b)', 6)} END AS sil
+      FROM ab
+    )
+    SELECT ci AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           {_r('cast(sum(CAST(sil AS DECIMAL(28,8))) as double) / count(*)', 4)} AS mean_silhouette
+    FROM s GROUP BY 1
+    """,
+    tags=("ext", "similarity", "evaluation"),
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette score of the IVF centroid assignment on a
+    {_SIL_PANEL}-vector panel — the cluster-quality companion to
+    q_ann_recall's retrieval quality (together they audit BOTH halves
+    of the index: do cells hold similar vectors, and do probes find
+    the right ones): a(i) = mean cosine distance to i's own cell,
+    b(i) = min mean distance to any other cell, s = (b-a)/max(a,b),
+    0 for singleton cells by the standard convention. Distances
+    derive from the same det-rounded cosines the index ranks by, and
+    every mean folds det-rounded terms through DECIMAL(28,8)
+    accumulators (the unigram-LM convention), so the panel statistic
+    is partition-layout-free and hash-gates. At scale: the panel is a
+    deterministic sample (evaluation cost |panel|², never corpus²)
+    while the assignment audit rides the index's own one-pass
+    broadcast scoring."""
+    e = read_table(spark, sf_dir, "embeddings")
+    panel = e.filter(F.col("vec_id") < _SIL_PANEL)
+    centroids = e.filter(F.col("vec_id") % S.CENTROID_MOD == 0)
+    assign = S.ivf_assignments(panel, centroids, nprobe=1).select(
+        "vec_id", "centroid_id"
+    )
+    pv = panel.select("vec_id", S.as_double(F.col("embedding")).alias("v")).withColumn(
+        "n", S.norm(F.col("v"))
+    )
+    a_side = pv.join(assign, "vec_id").select(
+        F.col("vec_id").alias("i"), F.col("v").alias("va"),
+        F.col("n").alias("na"), F.col("centroid_id").alias("ci"),
+    )
+    b_side = pv.join(assign, "vec_id").select(
+        F.col("vec_id").alias("j"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), F.col("centroid_id").alias("cj"),
+    )
+    cos = S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a_side.crossJoin(b_side)
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "i", "ci", "cj",
+            (F.lit(1.0) - det_round(cos, 6)).cast("decimal(28,8)").alias("d"),
+        )
+    )
+    md = pairs.groupBy("i", "ci", "cj").agg(
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("mean_d")
+    )
+    ab = md.groupBy("i", "ci").agg(
+        F.max(F.when(F.col("cj") == F.col("ci"), F.col("mean_d"))).alias("a"),
+        F.min(F.when(F.col("cj") != F.col("ci"), F.col("mean_d"))).alias("b"),
+    )
+    sil = ab.select(
+        "i", "ci",
+        F.when(F.col("a").isNull(), F.lit(0.0)).otherwise(
+            det_round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6)
+        ).alias("sil"),
+    )
+    return sil.groupBy(F.col("ci").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        det_round(
+            F.sum(F.col("sil").cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("mean_silhouette"),
+    )

@@ -393,3 +393,127 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alarm"),
     )
+
+
+# --- cross-snapshot schema/profile drift ------------------------------------
+
+_DRIFT_SPLIT = "1998-01-01"  # snapshot boundary (historical vs recent)
+
+
+@query(
+    "q_schema_drift",
+    oracle=f"""
+    WITH stacked AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}' THEN 'hist' ELSE 'recent' END AS period,
+             u.col, u.val
+      FROM orders, LATERAL (
+        SELECT * FROM (VALUES
+          ('o_orderstatus', o_orderstatus),
+          ('o_orderpriority', o_orderpriority),
+          ('o_totalprice_band', CAST(CAST(floor(o_totalprice / 100000.0) AS INT) AS VARCHAR))
+        ) AS t(col, val)
+      ) u
+    ),
+    counts AS (
+      SELECT period, col, val, count(*) AS n FROM stacked GROUP BY 1, 2, 3
+    ),
+    modes AS (
+      SELECT period, col, n_rows, n_distinct, mode_val FROM (
+        SELECT period, col, n_rows, n_distinct, val AS mode_val,
+               row_number() OVER (PARTITION BY period, col ORDER BY n DESC, val ASC) AS rk
+        FROM counts JOIN (SELECT period AS p2, col AS c2, sum(n) AS n_rows, count(*) AS n_distinct
+                          FROM counts GROUP BY 1, 2) s
+          ON s.p2 = counts.period AND s.c2 = counts.col
+      ) WHERE rk = 1
+    )
+    SELECT a.col,
+           CAST(a.n_rows AS BIGINT) AS n_hist, CAST(b.n_rows AS BIGINT) AS n_recent,
+           CAST(a.n_distinct AS BIGINT) AS distinct_hist,
+           CAST(b.n_distinct AS BIGINT) AS distinct_recent,
+           a.mode_val AS mode_hist, b.mode_val AS mode_recent,
+           CASE WHEN a.n_distinct <> b.n_distinct OR a.mode_val <> b.mode_val
+                THEN 1 ELSE 0 END AS drifted
+    FROM (SELECT * FROM modes WHERE period = 'hist') a
+    JOIN (SELECT * FROM modes WHERE period = 'recent') b ON a.col = b.col
+    """,
+    tags=("quality", "monitoring", "drift"),
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot column-profile drift — the schema/stats diff a
+    pipeline runs between yesterday's and today's partition before
+    promoting data (q_psi measures distribution drift on ONE numeric
+    ladder; this profiles EVERY audited column's cardinality and
+    mode at once, and q_reconciliation checks totals — together the
+    promotion gate): per column and period, row count, distinct
+    count, and deterministic mode (tie → lexicographically smallest,
+    the q_median_mode discipline); `drifted` flags a cardinality or
+    mode change. One Expand stacks the audited columns (the
+    q_profile_cardinality shape) so the whole profile is ONE scan +
+    one (period, col, val) agg however many columns are audited —
+    at 100 TB this replaces N per-column profile jobs with one."""
+    o = read_table(spark, sf_dir, "orders")
+    period = F.when(
+        F.col("o_orderdate") < F.lit(_DRIFT_SPLIT).cast("timestamp"), "hist"
+    ).otherwise("recent")
+    stacked = o.select(
+        period.alias("period"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice_band").alias("col"),
+                    F.floor(F.col("o_totalprice") / 100000.0)
+                    .cast("int")
+                    .cast("string")
+                    .alias("val"),
+                ),
+            )
+        ).alias("cv"),
+    ).select("period", F.col("cv.col").alias("col"), F.col("cv.val").alias("val"))
+    counts = stacked.groupBy("period", "col", "val").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    wtot = Window.partitionBy("period", "col")
+    wrk = Window.partitionBy("period", "col").orderBy(F.desc("n"), F.asc("val"))
+    modes = (
+        counts.withColumn("n_rows", F.sum("n").over(wtot))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(wtot))
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select("period", "col", "n_rows", "n_distinct", F.col("val").alias("mode_val"))
+    )
+    a = modes.filter(F.col("period") == "hist").select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_hist"),
+        F.col("n_distinct").cast("long").alias("distinct_hist"),
+        F.col("mode_val").alias("mode_hist"),
+    )
+    b = modes.filter(F.col("period") == "recent").select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_recent"),
+        F.col("n_distinct").cast("long").alias("distinct_recent"),
+        F.col("mode_val").alias("mode_recent"),
+    )
+    return a.join(b, "col").select(
+        "col",
+        "n_hist",
+        "n_recent",
+        "distinct_hist",
+        "distinct_recent",
+        "mode_hist",
+        "mode_recent",
+        F.when(
+            (F.col("distinct_hist") != F.col("distinct_recent"))
+            | (F.col("mode_hist") != F.col("mode_recent")),
+            1,
+        )
+        .otherwise(0)
+        .alias("drifted"),
+    )

@@ -178,6 +178,8 @@ _FRONT: tuple[str, ...] = (
     "q_holt_winters",
     "q_shard_rebalance",
     "q_weighted_median",
+    "q_silhouette",
+    "q_schema_drift",
 )
 
 

@@ -214,3 +214,39 @@ def test_weighted_median_against_brute_force(spark):
             if 2 * cum >= tot:
                 assert rows[flag] == p, flag
                 break
+
+
+# --- silhouette ------------------------------------------------------------
+
+
+def test_silhouette_bounds_and_panel_coverage(spark):
+    rows = _q("q_silhouette")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert r["n_points"] >= 1
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import _SIL_PANEL
+
+    assert sum(r["n_points"] for r in rows) == min(
+        _SIL_PANEL, _t(spark, "embeddings").count()
+    )
+
+
+# --- schema drift ----------------------------------------------------------
+
+
+def test_schema_drift_counts_partition_the_table(spark):
+    rows = _q("q_schema_drift")(spark, SF_SMOKE).collect()
+    n = _t(spark, "orders").count()
+    assert {r["col"] for r in rows} == {
+        "o_orderstatus", "o_orderpriority", "o_totalprice_band"
+    }
+    for r in rows:
+        assert r["n_hist"] + r["n_recent"] == n
+        assert r["drifted"] in (0, 1)
+        # drifted must agree with its definition
+        expect = int(
+            r["distinct_hist"] != r["distinct_recent"]
+            or r["mode_hist"] != r["mode_recent"]
+        )
+        assert r["drifted"] == expect

@@ -74,6 +74,7 @@ ALLPAIRS_OK = {
     "q_ann_recall",         # brute-truth tier on the 20-query panel + IVF centroid broadcast (the q_ivf_topk/q_knn_label_vote class)
     "q_bootstrap_ci",       # 1-row grand-mean + full-mean aggregates cross joined (broadcast); replicate expansion is a 48-row broadcast
     "q_shard_rebalance",    # 17-row shard-id table cross joined (broadcast expand per key)
+    "q_silhouette",         # |panel|^2 evaluation tier (60-vector deterministic sample) + IVF centroid broadcast
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
