@@ -1557,3 +1557,108 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_silhouette"),
     )
+
+
+# --- perceptual-hash (dHash) near-duplicate media ---------------------------
+
+#: 61 sampled byte positions → 60 adjacent-difference bits (BIGINT-safe,
+#: the engine's 60-bit convention); 4 × 15-bit pigeonhole bands are
+#: lossless for Hamming distance ≤ 3.
+_PH_BITS, _PH_BANDS, _PH_MAXD = 60, 4, 3
+
+
+@query(
+    "q_phash_neardup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+    s AS (
+      SELECT doc_id,
+             list_transform(range({_PH_BITS + 1}),
+               j -> ascii(substr(text, CAST((j * (length(text) - 1)) // {_PH_BITS + 1} AS INT) + 1, 1))
+             ) AS smp
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id,
+             list_sum(list_transform(range({_PH_BITS}),
+               j -> CASE WHEN smp[j + 1] > smp[j + 2]
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))::BIGINT AS ph
+      FROM s
+    ),
+    bands AS (
+      SELECT doc_id, ph, b, (ph >> (15 * b)) & 32767 AS bkey
+      FROM h, (SELECT unnest(range({_PH_BANDS})) AS b) u
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.ph AS pa, b.ph AS pb
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= {_PH_MAXD}
+    """,
+    tags=("ext", "multimodal", "dedup"),
+)
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the multimodal
+    payload — difference hash (dHash), the published perceptual-hash
+    family member that needs NO global statistics: sample
+    {_PH_BITS + 1} evenly-spaced payload bytes, emit one bit per
+    adjacent pair (s_j > s_j+1), pack into a 60-bit BIGINT. Two
+    payloads whose content drifts slightly (re-encode, crop, append)
+    keep most difference bits, so near-dups are Hamming-close hashes
+    — found by the SAME pigeonhole blocking the SimHash text tier
+    uses ({_PH_BANDS} x 15-bit bands; provably lossless for distance
+    ≤ {_PH_MAXD}), then verified with bit_count(xor). The corpus is
+    pure ASCII, so the oracle replays the byte sampling with
+    per-character codepoints (the q_multimodal_decode convention) —
+    a real codec would swap in decoded pixel rows at the same seam.
+    Everything is row-local integer arithmetic + one band equi-join:
+    no UDF, no all-pairs stage, ids-only shuffle traffic."""
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    nplus = _PH_BITS + 1
+    # Sample from the BINARY payload, not the string: substring on a
+    # string is O(position) (UTF-8 boundary scan per probe — 120
+    # probes x ~3 KB measured 6+ s at sf0.1), on binary it is an O(1)
+    # slice. The payload materializes behind a localCheckpoint (the
+    # prefix_jaccard_pairs convention) so CollapseProject cannot
+    # re-inline the O(n) encode() into every fold step. Single-byte
+    # binary comparison is unsigned — identical to codepoint order on
+    # the pure-ASCII corpus the oracle replays.
+    par = spark.sparkContext.defaultParallelism
+    b = (
+        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("bin"))
+        .repartition(par)
+        .localCheckpoint()
+    )
+    h = b.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(0, {_PH_BITS - 1}), cast(0 as bigint), "
+            f"(acc, j) -> acc + CASE WHEN substring(bin, cast((j * (length(bin) - 1)) div {nplus} as int) + 1, 1) "
+            f"> substring(bin, cast(((j + 1) * (length(bin) - 1)) div {nplus} as int) + 1, 1) "
+            f"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+        ).alias("ph"),
+    )
+    bands_df = spark.range(_PH_BANDS).select(F.col("id").cast("int").alias("b"))
+    bands = h.crossJoin(F.broadcast(bands_df)).select(
+        "doc_id",
+        "ph",
+        "b",
+        F.expr("shiftright(ph, 15 * b) & 32767").alias("bkey"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("ph").alias("pa"), "b", "bkey"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("ph").alias("pb"), "b", "bkey"
+    )
+    cand = (
+        a.join(bb, ["b", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(pa ^ pb)")
+    return cand.filter(ham <= _PH_MAXD).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

@@ -180,6 +180,7 @@ _FRONT: tuple[str, ...] = (
     "q_weighted_median",
     "q_silhouette",
     "q_schema_drift",
+    "q_phash_neardup",
 )
 
 

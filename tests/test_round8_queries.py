@@ -250,3 +250,45 @@ def test_schema_drift_counts_partition_the_table(spark):
             or r["mode_hist"] != r["mode_recent"]
         )
         assert r["drifted"] == expect
+
+
+# --- perceptual hash -------------------------------------------------------
+
+
+def test_phash_catches_single_byte_perturbation(spark):
+    """A payload differing in ONE mid-doc byte keeps the same length,
+    so every sample position is unchanged and at most two adjacent
+    comparisons flip → Hamming ≤ 2·flips, caught at the ≤3 gate. An
+    unrelated payload must NOT pair."""
+    import tempfile
+
+    base = " ".join(f"tok{i:04d}" for i in range(200))
+    perturbed = base[:500] + ("X" if base[500] != "X" else "Y") + base[501:]
+    other = " ".join(f"zz{i * 7 % 97:03d}" for i in range(200))
+    docs = [
+        (1, base, "en", "s", 1),
+        (2, perturbed, "en", "s", 1),
+        (3, other, "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = _q("q_phash_neardup")(spark, d).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+
+
+def test_phash_identical_payloads_distance_zero(spark):
+    import tempfile
+
+    body = " ".join(f"w{i}" for i in range(150))
+    docs = [(1, body, "en", "s", 1), (2, body, "en", "s", 1)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = _q("q_phash_neardup")(spark, d).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]

@@ -75,6 +75,7 @@ ALLPAIRS_OK = {
     "q_bootstrap_ci",       # 1-row grand-mean + full-mean aggregates cross joined (broadcast); replicate expansion is a 48-row broadcast
     "q_shard_rebalance",    # 17-row shard-id table cross joined (broadcast expand per key)
     "q_silhouette",         # |panel|^2 evaluation tier (60-vector deterministic sample) + IVF centroid broadcast
+    "q_phash_neardup",      # 4-row band-id table cross joined (broadcast expand per doc)
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
