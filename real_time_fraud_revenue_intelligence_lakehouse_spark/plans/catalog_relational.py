@@ -1327,3 +1327,71 @@ def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("mv_hrw").cast("long").alias("moved_hrw"),
         det_round(F.sum("mv_hrw") / F.count(F.lit(1)).cast("double"), 4).alias("frac_hrw"),
     )
+
+
+# --- FULL OUTER snapshot diff ----------------------------------------------
+
+
+@query(
+    "q_full_outer_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS k, count(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT o_custkey AS k, count(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT coalesce(a.k, b.k) AS custkey,
+           coalesce(a.n, 0) AS n_1996,
+           coalesce(b.n, 0) AS n_1997,
+           CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.n = b.n THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+    tags=("join", "outer", "cdc"),
+)
+def q_full_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER snapshot diff — the one join type the suite's
+    repertoire (§2.3: inner/left/semi/anti/left-outer/cross) still
+    lacked, in its canonical CDC role: per-customer activity in two
+    adjacent years, keys present only left → 'removed', only right →
+    'added', both → changed/unchanged. This is the key-level
+    companion to q_reconciliation's total-level compare and the diff
+    a migration validates with before cutover. Plan: two filtered
+    pre-aggregations (partition-prunable at scale) then ONE full
+    outer sort-merge on the key — both sides arrive already
+    partitioned by k, so AQE reuses the exchanges; null-safe
+    coalesce classification is row-local."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def year_counts(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    a = year_counts(1996).select(F.col("k").alias("ka"), F.col("n").alias("na"))
+    b = year_counts(1997).select(F.col("k").alias("kb"), F.col("n").alias("nb"))
+    j = a.join(b, a.ka == b.kb, "full_outer")
+    return j.select(
+        F.coalesce("ka", "kb").alias("custkey"),
+        F.coalesce("na", F.lit(0)).cast("long").alias("n_1996"),
+        F.coalesce("nb", F.lit(0)).cast("long").alias("n_1997"),
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("na") == F.col("nb"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )

@@ -181,6 +181,7 @@ _FRONT: tuple[str, ...] = (
     "q_silhouette",
     "q_schema_drift",
     "q_phash_neardup",
+    "q_full_outer_diff",
 )
 
 

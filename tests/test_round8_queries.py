@@ -292,3 +292,25 @@ def test_phash_identical_payloads_distance_zero(spark):
         ).write.parquet(f"{d}/documents.parquet")
         rows = _q("q_phash_neardup")(spark, d).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+# --- full outer diff -------------------------------------------------------
+
+
+def test_full_outer_diff_partitions_by_status(spark):
+    rows = _q("q_full_outer_diff")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["status"] == "added":
+            assert r["n_1996"] == 0 and r["n_1997"] > 0
+        elif r["status"] == "removed":
+            assert r["n_1996"] > 0 and r["n_1997"] == 0
+        elif r["status"] == "unchanged":
+            assert r["n_1996"] == r["n_1997"] > 0
+        else:
+            assert r["status"] == "changed"
+            assert r["n_1996"] > 0 and r["n_1997"] > 0
+            assert r["n_1996"] != r["n_1997"]
+    # every active customer from either year appears exactly once
+    keys = [r["custkey"] for r in rows]
+    assert len(keys) == len(set(keys))
