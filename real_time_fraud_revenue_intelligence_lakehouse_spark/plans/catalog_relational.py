@@ -23,6 +23,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import 
 
 R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
 R2 = "(floor(({c}) * 100.0 + 0.5) / 100.0)"
+R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
 SUM_SQL = "cast(sum(cast({c} as decimal(18,2))) as double)"
 AVG_SQL = R4.format(c="cast(sum(cast({c} as decimal(18,2))) as double) / count({c})")
 # Exact decimal revenue term: extendedprice * (1 - discount).
@@ -1394,4 +1395,101 @@ def q_full_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("na") == F.col("nb"), "unchanged")
         .otherwise("changed")
         .alias("status"),
+    )
+
+
+# --- join-key skew audit ---------------------------------------------------
+
+_SKEW_PARTS = 32  # simulated hash-partition count
+
+
+@query(
+    "q_data_skew_report",
+    oracle=f"""
+    WITH stacked AS (
+      SELECT 'lineitem.l_suppkey' AS keycol, CAST(l_suppkey AS VARCHAR) AS k FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    kc AS (SELECT keycol, k, count(*) AS n FROM stacked GROUP BY 1, 2),
+    parts AS (
+      SELECT keycol,
+             ({_SH_H.format(x='k')}) % {_SKEW_PARTS} AS part,
+             sum(n) AS pn
+      FROM kc GROUP BY 1, 2
+    ),
+    pstat AS (
+      SELECT keycol, max(pn) AS max_pn, sum(pn) AS tot FROM parts GROUP BY 1
+    ),
+    kstat AS (
+      SELECT keycol, sum(n) AS n_rows, count(*) AS n_keys, max(n) AS top1
+      FROM kc GROUP BY 1
+    )
+    SELECT k.keycol,
+           CAST(k.n_rows AS BIGINT) AS n_rows,
+           CAST(k.n_keys AS BIGINT) AS n_keys,
+           {R6.format(c='k.top1 / CAST(k.n_rows AS DOUBLE)')} AS top1_share,
+           {R6.format(c='p.max_pn / CAST(p.tot AS DOUBLE)')} AS max_part_share,
+           {R4.format(c=f'(p.max_pn / CAST(p.tot AS DOUBLE)) * {_SKEW_PARTS}')} AS part_skew_factor
+    FROM kstat k JOIN pstat p ON p.keycol = k.keycol
+    """,
+    tags=("quality", "skew", "layout"),
+)
+def q_data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the measurement BEHIND every salting
+    decision in this library (operators/skew.py, q_salted_agg,
+    q_topk_per_group): for each audited join key, the per-key
+    concentration (top-1 key's row share) and the simulated
+    {_SKEW_PARTS}-way hash-partition imbalance (max partition share x
+    partition count = the straggler factor a shuffle on that key
+    pays; 1.0 = perfectly balanced). Partitions are simulated with
+    the engine's portable md5-60 hash so both engines see identical
+    placement — at 100 TB run this ON the key columns BEFORE the big
+    join and salt exactly the keys this report names. One Expand
+    stacks all audited (table, key) pairs → one (keycol, key) count
+    → two tiny rollups; cost ≈ one scan per audited table."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    stacked = (
+        li.select(
+            F.lit("lineitem.l_suppkey").alias("keycol"),
+            F.col("l_suppkey").cast("string").alias("k"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("lineitem.l_partkey").alias("keycol"),
+                F.col("l_partkey").cast("string").alias("k"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("orders.o_custkey").alias("keycol"),
+                F.col("o_custkey").cast("string").alias("k"),
+            )
+        )
+    )
+    kc = stacked.groupBy("keycol", "k").agg(F.count(F.lit(1)).alias("n"))
+    hk = F.expr("cast(conv(substr(md5(k), 1, 15), 16, 10) as bigint)")
+    parts = kc.groupBy(
+        "keycol", (hk % _SKEW_PARTS).alias("part")
+    ).agg(F.sum("n").alias("pn"))
+    pstat = parts.groupBy("keycol").agg(
+        F.max("pn").alias("max_pn"), F.sum("pn").alias("tot")
+    )
+    kstat = kc.groupBy("keycol").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("top1"),
+    )
+    return kstat.join(pstat, "keycol").select(
+        "keycol",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        det_round(F.col("top1") / F.col("n_rows").cast("double"), 6).alias("top1_share"),
+        det_round(F.col("max_pn") / F.col("tot").cast("double"), 6).alias("max_part_share"),
+        det_round(
+            F.col("max_pn") / F.col("tot").cast("double") * _SKEW_PARTS, 4
+        ).alias("part_skew_factor"),
     )

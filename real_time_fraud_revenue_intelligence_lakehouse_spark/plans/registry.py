@@ -182,6 +182,7 @@ _FRONT: tuple[str, ...] = (
     "q_schema_drift",
     "q_phash_neardup",
     "q_full_outer_diff",
+    "q_data_skew_report",
 )
 
 

@@ -314,3 +314,32 @@ def test_full_outer_diff_partitions_by_status(spark):
     # every active customer from either year appears exactly once
     keys = [r["custkey"] for r in rows]
     assert len(keys) == len(set(keys))
+
+
+# --- data skew report ------------------------------------------------------
+
+
+def test_data_skew_report_bounds_and_brute_check(spark):
+    rows = {r["keycol"]: r for r in _q("q_data_skew_report")(spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "lineitem.l_suppkey", "lineitem.l_partkey", "orders.o_custkey"
+    }
+    li = _t(spark, "lineitem")
+    o = _t(spark, "orders")
+    expects = {
+        "lineitem.l_suppkey": (li, "l_suppkey"),
+        "lineitem.l_partkey": (li, "l_partkey"),
+        "orders.o_custkey": (o, "o_custkey"),
+    }
+    from collections import Counter
+
+    for keycol, (df, col) in expects.items():
+        r = rows[keycol]
+        counts = Counter(x[col] for x in df.select(col).collect())
+        assert r["n_rows"] == sum(counts.values())
+        assert r["n_keys"] == len(counts)
+        assert abs(r["top1_share"] - max(counts.values()) / sum(counts.values())) < 1e-5
+        # a skew factor below 1 is impossible; a uniform-ish synthetic
+        # key space should not exceed the partition count either
+        assert 1.0 <= r["part_skew_factor"] <= 32.0
+        assert 0.0 < r["max_part_share"] <= 1.0
