@@ -1493,3 +1493,102 @@ def q_data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_pn") / F.col("tot").cast("double") * _SKEW_PARTS, 4
         ).alias("part_skew_factor"),
     )
+
+
+# --- Fellegi-Sunter record-linkage pattern weights --------------------------
+
+_FS_M = 0.95  # prior P(field agrees | true match), standard literature prior
+
+
+@query(
+    "q_record_linkage",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             substr(c_name, length(c_name) - 2, 3) AS sfx
+      FROM customer
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS agree_seg,
+             CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS agree_bal,
+             CASE WHEN a.sfx = b.sfx THEN 1 ELSE 0 END AS agree_sfx
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ),
+    u AS (
+      SELECT avg(agree_seg) AS u_seg, avg(agree_bal) AS u_bal,
+             avg(agree_sfx) AS u_sfx, count(*) AS n_total
+      FROM pairs
+    )
+    SELECT agree_seg, agree_bal, agree_sfx,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {R4.format(c=(
+             f"(CASE WHEN agree_seg = 1 THEN log2({_FS_M} / u_seg) ELSE log2({1 - _FS_M} / (1 - u_seg)) END) + "
+             f"(CASE WHEN agree_bal = 1 THEN log2({_FS_M} / u_bal) ELSE log2({1 - _FS_M} / (1 - u_bal)) END) + "
+             f"(CASE WHEN agree_sfx = 1 THEN log2({_FS_M} / u_sfx) ELSE log2({1 - _FS_M} / (1 - u_sfx)) END)"
+           ))} AS fs_weight
+    FROM pairs, u
+    GROUP BY 1, 2, 3, u_seg, u_bal, u_sfx
+    """,
+    tags=("join", "mdm", "linkage", "statistics"),
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage — the SCORING half
+    of entity resolution (q_golden_record is the survivorship half,
+    q_fuzzy_match the comparison primitive): nation-blocked customer
+    pairs compared on three quasi-identifiers (market segment,
+    account-balance band, name suffix), each agreement pattern
+    weighted by log2(m/u) — m the standard match prior, u estimated
+    FROM THE DATA as each field's chance-agreement rate over the
+    block-pair population (the unsupervised u-estimation that makes
+    FS practical). Output: the classic 8-row agreement-pattern table
+    with pair counts and composite weights — high-weight patterns are
+    the review queue. Plan: one nation-blocked self-join (the
+    blocking bounds pairs to Σ|block|², never n²), one 8-group agg,
+    u's as a 1-row broadcast; at 100 TB the block key graduates to
+    (nation, name-prefix) exactly like the LSH banding."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        F.expr("substr(c_name, length(c_name) - 2, 3)").alias("sfx"),
+    )
+    a, b = c.alias("a"), c.alias("b").hint("SHUFFLE_HASH")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.when(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 1).otherwise(0).alias("agree_seg"),
+        F.when(F.col("a.bal_band") == F.col("b.bal_band"), 1).otherwise(0).alias("agree_bal"),
+        F.when(F.col("a.sfx") == F.col("b.sfx"), 1).otherwise(0).alias("agree_sfx"),
+    )
+    u = pairs.agg(
+        F.avg("agree_seg").alias("u_seg"),
+        F.avg("agree_bal").alias("u_bal"),
+        F.avg("agree_sfx").alias("u_sfx"),
+    )
+    m, d = F.lit(_FS_M), F.lit(1 - _FS_M)
+
+    def w(agree_col: str, u_col: str) -> F.Column:
+        return F.when(
+            F.col(agree_col) == 1, F.log2(m / F.col(u_col))
+        ).otherwise(F.log2(d / (F.lit(1.0) - F.col(u_col))))
+
+    return (
+        pairs.groupBy("agree_seg", "agree_bal", "agree_sfx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(u))
+        .select(
+            "agree_seg",
+            "agree_bal",
+            "agree_sfx",
+            "n_pairs",
+            det_round(
+                w("agree_seg", "u_seg") + w("agree_bal", "u_bal") + w("agree_sfx", "u_sfx"),
+                4,
+            ).alias("fs_weight"),
+        )
+    )

@@ -183,6 +183,7 @@ _FRONT: tuple[str, ...] = (
     "q_phash_neardup",
     "q_full_outer_diff",
     "q_data_skew_report",
+    "q_record_linkage",
 )
 
 

@@ -343,3 +343,26 @@ def test_data_skew_report_bounds_and_brute_check(spark):
         # key space should not exceed the partition count either
         assert 1.0 <= r["part_skew_factor"] <= 32.0
         assert 0.0 < r["max_part_share"] <= 1.0
+
+
+# --- record linkage --------------------------------------------------------
+
+
+def test_record_linkage_pattern_table_properties(spark):
+    rows = _q("q_record_linkage")(spark, SF_SMOKE).collect()
+    pats = {(r["agree_seg"], r["agree_bal"], r["agree_sfx"]): r for r in rows}
+    # patterns are a subset of the 8-cell cube, disjoint and exhaustive
+    assert set(pats).issubset({(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)})
+    # FS weights are monotone in agreement: flipping any field from
+    # disagree to agree must increase the composite weight
+    for (i, j, k), r in pats.items():
+        for flip in range(3):
+            up = tuple(v if idx != flip else 1 for idx, v in enumerate((i, j, k)))
+            if up != (i, j, k) and up in pats:
+                assert pats[up]["fs_weight"] > r["fs_weight"]
+    # total pairs equals the blocked pair count recomputed independently
+    from collections import Counter
+
+    nat = Counter(r["c_nationkey"] for r in _t(spark, "customer").collect())
+    expect = sum(n * (n - 1) // 2 for n in nat.values())
+    assert sum(r["n_pairs"] for r in rows) == expect

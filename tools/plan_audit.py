@@ -76,6 +76,7 @@ ALLPAIRS_OK = {
     "q_shard_rebalance",    # 17-row shard-id table cross joined (broadcast expand per key)
     "q_silhouette",         # |panel|^2 evaluation tier (60-vector deterministic sample) + IVF centroid broadcast
     "q_phash_neardup",      # 4-row band-id table cross joined (broadcast expand per doc)
+    "q_record_linkage",     # 1-row u-estimate aggregate cross joined (broadcast); the pair stage is nation-BLOCKED, not all-pairs
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
