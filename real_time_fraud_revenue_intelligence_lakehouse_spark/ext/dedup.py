@@ -404,17 +404,6 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    # localCheckpoint per BLOCK of fused rounds: cuts the LOGICAL
-    # lineage (a cache would not — plan analysis re-grows every round
-    # and deep chains overflow), at the cost of one materialization
-    # job. Blocking CHECK_EVERY=2 round-pairs between checkpoint +
-    # fingerprint amortizes the per-round driver actions (the
-    # PR_CHECK_EVERY convention from q_pagerank_converge): 2 jobs per
-    # 2 round-pairs instead of 4. Worst case one redundant round-pair
-    # after the fixpoint — a no-op over the already-collapsed (tiny)
-    # edge set. The block compare is still sound: rounds strictly
-    # shrink the Kiveris potential, so the edge set cannot oscillate;
-    # equal fingerprints across a block mean the fixpoint.
     # localCheckpoint per fused round: cuts the LOGICAL lineage (a
     # cache would not — plan analysis re-grows every round and deep
     # chains overflow), at the cost of one materialization job; the

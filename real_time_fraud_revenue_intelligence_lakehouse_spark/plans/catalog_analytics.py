@@ -682,7 +682,7 @@ HW_ALPHA, HW_BETA = 0.3, 0.1
            {R4.format(c='l')} AS level_end,
            {R4.format(c='b')} AS trend_end,
            {R4.format(c='l + 4 * b')} AS forecast_4w,
-           {R4.format(c='sae / (rn - 1)')} AS mae_1step
+           {R4.format(c='CASE WHEN rn > 1 THEN sae / (rn - 1) ELSE 0.0 END')} AS mae_1step
     FROM last WHERE rk = 1
     """,
     tags=("timeseries", "forecast", "iterative"),
@@ -741,5 +741,13 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.col("st.l"), 4).alias("level_end"),
         det_round(F.col("st.b"), 4).alias("trend_end"),
         det_round(F.col("st.l") + 4 * F.col("st.b"), 4).alias("forecast_4w"),
-        det_round(F.col("st.sae") / (F.col("n_weeks") - 1), 4).alias("mae_1step"),
+        # Guard the 1-week degenerate series: 0.0/0 is NaN in Spark
+        # doubles but a divide-by-zero NULL in the oracle's CTE — both
+        # sides pin it to 0.0 instead (no forecast errors observed).
+        det_round(
+            F.when(
+                F.col("n_weeks") > 1, F.col("st.sae") / (F.col("n_weeks") - 1)
+            ).otherwise(0.0),
+            4,
+        ).alias("mae_1step"),
     )

@@ -1498,6 +1498,13 @@ def q_data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Fellegi-Sunter record-linkage pattern weights --------------------------
 
 _FS_M = 0.95  # prior P(field agrees | true match), standard literature prior
+# Clamp the data-estimated chance-agreement rates into [eps, 1-eps]
+# (standard FS practice): a block where no pair shares a suffix gives
+# u=0 and log2(m/0) = ±Inf with engine-divergent rendering. Both
+# bounds are shared Python literals so the two engines see identical
+# doubles.
+_FS_EPS = 1e-6
+_FS_1ME = 1.0 - 1e-6
 
 
 @query(
@@ -1517,8 +1524,10 @@ _FS_M = 0.95  # prior P(field agrees | true match), standard literature prior
         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
     ),
     u AS (
-      SELECT avg(agree_seg) AS u_seg, avg(agree_bal) AS u_bal,
-             avg(agree_sfx) AS u_sfx, count(*) AS n_total
+      SELECT least(greatest(avg(agree_seg), {_FS_EPS!r}), {_FS_1ME!r}) AS u_seg,
+             least(greatest(avg(agree_bal), {_FS_EPS!r}), {_FS_1ME!r}) AS u_bal,
+             least(greatest(avg(agree_sfx), {_FS_EPS!r}), {_FS_1ME!r}) AS u_sfx,
+             count(*) AS n_total
       FROM pairs
     )
     SELECT agree_seg, agree_bal, agree_sfx,
@@ -1565,10 +1574,11 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("a.bal_band") == F.col("b.bal_band"), 1).otherwise(0).alias("agree_bal"),
         F.when(F.col("a.sfx") == F.col("b.sfx"), 1).otherwise(0).alias("agree_sfx"),
     )
+    clamp = lambda c: F.least(F.greatest(c, F.lit(_FS_EPS)), F.lit(_FS_1ME))
     u = pairs.agg(
-        F.avg("agree_seg").alias("u_seg"),
-        F.avg("agree_bal").alias("u_bal"),
-        F.avg("agree_sfx").alias("u_sfx"),
+        clamp(F.avg("agree_seg")).alias("u_seg"),
+        clamp(F.avg("agree_bal")).alias("u_bal"),
+        clamp(F.avg("agree_sfx")).alias("u_sfx"),
     )
     m, d = F.lit(_FS_M), F.lit(1 - _FS_M)
 
