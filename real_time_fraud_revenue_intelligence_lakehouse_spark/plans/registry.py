@@ -59,131 +59,78 @@ def _load_all() -> None:
 
 
 # Verification priority: the driver's correctness gate walks queries()
-# in dict order with a ~50-entry per-round budget, so queries that
-# have never had a driver-green row come FIRST. After CORRECTNESS_r04
-# the union of r01+r02+r04 green rows covers 147 of 240 queries; this
-# front window holds exactly the 93 never-driver-verified queries
-# (all selfchecked green locally), cheapest-first by the driver's own
-# BENCH_r04 sf0.1 timings (BENCH_FULL fallback) so a time-capped
-# budget maximizes new green rows. q_sample_limit and
-# q_greedy_packing follow immediately after: both previously
-# rows-only rows, re-oracled this round (deterministic ordering /
-# invariant emission) and due a fresh hash-green row. Names not
-# listed keep their registration order after these.
+# in dict order with a hard 50-entry per-round budget (r01-r06 each
+# sampled exactly 50), so queries that have never had a driver-green
+# row come FIRST. Recomputed at round 7 from the union of
+# CORRECTNESS_r01+r02+r04+r05+r06 hash-green rows (195/254 green);
+# this front window holds exactly the 59 never-driver-verified ids
+# (all selfchecked green locally), expensive-first per VERDICT r6 #1
+# so the perpetually-deferred heavy graph/similarity tier finally
+# gets sampled. q_sample_limit / q_greedy_packing (whose only driver
+# rows are stale pre-fix `err: no_oracle`) are promoted into the
+# top 50 at the expense of two cheap tail ids (q_ols_trend,
+# q_record_linkage), per the verdict's count-cap instruction. Names
+# not listed keep their registration order after these.
 _FRONT: tuple[str, ...] = (
-    "q_kfold",
-    "q_exif_meta",
-    "q_feature_hash",
-    "q_anti_join",
-    "q_k_anonymity",
-    "q_priority_sample",
-    "q_cumulative_distinct",
-    "q_skyline",
-    "q_weighted_sample",
-    "q_benford",
-    "q_round_amount_anomaly",
-    "q_robust_scale",
-    "q_multimodal_resize",
-    "q_psi",
-    "q_abandoned",
-    "q_gap_fill",
-    "q_map_functions",
-    "q_readability",
-    "q_first_last",
-    "q_minmax_by",
-    "q_window_share",
-    "q_survival_km",
-    "q_duplicate_invoice",
-    "q_twap",
-    "q_token_entropy",
-    "q_quantile_norm",
-    "q_cohort_ltv",
-    "q_embed_drift",
-    "q_event_transitions",
-    "q_langid_confusion",
-    "q_topk_per_group",
-    "q_chi_square",
-    "q_ab_test",
-    "q_mad_outliers",
-    "q_event_paths",
-    "q_scd2_lookup",
-    "q_target_encoding",
-    "q_revenue_bridge",
-    "q_fd_discovery",
-    "q_yoy_growth",
-    "q_funnel_windowed",
-    "q_vocab_coverage",
-    "q_gini",
-    "q_ks_test",
-    "q_allocation",
-    "q_cusum",
-    "q_rolling_median",
-    "q_seasonal_anomaly",
-    "q_golden_record",
-    "q_inverted_index",
-    "q_auc",
-    "q_important_parts",
-    "q_pmi_collocations",
-    "q_parent_share",
-    "q_active_users",
-    "q_json_roundtrip",
-    "q_ols_trend",
-    "q_event_funnel",
-    "q_decile_lift",
-    "q_bm25",
-    "q_diff_in_diff",
-    "q_kmv_set_ops",
-    "q_latency_sla",
-    "q_bpe_merges",
-    "q_market_share",
-    "q_correlated_subquery",
-    "q_dup_ngram_ratio",
-    "q_embed_pq",
-    "q_median_mode",
-    "q_bigram_logprob",
-    "q_knn_label_vote",
-    "q_stateful_profile",
-    "q_fuzzy_match",
-    "q_graph_degree",
-    "q_reconciliation",
-    "q_ewma",
-    "q_augment",
-    "q_bloom_prune",
-    "q_bpe_encode",
-    "q_basket_lift",
-    "q_item_sim",
-    "q_minhash_accuracy",
-    "q_dup_spans",
-    "q_dedup_pipeline",
-    "q_bfs_distance",
-    "q_ivfpq_topk",
-    "q_knn_triangles",
+    "q_cheapest_route",
+    "q_pagerank_converge",
+    "q_graph_communities",
     "q_lsh_quality",
     "q_pagerank",
-    "q_pagerank_converge",
-    "q_cheapest_route",
+    "q_knn_triangles",
     "q_prefix_jaccard_join",
-    "q_graph_communities",
-    # re-oracled this round — previously rows-only by design:
+    "q_ivfpq_topk",
+    "q_bfs_distance",
+    "q_dup_spans",
+    "q_bootstrap_ci",
+    "q_minhash_accuracy",
+    "q_item_sim",
+    "q_dedup_pipeline",
+    "q_basket_lift",
+    "q_bpe_encode",
+    "q_fuzzy_match",
+    "q_weighted_median",
+    "q_bloom_prune",
+    "q_reconciliation",
+    "q_min_cost_supplier",
+    "q_graph_degree",
+    "q_bigram_logprob",
+    "q_augment",
+    "q_median_mode",
+    "q_ewma",
+    "q_zorder_key",
+    "q_ann_recall",
+    "q_knn_label_vote",
+    "q_dup_ngram_ratio",
+    "q_stateful_profile",
+    "q_bpe_merges",
+    "q_data_skew_report",
+    "q_embed_pq",
+    "q_correlated_subquery",
+    "q_silhouette",
+    "q_market_share",
+    "q_kmv_set_ops",
+    "q_decile_lift",
+    "q_shard_rebalance",
+    "q_latency_sla",
+    "q_diff_in_diff",
+    "q_pmi_collocations",
+    "q_auc",
+    "q_bm25",
+    "q_parent_share",
+    "q_hll_registers",
+    "q_json_roundtrip",
     "q_sample_limit",
     "q_greedy_packing",
-    # new this round (TPC-H Q2 full dim-chain anchor + round-8
-    # additions: HLL sketch, ANN retrieval eval, bootstrap CI,
-    # Z-order layout key):
-    "q_min_cost_supplier",
-    "q_hll_registers",
-    "q_ann_recall",
-    "q_bootstrap_ci",
-    "q_zorder_key",
-    "q_holt_winters",
-    "q_shard_rebalance",
-    "q_weighted_median",
-    "q_silhouette",
-    "q_schema_drift",
-    "q_phash_neardup",
-    "q_full_outer_diff",
-    "q_data_skew_report",
+    "q_ols_trend",
     "q_record_linkage",
+    "q_active_users",
+    "q_phash_neardup",
+    "q_schema_drift",
+    "q_event_funnel",
+    "q_important_parts",
+    "q_holt_winters",
+    "q_full_outer_diff",
 )
 
 
