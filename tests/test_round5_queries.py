@@ -153,6 +153,9 @@ def test_pagerank_converge_is_a_fixpoint(spark):
     assert moved < PR_EPS + 2e-8
     total = out.agg(F.sum("pagerank").alias("s")).collect()[0]["s"]
     assert abs(total - 1.0) < 1e-3
+    head = out.select("rounds_run", "converged").first()
+    assert head["converged"] is True
+    assert head["rounds_run"] > 0 and head["rounds_run"] % 3 == 0
 
 
 def test_pagerank_converge_matches_long_unrolled_run(spark):
