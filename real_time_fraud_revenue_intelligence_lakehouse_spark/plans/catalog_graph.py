@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import (
+    co_service_sim,
+    cust_supp,
+    shared_frame,
+)
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
 R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
@@ -130,47 +135,32 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected supplier kNN-graph edge set (a < b), checkpointed.
+    """Undirected supplier kNN-graph edge set (a < b), checkpointed
+    and memoized per process (shared_frames) — it feeds degree,
+    wedges, THREE triangle-join legs, and the community-detection CC
+    rounds, across two different queries.
 
-    Pair generation stays a per-key self-join here (NOT the sorted-
-    set array comprehension q_basket_lift uses): per-customer
-    supplier sets are wide (~40 at sf0.1), and materializing C(k,2)
-    nested-array structs per row measured 2x slower than streaming
-    the same pairs out of a sort-merge join. Baskets are narrow
-    (~4 parts), so the array form wins there — pick per shape."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-    )
-    # SHUFFLE_HASH over sort-merge for the per-cust self-join: cost
-    # is the two-side sort, not the probe — hashing the build side
-    # skips both sorts (measured ~20% off this stage; same shuffle
-    # volume, and a hash bucket holds one cust's supplier list).
-    a, b = cs.alias("a"), cs.alias("b").hint("SHUFFLE_HASH")
-    sim = (
-        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
-        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
-        .agg(F.count(F.lit(1)).alias("common_cust"))
-    )
-    directed = sim.select(
-        F.col("s1").alias("src"), F.col("s2").alias("dst"), "common_cust"
-    ).unionByName(
-        sim.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "common_cust")
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("common_cust"), F.asc("dst"))
-    knn = directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K_NN)
-    return (
-        knn.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    Pair generation stays a per-key self-join (NOT the sorted-set
+    array comprehension q_basket_lift uses): per-customer supplier
+    sets are wide (~40 at sf0.1), and materializing C(k,2) nested-
+    array structs per row measured 2x slower than streaming the same
+    pairs out of the join. Baskets are narrow (~4 parts), so the
+    array form wins there — pick per shape."""
+
+    def build() -> DataFrame:
+        sim = co_service_sim(spark, sf_dir)
+        directed = sim.select(
+            F.col("s1").alias("src"), F.col("s2").alias("dst"), "common_cust"
+        ).unionByName(
+            sim.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "common_cust")
         )
-        .distinct()
-        # feeds degree, wedges, and THREE triangle-join legs — pin it
-        # once (same pattern as the PageRank edge table).
-        .localCheckpoint()
-    )
+        w = Window.partitionBy("src").orderBy(F.desc("common_cust"), F.asc("dst"))
+        knn = directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K_NN)
+        return knn.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+
+    return shared_frame(spark, sf_dir, "knn_edges", build)
 
 
 # --- kNN graph + triangle count ---------------------------------------------
@@ -305,13 +295,7 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. Buckets via ln(d)/ln(2) on exact integer degrees — the
     ratio is far from integer boundaries for d not a power of two,
     and exact for powers of two, so floor is engine-stable."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-    )
+    cs = cust_supp(spark, sf_dir)
     deg = (
         cs.groupBy(F.col("supp").alias("node"))
         .agg(F.count(F.lit(1)).alias("d"))
@@ -572,39 +556,31 @@ def q_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     cyclic graphs — bounding the horizon is what makes the shape
     well-defined on both engines). Costs add in round order on both
     sides, so the doubles agree bit-for-bit."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-    )
-    # SHUFFLE_HASH over sort-merge for the per-cust self-join: cost
-    # is the two-side sort, not the probe — hashing the build side
-    # skips both sorts (measured ~20% off this stage; same shuffle
-    # volume, and a hash bucket holds one cust's supplier list).
-    a, b = cs.alias("a"), cs.alias("b").hint("SHUFFLE_HASH")
-    sim = (
-        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
-        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
-        .agg(F.count(F.lit(1)).alias("common_cust"))
-    )
+    sim = co_service_sim(spark, sf_dir)
     w = (F.lit(1.0) / F.col("common_cust")).alias("w")
-    ew = (
-        sim.select(F.col("s1").alias("src"), F.col("s2").alias("dst"), w)
-        .unionByName(sim.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), w))
-        .localCheckpoint()
+
+    def build_ew() -> DataFrame:
+        return sim.select(F.col("s1").alias("src"), F.col("s2").alias("dst"), w).unionByName(
+            sim.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), w)
+        )
+
+    ew = shared_frame(spark, sf_dir, "co_service_ew", build_ew)
+    src = (
+        cust_supp(spark, sf_dir)
+        .agg(F.min("supp").alias("node"))
+        .select("node", F.lit(0.0).alias("dist"))
     )
-    src = cs.agg(F.min("supp").alias("node")).select("node", F.lit(0.0).alias("dist"))
     dist = src.localCheckpoint()
-    for _ in range(BF_ROUNDS):
-        relax = dist.join(ew, dist.node == ew.src).select(
-            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
-        )
-        dist = (
-            dist.unionByName(relax)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
-        )
+    # Two relaxations fused per checkpointed job (the star-CC round-
+    # fusing trick, ext/dedup): min-plus rounds compose lazily without
+    # changing the arithmetic — costs still add in round order — so
+    # half the driver actions buy the same bits.
+    assert BF_ROUNDS % 2 == 0
+    for _ in range(BF_ROUNDS // 2):
+        for _ in range(2):
+            relax = dist.join(ew, dist.node == ew.src).select(
+                F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+            )
+            dist = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+        dist = dist.localCheckpoint()
     return dist.select("node", det_round(F.col("dist"), 6).alias("dist"))

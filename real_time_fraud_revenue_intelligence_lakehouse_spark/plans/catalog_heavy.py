@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import (
+    cust_supp,
+    shared_frame,
+)
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
 SUM_DEC = "cast(sum(cast({c} as decimal(38,4))) as double)"
@@ -275,27 +279,39 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _trade_graph(spark, sf_dir, year: int | None = None):
     """Bidirectional supplier↔customer trade graph + PageRank round-0
-    state (edges checkpointed once; ranks/deg are |nodes|-sized).
-    ``year`` restricts to one order year (partition-prunable at scale)
-    for the convergence variant's smaller per-round scans."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = read_table(spark, sf_dir, "orders")
-    if year is not None:
-        o = o.filter(F.year("o_orderdate") == year)
-    o = o.select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select((-(F.col("l_suppkey") + 1)).alias("s_node"), F.col("o_custkey").alias("c_node"))
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
-        # One materialization: the distinct-pair join feeds every
-        # round (and deg/nodes/stats) — without this the lazy DAG
-        # recomputes it ~7×. Same pattern as dup_clusters' edge table.
-        .localCheckpoint()
-    )
+    state (edges materialized once per process via shared_frames —
+    PageRank, its convergence twin, and BFS all iterate over the same
+    table, and within one query the distinct-pair join feeds every
+    round plus deg/nodes/stats). ``year`` restricts to one order year
+    (partition-prunable at scale) for the convergence variant's
+    smaller per-round scans; the unfiltered graph derives from the
+    shared cust_supp distinct instead of re-joining the facts."""
+
+    def build_edges() -> DataFrame:
+        if year is None:
+            pairs = cust_supp(spark, sf_dir).select(
+                (-(F.col("supp") + 1)).alias("s_node"), F.col("cust").alias("c_node")
+            )
+        else:
+            li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+            o = (
+                read_table(spark, sf_dir, "orders")
+                .filter(F.year("o_orderdate") == year)
+                .select("o_orderkey", "o_custkey")
+            )
+            pairs = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .select(
+                    (-(F.col("l_suppkey") + 1)).alias("s_node"),
+                    F.col("o_custkey").alias("c_node"),
+                )
+                .distinct()
+            )
+        return pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
+            pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        )
+
+    edges = shared_frame(spark, sf_dir, f"trade_edges_{year}", build_edges)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     stats = nodes.agg(F.count(F.lit(1)).alias("n"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
@@ -431,13 +447,17 @@ def q_pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     year predicate — convergence semantics unchanged), and outdegrees
     prejoin into the resident edge table ONCE instead of
     re-broadcasting every round."""
-    edges, nodes, stats, deg, ranks = _trade_graph(spark, sf_dir, year=PR_CONV_YEAR)
-    edges = (
-        edges.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+    base_edges, nodes, stats, deg, ranks = _trade_graph(spark, sf_dir, year=PR_CONV_YEAR)
+    edges = shared_frame(
+        spark,
+        sf_dir,
+        f"trade_edges_{PR_CONV_YEAR}_outdeg",
+        # outdegrees prejoined ONCE into the resident edge table;
         # small table, many rounds: fewer partitions beat per-task
         # overhead; on a cluster this would match the edge bucketing
-        .coalesce(8)
-        .localCheckpoint()
+        lambda: base_edges.join(
+            F.broadcast(deg.withColumnRenamed("node", "src")), "src"
+        ).coalesce(8),
     )
     ranks = ranks.localCheckpoint()
     done = 0
@@ -765,7 +785,9 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.lit(i).alias("dist"))
             .localCheckpoint()
         )
-        dist = dist.unionByName(frontier).localCheckpoint()
+        # dist is a union of ≤BFS_ROUNDS checkpointed frontiers —
+        # already barrier-backed, no second checkpoint action needed.
+        dist = dist.unionByName(frontier)
     return dist.select(
         F.when(F.col("node") < 0, F.lit("supplier"))
         .otherwise(F.lit("customer"))
