@@ -132,6 +132,7 @@ def lsh_candidates(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     max_bucket: int | None = LSH_MAX_BUCKET,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """UNVERIFIED banded-LSH candidate pairs ``(id_a, id_b)`` — the
     blocking tier of :func:`minhash_lsh_pairs`, exposed separately so
@@ -141,7 +142,8 @@ def lsh_candidates(
     ``max_bucket`` drops pathological buckets via a window count over
     the SAME (band_idx, band_key) the join shuffles on."""
     r = k // bands
-    sig = with_minhash(df.select(F.col(id_col), F.col(text_col)), id_col, text_col, k=k)
+    if sig is None:
+        sig = with_minhash(df.select(F.col(id_col), F.col(text_col)), id_col, text_col, k=k)
     base = sig.select(
         F.col(id_col),
         F.array(
@@ -179,6 +181,8 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     max_bucket: int | None = LSH_MAX_BUCKET,
+    sig: DataFrame | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified with
     exact Jaccard ≥ threshold.
@@ -200,12 +204,13 @@ def minhash_lsh_pairs(
     through a dropped bucket fall back to the exact-fingerprint tier,
     which already catches identical-boilerplate groups."""
     cand = lsh_candidates(
-        df, id_col, text_col, k=k, bands=bands, max_bucket=max_bucket
+        df, id_col, text_col, k=k, bands=bands, max_bucket=max_bucket, sig=sig
     )
-    toks = df.select(
-        F.col(id_col),
-        F.array_distinct(tokens(norm_text(F.col(text_col)))).alias("toks"),
-    )
+    if toks is None:
+        toks = df.select(
+            F.col(id_col),
+            F.array_distinct(tokens(norm_text(F.col(text_col)))).alias("toks"),
+        )
     pairs = cand.join(
         toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")), "id_a"
     ).join(
@@ -434,13 +439,15 @@ def dup_clusters_star(
     text_col: str,
     threshold: float = 0.5,
     max_iters: int = 25,
+    sig: DataFrame | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`dup_clusters` with the large-star/small-star engine —
     same (doc_id, cluster_id, cluster_size) contract, O(log d)
     rounds; prefer it when components may be deep (long dup chains)."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold).select(
-        "id_a", "id_b"
-    )
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, threshold=threshold, sig=sig, toks=toks
+    ).select("id_a", "id_b")
     labels = connected_components_star(pairs, max_iters=max_iters)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(
@@ -454,6 +461,8 @@ def dup_clusters(
     text_col: str,
     threshold: float = 0.5,
     max_iters: int = 20,
+    sig: DataFrame | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
     verified MinHash-LSH pair graph → (doc_id, cluster_id,
@@ -475,9 +484,9 @@ def dup_clusters(
     flat. For graphs with deep components swap the loop for the
     alternating large-star/small-star algorithm (same join shapes,
     O(log d) rounds)."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold).select(
-        "id_a", "id_b"
-    )
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, threshold=threshold, sig=sig, toks=toks
+    ).select("id_a", "id_b")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -532,6 +541,7 @@ def prefix_jaccard_pairs(
     theta_num: int = 1,
     theta_den: int = 2,
     shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join (distinct shingle-set Jaccard
     ≥ theta_num/theta_den) via lossless prefix filtering
@@ -547,25 +557,26 @@ def prefix_jaccard_pairs(
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.select(
-        F.col(id_col), tokens(norm_text(F.col(text_col))).alias("_toks")
-    )
-    # Shingles hash to 60-bit longs BEFORE any set op (the
-    # jaccard_pairs convention): long-array intersects beat string
-    # arrays severalfold and the shuffles carry 8-byte keys. The
-    # oracle hashes with the same md5-60 fragment, so counts stay
-    # bit-identical; a 60-bit collision could only merge two shingles
-    # on BOTH sides at once (P ~ |vocab|^2 / 2^61).
-    sets = (
-        toks.select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform(shingles_of(F.col("_toks"), shingle_n), hash60)
-            ).alias("t"),
+    if sets is None:
+        toks = df.select(
+            F.col(id_col), tokens(norm_text(F.col(text_col))).alias("_toks")
         )
-        .repartition(par)
-        .localCheckpoint()
-    )
+        # Shingles hash to 60-bit longs BEFORE any set op (the
+        # jaccard_pairs convention): long-array intersects beat string
+        # arrays severalfold and the shuffles carry 8-byte keys. The
+        # oracle hashes with the same md5-60 fragment, so counts stay
+        # bit-identical; a 60-bit collision could only merge two shingles
+        # on BOTH sides at once (P ~ |vocab|^2 / 2^61).
+        sets = (
+            toks.select(
+                F.col(id_col),
+                F.array_distinct(
+                    F.transform(shingles_of(F.col("_toks"), shingle_n), hash60)
+                ).alias("t"),
+            )
+            .repartition(par)
+            .localCheckpoint()
+        )
     # |T| rides the explode (t is already distinct, so size(t) ==
     # count over the doc partition) — one window frame instead of two.
     ex = sets.select(

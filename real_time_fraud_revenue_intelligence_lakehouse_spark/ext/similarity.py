@@ -388,6 +388,7 @@ def ivf_topk(
     centroid_mod: int = CENTROID_MOD,
     round_digits: int = 6,
     use_arrow: bool = True,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single
     nearest centroid's cell; a query probes its ``nprobe`` nearest
@@ -402,9 +403,13 @@ def ivf_topk(
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
     centroids = corpus.filter(F.col(id_col) % centroid_mod == 0)
-    corpus_cells = ivf_assignments(
-        corpus, centroids, nprobe=1, id_col=id_col, use_arrow=use_arrow
-    ).select(F.col(id_col).alias("match_id"), "centroid_id")
+    if corpus_cells is None:
+        # the expensive corpus-wide pass — callers sharing one
+        # assignment across queries pass it precomputed
+        # (plans/shared_frames.ivf_corpus_cells)
+        corpus_cells = ivf_assignments(
+            corpus, centroids, nprobe=1, id_col=id_col, use_arrow=use_arrow
+        ).select(F.col(id_col).alias("match_id"), "centroid_id")
     query_cells = ivf_assignments(
         queries, centroids, nprobe=nprobe, id_col=id_col, use_arrow=use_arrow
     ).select(F.col(id_col).alias("query_id"), "centroid_id")

@@ -220,8 +220,16 @@ def with_minhash(df, id_col: str, text_col: str, k: int = MINHASH_K, n: int = 3)
       `xor()` reproduces it exactly for the oracle.
     """
     staged = df.select(F.col(id_col), tokens(norm_text(F.col(text_col))).alias("_toks"))
+    return minhash_of_tokens(staged, id_col, "_toks", k=k, n=n)
+
+
+def minhash_of_tokens(staged, id_col: str, toks_col: str, k: int = MINHASH_K, n: int = 3):
+    """`with_minhash` from an already-tokenized frame — the entry
+    point for callers that share one materialized token projection
+    across queries (plans/shared_frames.doc_tokens). Same bits: the
+    signature is a pure function of the token arrays."""
     sh_rows = staged.select(
-        F.col(id_col), F.explode(shingles_of(F.col("_toks"), n)).alias("_s")
+        F.col(id_col), F.explode(shingles_of(F.col(toks_col), n)).alias("_s")
     )
     hashed = sh_rows.select(id_col, hash60(F.col("_s")).alias("_h"))
     return hashed.groupBy(id_col).agg(

@@ -30,6 +30,11 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext impo
     _SIG_COLS,
 )
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import (
+    doc_minhash_sig,
+    doc_token_sets,
+    doc_tokens,
+)
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
 R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
@@ -161,8 +166,7 @@ def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression into every consumer (an array_distinct-on-expression
     form measured ~9× slower at sf0.1). The shingle generator
     evaluates once per row; the min-agg combines map-side."""
-    d = read_table(spark, sf_dir, "documents")
-    staged = d.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("_toks"))
+    staged = doc_tokens(spark, sf_dir).select("doc_id", F.col("toks").alias("_toks"))
     sh_rows = staged.select(
         "doc_id", F.explode(X.shingles_of(F.col("_toks"))).alias("_s")
     )
@@ -236,7 +240,14 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected docs only), so the final step is one broadcast anti-join
     against the full corpus — the 100 TB scan happens exactly once."""
     d = read_table(spark, sf_dir, "documents")
-    clusters = D.dup_clusters(d, "doc_id", "text", threshold=0.5)
+    clusters = D.dup_clusters(
+        d,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        sig=doc_minhash_sig(spark, sf_dir),
+        toks=doc_token_sets(spark, sf_dir),
+    )
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     reps = (
         clusters.filter(F.col("doc_id") == F.col("cluster_id"))
@@ -789,11 +800,11 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the exact same sparse matrix. Zero-weight cells
     (collision cancellations) drop on both sides. Output long-form
     (doc, f_idx, w) — every 10th doc bounds the declared result."""
-    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60, norm_text, tokens
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
 
-    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = doc_tokens(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     ex = d.select(
-        "doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("tok")
+        "doc_id", F.explode("toks").alias("tok")
     ).withColumn("hv", hash60(F.col("tok")))
     s = F.when(
         F.shiftright(F.col("hv"), 11).bitwiseAND(F.lit(1)) == 1, 1

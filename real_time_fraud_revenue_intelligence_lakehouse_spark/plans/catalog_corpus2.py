@@ -33,6 +33,11 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import H60, NORM, SHINGLES, TOKS, _DBL
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import (
+    doc_minhash_sig,
+    doc_shingle_sets,
+    ivf_corpus_cells,
+)
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
 R4 = "(floor(({c}) * 10000.0 + 0.5) / 10000.0)"
@@ -312,9 +317,10 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < IVFPQ_NQUERIES)
     cents = e.filter(F.col("vec_id") % S.CENTROID_MOD == 0)
-    corpus_cells = S.ivf_assignments(e, cents, nprobe=1, use_arrow=False).select(
-        F.col("vec_id").alias("match_id"), "centroid_id"
-    )
+    # shared corpus→cell assignment (arrow/JVM agreement pinned by
+    # tests/test_ext.py, so this query's non-Arrow plan can read the
+    # Arrow-built shared frame without a bit of difference)
+    corpus_cells = ivf_corpus_cells(spark, sf_dir)
     query_cells = S.ivf_assignments(
         queries, cents, nprobe=IVFPQ_NPROBE, use_arrow=False
     ).select(F.col("vec_id").alias("query_id"), "centroid_id")
@@ -438,6 +444,7 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         theta_num=PPJ_THETA_NUM,
         theta_den=PPJ_THETA_DEN,
+        sets=doc_shingle_sets(spark, sf_dir),
     )
     return out.select(
         F.col("id_a").alias("doc_a"),
@@ -561,8 +568,12 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates and cross-join broadcast; precision/recall are exact
     int÷int divisions."""
     docs = read_table(spark, sf_dir, "documents")
-    cand = D.lsh_candidates(docs, "doc_id", "text", max_bucket=None)
-    truth = D.prefix_jaccard_pairs(docs, "doc_id", "text").select("id_a", "id_b")
+    cand = D.lsh_candidates(
+        docs, "doc_id", "text", max_bucket=None, sig=doc_minhash_sig(spark, sf_dir)
+    )
+    truth = D.prefix_jaccard_pairs(
+        docs, "doc_id", "text", sets=doc_shingle_sets(spark, sf_dir)
+    ).select("id_a", "id_b")
     hit = cand.join(truth, ["id_a", "id_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hit")
     )
@@ -643,8 +654,8 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate list, which is exactly how a production pipeline spot-
     checks its sketch parameters before committing to a dedup run."""
     docs = read_table(spark, sf_dir, "documents")
-    cand = D.lsh_candidates(docs, "doc_id", "text", max_bucket=None)
-    sig = X.with_minhash(docs.select("doc_id", "text"), "doc_id", "text")
+    sig = doc_minhash_sig(spark, sf_dir)
+    cand = D.lsh_candidates(docs, "doc_id", "text", max_bucket=None, sig=sig)
     k = X.MINHASH_K
     sa = sig.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)]
@@ -660,18 +671,7 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "id_b")
         .select("id_a", "id_b", (matches / F.lit(float(k))).alias("est"))
     )
-    par = spark.sparkContext.defaultParallelism
-    toks = docs.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
-    sets = (
-        toks.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(X.shingles_of(F.col("toks")), X.hash60)
-            ).alias("st"),
-        )
-        .repartition(par)
-        .localCheckpoint()
-    )
+    sets = doc_shingle_sets(spark, sf_dir).select("doc_id", F.col("t").alias("st"))
     ver = est.join(
         sets.select(F.col("doc_id").alias("id_a"), F.col("st").alias("ta")), "id_a"
     ).join(sets.select(F.col("doc_id").alias("id_b"), F.col("st").alias("tb")), "id_b")

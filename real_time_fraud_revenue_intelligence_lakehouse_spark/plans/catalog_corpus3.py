@@ -36,6 +36,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext impo
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import doc_tokens
 
 # --- inverted index ---------------------------------------------------------
 
@@ -78,10 +79,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-term windows are the skew risk and would take the salted
     two-stage top-k (q_topk_per_group's plan) — here the df floor
     already drops the hapax tail before the final aggregation."""
-    d = read_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.explode(X.tokens(X.norm_text(F.col("text")))).alias("term")
-    )
+    t = doc_tokens(spark, sf_dir).select("doc_id", F.explode("toks").alias("term"))
     tf = t.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     wt = Window.partitionBy("term")
     r = tf.select(
@@ -251,6 +249,24 @@ def _bpe_apply(frame: DataFrame, best: DataFrame, keep: list) -> DataFrame:
     )
 
 
+_BPE_TRAINED: dict[tuple, list] = {}
+
+
+def _bpe_train_shared(spark: SparkSession, sf_dir: str) -> list:
+    """Memoized :func:`_bpe_train` — trainer (q_bpe_merges) and
+    encoder (q_bpe_encode) share one learned merge list per process
+    (the shared_frames discipline, in list-of-1-row-frames form; each
+    frame is already localCheckpointed by the trainer)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    if key not in _BPE_TRAINED:
+        for stale in [k for k in _BPE_TRAINED if k[0] != key[0]]:
+            del _BPE_TRAINED[stale]
+        _BPE_TRAINED[key] = _bpe_train(spark, sf_dir)
+    return _BPE_TRAINED[key]
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str) -> list:
     """Learn BPE_ROUNDS merges; returns the 1-row best-pair frames
     (bl, br, cnt), each localCheckpointed."""
@@ -297,7 +313,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the PageRank loop; no Python touches row data."""
     bests = [
         b.withColumn("merge_rank", F.lit(r).cast("long"))
-        for r, b in enumerate(_bpe_train(spark, sf_dir), start=1)
+        for r, b in enumerate(_bpe_train_shared(spark, sf_dir), start=1)
     ]
     out = bests[0]
     for b in bests[1:]:
@@ -467,7 +483,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation plus a types-sized join, at any corpus scale. The
     oracle unrolls the same apply rounds with run-parity merges over
     the whole vocabulary."""
-    bests = _bpe_train(spark, sf_dir)
+    bests = _bpe_train_shared(spark, sf_dir)
     d = read_table(spark, sf_dir, "documents")
     sw = (
         d.select(
@@ -556,8 +572,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically. The approximate bigram probability uses the
     unigram total as denominator on both engines, so the ratio
     divides exact integers."""
-    d = read_table(spark, sf_dir, "documents")
-    t = d.select(X.tokens(X.norm_text(F.col("text"))).alias("toks"))
+    t = doc_tokens(spark, sf_dir).select("toks")
     uni = t.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -762,8 +777,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode (≈ tokens/doc positions), one hash agg, one doc-keyed
     window — linear in corpus size, no pairing stage at all (unlike
     MinHash-LSH, the span tier never enumerates doc PAIRS)."""
-    d = read_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
+    t = doc_tokens(spark, sf_dir).select("doc_id", "toks")
     # Guard short docs explicitly: sequence(1, 0) in Spark is the
     # DESCENDING [1, 0] (not empty), so without the if() a doc with
     # < SPAN_K tokens emits i=0 and slice(toks, 0, ...) throws
@@ -846,8 +860,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab, broadcast back) and the per-source scan; the OOV test is a
     broadcast LEFT join against the {VOCAB_TOP}-row vocab. Rates
     divide exact integers."""
-    d = read_table(spark, sf_dir, "documents")
-    t = d.select("source", F.explode(X.tokens(X.norm_text(F.col("text")))).alias("tok"))
+    t = doc_tokens(spark, sf_dir).select("source", F.explode("toks").alias("tok"))
     counts = t.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     vocab = (
         counts.withColumn(

@@ -19,6 +19,12 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import (
+    doc_minhash_sig,
+    doc_token_sets,
+    doc_tokens,
+    ivf_corpus_cells,
+)
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
 # ---- SQL fragment builders (DuckDB twins of ext/text.py) -----------------
@@ -275,8 +281,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit hashing — ext/text.py module docstring). Explode →
     min-agg form: each shingle hashed exactly k times, map-side
     combine, k longs per doc on the shuffle."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return X.with_minhash(d, "doc_id", "text")
+    return doc_minhash_sig(spark, sf_dir)
 
 
 def _bands_sql() -> str:
@@ -319,7 +324,12 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join only within band collisions (ext/dedup.minhash_lsh_pairs).
     The oracle reproduces the whole construction in SQL."""
     return D.minhash_lsh_pairs(
-        read_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+        read_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        sig=doc_minhash_sig(spark, sf_dir),
+        toks=doc_token_sets(spark, sf_dir),
     )
 
 
@@ -373,7 +383,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same transitive closure with a recursive CTE —
     label propagation and recursive reachability agree exactly."""
     return D.dup_clusters(
-        read_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+        read_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        sig=doc_minhash_sig(spark, sf_dir),
+        toks=doc_token_sets(spark, sf_dir),
     )
 
 
@@ -650,7 +665,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is stored partitioned by centroid so a query reads
     nprobe/|C| of the data (ext/similarity.ivf_topk)."""
     e = read_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(e, e.filter(F.col("vec_id") < 20), k=5, nprobe=2)
+    return S.ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 20),
+        k=5,
+        nprobe=2,
+        corpus_cells=ivf_corpus_cells(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -736,8 +757,7 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic top-k (freq DESC, token). Map-side combine keeps
     the shuffle at |vocab|, not |tokens|; at 100 TB add a frequency
     floor (HAVING count > N) before the global top-k."""
-    d = read_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(X.tokens(X.norm_text(F.col("text")))).alias("token"))
+    tok = doc_tokens(spark, sf_dir).select(F.explode("toks").alias("token"))
     return (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1047,9 +1067,8 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     final keep decision. All row-local Catalyst expressions over ONE
     staged token projection (tokens and shingles computed once);
     zero shuffles, fuses into the corpus scan."""
-    d = read_table(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id", X.tokens(X.norm_text(F.col("text"))).alias("_toks")
+    staged = doc_tokens(spark, sf_dir).select(
+        "doc_id", F.col("toks").alias("_toks")
     ).withColumn("_sh", X.shingles_of(F.col("_toks"), 3))
     n_tokens = F.size("_toks")
     mean_tok_len = det_round(
@@ -1427,7 +1446,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = S.brute_force_topk(e, q, k=10).select(
         "query_id", F.col("match_id").alias("t_match")
     )
-    approx = S.ivf_topk(e, q, k=10, nprobe=2)
+    approx = S.ivf_topk(
+        e, q, k=10, nprobe=2, corpus_cells=ivf_corpus_cells(spark, sf_dir)
+    )
     hits = approx.join(
         truth,
         (approx.query_id == truth.query_id) & (approx.match_id == truth.t_match),

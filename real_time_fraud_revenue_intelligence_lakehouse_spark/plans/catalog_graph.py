@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import (
+    BASKET_MIN_SUP as MIN_SUP,  # orders containing both parts
+    basket_pair_counts,
+    basket_singles,
     co_service_sim,
     cust_supp,
     shared_frame,
@@ -40,7 +43,6 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import 
 
 R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
 
-MIN_SUP = 2  # orders containing both parts
 K_NN = 3  # neighbors kept per supplier node
 
 
@@ -86,28 +88,14 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     of magnitude smaller than the fact. Lift divides exact integers —
     bit-stable."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # ONE shuffle builds the per-order sorted basket; pair expansion is
-    # then a map-side array comprehension (C(basket,2) rows, a < b by
-    # construction) — vs the naive per-key self-join, this saves the
-    # distinct + both join shuffles (measured ~2× at sf0.1).
-    grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    n = grouped.agg(F.count(F.lit(1)).alias("n_orders"))
-    singles = grouped.select(F.explode("ps").alias("l_partkey")).groupBy(
-        "l_partkey"
-    ).agg(F.count(F.lit(1)).alias("part_orders"))
-    pair_expr = (
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
-    )
-    pairs = (
-        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(
-            F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")
-        )
-        .agg(F.count(F.lit(1)).alias("pair_orders"))
-        .filter(F.col("pair_orders") >= MIN_SUP)
+    # basket build + pair expansion + singles are shared with
+    # q_item_sim (plans/shared_frames — same pair graph, two scorers)
+    n = li.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
+    singles = basket_singles(spark, sf_dir)
+    pairs = basket_pair_counts(spark, sf_dir).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("co").alias("pair_orders"),
     )
     sa = singles.select(
         F.col("l_partkey").alias("part_a"), F.col("part_orders").alias("orders_a")
@@ -375,23 +363,8 @@ def q_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the support floor bounds. Similarity divides exact integers by a
     sqrt of exact integers — bit-stable; ranking ties break on the
     neighbor id."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    singles = grouped.select(F.explode("ps").alias("l_partkey")).groupBy(
-        "l_partkey"
-    ).agg(F.count(F.lit(1)).alias("part_orders"))
-    pair_expr = (
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
-    )
-    pairs = (
-        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("co") >= MIN_SUP)
-    )
+    singles = basket_singles(spark, sf_dir)
+    pairs = basket_pair_counts(spark, sf_dir)
     directed = pairs.select(
         F.col("pa").alias("part"), F.col("pb").alias("neighbor"), "co"
     ).unionByName(

@@ -99,3 +99,142 @@ def co_service_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return shared_frame(spark, sf_dir, "co_service_sim", build)
+
+
+BASKET_MIN_SUP = 2  # orders containing both parts (the association-mining floor)
+
+
+def basket_singles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part order counts (l_partkey, part_orders) over distinct
+    order baskets — the 'singles' side of the association tier,
+    shared by market-basket lift and item-item CF."""
+
+    def build() -> DataFrame:
+        li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        return (
+            li.distinct()
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("part_orders"))
+        )
+
+    return shared_frame(spark, sf_dir, "basket_singles", build)
+
+
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchased part pairs (pa < pb, co ≥ {BASKET_MIN_SUP})
+    over order baskets — ONE shuffle builds the per-order sorted
+    basket, pair expansion is a map-side array comprehension
+    (C(basket,2) rows, a < b by construction; vs the naive per-key
+    self-join this saves the distinct + both join shuffles, measured
+    ~2× at sf0.1), then one pair-key shuffle aggregates and the
+    min-support floor prunes the random-pair tail. Shared by
+    q_basket_lift and q_item_sim, which score the same pair graph
+    two different ways."""
+
+    def build() -> DataFrame:
+        li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        grouped = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        )
+        pair_expr = (
+            "flatten(transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+        )
+        return (
+            grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("co"))
+            .filter(F.col("co") >= BASKET_MIN_SUP)
+        )
+
+    return shared_frame(spark, sf_dir, "basket_pair_counts", build)
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized document corpus (doc_id, lang, source, toks) — the
+    projection ~10 text/corpus queries start from. In a production
+    pipeline this is THE canonical materialization (tokenize once,
+    every downstream job reads the token table); here it also serves
+    as the CollapseProject barrier so no consumer re-inlines the
+    tokenizer expression per use site."""
+
+    def build() -> DataFrame:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
+
+        d = read_table(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id", "lang", "source", X.tokens(X.norm_text(F.col("text"))).alias("toks")
+        )
+
+    return shared_frame(spark, sf_dir, "doc_tokens", build)
+
+
+def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 60-bit-hashed 3-shingle sets (doc_id, t) — the exact-
+    Jaccard substrate under the PPJoin prefix tier and the MinHash
+    accuracy audit. Repartitioned to the session parallelism before
+    the checkpoint (the prefix_jaccard_pairs convention: pins the
+    verify-join parallelism against AQE's tiny-suite coalescing)."""
+
+    def build() -> DataFrame:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import text as X
+
+        par = spark.sparkContext.defaultParallelism
+        return (
+            doc_tokens(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.array_distinct(
+                    F.transform(X.shingles_of(F.col("toks")), X.hash60)
+                ).alias("t"),
+            )
+            .repartition(par)
+        )
+
+    return shared_frame(spark, sf_dir, "doc_shingle_sets", build)
+
+
+def doc_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 MinHash signature table (doc_id, mh0..mh7) over the full
+    corpus — shared by the LSH blocking tier (candidates, pairs,
+    clusters, dedup pipeline) and the signature/accuracy audits. A
+    |docs|-row frame of 9 longs; sharing it removes the repeated
+    tokenize→shingle→hash→min-agg pipeline, the most expensive
+    corpus-wide pass in the similarity tier."""
+
+    def build() -> DataFrame:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import minhash_of_tokens
+
+        return minhash_of_tokens(doc_tokens(spark, sf_dir), "doc_id", "toks")
+
+    return shared_frame(spark, sf_dir, "doc_minhash_sig", build)
+
+
+def ivf_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nearest-centroid assignment of the FULL embedding corpus
+    (match_id, centroid_id) — the one corpus-wide pass under every
+    IVF-backed query (approx top-k, the PQ composition, retrieval
+    eval). Arrow batch path; arrow/JVM agreement is pinned by
+    tests/test_ext.py, so consumers on either path read identical
+    cells. At 100 TB this IS the `PARTITIONED BY (centroid_id)`
+    corpus layout — computed once at ingest, read by every query."""
+
+    def build() -> DataFrame:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity as S
+
+        e = read_table(spark, sf_dir, "embeddings")
+        centroids = e.filter(F.col("vec_id") % S.CENTROID_MOD == 0)
+        return S.ivf_assignments(e, centroids, nprobe=1).select(
+            F.col("vec_id").alias("match_id"), "centroid_id"
+        )
+
+    return shared_frame(spark, sf_dir, "ivf_corpus_cells", build)
+
+
+def doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token arrays (doc_id, toks) for exact token-Jaccard
+    verification — row-local over the checkpointed token table, so
+    this is a cheap derived view, not a second materialization."""
+    return doc_tokens(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.col("toks")).alias("toks")
+    )
