@@ -251,6 +251,10 @@ def _bpe_apply(frame: DataFrame, best: DataFrame, keep: list) -> DataFrame:
 
 _BPE_TRAINED: dict[tuple, list] = {}
 
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import register_cache  # noqa: E402
+
+register_cache(_BPE_TRAINED)
+
 
 def _bpe_train_shared(spark: SparkSession, sf_dir: str) -> list:
     """Memoized :func:`_bpe_train` — trainer (q_bpe_merges) and

@@ -37,6 +37,37 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+#: auxiliary per-module memo dicts (e.g. the BPE merge list) that
+#: clear_cache must also drop — registered by their owning modules.
+_EXTRA_CACHES: list[dict] = []
+
+
+def register_cache(cache: dict) -> None:
+    _EXTRA_CACHES.append(cache)
+
+
+def clear_cache() -> None:
+    """Drop every memoized frame AND free its checkpoint blocks
+    (benchmark harnesses call this to time a query's FULL cost
+    including its shared builds — e.g. tools/scale_probe.py, where a
+    warm-run-primed cache would otherwise exclude the dominant pass
+    from the timed window, and un-freed blocks from prior timed runs
+    would squeeze executor memory and inflate later timings).
+    Previously-returned frames become unusable — callers re-request
+    through shared_frame, which rebuilds."""
+    for df in _CACHE.values():
+        sc = df.sparkSession.sparkContext
+        try:
+            for rdd in list(sc._jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
+        except Exception:
+            pass  # a stopped session has no blocks left to free
+        break  # one pass unpersists every RDD in the context
+    _CACHE.clear()
+    for cache in _EXTRA_CACHES:
+        cache.clear()
+
+
 def shared_frame(
     spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
