@@ -34,7 +34,9 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars impo
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_ext import H60, NORM, SHINGLES, TOKS, _DBL
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import (
+    doc_lsh_candidates,
     doc_minhash_sig,
+    doc_prefix_pairs,
     doc_shingle_sets,
     ivf_corpus_cells,
 )
@@ -438,14 +440,10 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, and the array-intersect verify pins its parallelism
     (the q_fuzzy_match lesson). Operator: ext/dedup.py
     prefix_jaccard_pairs."""
-    out = D.prefix_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        theta_num=PPJ_THETA_NUM,
-        theta_den=PPJ_THETA_DEN,
-        sets=doc_shingle_sets(spark, sf_dir),
-    )
+    # θ=1/2 == (PPJ_THETA_NUM, PPJ_THETA_DEN): the shared frame is
+    # this query's own result, doubling as q_lsh_quality's truth tier
+    assert (PPJ_THETA_NUM, PPJ_THETA_DEN) == (1, 2)
+    out = doc_prefix_pairs(spark, sf_dir)
     return out.select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -567,13 +565,8 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation* hash-gateable. The three counts reduce to 1-row
     aggregates and cross-join broadcast; precision/recall are exact
     int÷int divisions."""
-    docs = read_table(spark, sf_dir, "documents")
-    cand = D.lsh_candidates(
-        docs, "doc_id", "text", max_bucket=None, sig=doc_minhash_sig(spark, sf_dir)
-    )
-    truth = D.prefix_jaccard_pairs(
-        docs, "doc_id", "text", sets=doc_shingle_sets(spark, sf_dir)
-    ).select("id_a", "id_b")
+    cand = doc_lsh_candidates(spark, sf_dir)
+    truth = doc_prefix_pairs(spark, sf_dir).select("id_a", "id_b")
     hit = cand.join(truth, ["id_a", "id_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hit")
     )
@@ -653,9 +646,8 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     this audit costs one broadcast of the signature table over the
     candidate list, which is exactly how a production pipeline spot-
     checks its sketch parameters before committing to a dedup run."""
-    docs = read_table(spark, sf_dir, "documents")
     sig = doc_minhash_sig(spark, sf_dir)
-    cand = D.lsh_candidates(docs, "doc_id", "text", max_bucket=None, sig=sig)
+    cand = doc_lsh_candidates(spark, sf_dir)
     k = X.MINHASH_K
     sa = sig.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)]

@@ -241,6 +241,41 @@ def doc_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_frame(spark, sf_dir, "doc_minhash_sig", build)
 
 
+def doc_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless PPJoin similarity pairs at θ=1/2 over the corpus
+    (id_a, id_b, n_common, n_union, jaccard) — BOTH the declared
+    prefix-join query's result and the zero-recall-loss ground truth
+    the LSH blocker is graded against (q_lsh_quality), so the two
+    queries share one computation of the expensive exact tier."""
+
+    def build() -> DataFrame:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import dedup as D
+
+        docs = read_table(spark, sf_dir, "documents")
+        return D.prefix_jaccard_pairs(
+            docs, "doc_id", "text", sets=doc_shingle_sets(spark, sf_dir)
+        )
+
+    return shared_frame(spark, sf_dir, "doc_prefix_pairs", build)
+
+
+def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED banded-LSH candidate pairs (id_a, id_b) from the
+    shared signature table — the blocker under evaluation in both
+    q_lsh_quality (precision/recall vs the exact tier) and
+    q_minhash_accuracy (estimator error on its candidates)."""
+
+    def build() -> DataFrame:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import dedup as D
+
+        docs = read_table(spark, sf_dir, "documents")
+        return D.lsh_candidates(
+            docs, "doc_id", "text", max_bucket=None, sig=doc_minhash_sig(spark, sf_dir)
+        )
+
+    return shared_frame(spark, sf_dir, "doc_lsh_candidates", build)
+
+
 def ivf_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF nearest-centroid assignment of the FULL embedding corpus
     (match_id, centroid_id) — the one corpus-wide pass under every
