@@ -21,6 +21,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.velocity imp
 
 SETTINGS = settings(
     max_examples=10,
+    derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -87,7 +88,7 @@ def test_velocity_matches_python_reference(spark, events):
         assert got[i] == want, (i, u, s)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=10, derandomize=True, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     n_tokens=st.integers(min_value=0, max_value=120),
     chunk_size=st.integers(min_value=4, max_value=48),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 SETTINGS = settings(
     max_examples=10,
+    derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -22,6 +22,7 @@ from hypothesis import strategies as st
 
 SETTINGS = settings(
     max_examples=10,
+    derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -20,6 +20,7 @@ from hypothesis import strategies as st
 
 SETTINGS = settings(
     max_examples=8,
+    derandomize=True,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
