@@ -59,78 +59,79 @@ def _load_all() -> None:
 
 
 # Verification priority: the driver's correctness gate walks queries()
-# in dict order with a hard 50-entry per-round budget (r01-r06 each
-# sampled exactly 50), so queries that have never had a driver-green
-# row come FIRST. Recomputed at round 7 from the union of
-# CORRECTNESS_r01+r02+r04+r05+r06 hash-green rows (195/254 green);
-# this front window holds exactly the 59 never-driver-verified ids
-# (all selfchecked green locally), expensive-first per VERDICT r6 #1
-# so the perpetually-deferred heavy graph/similarity tier finally
-# gets sampled. q_sample_limit / q_greedy_packing (whose only driver
-# rows are stale pre-fix `err: no_oracle`) are promoted into the
-# top 50 at the expense of two cheap tail ids (q_ols_trend,
-# q_record_linkage), per the verdict's count-cap instruction. Names
-# not listed keep their registration order after these.
+# in dict order with a hard 50-entry per-round budget (r01-r07 each
+# sampled exactly 50), so queries needing a fresh driver row come
+# FIRST. Recomputed at round 8 per VERDICT r7 #1 — the final
+# rotation that closes driver verification:
+#   1-9:   the 9 ids that have never had ANY driver row (positions
+#          51-59 of the r7 front, squeezed out by the 50-cap);
+#   10-18: the 9 ids whose driver rows (r02/r06) predate their
+#          round-7 shared-frames plan rewrite — re-verify the
+#          refactored plans, not the retired ones;
+#   19-50: other r7-module-touched ids holding pre-r7 rows,
+#          oldest-row-first (q_text_stats r01; the r02 catalog_ext
+#          block; the r04 catalog_corpus/ext block) — exactly
+#          filling the 50-slot window.
+# Names not listed keep their registration order after these.
 _FRONT: tuple[str, ...] = (
-    "q_cheapest_route",
-    "q_pagerank_converge",
-    "q_graph_communities",
-    "q_lsh_quality",
-    "q_pagerank",
-    "q_knn_triangles",
-    "q_prefix_jaccard_join",
-    "q_ivfpq_topk",
-    "q_bfs_distance",
-    "q_dup_spans",
-    "q_bootstrap_ci",
-    "q_minhash_accuracy",
-    "q_item_sim",
-    "q_dedup_pipeline",
-    "q_basket_lift",
-    "q_bpe_encode",
-    "q_fuzzy_match",
-    "q_weighted_median",
-    "q_bloom_prune",
-    "q_reconciliation",
-    "q_min_cost_supplier",
-    "q_graph_degree",
-    "q_bigram_logprob",
-    "q_augment",
-    "q_median_mode",
-    "q_ewma",
-    "q_zorder_key",
-    "q_ann_recall",
-    "q_knn_label_vote",
-    "q_dup_ngram_ratio",
-    "q_stateful_profile",
-    "q_bpe_merges",
-    "q_data_skew_report",
-    "q_embed_pq",
-    "q_correlated_subquery",
-    "q_silhouette",
-    "q_market_share",
-    "q_kmv_set_ops",
-    "q_decile_lift",
-    "q_shard_rebalance",
-    "q_latency_sla",
-    "q_diff_in_diff",
-    "q_pmi_collocations",
-    "q_auc",
-    "q_bm25",
-    "q_parent_share",
-    "q_hll_registers",
-    "q_json_roundtrip",
-    "q_sample_limit",
-    "q_greedy_packing",
-    "q_ols_trend",
+    # — never driver-verified (judge-selfcheck-green at r7 HEAD) —
+    "q_holt_winters",
     "q_record_linkage",
-    "q_active_users",
     "q_phash_neardup",
     "q_schema_drift",
+    "q_full_outer_diff",
+    "q_ols_trend",
+    "q_active_users",
     "q_event_funnel",
     "q_important_parts",
-    "q_holt_winters",
-    "q_full_outer_diff",
+    # — driver rows predate the r7 shared-frames rewrite —
+    "q_dup_clusters",
+    "q_lsh_pairs",
+    "q_minhash_signature",
+    "q_ivf_topk",
+    "q_top_tokens",
+    "q_gopher_quality",
+    "q_feature_hash",
+    "q_inverted_index",
+    "q_vocab_coverage",
+    # — r7-module-touched, oldest driver row first (r01) —
+    "q_text_stats",
+    # — r02 catalog_ext block —
+    "q_ann_topk",
+    "q_chunk_documents",
+    "q_contamination",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_embed_neardup",
+    "q_embed_top1",
+    "q_embed_topk",
+    "q_fingerprint",
+    "q_lang_id",
+    "q_multimodal_decode",
+    "q_multimodal_meta",
+    "q_ngram_jaccard",
+    "q_pii_scan",
+    "q_quality_score",
+    "q_rolling_hash",
+    "q_simhash",
+    "q_simhash_pairs",
+    "q_source_mix",
+    "q_source_profile",
+    "q_tfidf_terms",
+    "q_pricing_summary",
+    "q_shipping_priority",
+    # — r04 catalog_corpus / catalog_ext block —
+    "q_audio_frames",
+    "q_cms_heavy_hitters",
+    "q_embed_quantize",
+    "q_length_histogram",
+    "q_unigram_logprob",
+    "q_vector_norms",
+    "q_paragraph_dedup",
+    "q_text_cleanup",
+    # — 51+: overflow if the window ever widens —
+    "q_multimodal_framesample",
+    "q_embed_drift",
 )
 
 
