@@ -260,15 +260,14 @@ def _bpe_train_shared(spark: SparkSession, sf_dir: str) -> list:
     """Memoized :func:`_bpe_train` — trainer (q_bpe_merges) and
     encoder (q_bpe_encode) share one learned merge list per process
     (the shared_frames discipline, in list-of-1-row-frames form; each
-    frame is already localCheckpointed by the trainer)."""
-    import os
+    frame is already localCheckpointed by the trainer). Keying,
+    dead-session eviction, locking, and clear_cache block-freeing all
+    come from shared_frames.shared_value — no hand-rolled replica."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import shared_value
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    if key not in _BPE_TRAINED:
-        for stale in [k for k in _BPE_TRAINED if k[0] != key[0]]:
-            del _BPE_TRAINED[stale]
-        _BPE_TRAINED[key] = _bpe_train(spark, sf_dir)
-    return _BPE_TRAINED[key]
+    return shared_value(
+        spark, sf_dir, _BPE_TRAINED, lambda: _bpe_train(spark, sf_dir)
+    )
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> list:

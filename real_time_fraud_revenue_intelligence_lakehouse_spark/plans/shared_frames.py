@@ -27,6 +27,7 @@ localCheckpoint is the local[32] stand-in with identical semantics.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,11 @@ from pyspark.sql import functions as F
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+#: guards _CACHE / _EXTRA_CACHES mutation (a multithreaded driver may
+#: run queries concurrently). Builds happen OUTSIDE the lock with a
+#: put-if-absent on completion — a lost race unpersists its own frame.
+_LOCK = threading.RLock()
 
 
 #: auxiliary per-module memo dicts (e.g. the BPE merge list) that
@@ -46,6 +52,35 @@ def register_cache(cache: dict) -> None:
     _EXTRA_CACHES.append(cache)
 
 
+def _frames_of(obj) -> list[DataFrame]:
+    """Every DataFrame reachable from a memoized value (a frame, or a
+    list of frames like the BPE merge list)."""
+    if isinstance(obj, DataFrame):
+        return [obj]
+    if isinstance(obj, (list, tuple)):
+        out: list[DataFrame] = []
+        for x in obj:
+            out.extend(_frames_of(x))
+        return out
+    return []
+
+
+def _unpersist_frame(df: DataFrame) -> None:
+    """Free ONE memoized frame's checkpoint blocks — never a
+    context-wide sweep, so checkpoints owned by callers outside this
+    registry are untouched. Every memoized frame is a direct
+    localCheckpoint result, so its analyzed plan is a LogicalRDD
+    whose rdd() is exactly the persisted RDD. Stopped sessions are
+    skipped explicitly (nothing left to free there)."""
+    try:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc is None or sc._jsc.sc().isStopped():
+            return
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # racing a concurrent session stop — blocks already gone
+
+
 def clear_cache() -> None:
     """Drop every memoized frame AND free its checkpoint blocks
     (benchmark harnesses call this to time a query's FULL cost
@@ -53,19 +88,33 @@ def clear_cache() -> None:
     warm-run-primed cache would otherwise exclude the dominant pass
     from the timed window, and un-freed blocks from prior timed runs
     would squeeze executor memory and inflate later timings).
-    Previously-returned frames become unusable — callers re-request
-    through shared_frame, which rebuilds."""
-    for df in _CACHE.values():
-        sc = df.sparkSession.sparkContext
+    Unpersists per-entry — one dead-session entry can't mask live
+    blocks, and checkpoints owned by code outside the registry are
+    never touched. Previously-returned frames become unusable —
+    callers re-request through shared_frame, which rebuilds."""
+    with _LOCK:
+        entries: list = list(_CACHE.values())
+        _CACHE.clear()
+        for cache in _EXTRA_CACHES:
+            entries.extend(cache.values())
+            cache.clear()
+    for obj in entries:
+        for df in _frames_of(obj):
+            _unpersist_frame(df)
+    # Best-effort: nudge GC so Spark's ContextCleaner reaps
+    # UNREFERENCED intermediate checkpoints too (iterative loops drop
+    # per-round frames on the floor). GC only collects unreachable
+    # objects, so live checkpoints owned outside the registry are
+    # untouchable by construction — unlike the old context-wide sweep.
+    import gc
+
+    gc.collect()
+    for sc in {df.sparkSession.sparkContext for obj in entries for df in _frames_of(obj)}:
         try:
-            for rdd in list(sc._jsc.getPersistentRDDs().values()):
-                rdd.unpersist()
+            if sc._jsc is not None and not sc._jsc.sc().isStopped():
+                sc._jvm.System.gc()
         except Exception:
-            pass  # a stopped session has no blocks left to free
-        break  # one pass unpersists every RDD in the context
-    _CACHE.clear()
-    for cache in _EXTRA_CACHES:
-        cache.clear()
+            pass
 
 
 def shared_frame(
@@ -75,18 +124,49 @@ def shared_frame(
 
     Keyed by (applicationId, sf_dir, key): a new SparkSession or a
     different scale factor never sees another run's blocks. Entries
-    from dead sessions are dropped on the next miss so long-lived
-    test processes can't accumulate orphaned references.
+    from dead sessions are dropped (and their blocks freed, a no-op
+    for stopped contexts) on the next miss so long-lived test
+    processes can't accumulate orphaned references.
     """
     app = spark.sparkContext.applicationId
     k = (app, os.path.realpath(sf_dir), key)
-    df = _CACHE.get(k)
-    if df is None:
-        for stale in [c for c in _CACHE if c[0] != app]:
-            del _CACHE[stale]
-        df = build().localCheckpoint()
-        _CACHE[k] = df
-    return df
+    with _LOCK:
+        df = _CACHE.get(k)
+        if df is not None:
+            return df
+        stale = [_CACHE.pop(c) for c in list(_CACHE) if c[0] != app]
+    for old in stale:
+        _unpersist_frame(old)
+    df = build().localCheckpoint()
+    with _LOCK:
+        winner = _CACHE.setdefault(k, df)
+    if winner is not df:  # lost a build race — free the duplicate
+        _unpersist_frame(df)
+    return winner
+
+
+def shared_value(spark: SparkSession, sf_dir: str, cache: dict, build: Callable[[], object]):
+    """shared_frame's keying/eviction/locking for NON-frame memo
+    values (e.g. the BPE merge list — a list of 1-row checkpointed
+    frames). The owning module registers ``cache`` via
+    :func:`register_cache` so clear_cache frees the reachable frames
+    per-entry like any other."""
+    app = spark.sparkContext.applicationId
+    k = (app, os.path.realpath(sf_dir))
+    with _LOCK:
+        if k in cache:
+            return cache[k]
+        stale = [cache.pop(c) for c in list(cache) if c[0] != app]
+    for old in stale:
+        for f in _frames_of(old):
+            _unpersist_frame(f)
+    val = build()
+    with _LOCK:
+        winner = cache.setdefault(k, val)
+    if winner is not val:
+        for f in _frames_of(val):
+            _unpersist_frame(f)
+    return winner
 
 
 def cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,17 +360,21 @@ def ivf_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF nearest-centroid assignment of the FULL embedding corpus
     (match_id, centroid_id) — the one corpus-wide pass under every
     IVF-backed query (approx top-k, the PQ composition, retrieval
-    eval). Arrow batch path; arrow/JVM agreement is pinned by
-    tests/test_ext.py, so consumers on either path read identical
-    cells. At 100 TB this IS the `PARTITIONED BY (centroid_id)`
-    corpus layout — computed once at ingest, read by every query."""
+    eval). Built on the JVM fold path (use_arrow=False, explicit):
+    consumers like q_ivfpq_topk also assign their query side with
+    use_arrow=False, so cell agreement is same-path by construction
+    and never rests on pandas/pyarrow float drift. (The Arrow path's
+    bit-exactness vs this one is separately pinned in
+    tests/test_ext.py.) At 100 TB this IS the
+    `PARTITIONED BY (centroid_id)` corpus layout — computed once at
+    ingest, read by every query."""
 
     def build() -> DataFrame:
         from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import similarity as S
 
         e = read_table(spark, sf_dir, "embeddings")
         centroids = e.filter(F.col("vec_id") % S.CENTROID_MOD == 0)
-        return S.ivf_assignments(e, centroids, nprobe=1).select(
+        return S.ivf_assignments(e, centroids, nprobe=1, use_arrow=False).select(
             F.col("vec_id").alias("match_id"), "centroid_id"
         )
 
