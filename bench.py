@@ -33,6 +33,15 @@ def main() -> None:
     qs = registry.all_queries()
     # Warm up JVM + parquet footer caches with the flagship query.
     qs["q_revenue_daily"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm up the PYTHON workers too: fork + Arrow-serde init costs
+    # seconds the first time any Pandas-UDF stage runs, and r09
+    # recorded q_stateful_profile at 4.45x baseline because that
+    # spin-up landed inside BOTH timed passes. A no-op mapInPandas
+    # over one task per core pre-forks the daemon pool so the timed
+    # window measures plans, not worker startup.
+    spark.range(0, int(cpus) * 10, 1, int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # Three passes per query: the first pays one-off costs (plan
     # cache, Python-worker spin-up, JIT); later passes are steady

@@ -425,6 +425,9 @@ def connected_components_star(
         if fp2 == fp:
             break
         fp = fp2
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import note_dropped_checkpoints
+
+    note_dropped_checkpoints(E.sparkSession)  # per-round checkpoints dropped above
     # At the fixpoint every component is a star rooted at its min.
     members = E.select(F.col("b").alias("node"), F.col("a").alias("cluster_id"))
     roots = E.select(F.col("a").alias("node")).distinct().withColumn(

@@ -556,4 +556,7 @@ def q_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             dist = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
         dist = dist.localCheckpoint()
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import note_dropped_checkpoints
+
+    note_dropped_checkpoints(dist.sparkSession)  # per-round-pair checkpoints dropped
     return dist.select("node", det_round(F.col("dist"), 6).alias("dist"))

@@ -481,6 +481,9 @@ def q_pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         if delta is not None and delta < PR_EPS:
             converged = True
             break
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import note_dropped_checkpoints
+
+    note_dropped_checkpoints(spark)  # per-round checkpoints dropped above
     return ranks.select(
         "node",
         det_round(F.col("rank"), 8).alias("pagerank"),

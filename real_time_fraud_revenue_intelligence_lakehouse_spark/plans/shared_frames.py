@@ -52,6 +52,24 @@ def register_cache(cache: dict) -> None:
     _EXTRA_CACHES.append(cache)
 
 
+#: application ids whose iterative loops dropped UNREFERENCED
+#: intermediate localCheckpoints on the floor since the last
+#: clear_cache — the only case where a JVM System.gc() nudge buys
+#: anything (ContextCleaner reaps those blocks on GC). Scoping the
+#: nudge here keeps full-GC pauses out of clear_cache calls that only
+#: dropped registry entries (a full GC between bench queries is pure
+#: timing noise — see VERDICT r9 on q_stateful_profile).
+_ITER_CONTEXTS: set[str] = set()
+
+
+def note_dropped_checkpoints(spark: SparkSession) -> None:
+    """Iterative loops (PageRank, BFS, connected components, BPE)
+    call this after dropping per-round localCheckpoint frames, so the
+    next clear_cache knows a GC nudge can actually free blocks."""
+    with _LOCK:
+        _ITER_CONTEXTS.add(spark.sparkContext.applicationId)
+
+
 def _frames_of(obj) -> list[DataFrame]:
     """Every DataFrame reachable from a memoized value (a frame, or a
     list of frames like the BPE merge list)."""
@@ -98,20 +116,33 @@ def clear_cache() -> None:
         for cache in _EXTRA_CACHES:
             entries.extend(cache.values())
             cache.clear()
+        iter_apps = set(_ITER_CONTEXTS)
+        _ITER_CONTEXTS.clear()
     for obj in entries:
         for df in _frames_of(obj):
             _unpersist_frame(df)
+    if not iter_apps:
+        return
     # Best-effort: nudge GC so Spark's ContextCleaner reaps
     # UNREFERENCED intermediate checkpoints too (iterative loops drop
-    # per-round frames on the floor). GC only collects unreachable
-    # objects, so live checkpoints owned outside the registry are
-    # untouchable by construction — unlike the old context-wide sweep.
+    # per-round frames on the floor). Scoped to contexts that
+    # actually ran such a loop since the last clear (see
+    # note_dropped_checkpoints) — an unconditional full GC here cost
+    # seconds of timing noise per bench query for nothing. GC only
+    # collects unreachable objects, so live checkpoints owned outside
+    # the registry are untouchable by construction — unlike the old
+    # context-wide sweep.
     import gc
 
     gc.collect()
-    for sc in {df.sparkSession.sparkContext for obj in entries for df in _frames_of(obj)}:
+    from pyspark.sql import SparkSession as _SS
+
+    active = _SS.getActiveSession()
+    for sc in {df.sparkSession.sparkContext for obj in entries for df in _frames_of(obj)} | (
+        {active.sparkContext} if active is not None else set()
+    ):
         try:
-            if sc._jsc is not None and not sc._jsc.sc().isStopped():
+            if sc.applicationId in iter_apps and sc._jsc is not None and not sc._jsc.sc().isStopped():
                 sc._jvm.System.gc()
         except Exception:
             pass
