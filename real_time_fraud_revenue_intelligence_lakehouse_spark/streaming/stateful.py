@@ -28,8 +28,10 @@ inputs.
 
 Scale: state lives in the executor state store partitioned by key
 (one shuffle per micro-batch); Arrow batches flow per key-partition.
-Pair with watermark-based `GroupStateTimeout.EventTimeTimeout` in
-production so abandoned keys expire instead of accumulating forever.
+`running_user_profiles(events, expire_after_ms=...)` arms
+watermark-based `GroupStateTimeout.EventTimeTimeout` so abandoned
+keys expire instead of accumulating forever — state is bounded by
+ACTIVE keys, the guard that keeps a 100 TB-of-keys state store alive.
 The batch twin is one applyInPandas shuffle on the key; per-key
 history (a handful of batch rows) is tiny regardless of corpus size.
 """
@@ -105,10 +107,92 @@ def _update_user_profile(
     )
 
 
-def running_user_profiles(events: DataFrame) -> DataFrame:
+def _update_user_profile_expiring(expire_ms: int, session_tz: str):
+    """EventTimeTimeout-armed variant of :func:`_update_user_profile`:
+    every batch re-arms the key's timeout at (max event time in batch
+    + expire_ms); when the stream's WATERMARK passes that stamp
+    without new data, Spark invokes this once more with
+    ``state.hasTimedOut`` and the key's state is dropped — a later
+    event re-creates it from zero. The re-arm stamp derives from
+    EVENT time (never wall clock), so replays expire identically.
+
+    Two stamp pitfalls handled here (both crash the stream as
+    INVALID_TIMEOUT_TIMESTAMP if ignored): Arrow hands the worker
+    tz-NAIVE timestamps rendered in the SESSION timezone, so epoch ms
+    must localize through ``session_tz`` (captured at plan time) —
+    treating the naive value as UTC mis-arms by the tz offset; and a
+    key fed only LATE events can compute a stamp behind the current
+    watermark, so the stamp clamps to watermark + 1 ms (the key just
+    received data — it must survive at least to the next watermark
+    advance)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # watermark passed the armed stamp with no new events:
+            # free the key's state store entry (the 100 TB OOM guard)
+            state.remove()
+            return
+        st = state.get if state.exists else (0, 0)
+        batch_events = 0
+        batch_cents = 0
+        max_ts = None
+        for pdf in pdfs:
+            n, c = _acc(pdf)
+            batch_events += n
+            batch_cents += c
+            m = pdf["ts"].max()
+            max_ts = m if max_ts is None else max(max_ts, m)
+        st = _step(st, batch_events, batch_cents)
+        state.update(st)
+        if max_ts is not None:
+            event_ms = int(
+                pd.Timestamp(max_ts).tz_localize(session_tz).value // 1_000_000
+            )
+            state.setTimeoutTimestamp(
+                max(event_ms + expire_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_events": [batch_events],
+                "total_events": [st[0]],
+                "total_value": [st[1] / 100.0],
+            }
+        )
+
+    return update
+
+
+def running_user_profiles(
+    events: DataFrame, expire_after_ms: int | None = None
+) -> DataFrame:
     """Incrementally-maintained per-user totals over a stream of
     events(user_id, value, …) — one output row per (user, micro-batch)
-    with the post-batch running totals."""
+    with the post-batch running totals.
+
+    ``expire_after_ms`` is the production state-expiry lever: when
+    set, ``events`` must carry a watermark (``withWatermark``), the
+    state machine runs under ``GroupStateTimeout.EventTimeTimeout``,
+    and a key whose last event is ``expire_after_ms`` of EVENT time
+    behind the watermark has its state dropped instead of living
+    forever. At 100 TB of keys this bound — state ∝ ACTIVE keys, not
+    all keys ever seen — is what keeps the state store from OOM
+    (tests/test_streaming.py::test_stateful_state_expiry exercises
+    drop + fresh re-creation). Default (None) keeps NoTimeout for
+    replay-style jobs where every key must stay resumable."""
+    if expire_after_ms is not None:
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        return events.groupBy("user_id").applyInPandasWithState(
+            _update_user_profile_expiring(expire_after_ms, tz),
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     return events.groupBy("user_id").applyInPandasWithState(
         _update_user_profile,
         OUTPUT_SCHEMA,

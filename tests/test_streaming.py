@@ -385,6 +385,84 @@ def test_stateful_batch_twin(spark, tmp_path):
     assert (7, 1, 3, 15.75) in twin_rows  # exact cents: 2.25+3.10+10.40
 
 
+def test_stateful_state_expiry(spark, tmp_path):
+    """EventTimeTimeout state expiry — the 100 TB state-store OOM
+    guard: a key abandoned for longer than expire_after_ms of EVENT
+    time (as measured by the watermark) has its state DROPPED, and a
+    later event for that key re-creates state from zero. The same
+    feed under NoTimeout keeps the state and keeps accumulating —
+    asserting both directions proves expiry (not just absence of
+    output) caused the reset."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    def feed(name: str) -> str:
+        src = tmp_path / name
+        src.mkdir()
+        now = time.time()
+        # b1: users 1 and 2 at 10:00. user 1 then goes silent.
+        _write_json(
+            str(src / "b1.json"),
+            [_ev(1, "2024-01-01 10:00:00", user=1, value=2.0),
+             _ev(2, "2024-01-01 10:00:00", user=2, value=1.0)],
+            now - 90,
+        )
+        # b2: user 2 at 11:30 → watermark(10m) advances to 11:20,
+        # past user 1's armed stamp 10:00 + 30 min = 10:30.
+        _write_json(
+            str(src / "b2.json"),
+            [_ev(3, "2024-01-01 11:30:00", user=2, value=1.0)],
+            now - 60,
+        )
+        # b3: filler — the timeout FIRES while processing this batch
+        # (Spark times out keys against the PREVIOUS batch's
+        # watermark), dropping user 1's state.
+        _write_json(
+            str(src / "b3.json"),
+            [_ev(4, "2024-01-01 11:31:00", user=2, value=1.0)],
+            now - 30,
+        )
+        # b4: user 1 returns → state must be FRESH under expiry.
+        _write_json(
+            str(src / "b4.json"),
+            [_ev(5, "2024-01-01 11:40:00", user=1, value=7.0)],
+            now,
+        )
+        return str(src)
+
+    def run(src: str, qname: str, expire_ms):
+        out = running_user_profiles(
+            with_watermark(read_file_stream(spark, src, max_files_per_trigger=1)),
+            expire_after_ms=expire_ms,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            (r["user_id"], r["batch_events"], r["total_events"], r["total_value"])
+            for r in spark.table(qname).collect()
+        ]
+
+    expired = run(feed("exp_src"), "profiles_expiring", 30 * 60 * 1000)
+    # user 1's return row: state was dropped at timeout, so totals
+    # restart at this one event instead of carrying (2, 4.0).
+    assert (1, 1, 1, 7.0) in expired
+    assert (1, 1, 2, 9.0) not in expired
+    # user 2 stayed active (each batch re-arms its timeout): carried.
+    assert (2, 1, 3, 3.0) in expired
+
+    kept = run(feed("noexp_src"), "profiles_noexpiry", None)
+    # same feed, NoTimeout: user 1's state survives the silence.
+    assert (1, 1, 2, 9.0) in kept
+    assert (1, 1, 1, 7.0) not in kept
+
+
 def test_foreach_batch_merge_upserts(spark, tmp_path):
     """Streaming-silver: two micro-batches of upserts land in the
     target with latest-per-key semantics and idempotent keys."""
