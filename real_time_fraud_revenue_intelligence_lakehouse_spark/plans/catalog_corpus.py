@@ -469,6 +469,124 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Misra-Gries heavy hitters (mergeable deterministic summaries) ----------
+
+MG_K = 12  # counters kept per summary (error ≤ N/(k+1))
+MG_SHARDS = 8  # deterministic data-derived shards (doc_id % MG_SHARDS)
+
+#: one MG compression step in SQL: rank counts (desc, token asc),
+#: subtract the (k+1)-th largest count value, keep strictly-positive
+#: remainders. With ≤ k distinct entries the threshold is 0. Entries
+#: ranked past k+1 have c ≤ threshold, so ≤ k survive by construction
+#: — no explicit top-k cut (and thus no tie-break sensitivity).
+
+
+@query(
+    "q_misra_gries",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % {MG_SHARDS} AS shard,
+             unnest({TOKS.format(c=NORM.format(c='text'))}) AS tok
+      FROM documents
+    ),
+    sc AS (SELECT shard, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT shard, tok, c,
+             row_number() OVER (PARTITION BY shard ORDER BY c DESC, tok) AS rn
+      FROM sc
+    ),
+    thr AS (
+      SELECT shard,
+             coalesce(max(CASE WHEN rn = {MG_K + 1} THEN c END), 0) AS t
+      FROM ranked GROUP BY 1
+    ),
+    comp AS (
+      SELECT r.shard, r.tok, r.c - t.t AS c
+      FROM ranked r JOIN thr t USING (shard)
+      WHERE r.c - t.t > 0
+    ),
+    merged AS (SELECT tok, sum(c) AS c FROM comp GROUP BY 1),
+    mr AS (
+      SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn
+      FROM merged
+    ),
+    mthr AS (SELECT coalesce(max(CASE WHEN rn = {MG_K + 1} THEN c END), 0) AS t FROM mr),
+    summ AS (
+      SELECT tok, c - t AS mg FROM mr, mthr WHERE c - t > 0
+    ),
+    exact AS (SELECT tok, count(*) AS exact_count FROM tok GROUP BY 1)
+    SELECT s.tok AS token,
+           CAST(s.mg AS BIGINT) AS mg_estimate,
+           CAST(e.exact_count AS BIGINT) AS exact_count,
+           CAST(e.exact_count - s.mg AS BIGINT) AS underestimate
+    FROM summ s JOIN exact e ON s.tok = e.tok
+    """,
+    tags=("ext", "sketch", "text", "mergeable"),
+)
+def q_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters as a MERGEABLE bounded-memory
+    summary (Agarwal et al., "Mergeable Summaries", PODS'12): each
+    deterministic shard (doc_id % {MG_SHARDS}) compresses its exact
+    token counts to ≤ k={MG_K} counters by subtracting the (k+1)-th
+    largest count (the batch equivalent of the MG decrement), shard
+    summaries merge by summed-count + one more compression, and the
+    result under-estimates every frequency by at most N/(k+1) — the
+    one-sided mirror of q_cms_heavy_hitters' over-estimate, with
+    O(k) memory per shard instead of O(d·w) counters. Like the CMS
+    query, the estimate is probed against the exact counts so the
+    error invariant is oracle-HASHED, not just property-tested
+    (tests/test_property_laws9.py pins estimate ≤ exact ≤ estimate +
+    N/(k+1) independently). Execution: one (shard, token) shuffle,
+    per-shard window for the threshold, then the merge runs on ≤
+    shards·k rows — at 100 TB the shards are partitions and the
+    merge input stays KB-sized regardless of corpus size, which is
+    the entire point of a mergeable summary (reference analog: the
+    gold-tier category breakdowns in `spark_jobs/gold/fraud_summary.py:50-58`
+    are exact full groupBys with no bounded-memory path)."""
+    t = doc_tokens(spark, sf_dir)
+    tok = t.select(
+        F.pmod(F.col("doc_id"), F.lit(MG_SHARDS)).alias("shard"),
+        F.explode("toks").alias("tok"),
+    )
+    counts = tok.groupBy("shard", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = counts.withColumn("rn", F.row_number().over(wr))
+    thr = F.coalesce(
+        F.max(F.when(F.col("rn") == MG_K + 1, F.col("c"))).over(
+            Window.partitionBy("shard")
+        ),
+        F.lit(0),
+    )
+    comp = (
+        ranked.withColumn("c", F.col("c") - thr)
+        .filter(F.col("c") > 0)
+        .select("shard", "tok", "c")
+    )
+    merged = comp.groupBy("tok").agg(F.sum("c").alias("c"))
+    # global re-compression: input is ≤ MG_SHARDS·MG_K rows by
+    # construction, so the unpartitioned windows are a deliberate
+    # single-task pass over a KB-sized frame, not a scale hazard.
+    mr = merged.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    )
+    gthr = F.coalesce(
+        F.max(F.when(F.col("rn") == MG_K + 1, F.col("c"))).over(Window.partitionBy()),
+        F.lit(0),
+    )
+    summ = (
+        mr.withColumn("mg", F.col("c") - gthr)
+        .filter(F.col("mg") > 0)
+        .select("tok", "mg")
+    )
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    return summ.join(exact, "tok").select(
+        F.col("tok").alias("token"),
+        F.col("mg").cast("long").alias("mg_estimate"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        (F.col("exact_count") - F.col("mg")).cast("long").alias("underestimate"),
+    )
+
+
 # --- audio-style byte frame windows ----------------------------------------
 
 FRAME_LEN = 256

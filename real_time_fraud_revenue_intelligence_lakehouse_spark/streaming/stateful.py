@@ -273,6 +273,147 @@ def running_user_profiles_batch(
     )
 
 
+# --- streaming Misra-Gries heavy hitters ------------------------------------
+
+#: summaries are emitted (and stored) in canonical order — count
+#: desc, item asc — so stream and batch twin compare as plain rows.
+MG_OUTPUT_SCHEMA = (
+    "shard BIGINT, batch_rows BIGINT, total_rows BIGINT, "
+    "items ARRAY<STRING>, counts ARRAY<BIGINT>"
+)
+MG_STATE_SCHEMA = "items ARRAY<STRING>, counts ARRAY<BIGINT>, total_rows BIGINT"
+
+
+def _mg_merge(
+    items: list, counts: list, add: dict, k: int
+) -> tuple[list, list]:
+    """THE shared Misra-Gries fold (stream and batch twin): combine a
+    summary with a batch's exact counts, then compress back to ≤ k
+    counters by subtracting the (k+1)-th largest count and keeping
+    strictly-positive remainders (the mergeable-summaries merge of
+    Agarwal et al. — per-merge error = the subtracted value; total
+    ≤ N/(k+1) over any merge tree, a left-deep stream included).
+    Integer arithmetic throughout; canonical (count desc, item asc)
+    output order makes summaries directly comparable."""
+    m = dict(zip(items, counts))
+    for it, c in add.items():
+        m[it] = m.get(it, 0) + int(c)
+    if len(m) > k:
+        t = sorted(m.values(), reverse=True)[k]  # (k+1)-th largest
+        m = {it: c - t for it, c in m.items() if c - t > 0}
+    pairs = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [it for it, _ in pairs], [int(c) for _, c in pairs]
+
+
+def _update_mg(k: int, item_col: str):
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        items, counts, total = (
+            state.get if state.exists else ([], [], 0)
+        )
+        batch: dict = {}
+        n = 0
+        for pdf in pdfs:
+            for it, c in pdf[item_col].value_counts().items():
+                batch[it] = batch.get(it, 0) + int(c)
+            n += len(pdf)
+        items, counts = _mg_merge(list(items), list(counts), batch, k)
+        total = int(total) + n
+        state.update((items, counts, total))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "batch_rows": [n],
+                "total_rows": [total],
+                "items": [items],
+                "counts": [counts],
+            }
+        )
+
+    return update
+
+
+def running_heavy_hitters(
+    events: DataFrame,
+    k: int = 8,
+    item_col: str = "event_type",
+    shard: Column | None = None,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: per shard, a ≤ k-counter
+    summary maintained across micro-batches with O(k) state — the
+    incremental form of q_misra_gries' shard-merge batch plan, for
+    when the hot-key report must exist WITHIN the stream. Each
+    micro-batch folds its exact in-batch counts into the summary via
+    the mergeable-summaries merge (`_mg_merge`), so every frequency
+    is under-counted by at most total_rows/(k+1) — state NEVER grows
+    with item cardinality, the property that lets a 100 TB key space
+    stream through fixed executor memory. Emits the post-batch
+    summary per (shard, micro-batch); the latest row per shard (max
+    total_rows) is the current summary."""
+    shard = shard if shard is not None else F.pmod(F.col("user_id"), F.lit(4))
+    return (
+        events.withColumn("shard", shard.cast("long"))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _update_mg(k, item_col),
+            MG_OUTPUT_SCHEMA,
+            MG_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def heavy_hitters_batch(
+    events: DataFrame,
+    batch_key: Column,
+    k: int = 8,
+    item_col: str = "event_type",
+    shard: Column | None = None,
+) -> DataFrame:
+    """Deterministic batch twin of :func:`running_heavy_hitters`:
+    replays the per-shard MG fold over `batch_key` order and returns
+    each shard's FINAL summary row (identical to the stream's last
+    emission when micro-batches == batch_key groups). Scale shape
+    mirrors running_user_profiles_batch: the (shard, batch, item)
+    exact counts reduce in the JVM with map-side combine BEFORE any
+    Python — only the pre-reduced summary rows cross Arrow."""
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        items: list = []
+        counts: list = []
+        total = 0
+        last_n = 0
+        for _, g in pdf.sort_values("batch_key").groupby("batch_key", sort=True):
+            add = dict(zip(g[item_col], g["n"].astype(int)))
+            items, counts = _mg_merge(items, counts, add, k)
+            last_n = int(g["n"].sum())
+            total += last_n
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "batch_rows": [last_n],
+                "total_rows": [total],
+                "items": [items],
+                "counts": [counts],
+            }
+        )
+
+    shard = shard if shard is not None else F.pmod(F.col("user_id"), F.lit(4))
+    reduced = (
+        events.withColumn("shard", shard.cast("long"))
+        .select("shard", batch_key.cast("string").alias("batch_key"), item_col)
+        .groupBy("shard", "batch_key", item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return reduced.groupBy("shard").applyInPandas(run, MG_OUTPUT_SCHEMA)
+
+
 # --- streaming CUSUM drift alarm --------------------------------------------
 
 #: s is held in integer MICROS (1e-6 z-units): the recursion

@@ -205,3 +205,39 @@ def test_reference_scalars_equal_formula_twins(spark, rows):
         sk = hashlib.md5(f"{i}-{kp if kp is not None else ''}".encode()).hexdigest()
         rt = math.floor(n / (d + 0.001) * 1e4 + 0.5) / 1e4
         assert got[i] == (tier, "10.20.*.*", sk, rt), (i, got[i])
+
+
+@given(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=80),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=9),
+)
+@SETTINGS
+def test_misra_gries_merge_laws(stream, k, batch_size):
+    """The MG fold behind q_misra_gries / running_heavy_hitters, over
+    arbitrary streams, capacities, and batch splits: (1) ≤ k counters
+    survive; (2) one-sided — estimate ≤ exact for EVERY item, tracked
+    or dropped; (3) total under-count ≤ N/(k+1) (mergeable-summaries
+    bound over a left-deep merge tree); (4) canonical emission order
+    (count desc, item asc); (5) batch-split invariance is NOT claimed
+    (MG summaries are split-dependent) — but the bound must hold for
+    every split, which is what varying batch_size exercises."""
+    from collections import Counter
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import _mg_merge
+
+    items, counts = [], []
+    exact = Counter()
+    for i in range(0, len(stream), batch_size):
+        batch = Counter(stream[i : i + batch_size])
+        exact += batch
+        items, counts = _mg_merge(items, counts, dict(batch), k)
+    assert len(items) <= k
+    pairs = list(zip(items, counts))
+    assert pairs == sorted(pairs, key=lambda kv: (-kv[1], kv[0]))
+    summary = dict(pairs)
+    n = len(stream)
+    for it, c in exact.items():
+        est = summary.get(it, 0)
+        assert 0 <= est <= c, (it, est, c)
+        assert c - est <= n / (k + 1), (it, est, c, n, k)

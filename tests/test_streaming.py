@@ -385,6 +385,94 @@ def test_stateful_batch_twin(spark, tmp_path):
     assert (7, 1, 3, 15.75) in twin_rows  # exact cents: 2.25+3.10+10.40
 
 
+def test_mg_stream_equals_batch_twin(spark, tmp_path):
+    """Misra-Gries heavy hitters: the applyInPandasWithState stream
+    (one MG merge per micro-batch, O(k) state per shard) and the
+    batch twin replaying the same batch structure produce IDENTICAL
+    final summaries — and the summary under-counts every item by at
+    most total/(k+1). k=2 with 4 distinct event types forces real
+    decrements in every batch."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import (
+        heavy_hitters_batch,
+        running_heavy_hitters,
+    )
+
+    src = tmp_path / "mg_src"
+    src.mkdir()
+    now = time.time()
+    batches = [
+        [_ev(1, "2024-01-05 10:00:00", user=1, etype="click"),
+         _ev(2, "2024-01-05 10:01:00", user=1, etype="click"),
+         _ev(3, "2024-01-05 10:02:00", user=1, etype="view"),
+         _ev(4, "2024-01-05 10:03:00", user=2, etype="purchase")],
+        [_ev(5, "2024-02-05 11:00:00", user=1, etype="click"),
+         _ev(6, "2024-02-05 11:01:00", user=1, etype="refund"),
+         _ev(7, "2024-02-05 11:02:00", user=1, etype="view"),
+         _ev(8, "2024-02-05 11:03:00", user=2, etype="purchase")],
+        [_ev(9, "2024-03-05 12:00:00", user=1, etype="view"),
+         _ev(10, "2024-03-05 12:01:00", user=1, etype="view"),
+         _ev(11, "2024-03-05 12:02:00", user=2, etype="refund")],
+    ]
+    for i, rows in enumerate(batches):
+        _write_json(str(src / f"b{i}.json"), rows, now - 60 * (len(batches) - i))
+
+    out = running_heavy_hitters(
+        read_file_stream(spark, str(src), max_files_per_trigger=1), k=2
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("mg_stream").collect()
+    final = {}
+    for r in rows:  # latest (max total_rows) emission per shard
+        if r["shard"] not in final or r["total_rows"] > final[r["shard"]]["total_rows"]:
+            final[r["shard"]] = r
+    stream_rows = {
+        (r["shard"], r["total_rows"], tuple(r["items"]), tuple(r["counts"]))
+        for r in final.values()
+    }
+
+    from datetime import datetime
+
+    batch_df = spark.createDataFrame(
+        [
+            tuple(datetime.fromisoformat(v) if k == "ts" else v for k, v in e.items())
+            for b in batches
+            for e in b
+        ],
+        schema=EVENTS_SCHEMA,
+    )
+    twin = heavy_hitters_batch(
+        batch_df, F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM"), k=2
+    )
+    twin_rows = {
+        (r["shard"], r["total_rows"], tuple(r["items"]), tuple(r["counts"]))
+        for r in twin.collect()
+    }
+    assert stream_rows == twin_rows
+
+    # MG error law on the final summaries: estimate ≤ exact, and
+    # every item's under-count (tracked or not) ≤ total/(k+1).
+    from collections import Counter
+
+    for shard, row in final.items():
+        exact = Counter(
+            e["event_type"] for b in batches for e in b if e["user_id"] % 4 == shard
+        )
+        summary = dict(zip(row["items"], row["counts"]))
+        assert len(summary) <= 2
+        bound = row["total_rows"] / (2 + 1)
+        for item, c in exact.items():
+            est = summary.get(item, 0)
+            assert est <= c, (shard, item)
+            assert c - est <= bound, (shard, item, c, est, bound)
+
+
 def test_stateful_state_expiry(spark, tmp_path):
     """EventTimeTimeout state expiry — the 100 TB state-store OOM
     guard: a key abandoned for longer than expire_after_ms of EVENT
