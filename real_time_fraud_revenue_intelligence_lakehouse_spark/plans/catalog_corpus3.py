@@ -409,13 +409,9 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE encoding (apply learned merges) ------------------------------------
 
 
-def _bpe_encode_oracle() -> str:
-    """Training CTEs (for p1..p{BPE_ROUNDS}) + apply rounds over the
-    FULL vocabulary (same run-parity machinery, no frequency), then
-    per-source fertility/compression from the word-type join."""
-    parts = list(_bpe_train_ctes())
-    parts.append(
-        r"""
+#: word-type table + initial symbol arrays shared by both encode
+#: oracles (learned and external merges).
+_SW_AW0_CTES = r"""
     sw AS (
       SELECT source, w AS word, count(*) AS cnt
       FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -427,11 +423,37 @@ def _bpe_encode_oracle() -> str:
              string_split(regexp_replace(word, '(.)', '\1 ', 'g') || '</w>', ' ') AS toks
       FROM (SELECT DISTINCT word FROM sw)
     )"""
-    )
+
+
+def _bpe_encode_final(last: str) -> str:
+    return f"""
+    SELECT sw.source,
+           CAST(sum(sw.cnt) AS BIGINT) AS n_words,
+           CAST(sum(sw.cnt * len(a.toks)) AS BIGINT) AS n_tokens,
+           {R6.format(c="CAST(sum(sw.cnt * len(a.toks)) AS DOUBLE) / sum(sw.cnt)")} AS fertility,
+           {R6.format(c="CAST(sum(sw.cnt * (length(sw.word) + 1)) AS DOUBLE) / sum(sw.cnt * len(a.toks))")} AS compression
+    FROM sw JOIN {last} a ON sw.word = a.word
+    GROUP BY 1"""
+
+
+def _bpe_encode_oracle() -> str:
+    """Training CTEs (for p1..p{BPE_ROUNDS}) + apply rounds over the
+    FULL vocabulary (same run-parity machinery, no frequency), then
+    per-source fertility/compression from the word-type join."""
+    parts = list(_bpe_train_ctes())
+    parts.append(_SW_AW0_CTES)
     for r in range(1, BPE_ROUNDS + 1):
-        prev = f"aw{r - 1}"
-        parts.append(
-            f"""
+        parts.append(_bpe_apply_round_cte(r))
+    return "WITH " + ",".join(parts) + "\n    " + _bpe_encode_final(f"aw{BPE_ROUNDS}")
+
+
+def _bpe_apply_round_cte(r: int) -> str:
+    """One run-parity merge-application round over aw{r-1} using the
+    pair in p{r} — shared by the learned-merges oracle (p{r} comes
+    from the training CTEs) and the external-merges oracle (p{r} is a
+    constant row from the shipped list)."""
+    prev = f"aw{r - 1}"
+    return f"""
     ax{r} AS (
       SELECT word, i, toks[i] AS tok,
              CASE WHEN i < len(toks) AND toks[i] = p.bl AND toks[i + 1] = p.br
@@ -464,16 +486,6 @@ def _bpe_encode_oracle() -> str:
       WHERE prev_ms = 0
       GROUP BY 1
     )"""
-        )
-    final = f"""
-    SELECT sw.source,
-           CAST(sum(sw.cnt) AS BIGINT) AS n_words,
-           CAST(sum(sw.cnt * len(a.toks)) AS BIGINT) AS n_tokens,
-           {R6.format(c="CAST(sum(sw.cnt * len(a.toks)) AS DOUBLE) / sum(sw.cnt)")} AS fertility,
-           {R6.format(c="CAST(sum(sw.cnt * (length(sw.word) + 1)) AS DOUBLE) / sum(sw.cnt * len(a.toks))")} AS compression
-    FROM sw JOIN aw{BPE_ROUNDS} a ON sw.word = a.word
-    GROUP BY 1"""
-    return "WITH " + ",".join(parts) + "\n    " + final
 
 
 @query("q_bpe_encode", oracle=_bpe_encode_oracle(), tags=("ext", "text", "bpe", "iterative"))
@@ -512,6 +524,102 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import note_dropped_checkpoints
 
     note_dropped_checkpoints(spark)  # per-round aw checkpoints dropped above
+    enc = sw.join(aw, "word")
+    n_tokens = F.sum(F.col("cnt") * F.size("toks"))
+    return enc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        n_tokens.cast("long").alias("n_tokens"),
+        det_round(n_tokens.cast("double") / F.sum("cnt"), 6).alias("fertility"),
+        det_round(
+            F.sum(F.col("cnt") * (F.length("word") + 1)).cast("double") / n_tokens, 6
+        ).alias("compression"),
+    )
+
+
+# --- BPE encoding with a SHIPPED merge list ----------------------------------
+
+#: the external vocabulary: a fixed, ordered merge list as a tokenizer
+#: artifact would ship it (e.g. a merges.txt) — applied verbatim, no
+#: training pass. Chosen to fire across the synthetic corpus' word
+#: shapes (er/er</w> suffixes, ta/st clusters).
+BPE_EXT_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("er", "</w>"),
+    ("t", "a"),
+    ("s", "t"),
+)
+
+
+def bpe_apply_external(
+    frame: DataFrame, merges: tuple[tuple[str, str], ...], keep: list
+) -> DataFrame:
+    """Apply an EXTERNAL (shipped) merge list to a toks-bearing
+    frame, in list order — the public seam q_bpe_merges' trainer
+    output or any merges.txt plugs into. Each merge folds as plan
+    LITERALS (same Catalyst `aggregate` lambda as `_bpe_apply`, see
+    _BPE_FOLD) — no join, no broadcast, no action: a shipped
+    vocabulary is a constant of the plan, so applying V merges is one
+    row-local pass over the word-type table regardless of corpus
+    size. (Training-time `_bpe_apply` differs only in sourcing the
+    pair from the per-round argmax frame.)"""
+    for bl, br in merges:
+        frame = frame.select(
+            *keep,
+            F.col("toks"),
+            F.lit(bl).alias("bl"),
+            F.lit(br).alias("br"),
+        ).select(*keep, F.expr(_BPE_FOLD).alias("toks"))
+    return frame
+
+
+def _bpe_encode_external_oracle() -> str:
+    parts = [_SW_AW0_CTES.lstrip("\n")]
+    for r, (bl, br) in enumerate(BPE_EXT_MERGES, start=1):
+        parts.append(
+            f"""
+    p{r} AS (SELECT '{bl}' AS bl, '{br}' AS br)"""
+        )
+        parts.append(_bpe_apply_round_cte(r))
+    return (
+        "WITH " + ",".join(parts) + "\n    "
+        + _bpe_encode_final(f"aw{len(BPE_EXT_MERGES)}")
+    )
+
+
+@query(
+    "q_bpe_encode_external",
+    oracle=_bpe_encode_external_oracle(),
+    tags=("ext", "text", "bpe"),
+)
+def q_bpe_encode_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application against a SHIPPED vocabulary: apply the
+    fixed {len(BPE_EXT_MERGES)}-merge list BPE_EXT_MERGES (the
+    merges.txt case — encode with a vocabulary trained elsewhere,
+    exactly how production corpora are tokenized against a frozen
+    tokenizer) and report the same per-source fertility/compression
+    as q_bpe_encode. Because the merges are plan literals, the whole
+    encode is ONE (source, word) aggregation + a row-local fold over
+    the word-TYPE table + a types-sized join — no training scan, no
+    per-round action, nothing iterative: the cheapest possible shape
+    for the most common BPE operation. Oracle unrolls the same four
+    merges as constant rows through the shared run-parity rounds."""
+    d = read_table(spark, sf_dir, "documents")
+    sw = (
+        d.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    aw = (
+        sw.select("word")
+        .distinct()
+        .select("word", _bpe_toks(F.col("word")).alias("toks"))
+    )
+    aw = bpe_apply_external(aw, BPE_EXT_MERGES, ["word"])
     enc = sw.join(aw, "word")
     n_tokens = F.sum(F.col("cnt") * F.size("toks"))
     return enc.groupBy("source").agg(

@@ -59,79 +59,79 @@ def _load_all() -> None:
 
 
 # Verification priority: the driver's correctness gate walks queries()
-# in dict order with a hard 50-entry per-round budget (r01-r07 each
-# sampled exactly 50), so queries needing a fresh driver row come
-# FIRST. Recomputed at round 8 per VERDICT r7 #1 — the final
-# rotation that closes driver verification:
-#   1-9:   the 9 ids that have never had ANY driver row (positions
-#          51-59 of the r7 front, squeezed out by the 50-cap);
-#   10-18: the 9 ids whose driver rows (r02/r06) predate their
-#          round-7 shared-frames plan rewrite — re-verify the
-#          refactored plans, not the retired ones;
-#   19-50: other r7-module-touched ids holding pre-r7 rows,
-#          oldest-row-first (q_text_stats r01; the r02 catalog_ext
-#          block; the r04 catalog_corpus/ext block) — exactly
-#          filling the 50-slot window.
+# in dict order with a hard 50-entry per-round budget (r01-r09 each
+# sampled exactly 50; every registered id has at least one green row
+# in the r01-r09 union), so queries needing a fresh driver row come
+# FIRST. Recomputed at round 10 per VERDICT r9 #4 — the rolling
+# re-verification rotation:
+#   1-2:   round-10's NEW ids (no driver row yet);
+#   3-8:   ids whose last driver row predates the round-8
+#          corpus3/shared_frames plumbing their plans flow through
+#          (BPE memo path touched r8; q_readability/q_embed_drift
+#          hold r06 rows; q_pmi_collocations/q_dup_spans r07);
+#   9-50:  oldest-row-first — the r01 cleansing/relational block
+#          (46 ids; the last 4 overflow past the 50-cap and lead the
+#          round-11 rotation).
 # Names not listed keep their registration order after these.
 _FRONT: tuple[str, ...] = (
-    # — never driver-verified (judge-selfcheck-green at r7 HEAD) —
-    "q_holt_winters",
-    "q_record_linkage",
-    "q_phash_neardup",
-    "q_schema_drift",
-    "q_full_outer_diff",
-    "q_ols_trend",
-    "q_active_users",
-    "q_event_funnel",
-    "q_important_parts",
-    # — driver rows predate the r7 shared-frames rewrite —
-    "q_dup_clusters",
-    "q_lsh_pairs",
-    "q_minhash_signature",
-    "q_ivf_topk",
-    "q_top_tokens",
-    "q_gopher_quality",
-    "q_feature_hash",
-    "q_inverted_index",
-    "q_vocab_coverage",
-    # — r7-module-touched, oldest driver row first (r01) —
-    "q_text_stats",
-    # — r02 catalog_ext block —
-    "q_ann_topk",
-    "q_chunk_documents",
-    "q_contamination",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_embed_neardup",
-    "q_embed_top1",
-    "q_embed_topk",
-    "q_fingerprint",
-    "q_lang_id",
-    "q_multimodal_decode",
-    "q_multimodal_meta",
-    "q_ngram_jaccard",
-    "q_pii_scan",
-    "q_quality_score",
-    "q_rolling_hash",
-    "q_simhash",
-    "q_simhash_pairs",
-    "q_source_mix",
-    "q_source_profile",
-    "q_tfidf_terms",
-    "q_pricing_summary",
-    "q_shipping_priority",
-    # — r04 catalog_corpus / catalog_ext block —
-    "q_audio_frames",
-    "q_cms_heavy_hitters",
-    "q_embed_quantize",
-    "q_length_histogram",
-    "q_unigram_logprob",
-    "q_vector_norms",
-    "q_paragraph_dedup",
-    "q_text_cleanup",
-    # — 51+: overflow if the window ever widens —
-    "q_multimodal_framesample",
+    # — new in round 10, never driver-verified —
+    "q_misra_gries",
+    "q_bpe_encode_external",
+    # — last row predates the r8 corpus3/shared_frames plumbing —
+    "q_bpe_merges",
+    "q_bpe_encode",
+    "q_readability",
     "q_embed_drift",
+    "q_pmi_collocations",
+    "q_dup_spans",
+    # — r01 rows, oldest first (registration order within) —
+    "q_revenue_daily",
+    "q_clean_filter",
+    "q_dedup_keep_any",
+    "q_enum_whitelist",
+    "q_enum_mapping",
+    "q_bucket_tier",
+    "q_string_funcs",
+    "q_scalar_math",
+    "q_epoch_ms_to_date",
+    "q_time_parts",
+    "q_fillna",
+    "q_casts",
+    "q_json_parse",
+    "q_hash_key",
+    "q_lookup_join",
+    "q_derived_flags",
+    "q_feature_vector",
+    "q_hourly_rollup",
+    "q_explode_agg",
+    "q_user_scores",
+    "q_percentiles",
+    "q_distinct_count",
+    "q_topk",
+    "q_union_all",
+    "q_except_check",
+    "q_grouping_sets",
+    "q_dim_dates",
+    "q_dim_users_segments",
+    "q_fact_orders",
+    "q_fact_fraud_events",
+    "q_country_risk",
+    "q_stg_payments",
+    "q_dashboard_today",
+    "q_pivot_status",
+    "q_join_left",
+    "q_join_lookup",
+    "q_agg_join",
+    "q_star_join",
+    "q_latest_per_key",
+    "q_ratio_to_user_avg",
+    "q_ratio_to_user_p95",
+    "q_lag_delta",
+    # — 51+: overflow → round-11 front —
+    "q_velocity_window",
+    "q_asof_join",
+    "q_merge_upsert",
+    "q_ntile_quartiles",
 )
 
 

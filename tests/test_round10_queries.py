@@ -1,0 +1,83 @@
+"""Round-10 additions: Misra-Gries heavy hitters (mergeable summary)
+and BPE encoding against a shipped merge list. Value correctness for
+both lives in tools/selfcheck.py (DuckDB oracle hash); these pin the
+invariants a hash compare can't see — the MG error bound against the
+exact counts, the summary size cap, and the external-merge fold's
+exact per-word behavior (the merges must actually FIRE, or the query
+degenerates to character tokenization and still hashes clean)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+
+    return registry.all_queries()[name]
+
+
+# --- Misra-Gries ------------------------------------------------------------
+
+
+def test_misra_gries_bound_vs_exact(spark):
+    """Every surviving counter under-estimates by at most N/(k+1),
+    never over-estimates, and ≤ k counters survive — checked against
+    the corpus-wide exact token counts the query itself emits."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_corpus import MG_K
+
+    rows = _q("q_misra_gries")(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= MG_K
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import doc_tokens
+
+    n_total = (
+        doc_tokens(spark, SF_SMOKE)
+        .select(F.explode("toks"))
+        .count()
+    )
+    bound = n_total / (MG_K + 1)
+    for r in rows:
+        assert 0 < r["mg_estimate"] <= r["exact_count"]
+        assert r["underestimate"] == r["exact_count"] - r["mg_estimate"]
+        assert r["underestimate"] <= bound, (r, bound)
+
+
+# --- external-merge BPE encode ----------------------------------------------
+
+
+def test_bpe_apply_external_fold_exact(spark):
+    """The literal-merge fold applies the shipped list in order with
+    canonical left-to-right semantics — pinned on hand-traced words
+    ('customer' keeps er</w> then st; 'data' merges ta; 'a' is the
+    degenerate 2-symbol word)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_corpus3 import (
+        BPE_EXT_MERGES,
+        _bpe_toks,
+        bpe_apply_external,
+    )
+
+    df = spark.createDataFrame(
+        [("customer",), ("data",), ("a",), ("stream",)], "word string"
+    ).select("word", _bpe_toks(F.col("word")).alias("toks"))
+    got = {
+        r["word"]: r["toks"]
+        for r in bpe_apply_external(df, BPE_EXT_MERGES, ["word"]).collect()
+    }
+    assert got["customer"] == ["c", "u", "st", "o", "m", "er</w>"]
+    assert got["data"] == ["d", "a", "ta", "</w>"]
+    assert got["a"] == ["a", "</w>"]
+    assert got["stream"] == ["st", "r", "e", "a", "m", "</w>"]
+
+
+def test_bpe_encode_external_merges_fire(spark):
+    """On the corpus, fertility must sit strictly BELOW the no-merge
+    baseline (chars+1 per word == compression 1.0 bound): proof the
+    shipped merges actually apply rather than vacuously hashing."""
+    rows = _q("q_bpe_encode_external")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # n_tokens < sum(cnt * (len(word)+1)) <=> compression > 1
+        assert r["compression"] > 1.0, r
+        assert 0 < r["fertility"] < 8
