@@ -587,6 +587,131 @@ def q_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mergeable quantile sketch (decimal log-histogram) ----------------------
+
+QS_PROBES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q_quantile_sketch",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    b AS (
+      SELECT length(CAST(cents AS VARCHAR)) AS d,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 2) AS BIGINT) AS lead2,
+             count(*) AS n
+      FROM c WHERE cents >= 10
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT d, lead2, n,
+             lead2 * CAST(power(10, d - 2) AS BIGINT) AS lo_cents,
+             sum(n) OVER (ORDER BY d, lead2) AS cum_n
+      FROM b
+    ),
+    tot AS (SELECT count(*) AS nt FROM c WHERE cents >= 10),
+    probes AS (SELECT unnest(ARRAY[{", ".join(str(p) for p in QS_PROBES)}]) AS p),
+    est AS (
+      SELECT p.p, min(cum.lo_cents) AS est_cents
+      FROM probes p CROSS JOIN tot
+      JOIN cum ON cum.cum_n >= CAST(ceil(p.p * tot.nt) AS BIGINT)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c WHERE cents >= 10
+    ),
+    exact AS (
+      SELECT p.p, min(r.cents) AS exact_cents
+      FROM probes p CROSS JOIN tot
+      JOIN ranked r ON r.rn = CAST(ceil(p.p * tot.nt) AS BIGINT)
+      GROUP BY 1
+    )
+    SELECT e.p AS probe,
+           CAST(e.est_cents AS DOUBLE) / 100 AS est_value,
+           CAST(x.exact_cents AS DOUBLE) / 100 AS exact_value,
+           (floor((CAST(x.exact_cents - e.est_cents AS DOUBLE) / x.exact_cents)
+                  * 1000000.0 + 0.5) / 1000000.0) AS rel_error
+    FROM est e JOIN exact x ON e.p = x.p
+    """,
+    tags=("sketch", "mergeable", "relational"),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch as a DECIMAL LOG-HISTOGRAM: prices
+    quantize to exact integer cents, bucket by (digit count, first
+    two digits) — ≤ 90 buckets per decade, pure integer/string ops so
+    both engines bucket identically (no float log whose last ulp
+    could flip a boundary). Quantile estimate = lower bound of the
+    first bucket whose cumulative count reaches ceil(p·N); since a
+    bucket spans [lead2, lead2+1)·10^(d-2), the estimate
+    under-reports by a RELATIVE error < 1/(lead2+1) ≤ 1/11 ≈ 9% —
+    probed against the exact rank statistics so the bound is
+    oracle-HASHED (test_round10 pins it independently). Counts merge
+    by addition: this is the quantile member of the mergeable-summary
+    family (CMS counts, MG heavy hitters, KMV/HLL distincts) — at
+    100 TB each partition emits its ≤ few-hundred-row histogram and
+    the merge is a KB-sized agg, vs an exact quantile's full sort.
+    The exact tier here (row_number over a global sort) exists only
+    as the error oracle, mirroring q_cms_heavy_hitters' design."""
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    ).filter(F.col("cents") >= 10)
+    s = F.col("cents").cast("string")
+    b = (
+        c.select(
+            F.length(s).alias("d"),
+            F.substring(s, 1, 2).cast("long").alias("lead2"),
+        )
+        .groupBy("d", "lead2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cum = b.select(
+        "d",
+        "lead2",
+        "n",
+        (F.col("lead2") * F.pow(F.lit(10), F.col("d") - 2).cast("long")).alias(
+            "lo_cents"
+        ),
+        F.sum("n")
+        .over(Window.orderBy("d", "lead2").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+    )
+    nt = c.agg(F.count(F.lit(1)).alias("nt"))
+    probes = spark.createDataFrame([(p,) for p in QS_PROBES], "p double")
+    est = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(nt))
+        .join(cum, F.col("cum_n") >= F.ceil(F.col("p") * F.col("nt")).cast("long"))
+        .groupBy("p")
+        .agg(F.min("lo_cents").alias("est_cents"))
+    )
+    ranked = c.select(
+        "cents", F.row_number().over(Window.orderBy("cents")).alias("rn")
+    )
+    exact = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(nt))
+        .join(ranked, F.col("rn") == F.ceil(F.col("p") * F.col("nt")).cast("long"))
+        .groupBy("p")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return est.join(exact, "p").select(
+        F.col("p").alias("probe"),
+        (F.col("est_cents").cast("double") / 100).alias("est_value"),
+        (F.col("exact_cents").cast("double") / 100).alias("exact_value"),
+        det_round(
+            (F.col("exact_cents") - F.col("est_cents")).cast("double")
+            / F.col("exact_cents"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
 # --- audio-style byte frame windows ----------------------------------------
 
 FRAME_LEN = 256

@@ -81,3 +81,18 @@ def test_bpe_encode_external_merges_fire(spark):
         # n_tokens < sum(cnt * (len(word)+1)) <=> compression > 1
         assert r["compression"] > 1.0, r
         assert 0 < r["fertility"] < 8
+
+
+# --- mergeable quantile sketch ------------------------------------------------
+
+
+def test_quantile_sketch_error_bound(spark):
+    """The decimal log-histogram's estimate is a LOWER bound on the
+    exact rank statistic with relative error < 1/11 (two leading
+    digits → bucket spans [lead2, lead2+1)·10^(d-2)), at every
+    probe."""
+    rows = _q("q_quantile_sketch")(spark, SF_SMOKE).collect()
+    assert {r["probe"] for r in rows} == {0.5, 0.9, 0.99}
+    for r in rows:
+        assert 0 < r["est_value"] <= r["exact_value"], r
+        assert 0 <= r["rel_error"] < 1 / 11, r
