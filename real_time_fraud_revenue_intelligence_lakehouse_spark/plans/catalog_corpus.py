@@ -653,8 +653,14 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (CMS counts, MG heavy hitters, KMV/HLL distincts) — at
     100 TB each partition emits its ≤ few-hundred-row histogram and
     the merge is a KB-sized agg, vs an exact quantile's full sort.
-    The exact tier here (row_number over a global sort) exists only
-    as the error oracle, mirroring q_cms_heavy_hitters' design."""
+    The exact tier is itself histogram-PRUNED: the target bucket's
+    cumulative offset turns the global k-th-smallest into a
+    rank-(k−prev_cum) lookup INSIDE one bucket, so the only sort runs
+    over ~N/buckets rows per probe instead of a single-partition
+    global sort (measured 2.5 s → sub-second at sf0.1) — the same
+    prune a cluster would do with bucket-partitioned storage. The
+    DuckDB oracle keeps the naive global-sort formulation: same
+    values, independently derived."""
     li = read_table(spark, sf_dir, "lineitem")
     c = li.select(
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
@@ -670,35 +676,49 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "lead2")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    pow10 = F.pow(F.lit(10), F.col("d") - 2).cast("long")
     cum = b.select(
         "d",
         "lead2",
         "n",
-        (F.col("lead2") * F.pow(F.lit(10), F.col("d") - 2).cast("long")).alias(
-            "lo_cents"
-        ),
+        (F.col("lead2") * pow10).alias("lo_cents"),
+        ((F.col("lead2") + 1) * pow10).alias("hi_cents"),
         F.sum("n")
         .over(Window.orderBy("d", "lead2").rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum_n"),
     )
-    nt = c.agg(F.count(F.lit(1)).alias("nt"))
+    # N from the histogram itself — the sketch answers its own
+    # cardinality question; no second corpus scan
+    nt = b.agg(F.sum("n").alias("nt"))
     probes = spark.createDataFrame([(p,) for p in QS_PROBES], "p double")
-    est = (
+    # per probe: target rank k and the FIRST bucket whose cumulative
+    # count reaches it (min over lo_cents ≡ min over (d, lead2) —
+    # bucket lower bounds are strictly increasing in bucket order)
+    target = (
         F.broadcast(probes)
         .crossJoin(F.broadcast(nt))
-        .join(cum, F.col("cum_n") >= F.ceil(F.col("p") * F.col("nt")).cast("long"))
-        .groupBy("p")
-        .agg(F.min("lo_cents").alias("est_cents"))
+        .withColumn("k", F.ceil(F.col("p") * F.col("nt")).cast("long"))
+        .join(cum, F.col("cum_n") >= F.col("k"))
+        .groupBy("p", "k")
+        .agg(
+            F.min(
+                F.struct("lo_cents", "hi_cents", (F.col("cum_n") - F.col("n")).alias("prev_cum"))
+            ).alias("b")
+        )
+        .select("p", "k", "b.lo_cents", "b.hi_cents", "b.prev_cum")
     )
-    ranked = c.select(
-        "cents", F.row_number().over(Window.orderBy("cents")).alias("rn")
+    est = target.select("p", F.col("lo_cents").alias("est_cents"))
+    # exact rank statistic, histogram-pruned: only the target bucket's
+    # rows sort, at offset k - prev_cum within the bucket
+    in_bucket = c.join(
+        F.broadcast(target),
+        (F.col("cents") >= F.col("lo_cents")) & (F.col("cents") < F.col("hi_cents")),
     )
+    wb = Window.partitionBy("p").orderBy("cents")
     exact = (
-        F.broadcast(probes)
-        .crossJoin(F.broadcast(nt))
-        .join(ranked, F.col("rn") == F.ceil(F.col("p") * F.col("nt")).cast("long"))
-        .groupBy("p")
-        .agg(F.min("cents").alias("exact_cents"))
+        in_bucket.withColumn("rnb", F.row_number().over(wb))
+        .filter(F.col("rnb") == F.col("k") - F.col("prev_cum"))
+        .select("p", F.col("cents").alias("exact_cents"))
     )
     return est.join(exact, "p").select(
         F.col("p").alias("probe"),

@@ -77,6 +77,7 @@ ALLPAIRS_OK = {
     "q_silhouette",         # |panel|^2 evaluation tier (60-vector deterministic sample) + IVF centroid broadcast
     "q_phash_neardup",      # 4-row band-id table cross joined (broadcast expand per doc)
     "q_record_linkage",     # 1-row u-estimate aggregate cross joined (broadcast); the pair stage is nation-BLOCKED, not all-pairs
+    "q_quantile_sketch",    # 3 probes range-joined into the ≤few-hundred-row cumulative histogram (broadcast); the histogram IS the reduction
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
