@@ -707,28 +707,29 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p", "k", "b.lo_cents", "b.hi_cents", "b.prev_cum")
     )
-    est = target.select("p", F.col("lo_cents").alias("est_cents"))
     # exact rank statistic, histogram-pruned: only the target bucket's
-    # rows sort, at offset k - prev_cum within the bucket
+    # rows sort, at offset k - prev_cum within the bucket. The
+    # estimate (the bucket's lower bound) rides the SAME rows, so the
+    # whole query is one branch — Spark doesn't dedupe common
+    # subplans, and a separate est-vs-exact join re-scanned lineitem
+    # once per branch (suite-context 4.0 s → isolated 1.6 s at sf0.1).
     in_bucket = c.join(
         F.broadcast(target),
         (F.col("cents") >= F.col("lo_cents")) & (F.col("cents") < F.col("hi_cents")),
     )
     wb = Window.partitionBy("p").orderBy("cents")
-    exact = (
+    return (
         in_bucket.withColumn("rnb", F.row_number().over(wb))
         .filter(F.col("rnb") == F.col("k") - F.col("prev_cum"))
-        .select("p", F.col("cents").alias("exact_cents"))
-    )
-    return est.join(exact, "p").select(
-        F.col("p").alias("probe"),
-        (F.col("est_cents").cast("double") / 100).alias("est_value"),
-        (F.col("exact_cents").cast("double") / 100).alias("exact_value"),
-        det_round(
-            (F.col("exact_cents") - F.col("est_cents")).cast("double")
-            / F.col("exact_cents"),
-            6,
-        ).alias("rel_error"),
+        .select(
+            F.col("p").alias("probe"),
+            (F.col("lo_cents").cast("double") / 100).alias("est_value"),
+            (F.col("cents").cast("double") / 100).alias("exact_value"),
+            det_round(
+                (F.col("cents") - F.col("lo_cents")).cast("double") / F.col("cents"),
+                6,
+            ).alias("rel_error"),
+        )
     )
 
 
