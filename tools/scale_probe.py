@@ -129,6 +129,8 @@ def main() -> None:
         "q_bpe_merges",          # corpus scan + 4 vocab-table merge rounds
         "q_inverted_index",      # (term,doc) shuffle + term windows
         "q_dup_spans",           # rolling shingles + hash agg + island windows (pair-free)
+        "q_misra_gries",         # mergeable shard summaries (merge input must stay KB-sized)
+        "q_quantile_sketch",     # decimal log-histogram + histogram-pruned exact ranks
     ]
     override = os.environ.get("SCALE_PROBE_QUERIES", "").strip()
     if override:
