@@ -688,15 +688,16 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum_n"),
     )
     # N from the histogram itself — the sketch answers its own
-    # cardinality question; no second corpus scan
+    # cardinality question; no second corpus scan. Probes attach as a
+    # literal-array explode — plan constants, no join.
     nt = b.agg(F.sum("n").alias("nt"))
-    probes = spark.createDataFrame([(p,) for p in QS_PROBES], "p double")
     # per probe: target rank k and the FIRST bucket whose cumulative
     # count reaches it (min over lo_cents ≡ min over (d, lead2) —
     # bucket lower bounds are strictly increasing in bucket order)
     target = (
-        F.broadcast(probes)
-        .crossJoin(F.broadcast(nt))
+        nt.select(
+            "nt", F.explode(F.array(*[F.lit(p) for p in QS_PROBES])).alias("p")
+        )
         .withColumn("k", F.ceil(F.col("p") * F.col("nt")).cast("long"))
         .join(cum, F.col("cum_n") >= F.col("k"))
         .groupBy("p", "k")
@@ -728,6 +729,145 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(
                 (F.col("cents") - F.col("lo_cents")).cast("double") / F.col("cents"),
                 6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+# --- per-key quantiles from per-key bounded histograms ----------------------
+
+QK_PROBES = (0.5, 0.9)
+
+
+@query(
+    "q_quantile_by_key",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars >= 10
+    ),
+    b AS (
+      SELECT source,
+             length(CAST(v AS VARCHAR)) AS d,
+             CAST(substr(CAST(v AS VARCHAR), 1, 2) AS BIGINT) AS lead2,
+             count(*) AS n
+      FROM c GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT source, d, lead2, n,
+             lead2 * CAST(power(10, d - 2) AS BIGINT) AS lo_cents,
+             (lead2 + 1) * CAST(power(10, d - 2) AS BIGINT) AS hi_cents,
+             sum(n) OVER (PARTITION BY source ORDER BY d, lead2) AS cum_n
+      FROM b
+    ),
+    nt AS (SELECT source, sum(n) AS nt FROM b GROUP BY 1),
+    probes AS (SELECT unnest(ARRAY[{", ".join(str(p) for p in QK_PROBES)}]) AS p),
+    target AS (
+      -- lo/hi/prev_cum are all monotone in bucket order, so the
+      -- per-column mins over qualifying buckets equal the FIRST
+      -- qualifying bucket's values
+      SELECT nt.source, p.p, CAST(ceil(p.p * nt.nt) AS BIGINT) AS k,
+             min(cum.lo_cents) AS lo_cents,
+             min(cum.hi_cents) AS hi_cents,
+             min(cum.cum_n - cum.n) AS prev_cum
+      FROM probes p
+      CROSS JOIN nt
+      JOIN cum ON cum.source = nt.source
+              AND cum.cum_n >= CAST(ceil(p.p * nt.nt) AS BIGINT)
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT t.source, t.p, t.k, t.lo_cents, c.v,
+             row_number() OVER (PARTITION BY t.source, t.p ORDER BY c.v) AS rnb,
+             t.k - t.prev_cum AS want
+      FROM target t
+      JOIN c ON c.source = t.source AND c.v >= t.lo_cents AND c.v < t.hi_cents
+    )
+    SELECT source, p AS probe,
+           CAST(lo_cents AS BIGINT) AS est_len,
+           CAST(v AS BIGINT) AS exact_len,
+           (floor((CAST(v - lo_cents AS DOUBLE) / v) * 1000000.0 + 0.5) / 1000000.0)
+             AS rel_error
+    FROM ranked WHERE rnb = want
+    """,
+    tags=("sketch", "mergeable", "text"),
+)
+def q_quantile_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY quantiles (p50/p90 document length per source) from
+    per-key decimal log-histograms — the grouped form of
+    q_quantile_sketch, and the shape that matters at 100 TB: exact
+    per-key percentiles need a sort per key (q_percentiles' window
+    path), while the histogram gives every key FIXED-size state
+    (≤ 90 buckets/decade) that merges by addition — per-source length
+    profiles over a trillion documents reduce to |sources|×buckets
+    rows. Same integer-only bucketing (no float-log boundaries), same
+    one-sided < 1/11 relative-error guarantee, and the exact probe is
+    histogram-pruned per (source, probe) so only the target bucket's
+    rows ever sort. The n_chars ≥ 10 guard pins the two-digit-lead
+    domain (vacuously true on this corpus: min length 44)."""
+    d0 = read_table(spark, sf_dir, "documents")
+    c = d0.select("source", F.col("n_chars").cast("long").alias("v")).filter(
+        F.col("v") >= 10
+    )
+    s = F.col("v").cast("string")
+    b = (
+        c.select(
+            "source",
+            F.length(s).alias("d"),
+            F.substring(s, 1, 2).cast("long").alias("lead2"),
+        )
+        .groupBy("source", "d", "lead2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pow10 = F.pow(F.lit(10), F.col("d") - 2).cast("long")
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("d", "lead2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.select(
+        "source",
+        "d",
+        "lead2",
+        "n",
+        (F.col("lead2") * pow10).alias("lo_cents"),
+        ((F.col("lead2") + 1) * pow10).alias("hi_cents"),
+        F.sum("n").over(wc).alias("cum_n"),
+    )
+    nt = b.groupBy("source").agg(F.sum("n").alias("nt"))
+    # probes attach as a literal-array explode — plan constants, no join
+    target = (
+        nt.select(
+            "source",
+            "nt",
+            F.explode(F.array(*[F.lit(p) for p in QK_PROBES])).alias("p"),
+        )
+        .withColumn("k", F.ceil(F.col("p") * F.col("nt")).cast("long"))
+        .join(cum, ["source"])
+        .filter(F.col("cum_n") >= F.col("k"))
+        .groupBy("source", "p", "k")
+        .agg(
+            F.min(
+                F.struct(
+                    "lo_cents", "hi_cents", (F.col("cum_n") - F.col("n")).alias("prev_cum")
+                )
+            ).alias("b")
+        )
+        .select("source", "p", "k", "b.lo_cents", "b.hi_cents", "b.prev_cum")
+    )
+    in_bucket = c.join(F.broadcast(target), ["source"]).filter(
+        (F.col("v") >= F.col("lo_cents")) & (F.col("v") < F.col("hi_cents"))
+    )
+    wb = Window.partitionBy("source", "p").orderBy("v")
+    return (
+        in_bucket.withColumn("rnb", F.row_number().over(wb))
+        .filter(F.col("rnb") == F.col("k") - F.col("prev_cum"))
+        .select(
+            "source",
+            F.col("p").alias("probe"),
+            F.col("lo_cents").cast("long").alias("est_len"),
+            F.col("v").cast("long").alias("exact_len"),
+            det_round(
+                (F.col("v") - F.col("lo_cents")).cast("double") / F.col("v"), 6
             ).alias("rel_error"),
         )
     )

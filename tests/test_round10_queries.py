@@ -96,3 +96,17 @@ def test_quantile_sketch_error_bound(spark):
     for r in rows:
         assert 0 < r["est_value"] <= r["exact_value"], r
         assert 0 <= r["rel_error"] < 1 / 11, r
+
+
+def test_quantile_by_key_error_bound(spark):
+    """Per-source histogram quantiles: every (source, probe) row is a
+    lower bound on that source's exact rank statistic with relative
+    error < 1/11, and every source appears at both probes."""
+    rows = _q("q_quantile_by_key")(spark, SF_SMOKE).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert 0 < r["est_len"] <= r["exact_len"], r
+        assert 0 <= r["rel_error"] < 1 / 11, r
+        by_src.setdefault(r["source"], set()).add(r["probe"])
+    assert all(ps == {0.5, 0.9} for ps in by_src.values())
