@@ -414,6 +414,137 @@ def heavy_hitters_batch(
     return reduced.groupBy("shard").applyInPandas(run, MG_OUTPUT_SCHEMA)
 
 
+# --- streaming decimal log-histogram (quantile sketch) -----------------------
+
+#: canonical order: ascending bucket lower bound. Buckets are the
+#: q_quantile_sketch decimal log-histogram cells ((digit count, two
+#: leading digits), keyed here by their integer lower bound — the
+#: mapping is bijective for values ≥ 10).
+QH_OUTPUT_SCHEMA = (
+    "shard BIGINT, batch_rows BIGINT, total_rows BIGINT, "
+    "buckets ARRAY<BIGINT>, counts ARRAY<BIGINT>"
+)
+QH_STATE_SCHEMA = "buckets ARRAY<BIGINT>, counts ARRAY<BIGINT>, total_rows BIGINT"
+
+
+def _qh_lo(v: int) -> int:
+    """Bucket lower bound of an integer value ≥ 10: two leading
+    digits scaled back to the value's magnitude (the pure-Python twin
+    of the Catalyst/SQL bucketing in q_quantile_sketch)."""
+    s = str(v)
+    return int(s[:2]) * 10 ** (len(s) - 2)
+
+
+def _qh_merge(buckets: list, counts: list, add: dict) -> tuple[list, list]:
+    """Histogram merge: per-bucket count addition (no compression
+    step — the bucket family itself bounds state at ≤ 90 cells per
+    decade of the value range). Unlike Misra-Gries, the result is a
+    pure function of the multiset: batch-split invariant, so the
+    stream equals its batch twin exactly rather than merely sharing
+    the error bound."""
+    m = dict(zip(buckets, counts))
+    for lo, c in add.items():
+        m[lo] = m.get(lo, 0) + int(c)
+    pairs = sorted(m.items())
+    return [lo for lo, _ in pairs], [int(c) for _, c in pairs]
+
+
+def _update_qh(value_col: str):
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        buckets, counts, total = state.get if state.exists else ([], [], 0)
+        add: dict = {}
+        n = 0
+        for pdf in pdfs:
+            cents = (
+                (pdf[value_col].astype(float) * 100).round().astype("int64")
+            )
+            cents = cents[cents >= 10]
+            for v, c in cents.map(_qh_lo).value_counts().items():
+                add[int(v)] = add.get(int(v), 0) + int(c)
+            n += int(len(cents))
+        buckets, counts = _qh_merge(list(buckets), list(counts), add)
+        total = int(total) + n
+        state.update((buckets, counts, total))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "batch_rows": [n],
+                "total_rows": [total],
+                "buckets": [buckets],
+                "counts": [counts],
+            }
+        )
+
+    return update
+
+
+def running_value_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    shard: Column | None = None,
+) -> DataFrame:
+    """Streaming decimal log-histogram of a money column (in integer
+    cents), maintained per shard with applyInPandasWithState — the
+    incremental form of q_quantile_sketch's histogram build: any
+    quantile of everything-seen-so-far reads off the cumulative
+    counts with the same < 1/11 relative-error bound, without
+    re-scanning history. State is the histogram itself (≤ 90 cells
+    per decade of the observed value range, regardless of row count);
+    because histogram merge is a pure function of the multiset, the
+    stream's final state equals the batch computation EXACTLY — the
+    strongest stream≡batch law in this module (MG is split-dependent,
+    CUSUM order-dependent; this is neither)."""
+    shard = shard if shard is not None else F.pmod(F.col("user_id"), F.lit(4))
+    return (
+        events.withColumn("shard", shard.cast("long"))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _update_qh(value_col),
+            QH_OUTPUT_SCHEMA,
+            QH_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def value_histogram_batch(
+    events: DataFrame,
+    value_col: str = "value",
+    shard: Column | None = None,
+) -> DataFrame:
+    """Batch twin of :func:`running_value_histogram`: the same
+    histogram from one JVM-side groupBy (cents → bucket lower bound
+    via string ops, map-side combined) — no Python in the build; the
+    arrays assemble from the ≤ cells-per-shard aggregate rows."""
+    shard = shard if shard is not None else F.pmod(F.col("user_id"), F.lit(4))
+    cents = cents_col(value_col)
+    sv = F.col("cents").cast("string")
+    lo = (
+        F.substring(sv, 1, 2).cast("long")
+        * F.pow(F.lit(10), F.length(sv) - 2).cast("long")
+    )
+    per_bucket = (
+        events.withColumn("shard", shard.cast("long"))
+        .select("shard", cents.alias("cents"))
+        .filter(F.col("cents") >= 10)
+        .select("shard", lo.alias("lo"))
+        .groupBy("shard", "lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("lo", "n")))
+    return per_bucket.groupBy("shard").agg(
+        F.sum("n").alias("batch_rows"),
+        F.sum("n").alias("total_rows"),
+        F.transform(pairs, lambda x: x["lo"]).alias("buckets"),
+        F.transform(pairs, lambda x: x["n"]).alias("counts"),
+    )
+
+
 # --- streaming CUSUM drift alarm --------------------------------------------
 
 #: s is held in integer MICROS (1e-6 z-units): the recursion

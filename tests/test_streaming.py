@@ -473,6 +473,76 @@ def test_mg_stream_equals_batch_twin(spark, tmp_path):
             assert c - est <= bound, (shard, item, c, est, bound)
 
 
+def test_value_histogram_stream_equals_batch(spark, tmp_path):
+    """Streaming decimal log-histogram: because histogram merge is a
+    pure function of the multiset, the stream's final per-shard state
+    must equal the one-shot JVM batch build EXACTLY — buckets,
+    counts, and total — regardless of how micro-batches split the
+    feed (the strongest stream≡batch law: no error band, no order
+    sensitivity)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import (
+        running_value_histogram,
+        value_histogram_batch,
+    )
+
+    src = tmp_path / "qh_src"
+    src.mkdir()
+    now = time.time()
+    batches = [
+        [_ev(1, "2024-01-05 10:00:00", user=1, value=12.34),
+         _ev(2, "2024-01-05 10:01:00", user=1, value=12.99),
+         _ev(3, "2024-01-05 10:02:00", user=2, value=0.05),   # cents 5 < 10 → dropped
+         _ev(4, "2024-01-05 10:03:00", user=2, value=130.00)],
+        [_ev(5, "2024-02-05 11:00:00", user=1, value=1.27),
+         _ev(6, "2024-02-05 11:01:00", user=2, value=130.55),
+         _ev(7, "2024-02-05 11:02:00", user=1, value=12.50)],
+        [_ev(8, "2024-03-05 12:00:00", user=2, value=9.99),
+         _ev(9, "2024-03-05 12:01:00", user=1, value=0.11)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_json(str(src / f"b{i}.json"), rows, now - 60 * (len(batches) - i))
+
+    out = running_value_histogram(
+        read_file_stream(spark, str(src), max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qh_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.table("qh_stream").collect():
+        if r["shard"] not in final or r["total_rows"] > final[r["shard"]]["total_rows"]:
+            final[r["shard"]] = r
+    stream_rows = {
+        (r["shard"], r["total_rows"], tuple(r["buckets"]), tuple(r["counts"]))
+        for r in final.values()
+    }
+
+    from datetime import datetime
+
+    batch_df = spark.createDataFrame(
+        [
+            tuple(datetime.fromisoformat(v) if k == "ts" else v for k, v in e.items())
+            for b in batches
+            for e in b
+        ],
+        schema=EVENTS_SCHEMA,
+    )
+    twin_rows = {
+        (r["shard"], r["total_rows"], tuple(r["buckets"]), tuple(r["counts"]))
+        for r in value_histogram_batch(batch_df).collect()
+    }
+    assert stream_rows == twin_rows
+    # spot-check the bucketing itself: user 1 (shard 1) saw cents
+    # 1234, 1299, 127, 1250, 11 → buckets 1200 (x3), 120, 11
+    shard1 = next(r for r in final.values() if r["shard"] == 1)
+    assert dict(zip(shard1["buckets"], shard1["counts"])) == {11: 1, 120: 1, 1200: 3}
+
+
 def test_stateful_state_expiry(spark, tmp_path):
     """EventTimeTimeout state expiry — the 100 TB state-store OOM
     guard: a key abandoned for longer than expire_after_ms of EVENT
