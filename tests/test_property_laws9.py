@@ -241,3 +241,23 @@ def test_misra_gries_merge_laws(stream, k, batch_size):
         est = summary.get(it, 0)
         assert 0 <= est <= c, (it, est, c)
         assert c - est <= n / (k + 1), (it, est, c, n, k)
+
+
+@given(st.integers(min_value=10, max_value=10**12))
+@SETTINGS
+def test_decimal_log_histogram_bucket_laws(v):
+    """The (digit-count, two-leading-digit) bucketing shared by
+    q_quantile_sketch / q_quantile_by_key / running_value_histogram:
+    containment (lo ≤ v < hi), bounded relative width (the < 1/11
+    error source: hi/lo = (lead2+1)/lead2 ≤ 11/10), monotonicity in
+    v, and two significant digits exactly."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import _qh_lo
+
+    lo = _qh_lo(v)
+    s = str(v)
+    lead2 = int(s[:2])
+    hi = (lead2 + 1) * 10 ** (len(s) - 2)
+    assert lo <= v < hi
+    assert (v - lo) / v < 1 / 11
+    assert _qh_lo(v + 1) >= lo
+    assert str(lo).rstrip("0") == str(lead2).rstrip("0")
