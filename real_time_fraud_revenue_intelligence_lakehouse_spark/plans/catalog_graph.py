@@ -474,6 +474,26 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 BF_ROUNDS = 4
 
 
+#: co-service graph + source CTEs shared by the Bellman-Ford oracle
+#: and the route-reconstruction oracle.
+_BF_GRAPH_CTES = """
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sim AS (
+      SELECT a.supp AS s1, b.supp AS s2, count(*) AS common_cust
+      FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+    ),
+    ew AS (
+      SELECT s1 AS src, s2 AS dst, 1.0 / common_cust AS w FROM sim
+      UNION ALL
+      SELECT s2 AS src, s1 AS dst, 1.0 / common_cust AS w FROM sim
+    ),
+    src AS (SELECT min(supp) AS s FROM cs),"""
+
+
 def _bf_oracle() -> str:
     rounds = []
     for r in range(1, BF_ROUNDS + 1):
@@ -489,22 +509,8 @@ def _bf_oracle() -> str:
     )"""
         )
     return (
-        f"""
-    WITH cs AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ),
-    sim AS (
-      SELECT a.supp AS s1, b.supp AS s2, count(*) AS common_cust
-      FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
-      GROUP BY 1, 2
-    ),
-    ew AS (
-      SELECT s1 AS src, s2 AS dst, 1.0 / common_cust AS w FROM sim
-      UNION ALL
-      SELECT s2 AS src, s1 AS dst, 1.0 / common_cust AS w FROM sim
-    ),
-    src AS (SELECT min(supp) AS s FROM cs),
+        _BF_GRAPH_CTES
+        + """
     d0 AS (SELECT s AS node, 0.0 AS dist FROM src),"""
         + ",".join(rounds)
         + f"""
@@ -560,3 +566,165 @@ def q_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     note_dropped_checkpoints(dist.sparkSession)  # per-round-pair checkpoints dropped
     return dist.select("node", det_round(F.col("dist"), 6).alias("dist"))
+
+
+# --- shortest-path ROUTE reconstruction (predecessor walk) -------------------
+
+WALK_STEPS = 6  # pred-walk unroll; > BF_ROUNDS because a node's final
+#                 predecessor may have improved AFTER proposing the
+#                 node's distance, so the pred chain (strictly
+#                 dist-decreasing, hence acyclic) can be longer than
+#                 the relaxation horizon; `complete` reports whether
+#                 the walk reached the source within the unroll.
+
+
+def _route_oracle() -> str:
+    parts = [
+        _BF_GRAPH_CTES
+        + """
+    d0 AS (SELECT s AS node, 0.0 AS dist, s AS pred FROM src)"""
+    ]
+    for r in range(1, BF_ROUNDS + 1):
+        parts.append(
+            f"""
+    d{r} AS (
+      SELECT node, dist, pred FROM (
+        SELECT node, dist, pred,
+               row_number() OVER (PARTITION BY node ORDER BY dist, pred) AS rn
+        FROM (
+          SELECT node, dist, pred FROM d{r - 1}
+          UNION ALL
+          SELECT e.dst AS node, d.dist + e.w AS dist, d.node AS pred
+          FROM d{r - 1} d JOIN ew e ON e.src = d.node
+        )
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    w0 AS (
+      SELECT d.node, d.dist, s.s AS src_node,
+             CAST(d.node AS VARCHAR) AS path,
+             d.node AS head, d.pred AS cur, 0 AS hops
+      FROM d{BF_ROUNDS} d CROSS JOIN src s
+    )"""
+    )
+    for r in range(1, WALK_STEPS + 1):
+        parts.append(
+            f"""
+    w{r} AS (
+      SELECT w.node, w.dist, w.src_node,
+             CASE WHEN w.head = w.src_node THEN w.path
+                  ELSE CAST(w.cur AS VARCHAR) || '->' || w.path END AS path,
+             CASE WHEN w.head = w.src_node THEN w.head ELSE w.cur END AS head,
+             CASE WHEN w.head = w.src_node THEN w.cur ELSE p.pred END AS cur,
+             CASE WHEN w.head = w.src_node THEN w.hops ELSE w.hops + 1 END AS hops
+      FROM w{r - 1} w JOIN d{BF_ROUNDS} p ON p.node = w.cur
+    )"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT node,
+           (floor((dist) * 1000000.0 + 0.5) / 1000000.0) AS dist,
+           path, CAST(hops AS BIGINT) AS n_hops,
+           head = src_node AS complete
+    FROM w{WALK_STEPS}
+    """
+    )
+
+
+@query(
+    "q_route_reconstruct",
+    oracle=_route_oracle(),
+    tags=("graph", "shortest-path", "iterative"),
+)
+def q_route_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path ROUTE reconstruction — q_cheapest_route answers
+    "how far", this answers "which way": the same {BF_ROUNDS}
+    Bellman-Ford rounds additionally carry a PREDECESSOR per node
+    (per-round argmin by (dist, pred) — deterministic because
+    candidate distances are path-ordered float sums both engines
+    compute identically, ties broken by pred id), then a fixed
+    {WALK_STEPS}-step pred walk prepends node ids into the route
+    string "src->…->node". Positive weights make pred chains strictly
+    dist-decreasing (acyclic, terminating at the source); `complete`
+    flags whether the walk got there within the unroll, because a
+    node's final pred can improve after proposing the node's distance
+    — the classic BF pred-chain subtlety, reported honestly instead
+    of assumed away. Execution: the pred table is node-sized, so each
+    walk step is a broadcast join; at 100 TB the walk is K joins of a
+    small dimension against itself — route materialization costs
+    nothing next to the relaxation shuffles. The whole walk — state,
+    prepends, hop counts — is hash-verified against the unrolled SQL
+    twin."""
+    sim = co_service_sim(spark, sf_dir)
+    w = (F.lit(1.0) / F.col("common_cust")).alias("w")
+
+    def build_ew() -> DataFrame:
+        return sim.select(F.col("s1").alias("src"), F.col("s2").alias("dst"), w).unionByName(
+            sim.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), w)
+        )
+
+    ew = shared_frame(spark, sf_dir, "co_service_ew", build_ew)
+    src1 = cust_supp(spark, sf_dir).agg(F.min("supp").alias("src_node"))
+    state = (
+        src1.select(
+            F.col("src_node").alias("node"),
+            F.lit(0.0).alias("dist"),
+            F.col("src_node").alias("pred"),
+        )
+        .localCheckpoint()
+    )
+    # two argmin rounds fused per checkpointed job (the q_cheapest_route
+    # trick): rounds compose lazily without changing the arithmetic
+    assert BF_ROUNDS % 2 == 0
+    for _ in range(BF_ROUNDS // 2):
+        for _ in range(2):
+            relax = state.join(ew, state.node == ew.src).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                state.node.alias("pred"),
+            )
+            state = (
+                state.unionByName(relax)
+                .groupBy("node")
+                .agg(F.min(F.struct("dist", "pred")).alias("b"))
+                .select("node", "b.dist", "b.pred")
+            )
+        # node-sized state, many tiny stages: fewer partitions beat
+        # per-task overhead (the q_pagerank coalesce rationale)
+        state = state.coalesce(4).localCheckpoint()
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import note_dropped_checkpoints
+
+    note_dropped_checkpoints(state.sparkSession)  # per-round checkpoints dropped
+    pm = state.select(F.col("node").alias("cn"), F.col("pred").alias("cp"))
+    walk = state.crossJoin(F.broadcast(src1)).select(
+        "node",
+        "dist",
+        "src_node",
+        F.col("node").cast("string").alias("path"),
+        F.col("node").alias("head"),
+        F.col("pred").alias("cur"),
+        F.lit(0).alias("hops"),
+    )
+    for _ in range(WALK_STEPS):
+        done = F.col("head") == F.col("src_node")
+        walk = walk.join(F.broadcast(pm), walk.cur == pm.cn).select(
+            "node",
+            "dist",
+            "src_node",
+            F.when(done, F.col("path"))
+            .otherwise(F.concat(F.col("cur").cast("string"), F.lit("->"), F.col("path")))
+            .alias("path"),
+            F.when(done, F.col("head")).otherwise(F.col("cur")).alias("head"),
+            F.when(done, F.col("cur")).otherwise(F.col("cp")).alias("cur"),
+            F.when(done, F.col("hops")).otherwise(F.col("hops") + 1).alias("hops"),
+        )
+    return walk.select(
+        "node",
+        det_round(F.col("dist"), 6).alias("dist"),
+        "path",
+        F.col("hops").cast("long").alias("n_hops"),
+        (F.col("head") == F.col("src_node")).alias("complete"),
+    )

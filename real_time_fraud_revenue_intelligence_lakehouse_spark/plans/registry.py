@@ -64,13 +64,13 @@ def _load_all() -> None:
 # in the r01-r09 union), so queries needing a fresh driver row come
 # FIRST. Recomputed at round 10 per VERDICT r9 #4 — the rolling
 # re-verification rotation:
-#   1-4:   round-10's NEW ids (no driver row yet);
-#   5-10:  ids whose last driver row predates the round-8
+#   1-5:   round-10's NEW ids (no driver row yet);
+#   6-11:  ids whose last driver row predates the round-8
 #          corpus3/shared_frames plumbing their plans flow through
 #          (BPE memo path touched r8; q_readability/q_embed_drift
 #          hold r06 rows; q_pmi_collocations/q_dup_spans r07);
-#   11-50: oldest-row-first — the r01 cleansing/relational block
-#          (46 ids; the last 6 overflow past the 50-cap and lead the
+#   12-50: oldest-row-first — the r01 cleansing/relational block
+#          (46 ids; the last 7 overflow past the 50-cap and lead the
 #          round-11 rotation).
 # Names not listed keep their registration order after these.
 _FRONT: tuple[str, ...] = (
@@ -79,6 +79,7 @@ _FRONT: tuple[str, ...] = (
     "q_bpe_encode_external",
     "q_quantile_sketch",
     "q_quantile_by_key",
+    "q_route_reconstruct",
     # — last row predates the r8 corpus3/shared_frames plumbing —
     "q_bpe_merges",
     "q_bpe_encode",

@@ -110,3 +110,33 @@ def test_quantile_by_key_error_bound(spark):
         assert 0 <= r["rel_error"] < 1 / 11, r
         by_src.setdefault(r["source"], set()).add(r["probe"])
     assert all(ps == {0.5, 0.9} for ps in by_src.values())
+
+
+# --- route reconstruction -----------------------------------------------------
+
+
+def test_route_reconstruct_paths_are_valid_walks(spark):
+    """Every complete route string starts at the source, ends at its
+    node, steps only along existing co-service edges, and its hop
+    count matches the path; dist agrees with q_cheapest_route."""
+    rows = _q("q_route_reconstruct")(spark, SF_SMOKE).collect()
+    assert rows
+    dists = {r["node"]: r["dist"] for r in _q("q_cheapest_route")(spark, SF_SMOKE).collect()}
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import co_service_sim
+
+    sim = co_service_sim(spark, SF_SMOKE).collect()
+    edges = {(r["s1"], r["s2"]) for r in sim} | {(r["s2"], r["s1"]) for r in sim}
+    src = min(n for n, d in ((r["node"], r["dist"]) for r in rows) if d == 0.0)
+    n_complete = 0
+    for r in rows:
+        assert r["dist"] == dists[r["node"]], r["node"]
+        path = [int(x) for x in r["path"].split("->")]
+        assert path[-1] == r["node"]
+        assert r["n_hops"] == len(path) - 1
+        if r["complete"]:
+            n_complete += 1
+            assert path[0] == src, r
+            for a, b in zip(path, path[1:]):
+                assert (a, b) in edges, (r["node"], a, b)
+    # the unroll horizon must cover essentially the whole frontier
+    assert n_complete >= 0.95 * len(rows)

@@ -78,6 +78,7 @@ ALLPAIRS_OK = {
     "q_phash_neardup",      # 4-row band-id table cross joined (broadcast expand per doc)
     "q_record_linkage",     # 1-row u-estimate aggregate cross joined (broadcast); the pair stage is nation-BLOCKED, not all-pairs
     "q_quantile_sketch",    # 3 probes range-joined into the ≤few-hundred-row cumulative histogram (broadcast); the histogram IS the reduction
+    "q_route_reconstruct",  # 1-row source anchor cross joined (broadcast) — the q_rfm_segments class
 }
 
 #: Queries allowed to carry Arrow-batched Python stages.
