@@ -59,82 +59,98 @@ def _load_all() -> None:
 
 
 # Verification priority: the driver's correctness gate walks queries()
-# in dict order with a hard 50-entry per-round budget (r01-r09 each
+# in dict order with a hard 50-entry per-round budget (r01-r10 each
 # sampled exactly 50; every registered id has at least one green row
-# in the r01-r09 union), so queries needing a fresh driver row come
-# FIRST. Recomputed at round 10 per VERDICT r9 #4 — the rolling
+# in the r01-r10 union), so queries needing a fresh driver row come
+# FIRST. Recomputed at round 11 per VERDICT r10 #4 — the rolling
 # re-verification rotation:
-#   1-5:   round-10's NEW ids (no driver row yet);
-#   6-11:  ids whose last driver row predates the round-8
-#          corpus3/shared_frames plumbing their plans flow through
-#          (BPE memo path touched r8; q_readability/q_embed_drift
-#          hold r06 rows; q_pmi_collocations/q_dup_spans r07);
-#   12-50: oldest-row-first — the r01 cleansing/relational block
-#          (46 ids; the last 7 overflow past the 50-cap and lead the
-#          round-11 rotation).
+#   1-2:   round-11's NEW ids (no driver row yet) + q_decile_lift,
+#          whose ranking stage was rewritten this round (sketch-banded
+#          deciles — VERDICT r10 #1) and needs a fresh row at HEAD;
+#   3-9:   the 7 ids that overflowed round-10's 50-cap and still hold
+#          r01 rows;
+#   10-29: the r02 block (20 ids, registration order within);
+#   30-50: the r04 block head (registration order; the ~20 r04 ids
+#          past the cap lead the round-12 rotation).
 # Names not listed keep their registration order after these.
+# Planned-but-not-yet-registered names are harmless: _ordered()
+# filters on membership.
 _FRONT: tuple[str, ...] = (
-    # — new in round 10, never driver-verified —
-    "q_misra_gries",
-    "q_bpe_encode_external",
-    "q_quantile_sketch",
-    "q_quantile_by_key",
-    "q_route_reconstruct",
-    # — last row predates the r8 corpus3/shared_frames plumbing —
-    "q_bpe_merges",
-    "q_bpe_encode",
-    "q_readability",
-    "q_embed_drift",
-    "q_pmi_collocations",
-    "q_dup_spans",
-    # — r01 rows, oldest first (registration order within) —
-    "q_revenue_daily",
-    "q_clean_filter",
-    "q_dedup_keep_any",
-    "q_enum_whitelist",
-    "q_enum_mapping",
-    "q_bucket_tier",
-    "q_string_funcs",
-    "q_scalar_math",
-    "q_epoch_ms_to_date",
-    "q_time_parts",
-    "q_fillna",
-    "q_casts",
-    "q_json_parse",
-    "q_hash_key",
-    "q_lookup_join",
-    "q_derived_flags",
-    "q_feature_vector",
-    "q_hourly_rollup",
-    "q_explode_agg",
-    "q_user_scores",
-    "q_percentiles",
-    "q_distinct_count",
-    "q_topk",
-    "q_union_all",
-    "q_except_check",
-    "q_grouping_sets",
-    "q_dim_dates",
-    "q_dim_users_segments",
-    "q_fact_orders",
-    "q_fact_fraud_events",
-    "q_country_risk",
-    "q_stg_payments",
-    "q_dashboard_today",
-    "q_pivot_status",
-    "q_join_left",
-    "q_join_lookup",
-    "q_agg_join",
-    "q_star_join",
-    "q_latest_per_key",
-    "q_ratio_to_user_avg",
-    "q_ratio_to_user_p95",
-    "q_lag_delta",
-    # — 51+: overflow → round-11 front —
+    # — new in round 11, never driver-verified —
+    "q_active_users_hll",
+    # — plan rewritten round 11 (sketch-banded deciles) —
+    "q_decile_lift",
+    # — r01 rows: overflowed round-10's 50-cap —
     "q_velocity_window",
     "q_asof_join",
     "q_merge_upsert",
     "q_ntile_quartiles",
+    "q_ratio_to_user_avg",
+    "q_ratio_to_user_p95",
+    "q_lag_delta",
+    # — r02 rows (registration order) —
+    "q_bool_sum_agg",
+    "q_trend_7d",
+    "q_percent_rank",
+    "q_incremental_month",
+    "q_dq_suite",
+    "q_dq_freshness",
+    "q_dq_fk_orphans",
+    "q_train_test_split",
+    "q_stratified_sample",
+    "q_sequence_packing",
+    "q_scd2_segments",
+    "q_cdc_apply",
+    "q_fraud_scores",
+    "q_gbt_scores",
+    "q_sql_mart_monthly",
+    "q_stream_tumbling",
+    "q_session_window",
+    "q_sessionize_batch",
+    "q_high_risk_users",
+    "q_revenue_by_method",
+    # — r04 rows (registration order; tail past the 50-cap leads r12) —
+    "q_retention_cohort",
+    "q_rfm_segments",
+    "q_winsorize",
+    "q_zscore_outliers",
+    "q_interval_join",
+    "q_multimodal_framesample",
+    "q_intersect_check",
+    "q_volume_shipping",
+    "q_product_profit",
+    "q_promo_share",
+    "q_bracket_revenue",
+    "q_semi_join",
+    "q_scalar_subquery",
+    "q_having",
+    "q_rollup",
+    "q_running_total",
+    "q_stats_agg",
+    "q_array_ops",
+    "q_regexp_funcs",
+    "q_decimal_money",
+    "q_local_supplier_volume",
+    "q_returned_revenue",
+    "q_salted_agg",
+    "q_filter_clause",
+    "q_date_arith",
+    "q_string_pad",
+    "q_bool_bit_agg",
+    "q_unpivot",
+    "q_profile_cardinality",
+    "q_kmv_distinct",
+    "q_sliding_window",
+    "q_order_priority_check",
+    "q_line_priority_mix",
+    "q_cust_order_distribution",
+    "q_top_supplier",
+    "q_waiting_suppliers",
+    "q_dormant_customers",
+    "q_forecast_revenue",
+    "q_part_supplier_variety",
+    "q_excess_suppliers",
+    "q_groupwise_min",
 )
 
 
