@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import distributed_row_number
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
@@ -299,9 +300,18 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-specific — then per-decile event rate, lift over the
     global rate, and cumulative capture share. This is THE campaign/
     fraud-triage evaluation artifact ("the top decile catches 34% of
-    fraud at 3.1x lift"). The ranking window is the one global-order
-    op (at 100 TB the band boundaries would come from a quantile
-    sketch instead); everything after runs on 10 rows. All ratios
+    fraud at 3.1x lift").
+
+    The ranking stage is `distributed_row_number` (operators/
+    ranking.py): quantile-sketch band boundaries broadcast back as
+    literal expressions, band-partitioned row_number, and a
+    ≤bands+1-row prefix-sum offset join — exactly rank-faithful
+    (hash-matches the oracle's single-stream row_number; sketch error
+    moves band sizes, never band order) with NO
+    Exchange-SinglePartition WindowExec over base rows, so the plan
+    survives a 100 TB fact table. tests/test_operators.py pins its
+    bit-equality to the single-partition window form under heavy
+    ties. Everything after the rank runs on 10 rows. All ratios
     divide exact integers."""
     o = read_table(spark, sf_dir, "orders")
     s = o.select(
@@ -309,13 +319,9 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("score"),
         F.when(F.col("o_orderstatus") == AUC_POS, 1).otherwise(0).alias("pos"),
     )
-    r = s.select(
-        "pos",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.asc("o_orderkey")))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    r = distributed_row_number(
+        s, "score", [F.asc("o_orderkey")], descending=True, rn_col="rn", total_col="n"
+    ).select("pos", "rn", "n")
     g = (
         r.groupBy(
             (F.floor((F.col("rn") - 1) * 10.0 / F.col("n")) + 1)

@@ -141,3 +141,51 @@ def test_union_intervals_merges_overlap_and_adjacency(spark):
     }
     # with adjacency=0 the touching 9-10 interval stays separate
     assert strict[("a", 1)] == (1, 8) and strict[("a", 2)] == (9, 10)
+
+
+def test_distributed_row_number_matches_single_partition_window(spark):
+    """The sketch-banded rank (operators/ranking.py) must be
+    bit-identical to the Exchange-SinglePartition window form it
+    replaces — including under heavy score ties, where banding only
+    works because tied scores always share a band."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import distributed_row_number
+
+    rows = [(i, float((i * 37) % 11), f"k{i:04d}") for i in range(500)]  # 11 distinct scores → brutal ties
+    df = spark.createDataFrame(rows, "id int, score double, key string")
+
+    for descending in (True, False):
+        order = [F.desc("score") if descending else F.asc("score"), F.asc("key")]
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select("id", F.row_number().over(Window.orderBy(*order)).alias("rn")).collect()
+        }
+        got = {
+            r["id"]: (r["rn"], r["n"])
+            for r in distributed_row_number(
+                df, "score", [F.asc("key")], descending=descending, bands=8,
+                rn_col="rn", total_col="n",
+            ).select("id", "rn", "n").collect()
+        }
+        assert all(n == 500 for _, n in got.values())
+        assert {i: rn for i, (rn, _) in got.items()} == want
+
+
+def test_distributed_row_number_no_single_partition_window_over_base(spark):
+    """The plan's only row_number WindowExec is band-partitioned; the
+    sole SinglePartition exchanges sit over the <=bands+1-row counts
+    frame."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import distributed_row_number
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("score")
+    )
+    out = distributed_row_number(df, "score", [F.asc("id")], bands=8, rn_col="rn")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "__rank_band" in line, line
