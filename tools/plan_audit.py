@@ -12,7 +12,13 @@ Explains every registered query and flags:
 - parquet scans with no pushed filters on queries that filter a base
   table (pushdown regression);
 - collect()-shaped plans: a LocalTableScan over what should be a
-  distributed source (driver materialization smell).
+  distributed source (driver materialization smell);
+- `Exchange SinglePartition` whose subtree holds NO aggregate/distinct
+  reduction — i.e., base rows moving to one task (the unpartitioned-
+  window / global-sort anti-pattern VERDICT r10 #2 gates). Allowlisted
+  only for the documented small-frame queries where the frame is tiny
+  by construction rather than by aggregation (date spines, literal
+  band tables).
 
 Usage:  python tools/plan_audit.py [query ...]
 Exit 1 on any violation — suitable as a CI gate next to selfcheck.
@@ -81,6 +87,57 @@ ALLPAIRS_OK = {
     "q_route_reconstruct",  # 1-row source anchor cross joined (broadcast) — the q_rfm_segments class
 }
 
+#: Queries allowed an Exchange SinglePartition over a NON-aggregated
+#: subtree — frames that are tiny by construction (literal spines,
+#: constant band tables), not by reduction, so the no-aggregate-below
+#: heuristic can't see why they're small. Every entry names the frame.
+SINGLE_PARTITION_OK: dict[str, str] = {}
+
+
+def single_partition_over_base(tree: str) -> list[str]:
+    """Scan a physical-plan treeString for `Exchange SinglePartition`
+    nodes whose subtree contains no aggregate/distinct reduction —
+    base rows serialized through one task. Returns the offending node
+    lines (empty = clean).
+
+    Indentation-parsed: a node's subtree is the following lines whose
+    node-name column is deeper; `Aggregate` matches Hash/Sort/Object
+    aggregates, `Deduplicate` the distinct op. A `LocalTableScan` /
+    `Scan OneRowRelation` / `Range` subtree is also accepted — that
+    frame never lived on more than the driver to begin with.
+    """
+
+    def col(line: str) -> int:
+        for i, ch in enumerate(line):
+            if ch.isalpha():
+                return i
+        return len(line)
+
+    lines = tree.splitlines()
+    flags: list[str] = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = col(line)
+        sub: list[str] = []
+        for nxt in lines[i + 1 :]:
+            if col(nxt) <= depth:
+                break
+            sub.append(nxt)
+        reduced = any(
+            ("Aggregate" in s) or ("Deduplicate" in s) for s in sub
+        )
+        driver_tiny = sub and all(
+            not s.strip() or ("Scan" not in s or "LocalTableScan" in s or "OneRowRelation" in s)
+            for s in sub
+        ) and any(
+            ("LocalTableScan" in s or "OneRowRelation" in s or "Range (" in s) for s in sub
+        ) and not any("parquet" in s for s in sub)
+        if not reduced and not driver_tiny:
+            flags.append(line.strip())
+    return flags
+
+
 #: Queries allowed to carry Arrow-batched Python stages.
 ARROW_OK_PREFIXES = (
     "q_multimodal", "q_ann_topk", "q_ivf_topk", "q_embed", "q_greedy_packing",
@@ -101,14 +158,19 @@ def main() -> int:
     for name in names or qs:
         buf = io.StringIO()
         try:
+            df = qs[name](spark, sf)
             with contextlib.redirect_stdout(buf):
-                qs[name](spark, sf).explain("formatted")
+                df.explain("formatted")
+            tree = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover
             print(f"ERROR {name}: {e}")
             bad += 1
             continue
         p = buf.getvalue()
         issues = []
+        sp = single_partition_over_base(tree)
+        if sp and name not in SINGLE_PARTITION_OK:
+            issues.append(f"SinglePartition over unreduced rows: {sp[0][:80]}")
         if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p) and name not in ALLPAIRS_OK:
             issues.append("all-pairs join outside the sanctioned tiers")
         if "BatchEvalPython" in p:
