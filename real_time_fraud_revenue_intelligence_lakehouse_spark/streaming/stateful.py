@@ -28,10 +28,14 @@ inputs.
 
 Scale: state lives in the executor state store partitioned by key
 (one shuffle per micro-batch); Arrow batches flow per key-partition.
-`running_user_profiles(events, expire_after_ms=...)` arms
-watermark-based `GroupStateTimeout.EventTimeTimeout` so abandoned
-keys expire instead of accumulating forever — state is bounded by
-ACTIVE keys, the guard that keeps a 100 TB-of-keys state store alive.
+`running_user_profiles(events, expire_after_ms=...)` and
+`running_cusum(events, ..., expire_after_ms=...)` — the two operators
+keyed on unbounded-cardinality columns — arm watermark-based
+`GroupStateTimeout.EventTimeTimeout` so abandoned keys expire instead
+of accumulating forever: state is bounded by ACTIVE keys, the guard
+that keeps a 100 TB-of-keys state store alive. The shard-keyed
+MG/histogram sketches are exempt by design (fixed shard cardinality +
+size-capped per-shard state; see running_cusum's docstring).
 The batch twin is one applyInPandas shuffle on the key; per-key
 history (a handful of batch rows) is tiny regardless of corpus size.
 """
@@ -72,8 +76,43 @@ def _acc(pdf: "pd.DataFrame") -> tuple[int, int]:
     if "cents" in pdf.columns:
         cents = int(pdf["cents"].sum())
     else:
-        cents = int((pdf["value"] * 100).round().astype("int64").sum())
+        cents = int(_half_up_cents(pdf["value"]).sum())
     return len(pdf), cents
+
+
+def _half_up_cents(values: "pd.Series"):
+    """Pandas twin of :func:`cents_col`: floor(v·100 + 0.5) is
+    ROUND_HALF_UP for non-negative money (Spark's decimal(18,2) cast
+    rounding), NOT pandas' default half-to-even round() — an
+    exactly-representable half-cent double like 2.125 must bucket as
+    213 cents in the stream exactly as the JVM batch build buckets it.
+    Callers hold non-negative money values (negative halves would
+    round toward +inf here but away from zero in the JVM)."""
+    import numpy as np
+
+    return np.floor(values.astype(float) * 100 + 0.5).astype("int64")
+
+
+def _event_timeout_ms(max_ts, session_tz: str, expire_ms: int, state: GroupState) -> int:
+    """Watermark-clamped EventTimeTimeout stamp from the batch's max
+    event time. Arrow hands the worker tz-NAIVE timestamps rendered in
+    the SESSION timezone, so the epoch derives via tz_localize of the
+    captured session tz — with DST transitions handled explicitly
+    (``ambiguous=True`` keeps the DST interpretation of a repeated
+    wall-clock hour, ``nonexistent='shift_forward'`` moves a
+    spring-forward gap time onto the next valid instant) so a
+    non-UTC session timezone cannot crash the state-update function
+    mid-stream. Clamps to watermark + 1 ms: a key fed only LATE events
+    must still survive to the next watermark advance."""
+    import pandas as pd
+
+    event_ms = int(
+        pd.Timestamp(max_ts)
+        .tz_localize(session_tz, ambiguous=True, nonexistent="shift_forward")
+        .value
+        // 1_000_000
+    )
+    return max(event_ms + expire_ms, state.getCurrentWatermarkMs() + 1)
 
 
 def _step(state: tuple[int, int], n: int, cents: int) -> tuple[int, int]:
@@ -116,15 +155,9 @@ def _update_user_profile_expiring(expire_ms: int, session_tz: str):
     event re-creates it from zero. The re-arm stamp derives from
     EVENT time (never wall clock), so replays expire identically.
 
-    Two stamp pitfalls handled here (both crash the stream as
-    INVALID_TIMEOUT_TIMESTAMP if ignored): Arrow hands the worker
-    tz-NAIVE timestamps rendered in the SESSION timezone, so epoch ms
-    must localize through ``session_tz`` (captured at plan time) —
-    treating the naive value as UTC mis-arms by the tz offset; and a
-    key fed only LATE events can compute a stamp behind the current
-    watermark, so the stamp clamps to watermark + 1 ms (the key just
-    received data — it must survive at least to the next watermark
-    advance)."""
+    Stamp pitfalls (tz-naive Arrow timestamps, DST transitions, the
+    late-only-key watermark clamp) are handled in
+    :func:`_event_timeout_ms`, shared with the expiring CUSUM."""
 
     def update(
         key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -149,11 +182,8 @@ def _update_user_profile_expiring(expire_ms: int, session_tz: str):
         st = _step(st, batch_events, batch_cents)
         state.update(st)
         if max_ts is not None:
-            event_ms = int(
-                pd.Timestamp(max_ts).tz_localize(session_tz).value // 1_000_000
-            )
             state.setTimeoutTimestamp(
-                max(event_ms + expire_ms, state.getCurrentWatermarkMs() + 1)
+                _event_timeout_ms(max_ts, session_tz, expire_ms, state)
             )
         yield pd.DataFrame(
             {
@@ -459,9 +489,15 @@ def _update_qh(value_col: str):
         add: dict = {}
         n = 0
         for pdf in pdfs:
-            cents = (
-                (pdf[value_col].astype(float) * 100).round().astype("int64")
-            )
+            # exact `cents` column when the caller provides one (the
+            # _acc convention); else the HALF_UP derivation that
+            # matches value_histogram_batch's decimal(18,2) cast —
+            # pandas' half-to-even round() would bucket half-cent
+            # doubles (2.125 → 212) differently from the JVM (213).
+            if "cents" in pdf.columns:
+                cents = pdf["cents"].astype("int64")
+            else:
+                cents = _half_up_cents(pdf[value_col])
             cents = cents[cents >= 10]
             for v, c in cents.map(_qh_lo).value_counts().items():
                 add[int(v)] = add.get(int(v), 0) + int(c)
@@ -516,11 +552,18 @@ def value_histogram_batch(
     events: DataFrame,
     value_col: str = "value",
     shard: Column | None = None,
+    batch_key: Column | None = None,
 ) -> DataFrame:
     """Batch twin of :func:`running_value_histogram`: the same
     histogram from one JVM-side groupBy (cents → bucket lower bound
     via string ops, map-side combined) — no Python in the build; the
-    arrays assemble from the ≤ cells-per-shard aggregate rows."""
+    arrays assemble from the ≤ cells-per-shard aggregate rows.
+
+    ``batch_key`` mirrors heavy_hitters_batch: when given, batch_rows
+    is the LAST batch group's count — matching the stream twin's
+    final emission exactly, column for column. When None, the whole
+    build IS one batch and batch_rows == total_rows by definition
+    (not an oversight: there is no micro-batch split to report)."""
     shard = shard if shard is not None else F.pmod(F.col("user_id"), F.lit(4))
     cents = cents_col(value_col)
     sv = F.col("cents").cast("string")
@@ -528,17 +571,31 @@ def value_histogram_batch(
         F.substring(sv, 1, 2).cast("long")
         * F.pow(F.lit(10), F.length(sv) - 2).cast("long")
     )
-    per_bucket = (
+    base = (
         events.withColumn("shard", shard.cast("long"))
-        .select("shard", cents.alias("cents"))
+        .withColumn(
+            "batch_key",
+            (batch_key if batch_key is not None else F.lit("all")).cast("string"),
+        )
+        .select("shard", "batch_key", cents.alias("cents"))
         .filter(F.col("cents") >= 10)
-        .select("shard", lo.alias("lo"))
+        .select("shard", "batch_key", lo.alias("lo"))
+    )
+    per_bucket_batch = base.groupBy("shard", "batch_key", "lo").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    last = per_bucket_batch.groupBy("shard").agg(F.max("batch_key").alias("__last_bk"))
+    per_bucket = (
+        per_bucket_batch.join(F.broadcast(last), "shard")
         .groupBy("shard", "lo")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.when(F.col("batch_key") == F.col("__last_bk"), F.col("n")).otherwise(0)).alias("n_last"),
+        )
     )
     pairs = F.array_sort(F.collect_list(F.struct("lo", "n")))
     return per_bucket.groupBy("shard").agg(
-        F.sum("n").alias("batch_rows"),
+        F.sum("n_last").alias("batch_rows"),
         F.sum("n").alias("total_rows"),
         F.transform(pairs, lambda x: x["lo"]).alias("buckets"),
         F.transform(pairs, lambda x: x["n"]).alias("counts"),
@@ -608,6 +665,53 @@ def _update_cusum(mean: float, std: float, k: float, h: float):
     return update
 
 
+def _update_cusum_expiring(
+    mean: float, std: float, k: float, h: float, expire_ms: int, session_tz: str
+):
+    """EventTimeTimeout-armed :func:`_update_cusum`: same integer-
+    micros fold, plus the profile operator's expiry protocol — re-arm
+    at (max batch event time + expire_ms), drop state when the
+    watermark passes it (stamp handling shared via
+    :func:`_event_timeout_ms`). A dropped key's recursion restarts at
+    s = 0 on its next event, exactly a fresh detector."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st = state.get if state.exists else (0, 0, 0)
+        s_micros, total_rows, n_alarms = st
+        batch_rows = 0
+        max_ts = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            s_micros, n_alarms, n = _cusum_fold(
+                s_micros, n_alarms, pdf["value"].tolist(), mean, std, k, h
+            )
+            batch_rows += n
+            m = pdf["ts"].max()
+            max_ts = m if max_ts is None else max(max_ts, m)
+        total_rows += batch_rows
+        state.update((s_micros, total_rows, n_alarms))
+        if max_ts is not None:
+            state.setTimeoutTimestamp(
+                _event_timeout_ms(max_ts, session_tz, expire_ms, state)
+            )
+        yield pd.DataFrame(
+            {
+                "series_key": [key[0]],
+                "batch_rows": [batch_rows],
+                "total_rows": [total_rows],
+                "s_end": [s_micros / _M],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    return update
+
+
 def running_cusum(
     events: DataFrame,
     mean: float,
@@ -615,6 +719,7 @@ def running_cusum(
     k: float = 0.5,
     h: float = 5.0,
     key_col: str = "event_type",
+    expire_after_ms: int | None = None,
 ) -> DataFrame:
     """Streaming CUSUM drift alarm: per key, the one-sided
     s = max(0, s + ((value − mean)/std − k)) recursion maintained
@@ -623,7 +728,31 @@ def running_cusum(
     must fire WITHIN the stream instead of at the nightly rollup.
     ``mean``/``std`` are reference statistics (from the training
     window, like PSI's baseline) — a drift detector that re-estimates
-    its own baseline from the drifting stream defeats itself."""
+    its own baseline from the drifting stream defeats itself.
+
+    ``expire_after_ms`` matters here MORE than anywhere else in this
+    module: CUSUM keys on an unbounded-cardinality column (user,
+    series) — without expiry that is exactly the state-store OOM the
+    profile operator fixed. When set, ``events`` must carry a
+    watermark and abandoned series are dropped (restart at s = 0 on
+    return — the right semantics for a drift detector: a series
+    silent for longer than the expiry horizon has no meaningful
+    accumulated drift). The MG heavy-hitter and value-histogram twins
+    stay NoTimeout BY DESIGN, not omission: they key on a fixed,
+    small shard id (cardinality chosen at plan time) and their state
+    is size-capped per shard (≤ k counters / ≤ 90 cells per decade),
+    so state is bounded without expiry — and expiring a shard would
+    silently discard the whole-history summary those sketches exist
+    to maintain."""
+    if expire_after_ms is not None:
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        return events.groupBy(key_col).applyInPandasWithState(
+            _update_cusum_expiring(mean, std, k, h, expire_after_ms, tz),
+            CUSUM_OUTPUT_SCHEMA,
+            CUSUM_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     return events.groupBy(key_col).applyInPandasWithState(
         _update_cusum(mean, std, k, h),
         CUSUM_OUTPUT_SCHEMA,

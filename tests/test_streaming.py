@@ -949,3 +949,127 @@ def test_streaming_cusum_state_carries_and_matches_batch_twin(spark, tmp_path):
     assert twin["s_end"] == final_stream["s_end"]
     assert twin["n_alarms"] == final_stream["n_alarms"]
     assert twin["total_rows"] == final_stream["total_rows"]
+
+
+def test_cusum_state_expiry_drops_and_recreates(spark, tmp_path):
+    """EventTimeTimeout on running_cusum (VERDICT r10 #3): a series
+    silent past expire_after_ms of event time has its state dropped —
+    its next event restarts the recursion at s = 0 — while the same
+    feed under NoTimeout carries the accumulated s across the gap.
+    Asserting both directions proves expiry caused the reset."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import running_cusum
+
+    def feed(name: str) -> str:
+        src = tmp_path / name
+        src.mkdir()
+        now = time.time()
+        # mean=10 std=2 k=0.5: value 16 → dev +2.5. b1 leaves series
+        # "hot" at s=2.5 (one row, no alarm). "keep" idles alongside.
+        _write_json(
+            str(src / "b1.json"),
+            [_ev(1, "2024-01-01 10:00:00", etype="hot", value=16.0),
+             _ev(2, "2024-01-01 10:00:00", etype="keep", value=10.0)],
+            now - 90,
+        )
+        # b2: only "keep" at 11:30 → watermark(10m) → 11:20, past
+        # hot's stamp 10:00 + 30 min.
+        _write_json(
+            str(src / "b2.json"),
+            [_ev(3, "2024-01-01 11:30:00", etype="keep", value=10.0)],
+            now - 60,
+        )
+        # b3: filler batch — the timeout fires against b2's watermark.
+        _write_json(
+            str(src / "b3.json"),
+            [_ev(4, "2024-01-01 11:31:00", etype="keep", value=10.0)],
+            now - 30,
+        )
+        # b4: "hot" returns with a +3.5 row (value distinct from b1
+        # so the fresh-vs-carried emissions can't collide with b1's).
+        _write_json(
+            str(src / "b4.json"),
+            [_ev(5, "2024-01-01 11:40:00", etype="hot", value=18.0)],
+            now,
+        )
+        return str(src)
+
+    def run(src: str, qname: str, expire_ms):
+        out = running_cusum(
+            with_watermark(read_file_stream(spark, src, max_files_per_trigger=1)),
+            mean=10.0, std=2.0, k=0.5, h=5.0,
+            key_col="event_type", expire_after_ms=expire_ms,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            (r["series_key"], r["total_rows"], r["s_end"])
+            for r in spark.table(qname).collect()
+        ]
+
+    expired = run(feed("cusum_exp"), "cusum_expiring", 30 * 60 * 1000)
+    # hot's return row: state dropped → recursion restarted at 0,
+    # so the +3.5 row lands at s=3.5 with total_rows reset to 1.
+    assert ("hot", 1, 3.5) in expired
+    assert ("hot", 2, 6.0) not in expired
+
+    kept = run(feed("cusum_noexp"), "cusum_noexpiry", None)
+    # same feed, NoTimeout: hot's s carries 2.5 + 3.5 across the gap.
+    assert ("hot", 2, 6.0) in kept
+    assert ("hot", 1, 3.5) not in kept
+
+
+def test_value_histogram_batch_last_batch_rows(spark):
+    """ADVICE r10: with a batch_key, the batch twin's batch_rows is
+    the LAST batch group's count — matching the stream twin's final
+    emission column-for-column (heavy_hitters_batch's convention)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import value_histogram_batch
+
+    rows = [
+        _ev(1, "2024-01-05 10:00:00", user=1, value=12.34),
+        _ev(2, "2024-01-05 10:01:00", user=1, value=12.99),
+        _ev(3, "2024-02-05 11:00:00", user=1, value=1.27),
+    ]
+    df = spark.createDataFrame(
+        [tuple(datetime.fromisoformat(v.replace(" ", "T")) if k == "ts" else v
+               for k, v in e.items()) for e in rows],
+        schema=EVENTS_SCHEMA,
+    )
+    got = value_histogram_batch(
+        df, batch_key=F.date_format("ts", "yyyy-MM")
+    ).collect()
+    r = next(x for x in got if x["shard"] == 1)
+    assert r["total_rows"] == 3 and r["batch_rows"] == 1  # Feb batch has 1 row
+    # no batch_key → whole build is one batch, by definition
+    r2 = next(x for x in value_histogram_batch(df).collect() if x["shard"] == 1)
+    assert r2["batch_rows"] == r2["total_rows"] == 3
+
+
+def test_half_up_cents_matches_jvm_decimal_cast(spark):
+    """ADVICE r10: the stream histogram's pandas cents derivation must
+    round half-cent doubles exactly as the JVM decimal(18,2) cast —
+    2.125 is exactly representable and must land at 213, not pandas
+    round()'s half-to-even 212."""
+    import pandas as pd
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import _half_up_cents, cents_col
+
+    vals = [2.125, 0.005, 1.0, 12.345, 99.995, 0.625]
+    got = list(_half_up_cents(pd.Series(vals)))
+    jvm = [
+        r["c"]
+        for r in spark.createDataFrame([(v,) for v in vals], "value double")
+        .select(cents_col("value").alias("c"))
+        .collect()
+    ]
+    assert got == jvm
+    assert got[0] == 213  # the half-to-even trap
