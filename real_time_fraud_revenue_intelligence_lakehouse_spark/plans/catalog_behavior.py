@@ -1102,3 +1102,170 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
         )
     )
+
+
+# --- HLL-merged rolling WAU (the q_active_users 100 TB tier) ----------------
+
+# Same deterministic 256-register HLL as q_hll_registers
+# (catalog_relational.py) — md5-60 hash, 8 index bits, string-search
+# leading-zero rank; constants imported so the two sketches can never
+# drift apart.
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_relational import (  # noqa: E402
+    _HLL_M,
+    _HLL_NUM,
+)
+
+_UHLL_H_DUCK = "('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::BIGINT"
+
+
+def hll_day_registers(events: DataFrame) -> DataFrame:
+    """Per-day HLL registers over user_id: (day, idx, m_j) with only
+    non-zero cells materialized — ≤ {m} rows per day regardless of
+    user cardinality. No pre-distinct: duplicates cannot change a
+    max. This is the mergeable summary a deployment maintains as a
+    bucketed daily table; any trailing window (7-day WAU, 28-day MAU)
+    is an elementwise-max merge of the day rows, never a rescan."""
+    h = events.select(
+        F.to_date("ts").alias("day"),
+        F.expr("conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10)")
+        .cast("long")
+        .alias("h"),
+    )
+    rho = h.select(
+        "day",
+        F.expr("shiftright(h, 52)").alias("idx"),
+        F.expr(
+            "CASE WHEN (h & 4503599627370495) = 0 THEN 53 "
+            "ELSE locate('1', lpad(bin(h & 4503599627370495), 52, '0')) END"
+        ).alias("r"),
+    )
+    return rho.groupBy("day", "idx").agg(F.max("r").alias("m_j"))
+
+
+def hll_estimate(merged: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers → cardinality estimate per group: the integer
+    harmonic sum Σ2^(53-m_j) with absent cells contributing 2^53
+    arithmetically (no grid join needed), then alpha·m²/s with the
+    standard linear-counting small-range correction. Exact integer +
+    shared-literal float arithmetic — hash-gates against any engine."""
+    s = merged.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_j)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.expr("shiftleft(cast(1 as bigint), 53)")
+        ).alias("s_int"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    e_raw = F.lit(float(_HLL_NUM)) / F.col("s_int").cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / F.col("v").cast("double")),
+    ).otherwise(e_raw)
+    return s.select(*group_cols, est.alias("est"))
+
+
+@query(
+    "q_active_users_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day, {_UHLL_H_DUCK} AS h FROM events
+    ),
+    rho AS (
+      SELECT day, (h >> 52) AS idx,
+             CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                  ELSE strpos(lpad(bin(h & 4503599627370495), 52, '0'), '1')
+             END AS r
+      FROM h
+    ),
+    dreg AS (SELECT day, idx, max(r) AS m_j FROM rho GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM dreg),
+    merged AS (
+      SELECT d.day, r.idx, max(r.m_j) AS m_j
+      FROM days d JOIN dreg r ON r.day > d.day - {{wau}} AND r.day <= d.day
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT day,
+             sum((CAST(1 AS BIGINT) << (53 - m_j)))
+               + ({{m}} - count(*)) * (CAST(1 AS BIGINT) << 53) AS s_int,
+             {{m}} - count(*) AS v
+      FROM merged GROUP BY 1
+    ),
+    est AS (
+      SELECT day,
+             CASE WHEN ({{num}} / CAST(s_int AS DOUBLE)) <= 2.5 * {{m}} AND v > 0
+                  THEN {{m}} * ln({{m}} / CAST(v AS DOUBLE))
+                  ELSE {{num}} / CAST(s_int AS DOUBLE) END AS e
+      FROM s
+    ),
+    du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    exact AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau_exact
+      FROM days d JOIN du u ON u.day > d.day - {{wau}} AND u.day <= d.day
+      GROUP BY 1
+    )
+    SELECT e.day, CAST(x.wau_exact AS BIGINT) AS wau_exact,
+           {{r4_est}} AS wau_hll,
+           {{r4_err}} AS rel_error
+    FROM est e JOIN exact x ON e.day = x.day
+    """.format(
+        wau=WAU_DAYS,
+        m=_HLL_M,
+        num=_HLL_NUM,
+        r4_est=R4.format(c="e.e"),
+        r4_err=R4.format(c="abs(e.e - x.wau_exact) / x.wau_exact"),
+    ),
+    tags=("behavior", "sketch", "engagement"),
+)
+def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day WAU via per-day HLL register merge — THE
+    100 TB tier q_active_users' docstring promises: rolling DISTINCT
+    doesn't fold into window frames, but per-day 256-cell register
+    summaries DO (elementwise max is associative + idempotent), so
+    the trailing window merges ≤ 256·7 summary rows per day
+    instead of re-touching every (day, user) pair. Next to the
+    estimate, the exact rolling distinct (the q_active_users plan)
+    joins in so the sketch's relative error is itself hash-gated —
+    the CMS/MG validation pattern. Plan: one (day, idx) register
+    agg (map-side combined), a ≤7-day sequence-explode equi-join
+    over the broadcast day spine (never a nested-loop range join),
+    one merge agg over day×256 cells, and the exact tier for
+    validation — at production scale the exact branch drops and the
+    daily register table persists as the bucketed corpus summary.
+    Merge associativity is property-tested (tests/test_plans.py)."""
+    e = read_table(spark, sf_dir, "events")
+    dreg = hll_day_registers(e)
+    days = dreg.select("day").distinct()
+    expanded = dreg.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {WAU_DAYS - 1}))")
+        ).alias("day"),
+        "idx",
+        "m_j",
+    )
+    merged = (
+        expanded.join(F.broadcast(days), "day")
+        .groupBy("day", "idx")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    est = hll_estimate(merged, ["day"])
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    uexp = du.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {WAU_DAYS - 1}))")
+        ).alias("day"),
+        "user_id",
+    )
+    exact = (
+        uexp.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        F.col("wau_exact").cast("long").alias("wau_exact"),
+        det_round(F.col("est"), 4).alias("wau_hll"),
+        det_round(
+            F.abs(F.col("est") - F.col("wau_exact")) / F.col("wau_exact"), 4
+        ).alias("rel_error"),
+    )

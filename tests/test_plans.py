@@ -152,3 +152,49 @@ def test_jaccard_threshold_not_folded_into_join(plans):
     join_lines = [ln for ln in p.splitlines() if "NestedLoopJoin" in ln or "Join Inner" in ln]
     assert join_lines, p
     assert not any("array_intersect" in ln for ln in join_lines), join_lines
+
+
+def test_hll_register_merge_is_associative_and_idempotent(spark):
+    """q_active_users_hll's correctness rests on elementwise-max
+    register merge being associative + idempotent: merging day sets
+    (A∪B)∪C, A∪(B∪C), and a re-merge of an already-merged summary all
+    yield identical registers — so ANY merge tree (rolling window,
+    hierarchical rollup, stream checkpoint) gives the same estimate."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_behavior import (
+        hll_day_registers,
+        hll_estimate,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dreg = hll_day_registers(e).cache()
+    days = sorted(r["day"] for r in dreg.select("day").distinct().collect())
+    assert len(days) >= 3
+    a, b, c = days[0], days[1], days[2]
+
+    def merged(day_set):
+        return {
+            (r["idx"]): r["m_j"]
+            for r in dreg.filter(F.col("day").isin(list(day_set)))
+            .groupBy("idx")
+            .agg(F.max("m_j").alias("m_j"))
+            .collect()
+        }
+
+    def combine(x, y):
+        return {k: max(x.get(k, 0), y.get(k, 0)) for k in set(x) | set(y)}
+
+    m_abc = merged({a, b, c})
+    assert combine(merged({a, b}), merged({c})) == m_abc        # (A∪B)∪C
+    assert combine(merged({a}), merged({b, c})) == m_abc        # A∪(B∪C)
+    assert combine(m_abc, m_abc) == m_abc                        # idempotent
+    assert combine(m_abc, merged({b})) == m_abc                  # re-merge absorbs
+
+    # and the estimate is a pure function of the merged registers
+    rows = [(0, k, v) for k, v in m_abc.items()]
+    df = spark.createDataFrame(rows, "g int, idx long, m_j int")
+    est1 = hll_estimate(df, ["g"]).collect()[0]["est"]
+    est2 = hll_estimate(df, ["g"]).collect()[0]["est"]
+    assert est1 == est2 > 0
+    dreg.unpersist()
