@@ -1269,3 +1269,144 @@ def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est") - F.col("wau_exact")) / F.col("wau_exact"), 4
         ).alias("rel_error"),
     )
+
+
+# --- marketing/channel attribution -------------------------------------------
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS chan
+      FROM events
+    ),
+    agg AS (
+      SELECT coalesce(chan, 'direct') AS channel,
+             count(*) AS n_purchases,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM seq WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT channel, CAST(n_purchases AS BIGINT) AS n_purchases, revenue,
+           {R4.format(c="revenue / sum(revenue) OVER ()")} AS revenue_share
+    FROM agg
+    """,
+    tags=("behavior", "attribution", "window"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    user's most recent PRECEDING non-purchase event type (the
+    'channel'; 'direct' when the purchase is the user's first
+    touch) — the marketing-analytics twin of the fraud funnel, and
+    the canonical ignore-nulls carry-forward window (`F.last(...,
+    ignorenulls=True)` over an unbounded-preceding frame). One
+    user-partitioned window shuffle (ordered by ts with event_id as
+    the unique tiebreak), one 5-row channel aggregate; the share
+    window runs over that aggregated frame, so nothing unreduced
+    crosses a SinglePartition exchange. Exact decimal revenue sums."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chan = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    agg = (
+        e.select("user_id", "event_type", "value", chan.alias("chan"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("chan"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+    share_w = Window.partitionBy(F.lit(1))
+    return agg.select(
+        "channel",
+        "n_purchases",
+        "revenue",
+        det_round(F.col("revenue") / F.sum("revenue").over(share_w), 4).alias(
+            "revenue_share"
+        ),
+    )
+
+
+# --- inter-arrival / burstiness profile --------------------------------------
+
+
+@query(
+    "q_interarrival_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n_gaps,
+             CAST(sum(CAST(gap_ms AS DECIMAL(38,0))) AS DOUBLE) AS s_ms,
+             CAST(sum(CAST(gap_ms AS DECIMAL(38,0)) * CAST(gap_ms AS DECIMAL(38,0))) AS DOUBLE) AS ss_ms
+      FROM g WHERE gap_ms IS NOT NULL GROUP BY 1 HAVING count(*) >= 2
+    ),
+    m AS (
+      SELECT user_id, n_gaps,
+             s_ms / n_gaps / 1000.0 AS mean_s,
+             sqrt(greatest((ss_ms - s_ms * s_ms / n_gaps) / (n_gaps - 1), 0.0)) / 1000.0 AS std_s
+      FROM s
+    )
+    SELECT user_id, CAST(n_gaps + 1 AS BIGINT) AS n_events,
+           {R4.format(c="mean_s")} AS mean_gap_s,
+           {R4.format(c="std_s")} AS std_gap_s,
+           {R4.format(c="(std_s - mean_s) / (std_s + mean_s)")} AS burstiness
+    FROM m
+    """,
+    tags=("behavior", "timeseries", "fraud-feature"),
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics + burstiness B=(σ−μ)/(σ+μ)
+    (Goh & Barabási): B→−1 is metronomic (bot-like timers), B→+1 is
+    bursty (human sessions) — a fraud-velocity feature the reference's
+    per-user profiles imply but never compute. Gaps are EXACT integer
+    epoch-milliseconds from one user-partitioned lag window; their
+    sums and squared sums fold through decimal(38,0) (associative,
+    layout-free), and every downstream float (mean, the one-pass
+    variance identity, sqrt) is the same IEEE expression on both
+    engines, so a second-moment statistic hash-gates exactly. Users
+    need ≥ 3 events (2 gaps) for a sample variance. One window
+    shuffle + one agg; at 100 TB both key on user_id — the same
+    partitioning, no extra exchange."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms")
+    g = e.select("user_id", gap).filter(F.col("gap_ms").isNotNull())
+    d = F.col("gap_ms").cast("decimal(38,0)")
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(d).cast("double").alias("s_ms"),
+            F.sum(d * d).cast("double").alias("ss_ms"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    mean_s = F.col("s_ms") / F.col("n_gaps") / F.lit(1000.0)
+    var = F.greatest(
+        (F.col("ss_ms") - F.col("s_ms") * F.col("s_ms") / F.col("n_gaps"))
+        / (F.col("n_gaps") - 1),
+        F.lit(0.0),
+    )
+    std_s = F.sqrt(var) / F.lit(1000.0)
+    return s.select(
+        "user_id",
+        (F.col("n_gaps") + 1).cast("long").alias("n_events"),
+        det_round(mean_s, 4).alias("mean_gap_s"),
+        det_round(std_s, 4).alias("std_gap_s"),
+        det_round((std_s - mean_s) / (std_s + mean_s), 4).alias("burstiness"),
+    )

@@ -78,6 +78,9 @@ def _load_all() -> None:
 _FRONT: tuple[str, ...] = (
     # — new in round 11, never driver-verified —
     "q_active_users_hll",
+    "q_hits",
+    "q_attribution_last_touch",
+    "q_interarrival_stats",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —

@@ -85,6 +85,7 @@ ALLPAIRS_OK = {
     "q_record_linkage",     # 1-row u-estimate aggregate cross joined (broadcast); the pair stage is nation-BLOCKED, not all-pairs
     "q_quantile_sketch",    # 3 probes range-joined into the ≤few-hundred-row cumulative histogram (broadcast); the histogram IS the reduction
     "q_route_reconstruct",  # 1-row source anchor cross joined (broadcast) — the q_rfm_segments class
+    "q_hits",               # 1-row L1-normalization totals cross joined per half-round (broadcast)
 }
 
 #: Queries allowed an Exchange SinglePartition over a NON-aggregated
