@@ -99,3 +99,128 @@ def distributed_row_number(
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__total").cast("long"))
     return out.drop(_BAND, _LOCAL_RN, "__offset", "__total")
+
+
+def ntile_banded(
+    df: DataFrame,
+    k: int,
+    score: str,
+    tiebreak: list[Column],
+    descending: bool = False,
+    bands: int = 32,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Exact SQL ``ntile(k)`` over ``(score, *tiebreak)`` (a total
+    order) without a single-partition window: global rank from
+    :func:`distributed_row_number`, then the standard remainder rule
+    — with n rows, q = n÷k and r = n mod k, the first r tiles hold
+    q+1 rows, the rest q — as a row-local expression. Bit-identical
+    to ``ntile(k) OVER (ORDER BY ...)``; pinned by
+    tests/test_operators.py against the window form."""
+    ranked = distributed_row_number(
+        df, score, tiebreak, descending=descending, bands=bands,
+        rn_col="__rn", total_col="__n",
+    )
+    q = F.floor(F.col("__n") / k)
+    r = F.col("__n") % k
+    cut = r * (q + 1)
+    # greatest(q, 1): when n < k the otherwise-branch is unreachable
+    # (cut = n), but ANSI mode must never see a division by zero.
+    tile = F.when(
+        F.col("__rn") <= cut, F.floor((F.col("__rn") - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((F.col("__rn") - cut - 1) / F.greatest(q, F.lit(1))) + 1)
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__rn", "__n")
+
+
+def rank_positions(
+    df: DataFrame,
+    score: str,
+    tiebreak: list[Column],
+    descending: bool = False,
+    bands: int = 32,
+    pct_col: str | None = "pct_rank",
+    cume_col: str | None = "cume_dist",
+) -> DataFrame:
+    """``percent_rank`` / ``cume_dist`` over a TOTAL order (the
+    tiebreak makes every row's rank unique, so percent_rank's
+    tie-group semantics reduce to (rn−1)/(n−1) and cume_dist's to
+    rn/n) — again rank-distributed instead of single-partition.
+    n = 1 degenerates percent_rank to 0 (the SQL convention)."""
+    ranked = distributed_row_number(
+        df, score, tiebreak, descending=descending, bands=bands,
+        rn_col="__rn", total_col="__n",
+    )
+    if pct_col is not None:
+        pct = F.when(F.col("__n") > 1,
+                     (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1)).otherwise(0.0)
+        ranked = ranked.withColumn(pct_col, pct)
+    if cume_col is not None:
+        ranked = ranked.withColumn(
+            cume_col, F.col("__rn").cast("double") / F.col("__n")
+        )
+    return ranked.drop("__rn", "__n")
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    descending: bool = False,
+    bands: int = 32,
+    exclusive: bool = False,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Exact global cumulative sums of ``value_cols`` in ``order_col``
+    order without a single-partition window — the prefix-sum sibling
+    of :func:`distributed_row_number` (CDFs, rank sums, gains curves):
+    sketch-banded boundaries, per-band local cumulative windows
+    (bands-way parallel), and per-band totals prefix-summed over the
+    ≤ bands+1-row frame then broadcast back as offsets.
+
+    ``order_col`` values must be UNIQUE (callers pass distinct-value
+    tables — the KS/AUC reductions); with ties an inclusive running
+    sum is not well-defined independently of sort stability.
+    ``exclusive=True`` gives the sum of STRICTLY-preceding rows (0 for
+    the global first row). Output columns: ``prefix + value_col``."""
+    qs = [j / bands for j in range(1, bands)]
+    row = df.select(
+        F.percentile_approx(
+            F.col(order_col).cast("double"), F.array(*[F.lit(q) for q in qs])
+        ).alias("b")
+    ).first()
+    raw = row["b"] if row is not None and row["b"] is not None else []
+    bounds = sorted(set(raw), reverse=descending)
+    od = F.col(order_col).cast("double")
+    band = F.lit(0)
+    for b in bounds:
+        band = band + F.when(od < F.lit(b) if descending else od > F.lit(b), 1).otherwise(0)
+
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    banded = df.withColumn(_BAND, band.cast("int"))
+    frame_end = -1 if exclusive else 0
+    w_local = (
+        Window.partitionBy(_BAND)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    out = banded
+    for v in value_cols:
+        out = out.withColumn(
+            f"__local_{v}", F.coalesce(F.sum(v).over(w_local), F.lit(0))
+        )
+    totals = banded.groupBy(_BAND).agg(
+        *[F.sum(v).alias(f"__t_{v}") for v in value_cols]
+    )
+    off_w = Window.orderBy(_BAND).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _BAND,
+        *[
+            F.coalesce(F.sum(f"__t_{v}").over(off_w), F.lit(0)).alias(f"__off_{v}")
+            for v in value_cols
+        ],
+    )
+    out = out.join(F.broadcast(offsets), _BAND)
+    for v in value_cols:
+        out = out.withColumn(prefix + v, F.col(f"__off_{v}") + F.col(f"__local_{v}"))
+    drop = [_BAND] + [f"__local_{v}" for v in value_cols] + [f"__off_{v}" for v in value_cols]
+    return out.drop(*drop)

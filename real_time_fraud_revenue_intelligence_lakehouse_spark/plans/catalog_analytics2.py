@@ -916,11 +916,14 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue held by the top 20% of customers) — the whale-dependence
     metrics behind credit/churn risk assessments. The fact reduces to
     |customers| rows first; the two ranking windows run on that agg
-    output (at true scale the ascending rank would come from a
-    quantile-sketch CDF instead). Ties on revenue are rank-order
-    independent for the Gini sum (equal xᵢ commute), and the explicit
-    key tiebreak pins the top-20% cut. Rank·revenue products
-    det-round into decimal(38,4) — layout-free."""
+    output. At extreme customer cardinality both ranks swap for
+    `distributed_row_number` (operators/ranking.py) — shipped,
+    bit-equality-tested under ties, no output change; at this tier
+    the measured cost favors the one-partition sort (the agg frame
+    is ≪ the fact). Ties on revenue are rank-order independent for
+    the Gini sum (equal xᵢ commute), and the explicit key tiebreak
+    pins the top-20% cut. Rank·revenue products det-round into
+    decimal(38,4) — layout-free."""
     o = read_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")

@@ -157,7 +157,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal-exact), quartiled by ntile with user_id tie-breaks so
     the quartile assignment is total-ordered and reproducible.
     The global ntile sort is on |users| rows (already aggregated),
-    not |events| — at 100 TB that's the 1000× smaller side."""
+    not |events| — at 100 TB that's the 1000× smaller side, and at
+    extreme user cardinality each ntile swaps for `ntile_banded`
+    (operators/ranking.py), shipped + bit-equality-tested, with no
+    output change."""
     e = read_table(spark, sf_dir, "events")
     anchor = e.agg(F.max(F.to_date("ts")).alias("d0"))
     per_user = (

