@@ -224,3 +224,57 @@ def distributed_cumsum(
         out = out.withColumn(prefix + v, F.col(f"__off_{v}") + F.col(f"__local_{v}"))
     drop = [_BAND] + [f"__local_{v}" for v in value_cols] + [f"__off_{v}" for v in value_cols]
     return out.drop(*drop)
+
+
+def select_kth(
+    df: DataFrame, col: str, k: int | None = None, bands: int = 64,
+    n: int | None = None,
+):
+    """Exact k-th smallest of ``df[col]`` (1-indexed; default k =
+    floor((n+1)/2), the lower median) by distributed SELECTION, not
+    sorting: one fused count+boundary-sketch aggregate, count per band
+    (≤ bands+1 numbers to the driver), then index into the one
+    ~n/bands-sized band that contains rank k via a sorted collect_list
+    aggregate — three cheap scans, no global sort, no
+    single-partition window. This is the classic two-pass selection
+    every distributed median needs once |values| stops fitting a
+    groupBy-CDF comfortably (Theil-Sen's |days|² slope multiset).
+    Returns a Python scalar (the IVF-centroid-class tiny collect);
+    None on empty input. Duplicate values are handled exactly — bands
+    count multiplicity and the in-band index is positional. Pass
+    ``n`` when the caller already counted (skips nothing — the count
+    rides the boundary aggregate — but keeps k consistent with the
+    caller's bookkeeping)."""
+    qs = [j / bands for j in range(1, bands)]
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(F.col(col).cast("double"), F.array(*[F.lit(q) for q in qs]))
+        .alias("b"),
+    ).first()
+    n = row["n"] if n is None else n
+    if n == 0:
+        return None
+    k = (n + 1) // 2 if k is None else k
+    assert 1 <= k <= n, (k, n)
+    bounds = sorted(set(row["b"] if row["b"] is not None else []))
+    cd = F.col(col).cast("double")
+    band = F.lit(0)
+    for b in bounds:
+        band = band + F.when(cd > F.lit(b), 1).otherwise(0)
+    banded = df.withColumn("__band", band.cast("int"))
+    counts = {
+        r["__band"]: r["cnt"]
+        for r in banded.groupBy("__band").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    seen = 0
+    target, local_k = max(counts), None
+    for t in sorted(counts):
+        if seen + counts[t] >= k:
+            target, local_k = t, k - seen
+            break
+        seen += counts[t]
+    return (
+        banded.filter(F.col("__band") == target)
+        .agg(F.sort_array(F.collect_list(col)).getItem(local_k - 1).alias("v"))
+        .first()["v"]
+    )

@@ -751,3 +751,88 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mae_1step"),
     )
+
+
+# --- Theil-Sen robust trend ---------------------------------------------------
+
+
+@query(
+    "q_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT {R8.format(c="(b.y - a.y) / (b.x - a.x)")} AS s
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    ms AS (
+      SELECT s FROM (
+        SELECT s, row_number() OVER (ORDER BY s) AS rn, count(*) OVER () AS n
+        FROM slopes
+      ) WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    ),
+    resid AS (
+      SELECT {R4.format(c="d.y - (SELECT s FROM ms) * d.x")} AS r FROM daily d
+    ),
+    mi AS (
+      SELECT r FROM (
+        SELECT r, row_number() OVER (ORDER BY r) AS rn, count(*) OVER () AS n
+        FROM resid
+      ) WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    )
+    SELECT (SELECT count(*) FROM daily) AS n_days,
+           (SELECT count(*) FROM slopes) AS n_pairs,
+           (SELECT s FROM ms) AS slope,
+           (SELECT r FROM mi) AS intercept
+    """,
+    tags=("analytics", "robust", "timeseries"),
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: slope = median of all
+    pairwise day-slopes, intercept = median residual — the
+    breakdown-point-29% alternative to q_ols_trend (one corrupted
+    day moves OLS arbitrarily; Theil-Sen shrugs off up to 29% of
+    days). The |days|² pair stage runs on the AGGREGATED day frame —
+    |days| is calendar-bounded (~2.4k for seven TPC-H years at ANY
+    fact scale), so the pair tier is ~3M rows regardless of corpus
+    size; the fact table itself only ever sees the one daily
+    aggregation. Both medians are LOWER medians selected through the
+    distributed_cumsum CDF (operators/ranking.py) — a rank-select,
+    not a sort — and slopes det-round to 8 digits first so both
+    engines pick the identical element. Day index = epoch days (no
+    anchor subquery needed). Both medians run through `select_kth`
+    (operators/ranking.py): distributed SELECTION — count, band,
+    index into the one rank-holding band — never a 3M-row sort or
+    groupBy-CDF (a first cut CDF'd the near-all-distinct slope
+    multiset: 18 s; selection runs the query in ~4 s)."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("y")
+        )
+        .select(F.datediff("d", F.lit("1970-01-01").cast("date")).alias("x"), "y")
+        .localCheckpoint()
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        det_round((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")), 8).alias("s")
+    ).localCheckpoint()
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import select_kth
+
+    n_pairs = slopes.count()
+    slope = select_kth(slopes, "s", n=n_pairs)
+    resid = daily.select(
+        det_round(F.col("y") - F.lit(slope) * F.col("x"), 4).alias("r")
+    )
+    intercept = select_kth(resid, "r")
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.lit(slope).alias("slope"),
+        F.lit(intercept).alias("intercept"),
+    )

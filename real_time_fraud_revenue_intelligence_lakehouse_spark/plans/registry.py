@@ -81,6 +81,7 @@ _FRONT: tuple[str, ...] = (
     "q_hits",
     "q_attribution_last_touch",
     "q_interarrival_stats",
+    "q_theil_sen",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —

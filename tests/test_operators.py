@@ -268,3 +268,21 @@ def test_distributed_cumsum_matches_window_forms(spark):
             ).collect()
         }
         assert got == want, exclusive
+
+
+def test_select_kth_matches_sorted_indexing(spark):
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import select_kth
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-100, 100), 3) for _ in range(5000)] + [1.5] * 50  # dup block
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sv = sorted(vals)
+    n = len(vals)
+    for k in (1, 2, (n + 1) // 2, n - 1, n):
+        assert select_kth(df, "v", k, bands=8) == sv[k - 1], k
+    assert select_kth(df, "v", bands=8) == sv[(n + 1) // 2 - 1]  # lower median default
+    assert select_kth(spark.createDataFrame([], "v double"), "v") is None

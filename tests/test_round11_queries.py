@@ -51,3 +51,46 @@ def test_active_users_hll_error_within_sketch_bound(spark, queries):
         assert r["wau_exact"] > 0 and r["wau_hll"] > 0
         # 256 registers → ~6.5% typical error; 20% is the generous gate
         assert r["rel_error"] < 0.20
+
+
+def test_theil_sen_slope_is_robust_to_outlier_day(spark, queries):
+    """The defining property: corrupting ONE day's revenue 100x moves
+    OLS but leaves the Theil-Sen slope essentially unchanged (the
+    median of pairwise slopes shrugs off a single corrupted day)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import select_kth
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    base = queries["q_theil_sen"](spark, SF).collect()[0]
+    assert base["n_days"] >= 100 and base["n_pairs"] == base["n_days"] * (base["n_days"] - 1) // 2
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("y"))
+        .select(F.datediff("d", F.lit("1970-01-01").cast("date")).alias("x"), "y")
+    )
+    poisoned = daily.withColumn(
+        "y", F.when(F.col("x") == daily.agg(F.min("x")).first()[0], F.col("y") * 100).otherwise(F.col("y"))
+    ).localCheckpoint()
+    a = poisoned.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = poisoned.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        det_round((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")), 8).alias("s")
+    ).localCheckpoint()
+    poisoned_slope = select_kth(slopes, "s")
+
+    def ols_slope(d):
+        r = d.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        ).first()
+        return (r["n"] * r["sxy"] - r["sx"] * r["sy"]) / (r["n"] * r["sxx"] - r["sx"] ** 2)
+
+    theil_shift = abs(poisoned_slope - base["slope"]) / abs(base["slope"])
+    ols_shift = abs(ols_slope(poisoned) - ols_slope(daily)) / abs(ols_slope(daily))
+    # the breakdown claim: the same single poisoned day moves OLS far
+    # more than the pairwise-slope median (measured ~0.07 vs ~8.8 here)
+    assert theil_shift < 0.15
+    assert ols_shift > 10 * theil_shift
