@@ -836,3 +836,4 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(slope).alias("slope"),
         F.lit(intercept).alias("intercept"),
     )
+

@@ -244,3 +244,34 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         slide="30 minutes",
     )
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS l_event_id, c.ts AS l_ts, c.value AS l_value,
+           p.event_id AS r_event_id, p.ts AS r_ts, p.value AS r_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming-twin", "join", "interval"),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming/joins.py): every purchase within 1 h of a same-user
+    click — click→purchase attribution at pair granularity. The
+    EXACT builder also runs as a live two-stream join (watermarks +
+    range condition bound the state store; stream ≡ batch equality in
+    tests/test_streaming.py::test_stream_stream_interval_join_matches_batch_twin).
+    Batch plan: one user-keyed shuffle join with the time-range as a
+    residual predicate — at 100 TB both feeds bucket by user and the
+    range residual evaluates in the sort-merge scan."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.joins import interval_pair_join
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return interval_pair_join(clicks, purchases, within="1 hour")

@@ -82,6 +82,7 @@ _FRONT: tuple[str, ...] = (
     "q_attribution_last_touch",
     "q_interarrival_stats",
     "q_theil_sen",
+    "q_stream_interval_join",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —

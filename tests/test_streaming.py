@@ -1073,3 +1073,67 @@ def test_half_up_cents_matches_jvm_decimal_cast(spark):
     ]
     assert got == jvm
     assert got[0] == 213  # the half-to-even trap
+
+
+def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    """Watermarked stream-stream interval join (click→purchase within
+    1 h, same user): the SAME builder on two file streams produces
+    exactly the batch join's rows — and the append-mode query runs
+    under Spark's stream-stream state contract (watermarks + range
+    condition), proving the state-cleanup shape, not just the
+    semantics."""
+    from datetime import datetime
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.joins import interval_pair_join
+
+    src = tmp_path / "ssj_src"
+    src.mkdir()
+    now = time.time()
+    batches = [
+        [_ev(1, "2024-01-01 10:00:00", user=1, etype="click", value=1.0),
+         _ev(2, "2024-01-01 10:20:00", user=1, etype="purchase", value=50.0),
+         _ev(3, "2024-01-01 10:30:00", user=2, etype="click", value=1.0)],
+        [_ev(4, "2024-01-01 11:30:00", user=1, etype="purchase", value=70.0),   # outside 1h of click 1
+         _ev(5, "2024-01-01 10:59:00", user=1, etype="purchase", value=60.0),   # inside
+         _ev(6, "2024-01-01 12:00:00", user=2, etype="purchase", value=80.0)],  # outside for click 3
+        [_ev(7, "2024-01-01 13:00:00", user=2, etype="click", value=1.0),
+         _ev(8, "2024-01-01 13:01:00", user=2, etype="purchase", value=90.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_json(str(src / f"b{i}.json"), rows, now - 60 * (len(batches) - i))
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    clicks_s, purchases_s = split(read_file_stream(spark, str(src), max_files_per_trigger=1))
+    out = interval_pair_join(clicks_s, purchases_s, within="1 hour", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in spark.table("ssj_stream").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [tuple(datetime.fromisoformat(v.replace(" ", "T")) if kk == "ts" else v
+               for kk, v in e.items()) for b in batches for e in b],
+        schema=EVENTS_SCHEMA,
+    )
+    clicks_b, purchases_b = split(batch_df)
+    batch_rows = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in interval_pair_join(clicks_b, purchases_b, within="1 hour").collect()
+    }
+    assert stream_rows == batch_rows
+    assert (1, 1, 2) in stream_rows and (1, 1, 5) in stream_rows
+    assert (1, 1, 4) not in stream_rows  # outside the 1 h horizon
+    assert (2, 7, 8) in stream_rows
