@@ -728,3 +728,86 @@ def q_route_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hops").cast("long").alias("n_hops"),
         (F.col("head") == F.col("src_node")).alias("complete"),
     )
+
+
+# --- degree assortativity -----------------------------------------------------
+
+
+@query(
+    "q_degree_assortativity",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT -(l.l_suppkey + 1) AS s_node, o.o_custkey AS c_node
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+    joined AS (
+      SELECT CAST(a.d AS DECIMAL(38,0)) AS dx, CAST(b.d AS DECIMAL(38,0)) AS dy
+      FROM edges e JOIN deg a ON a.node = e.src JOIN deg b ON b.node = e.dst
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+             CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+             CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+             CAST(sum(dy * dy) AS DOUBLE) AS syy
+      FROM joined
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           {R6.format(c="(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")}
+             AS assortativity
+    FROM m
+    """,
+    tags=("graph", "statistics"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the bidirectional trade
+    graph: Pearson correlation between the degrees at the two ends of
+    every edge — negative r is the disassortative hub-to-leaf wiring
+    typical of commerce graphs, and the one-number upgrade over
+    q_graph_degree's histogram when deciding whether hub-salting is
+    needed. One degree agg + two broadcast joins of the |nodes|-sized
+    degree table onto the edge list + one moment agg; degree products
+    fold through decimal(38,0) (exact at any scale — no float
+    moments), and the final Pearson arithmetic is the identical IEEE
+    expression on both engines."""
+    cs = cust_supp(spark, sf_dir).select(
+        (-(F.col("supp") + 1)).alias("s_node"), F.col("cust").alias("c_node")
+    )
+    edges = cs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
+        cs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    dx = F.col("da").cast("decimal(38,0)")
+    dy = F.col("db").cast("decimal(38,0)")
+    joined = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("da"))), "src"
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))), "dst"
+        )
+        .select(dx.alias("dx"), dy.alias("dy"))
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        det_round(r, 6).alias("assortativity"),
+    )

@@ -80,3 +80,75 @@ def q_gbt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap-in."""
     fv = registry._REGISTRY["q_feature_vector"].fn(spark, sf_dir)
     return gbt_score_batch(fv).select("o_orderkey", "label", "fraud_score", "risk_label")
+
+
+@query(
+    "q_calibration",
+    oracle=f"""
+    WITH fv AS ({{fv}}),
+    scored AS (
+      SELECT label,
+             {{r6_score}} AS s
+      FROM fv
+    ),
+    binned AS (
+      SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, label, s FROM scored
+    )
+    SELECT bin, count(*) AS n,
+           {{r6_mean}} AS mean_score,
+           {{r6_rate}} AS event_rate,
+           {{r6_gap}} AS calib_gap,
+           {{r6_brier}} AS brier
+    FROM binned GROUP BY 1
+    """.format(
+        fv="{fv}",
+        r6_score="{r6_score}",
+        r6_mean=_R6.format(c="CAST(sum(CAST({r6s} AS DECIMAL(28,6))) AS DOUBLE) / count(*)".format(r6s="s")),
+        r6_rate=_R6.format(c="CAST(sum(label) AS DOUBLE) / count(*)"),
+        r6_gap=_R6.format(c="CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*) - CAST(sum(label) AS DOUBLE) / count(*)"),
+        r6_brier=_R6.format(c="CAST(sum(CAST({sq} AS DECIMAL(28,8))) AS DOUBLE) / count(*)".format(
+            sq="(floor(((s - label) * (s - label)) * 100000000.0 + 0.5) / 100000000.0)")),
+    ).format(fv=_FV_SQL, r6_score=_R6.format(c=f"1.0 / (1.0 + exp(-({weights_sql()})))")),
+    tags=("scoring", "evaluation", "calibration"),
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier score for the logistic
+    scorer: scores binned into 10 fixed-width cells (floor(s·10),
+    top cell closed — FIXED-WIDTH, not rank deciles, so the binning
+    is a row-local expression with no ranking stage at all; the
+    rank-based view is q_decile_lift), each bin reporting mean
+    predicted probability vs realized event rate (their gap is the
+    calibration error the reliability diagram plots) and its Brier
+    contribution. Score terms and squared errors det-round then fold
+    through decimals, so a probabilistic-calibration artifact
+    hash-gates exactly. One feature join + one 10-group agg."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    scored = registry._REGISTRY["q_fraud_scores"].fn(spark, sf_dir).select(
+        "label", F.col("fraud_score").alias("s")
+    )
+    b = scored.select(
+        F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("long").alias("bin"),
+        "label",
+        "s",
+    )
+    sq = det_round((F.col("s") - F.col("label")) * (F.col("s") - F.col("label")), 8)
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        det_round(
+            F.sum(F.col("s").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score"),
+        det_round(
+            F.sum("label").cast("double") / F.count(F.lit(1)), 6
+        ).alias("event_rate"),
+        det_round(
+            F.sum(F.col("s").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))
+            - F.sum("label").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("calib_gap"),
+        det_round(
+            F.sum(sq.cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("brier"),
+    )

@@ -83,6 +83,8 @@ _FRONT: tuple[str, ...] = (
     "q_interarrival_stats",
     "q_theil_sen",
     "q_stream_interval_join",
+    "q_calibration",
+    "q_degree_assortativity",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —

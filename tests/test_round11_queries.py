@@ -94,3 +94,20 @@ def test_theil_sen_slope_is_robust_to_outlier_day(spark, queries):
     # more than the pairwise-slope median (measured ~0.07 vs ~8.8 here)
     assert theil_shift < 0.15
     assert ols_shift > 10 * theil_shift
+
+
+def test_calibration_bins_consistent(spark, queries):
+    rows = queries["q_calibration"](spark, SF).collect()
+    assert rows and all(0 <= r["bin"] <= 9 for r in rows)
+    for r in rows:
+        assert 0.0 <= r["mean_score"] <= 1.0 and 0.0 <= r["event_rate"] <= 1.0
+        assert abs(r["calib_gap"] - (r["mean_score"] - r["event_rate"])) < 2e-6
+        assert 0.0 <= r["brier"] <= 1.0
+        # mean score inside (or on) its bin's nominal edges
+        assert r["bin"] / 10 - 1e-9 <= r["mean_score"] <= (r["bin"] + 1) / 10 + 0.1
+
+
+def test_degree_assortativity_in_range(spark, queries):
+    r = queries["q_degree_assortativity"](spark, SF).collect()[0]
+    assert r["n_edges"] > 0
+    assert -1.0 <= r["assortativity"] <= 1.0
