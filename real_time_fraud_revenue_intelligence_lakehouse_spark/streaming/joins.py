@@ -38,10 +38,19 @@ def interval_pair_join(
     watermarks and the range condition bounds the state store (rows
     age out once the opposing watermark passes their horizon — the
     documented Spark stream-stream join requirement). ``watermark``
-    None (batch twin): the identical join expression on static frames.
-    ``how='left_outer'`` additionally emits unmatched left rows with
-    null right columns once the right watermark proves no match can
-    arrive (streaming outer joins REQUIRE the watermark + range)."""
+    None: either the batch twin on static frames, or streaming inputs
+    that ALREADY carry watermarks. ``how='left_outer'`` additionally
+    emits unmatched left rows with null right columns once the right
+    watermark proves no match can arrive (streaming outer joins
+    REQUIRE the watermark + range).
+
+    OPERATIONAL TRAP (found by the left-outer test): when both sides
+    split from ONE source, watermark the SOURCE before filtering and
+    pass ``watermark=None`` here. Applying the watermark after a
+    selective filter (as this function does to its inputs) stalls
+    the global min-policy watermark at the sparser branch's max event
+    time — a click-only branch whose last click is hours old pins the
+    watermark there, and outer results never flush."""
     if watermark is not None:
         left = left.withWatermark("ts", watermark)
         right = right.withWatermark("ts", watermark)

@@ -1137,3 +1137,58 @@ def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
     assert (1, 1, 2) in stream_rows and (1, 1, 5) in stream_rows
     assert (1, 1, 4) not in stream_rows  # outside the 1 h horizon
     assert (2, 7, 8) in stream_rows
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Streaming LEFT OUTER interval join: a click with no purchase in
+    its 1 h horizon emits with null right columns — but only once the
+    right-side watermark PROVES no match can still arrive (Spark's
+    outer-join contract; the filler batches advance the watermark the
+    same way the state-expiry tests do)."""
+    from datetime import datetime
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.joins import interval_pair_join
+
+    src = tmp_path / "ssj_outer"
+    src.mkdir()
+    now = time.time()
+    batches = [
+        [_ev(1, "2024-01-01 10:00:00", user=1, etype="click", value=1.0),     # will match
+         _ev(2, "2024-01-01 10:10:00", user=1, etype="purchase", value=5.0),
+         _ev(3, "2024-01-01 10:00:00", user=2, etype="click", value=1.0)],    # never matches
+        [_ev(4, "2024-01-01 13:00:00", user=9, etype="purchase", value=1.0)], # watermark → ~12:50
+        [_ev(5, "2024-01-01 14:00:00", user=9, etype="purchase", value=1.0)], # outer result flushes
+        [_ev(6, "2024-01-01 15:00:00", user=9, etype="purchase", value=1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_json(str(src / f"b{i}.json"), rows, now - 60 * (len(batches) - i))
+
+    # Watermark the SOURCE before splitting (the joins.py trap note):
+    # watermarking the click-only branch after its filter would pin
+    # the min-policy global watermark at the last CLICK (10:00) and
+    # the unmatched row would never flush.
+    stream = with_watermark(
+        read_file_stream(spark, str(src), max_files_per_trigger=1)
+    )
+    out = interval_pair_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        within="1 hour",
+        watermark=None,
+        how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in spark.table("ssj_outer").collect()
+    }
+    assert (1, 1, 2) in rows            # matched pair
+    assert (2, 3, None) in rows         # unmatched click flushed with nulls
+    assert not any(u == 2 and rid is not None for (u, _, rid) in rows)
