@@ -256,6 +256,15 @@ def select_kth(
         return None
     k = (n + 1) // 2 if k is None else k
     assert 1 <= k <= n, (k, n)
+    if n <= 100_000:
+        # Small input: one sorted-array agg IS the selection — skips
+        # the band-count and band-filter jobs (each eager job costs
+        # ~0.2 s of scheduling at any size; Theil-Sen's residual
+        # median runs over |days| ~ 2.4k rows).
+        return (
+            df.agg(F.sort_array(F.collect_list(col)).getItem(k - 1).alias("v"))
+            .first()["v"]
+        )
     bounds = sorted(set(row["b"] if row["b"] is not None else []))
     cd = F.col(col).cast("double")
     band = F.lit(0)
