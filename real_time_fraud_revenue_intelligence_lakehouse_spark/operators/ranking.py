@@ -287,3 +287,20 @@ def select_kth(
         .agg(F.sort_array(F.collect_list(col)).getItem(local_k - 1).alias("v"))
         .first()["v"]
     )
+
+
+def rank_distributed(spark) -> bool:
+    """Deployment switch for the rank-family physical strategy:
+    ``spark.rtfril.rank.distributed=true`` makes the ntile/percentile
+    queries over per-entity aggregates use the banded operators above
+    instead of a one-partition window. Default false: at bench scale
+    the aggregate frames are small and the single sort is measured
+    ~3× cheaper; at 1e9-entity scale the switch flips — same results
+    bit-for-bit (equality-tested at operator and query level), the
+    stats-driven choice Catalyst itself makes between broadcast and
+    shuffle joins, surfaced as a conf because Spark has no cardinality
+    estimate for "how big will this aggregate be"."""
+    return (
+        str(spark.conf.get("spark.rtfril.rank.distributed", "false")).lower()
+        == "true"
+    )

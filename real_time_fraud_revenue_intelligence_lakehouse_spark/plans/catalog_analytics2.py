@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import distributed_row_number, rank_distributed
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
@@ -916,11 +917,13 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue held by the top 20% of customers) — the whale-dependence
     metrics behind credit/churn risk assessments. The fact reduces to
     |customers| rows first; the two ranking windows run on that agg
-    output. At extreme customer cardinality both ranks swap for
-    `distributed_row_number` (operators/ranking.py) — shipped,
-    bit-equality-tested under ties, no output change; at this tier
-    the measured cost favors the one-partition sort (the agg frame
-    is ≪ the fact). Ties on revenue are rank-order independent for
+    output. At extreme customer cardinality
+    `spark.rtfril.rank.distributed=true` swaps both ranks for
+    `distributed_row_number` (operators/ranking.py) — no output
+    change (equality run under both settings in
+    tests/test_round11_queries.py); at this tier the measured cost
+    favors the one-partition sort (the agg frame is ≪ the fact).
+    Ties on revenue are rank-order independent for
     the Gini sum (equal xᵢ commute), and the explicit key tiebreak
     pins the top-20% cut. Rank·revenue products det-round into
     decimal(38,4) — layout-free."""
@@ -928,13 +931,22 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
     )
-    ranked = cust.select(
-        "o_custkey",
-        "rev",
-        F.row_number().over(Window.orderBy(F.asc("rev"), F.asc("o_custkey"))).alias("i"),
-        F.row_number().over(Window.orderBy(F.desc("rev"), F.asc("o_custkey"))).alias("top_rank"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    if rank_distributed(spark):
+        ranked = distributed_row_number(
+            cust.localCheckpoint(), "rev", [F.asc("o_custkey")],
+            descending=False, rn_col="i", total_col="n",
+        )
+        ranked = distributed_row_number(
+            ranked, "rev", [F.asc("o_custkey")], descending=True, rn_col="top_rank"
+        )
+    else:
+        ranked = cust.select(
+            "o_custkey",
+            "rev",
+            F.row_number().over(Window.orderBy(F.asc("rev"), F.asc("o_custkey"))).alias("i"),
+            F.row_number().over(Window.orderBy(F.desc("rev"), F.asc("o_custkey"))).alias("top_rank"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
     s = ranked.agg(
         F.max("n").alias("n"),
         F.sum(F.col("rev").cast("decimal(38,2)")).cast("double").alias("tot"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round, exact_sum
+from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import ntile_banded, rank_distributed
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
 
@@ -158,9 +159,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quartile assignment is total-ordered and reproducible.
     The global ntile sort is on |users| rows (already aggregated),
     not |events| — at 100 TB that's the 1000× smaller side, and at
-    extreme user cardinality each ntile swaps for `ntile_banded`
-    (operators/ranking.py), shipped + bit-equality-tested, with no
-    output change."""
+    extreme user cardinality `spark.rtfril.rank.distributed=true`
+    swaps each ntile for `ntile_banded` (operators/ranking.py) with
+    no output change (equality run under both settings in
+    tests/test_round11_queries.py)."""
     e = read_table(spark, sf_dir, "events")
     anchor = e.agg(F.max(F.to_date("ts")).alias("d0"))
     per_user = (
@@ -181,6 +183,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    if rank_distributed(spark):
+        banded = per_user.localCheckpoint()
+        for col, desc, out in (
+            ("recency_days", False, "r_score"),
+            ("frequency", True, "f_score"),
+            ("monetary", True, "m_score"),
+        ):
+            banded = ntile_banded(
+                banded, 4, col, [F.asc("user_id")], descending=desc, out_col=out
+            )
+        return banded.select(
+            "user_id", "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+        )
     return per_user.select(
         "user_id",
         "recency_days",

@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round, exact_sum
 from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.merge import merge_upsert
+from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import (
+    ntile_banded,
+    rank_distributed,
+    rank_positions,
+)
 from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.velocity import velocity_rangeframe
 from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.registry import query
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table
@@ -431,12 +436,20 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines cut identical quartiles. The window runs over the
     per-customer AGGREGATE (|customers| rows, ≪ the fact) — at this
     tier the one-partition sort is measured ~3× cheaper than the
-    distributed form's extra stages; at extreme customer cardinality
-    swap in `ntile_banded` (operators/ranking.py), shipped and
-    proven bit-identical to ntile() under ties in
-    tests/test_operators.py — the swap changes no output."""
+    distributed form's extra stages. The scale form is not just
+    documented, it is a SWITCH: `spark.rtfril.rank.distributed=true`
+    (the deployment conf for 1e9-customer tables) swaps in
+    `ntile_banded` (operators/ranking.py) — proven bit-identical to
+    ntile() at the operator level (tests/test_operators.py) AND at
+    this query's level (tests/test_round11_queries.py runs both
+    settings and diffs)."""
     o = read_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(exact_sum("o_totalprice", "total_spend"))
+    if rank_distributed(spark):
+        return ntile_banded(
+            spend, 4, "total_spend", [F.asc("o_custkey")],
+            descending=True, out_col="spend_quartile",
+        ).select("o_custkey", "total_spend", "spend_quartile")
     w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
     return spend.select(
         "o_custkey", "total_spend", F.ntile(4).over(w).alias("spend_quartile")
@@ -467,12 +480,22 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     question every risk dashboard asks). Both are SQL-standard —
     identical tie semantics in Spark and DuckDB; values det_round-ed.
     The window runs over the per-customer AGGREGATE (|customers|
-    rows), not raw orders — same discipline as q_ntile_quartiles,
-    and same swap-in at extreme cardinality: `rank_positions`
-    (operators/ranking.py), equality-pinned to these window forms
-    in tests/test_operators.py."""
+    rows), not raw orders — same discipline and same
+    `spark.rtfril.rank.distributed` switch as q_ntile_quartiles:
+    `rank_positions` (operators/ranking.py), equality-pinned to
+    these window forms at operator AND query level."""
     o = read_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(exact_sum("o_totalprice", "total_spend"))
+    if rank_distributed(spark):
+        return rank_positions(
+            spend, "total_spend", [F.asc("o_custkey")], descending=False,
+            pct_col="__p", cume_col="__c",
+        ).select(
+            "o_custkey",
+            "total_spend",
+            det_round(F.col("__p"), 6).alias("spend_pct_rank"),
+            det_round(F.col("__c"), 6).alias("spend_cume_dist"),
+        )
     w = Window.orderBy(F.asc("total_spend"), F.asc("o_custkey"))
     return spend.select(
         "o_custkey",

@@ -111,3 +111,26 @@ def test_degree_assortativity_in_range(spark, queries):
     r = queries["q_degree_assortativity"](spark, SF).collect()[0]
     assert r["n_edges"] > 0
     assert -1.0 <= r["assortativity"] <= 1.0
+
+
+def test_rank_distributed_switch_changes_no_output(spark, queries):
+    """spark.rtfril.rank.distributed flips the ntile/gini family onto
+    the banded operators — the deployment form for 1e9-entity
+    aggregates — and must change NOTHING in the results."""
+    ids = ("q_ntile_quartiles", "q_percent_rank", "q_rfm_segments", "q_gini")
+    sf = "/root/testdata/sf0.001"
+
+    def snap():
+        return {
+            qid: sorted(tuple(r) for r in queries[qid](spark, sf).collect())
+            for qid in ids
+        }
+
+    spark.conf.set("spark.rtfril.rank.distributed", "false")
+    default_form = snap()
+    try:
+        spark.conf.set("spark.rtfril.rank.distributed", "true")
+        distributed_form = snap()
+    finally:
+        spark.conf.set("spark.rtfril.rank.distributed", "false")
+    assert distributed_form == default_form
