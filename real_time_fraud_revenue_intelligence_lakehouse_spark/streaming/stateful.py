@@ -28,9 +28,10 @@ inputs.
 
 Scale: state lives in the executor state store partitioned by key
 (one shuffle per micro-batch); Arrow batches flow per key-partition.
-`running_user_profiles(events, expire_after_ms=...)` and
-`running_cusum(events, ..., expire_after_ms=...)` — the two operators
-keyed on unbounded-cardinality columns — arm watermark-based
+`running_user_profiles(events, expire_after_ms=...)`,
+`running_cusum(..., expire_after_ms=...)`, and
+`running_ewma(..., expire_after_ms=...)` — the operators that may key
+on unbounded-cardinality columns — arm watermark-based
 `GroupStateTimeout.EventTimeTimeout` so abandoned keys expire instead
 of accumulating forever: state is bounded by ACTIVE keys, the guard
 that keeps a 100 TB-of-keys state store alive. The shard-keyed
@@ -801,3 +802,134 @@ def running_cusum_batch(
         )
 
     return events.groupBy(key_col).applyInPandas(run, CUSUM_OUTPUT_SCHEMA)
+
+
+# --- streaming recursive EWMA -------------------------------------------------
+
+#: like CUSUM, the EWMA level is held in integer MICROS and the
+#: recursion s' = floor((A·x + (M−A)·s)/M) runs in exact int64
+#: arithmetic — bit-stable across micro-batch splits under in-order
+#: arrival (the float recursion would drift with the split points).
+EWMA_OUTPUT_SCHEMA = (
+    "series_key STRING, batch_rows BIGINT, total_rows BIGINT, ewma DOUBLE"
+)
+EWMA_STATE_SCHEMA = "s_micros BIGINT, total_rows BIGINT, started BOOLEAN"
+
+EWMA_ALPHA_MICROS = 200_000  # α = 0.2 in millionths
+
+
+def _ewma_fold(
+    s_micros: int, started: bool, values, alpha_micros: int
+) -> tuple[int, bool, int]:
+    """THE shared per-row fold: seed at the first value, then the
+    integer convex combination. floor-division is the quantization —
+    both twins apply it identically per row, so state is split-point
+    free."""
+    n = 0
+    for v in values:
+        x = int(round(v * _M))
+        if not started:
+            s_micros, started = x, True
+        else:
+            s_micros = (alpha_micros * x + (_M - alpha_micros) * s_micros) // _M
+        n += 1
+    return s_micros, started, n
+
+
+def _update_ewma(alpha_micros: int, expire_ms: int | None, session_tz: str | None):
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        s_micros, total_rows, started = (
+            state.get if state.exists else (0, 0, False)
+        )
+        batch_rows = 0
+        max_ts = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            s_micros, started, n = _ewma_fold(
+                s_micros, started, pdf["value"].tolist(), alpha_micros
+            )
+            batch_rows += n
+            if expire_ms is not None:
+                m = pdf["ts"].max()
+                max_ts = m if max_ts is None else max(max_ts, m)
+        total_rows += batch_rows
+        state.update((s_micros, total_rows, started))
+        if expire_ms is not None and max_ts is not None:
+            state.setTimeoutTimestamp(
+                _event_timeout_ms(max_ts, session_tz, expire_ms, state)
+            )
+        yield pd.DataFrame(
+            {
+                "series_key": [key[0]],
+                "batch_rows": [batch_rows],
+                "total_rows": [total_rows],
+                "ewma": [s_micros / _M],
+            }
+        )
+
+    return update
+
+
+def running_ewma(
+    events: DataFrame,
+    alpha_micros: int = EWMA_ALPHA_MICROS,
+    key_col: str = "event_type",
+    expire_after_ms: int | None = None,
+) -> DataFrame:
+    """Streaming recursive EWMA per key — the infinite-history
+    smoother (s' = α·x + (1−α)·s) next to the batch q_ewma's
+    trailing-frame form: where the frame EWMA re-reads its window
+    every run, this carries ONE integer across micro-batches, the
+    level a latency/price monitor consults mid-stream. Same state
+    policy as running_cusum: unbounded-cardinality keys should pass
+    ``expire_after_ms`` (EventTimeTimeout; a returning key re-seeds
+    at its next value — exactly a fresh smoother); the default
+    event_type key is bounded. Stream ≡ batch twin exactly under
+    in-order arrival (integer-micros state; the same caveat as
+    running_cusum_batch documents)."""
+    if expire_after_ms is not None:
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        return events.groupBy(key_col).applyInPandasWithState(
+            _update_ewma(alpha_micros, expire_after_ms, tz),
+            EWMA_OUTPUT_SCHEMA,
+            EWMA_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update_ewma(alpha_micros, None, None),
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_ewma_batch(
+    events: DataFrame,
+    alpha_micros: int = EWMA_ALPHA_MICROS,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Batch twin: one applyInPandas pass per key over the full
+    history in (ts, event_id) order — the stream's FINAL state."""
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s_micros, started, n = _ewma_fold(0, False, pdf["value"].tolist(), alpha_micros)
+        return pd.DataFrame(
+            {
+                "series_key": [pdf[key_col].iloc[0]],
+                "batch_rows": [n],
+                "total_rows": [n],
+                "ewma": [s_micros / _M],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandas(run, EWMA_OUTPUT_SCHEMA)

@@ -1192,3 +1192,84 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     assert (1, 1, 2) in rows            # matched pair
     assert (2, 3, None) in rows         # unmatched click flushed with nulls
     assert not any(u == 2 and rid is not None for (u, _, rid) in rows)
+
+
+def test_streaming_ewma_matches_batch_twin_and_expires(spark, tmp_path):
+    """Streaming recursive EWMA: integer-micros state carries across
+    micro-batches and the final per-key level equals the batch twin
+    bit-for-bit; with expire_after_ms an abandoned key re-seeds at
+    its next value instead of blending with pre-gap history."""
+    from datetime import datetime
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import (
+        running_ewma,
+        running_ewma_batch,
+    )
+
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    now = time.time()
+    batches = [
+        [_ev(1, "2024-01-01 10:00:00", etype="a", value=10.0),
+         _ev(2, "2024-01-01 10:01:00", etype="a", value=20.0)],
+        [_ev(3, "2024-01-01 10:02:00", etype="a", value=30.0),
+         _ev(4, "2024-01-01 10:03:00", etype="b", value=5.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_json(str(src / f"b{i}.json"), rows, now - 30 * (len(batches) - i))
+
+    out = running_ewma(read_file_stream(spark, str(src), max_files_per_trigger=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.table("ewma_stream").collect():
+        if r["series_key"] not in final or r["total_rows"] > final[r["series_key"]]["total_rows"]:
+            final[r["series_key"]] = r
+    # hand-check: seed 10 → 0.2*20+0.8*10 = 12 → 0.2*30+0.8*12 = 15.6
+    assert final["a"]["ewma"] == 15.6 and final["a"]["total_rows"] == 3
+    assert final["b"]["ewma"] == 5.0
+
+    batch_df = spark.createDataFrame(
+        [tuple(datetime.fromisoformat(v.replace(" ", "T")) if k == "ts" else v
+               for k, v in e.items()) for b in batches for e in b],
+        schema=EVENTS_SCHEMA,
+    )
+    twin = {r["series_key"]: (r["ewma"], r["total_rows"])
+            for r in running_ewma_batch(batch_df).collect()}
+    assert twin == {k: (r["ewma"], r["total_rows"]) for k, r in final.items()}
+
+    # expiry: key "hot" seeds at 10, goes silent past the horizon,
+    # returns at 50 → must RE-SEED (50.0), not blend (0.2*50+0.8*10=18)
+    src2 = tmp_path / "ewma_exp"
+    src2.mkdir()
+    feeds = [
+        [_ev(1, "2024-01-01 10:00:00", etype="hot", value=10.0),
+         _ev(2, "2024-01-01 10:00:00", etype="keep", value=1.0)],
+        [_ev(3, "2024-01-01 11:30:00", etype="keep", value=1.0)],
+        [_ev(4, "2024-01-01 11:31:00", etype="keep", value=1.0)],
+        [_ev(5, "2024-01-01 11:40:00", etype="hot", value=50.0)],
+    ]
+    for i, rows in enumerate(feeds):
+        _write_json(str(src2 / f"b{i}.json"), rows, now - 20 * (len(feeds) - i))
+    out2 = running_ewma(
+        with_watermark(read_file_stream(spark, str(src2), max_files_per_trigger=1)),
+        expire_after_ms=30 * 60 * 1000,
+    )
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("ewma_expiring")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = [(r["series_key"], r["total_rows"], r["ewma"])
+            for r in spark.table("ewma_expiring").collect()]
+    assert ("hot", 1, 50.0) in rows      # re-seeded fresh
+    assert ("hot", 2, 18.0) not in rows  # NOT blended across the gap
