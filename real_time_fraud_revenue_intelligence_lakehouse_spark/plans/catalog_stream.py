@@ -275,3 +275,40 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click")
     purchases = e.filter(F.col("event_type") == "purchase")
     return interval_pair_join(clicks, purchases, within="1 hour")
+
+
+@query(
+    "q_ewma_recursive",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             list(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                  ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY 1
+    )
+    SELECT event_type AS series_key,
+           CAST(len(xs) AS BIGINT) AS total_rows,
+           CAST(list_reduce(xs,
+                (s, x) -> (200000 * x + 800000 * s) // 1000000) AS DOUBLE)
+             / 1000000.0 AS ewma
+    FROM seq
+    """,
+    tags=("streaming-twin", "timeseries"),
+)
+def q_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive (infinite-history) EWMA per event type — the batch
+    face of streaming/stateful.running_ewma, and the order-dependent
+    cousin of the frame-based q_ewma: s' = (A·x + (M−A)·s)//M in
+    integer micros, seeded at the series' first value. The oracle
+    replays the IDENTICAL integer fold via DuckDB list_reduce, so a
+    stateful recursion hash-gates exactly (the q_cusum trick, but
+    with the fold itself in SQL instead of a closed form). Spark
+    plan: one applyInPandas pass per key over (ts, event_id)-sorted
+    history — the sanctioned Arrow stage, mirroring
+    q_stateful_profile; the stream twin carries the same state across
+    micro-batches (equality + expiry proven in
+    tests/test_streaming.py)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import running_ewma_batch
+
+    e = read_table(spark, sf_dir, "events")
+    return running_ewma_batch(e).select("series_key", "total_rows", "ewma")

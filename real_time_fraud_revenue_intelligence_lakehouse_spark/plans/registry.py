@@ -85,6 +85,7 @@ _FRONT: tuple[str, ...] = (
     "q_stream_interval_join",
     "q_calibration",
     "q_degree_assortativity",
+    "q_ewma_recursive",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —

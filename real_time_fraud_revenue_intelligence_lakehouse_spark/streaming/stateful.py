@@ -824,10 +824,16 @@ def _ewma_fold(
     """THE shared per-row fold: seed at the first value, then the
     integer convex combination. floor-division is the quantization —
     both twins apply it identically per row, so state is split-point
-    free."""
+    free. Micros derive via floor(v·1e6 + 0.5) (HALF_UP), matching
+    the SQL oracle's floor(+0.5) — NOT Python round(), whose
+    half-to-even would diverge on exact half-micro doubles. Values
+    are non-negative money/latency readings (floor-division and
+    HALF_UP both assume it)."""
+    import math
+
     n = 0
     for v in values:
-        x = int(round(v * _M))
+        x = int(math.floor(v * _M + 0.5))
         if not started:
             s_micros, started = x, True
         else:
