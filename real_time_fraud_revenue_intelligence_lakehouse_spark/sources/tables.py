@@ -14,6 +14,7 @@ import os
 from pyspark.sql import functions as F
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 #: Driver testdata catalog (TESTDATA.md).
 TABLES = (
@@ -113,3 +114,36 @@ def write_batch(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_evolving(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    expected: "T.StructType | None" = None,
+) -> DataFrame:
+    """Schema-evolution-tolerant batch read: union the schemas of every
+    file in ``path`` (``mergeSchema`` — columns added by newer writers
+    surface as nulls on older files) and, when ``expected`` is given,
+    conform the result to it — missing columns materialize as typed
+    nulls, extra columns are dropped, and mismatched types cast. This
+    is the ingestion posture a long-lived lakehouse table needs: bronze
+    writers gain columns over months, and a reader pinned to SELECT *
+    of file 1's footer silently loses them (or crashes on reordering).
+    The reference hard-codes its schemas (`spark_jobs/utils/
+    schemas.py`) and would break on drift; here drift is absorbed and
+    the q_schema_drift audit reports it. mergeSchema costs a footer
+    read per file — at 100 TB keep table schemas in a catalog and use
+    this for the bronze landing zone only."""
+    df = spark.read.format(fmt).option("mergeSchema", "true").load(path)
+    if expected is not None:
+        cols = []
+        have = {f.name: f for f in df.schema.fields}
+        for f in expected.fields:
+            if f.name in have:
+                src = F.col(f.name)
+                cols.append(src.cast(f.dataType).alias(f.name) if have[f.name].dataType != f.dataType else src)
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        df = df.select(*cols)
+    return df

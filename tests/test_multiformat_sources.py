@@ -128,3 +128,36 @@ def test_corrupt_json_records_permissive_and_drop(spark, tmp_path):
         .json(str(p))
     )
     assert {r["event_id"] for r in dropped.collect()} == {1, 3}
+
+
+def test_read_evolving_absorbs_schema_drift(spark, tmp_path):
+    """Bronze schema evolution: a writer adds a column mid-stream; the
+    merged read surfaces it (nulls on old files), and conforming to an
+    expected schema restores missing columns as typed nulls, drops
+    strays, and casts drifted types."""
+    from pyspark.sql import types as T
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = read_evolving(spark, p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    expected = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.StringType()),   # drifted type → cast
+            T.StructField("flag", T.BooleanType()),   # never written → null
+        ]
+    )
+    conformed = read_evolving(spark, p, expected=expected)
+    assert conformed.schema == expected
+    got = {r["id"]: (r["score"], r["flag"]) for r in conformed.collect()}
+    assert got == {1: (None, None), 2: ("9.5", None)}
