@@ -1429,3 +1429,98 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(std_s, 4).alias("std_gap_s"),
         det_round((std_s - mean_s) / (std_s + mean_s), 4).alias("burstiness"),
     )
+
+
+ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "q_attribution_linear",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts AS t_ts, event_type AS channel
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    pt AS (
+      SELECT p.p_id, p.value, t.channel
+      FROM purchases p LEFT JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ),
+    counted AS (
+      SELECT p_id, value, channel,
+             count(channel) OVER (PARTITION BY p_id) AS n_t
+      FROM pt
+    ),
+    credits AS (
+      SELECT coalesce(channel, 'direct') AS channel,
+             CASE WHEN channel IS NULL THEN value
+                  ELSE {R6.format(c="value / n_t")} END AS credit
+      FROM counted
+    ),
+    agg AS (
+      SELECT channel, count(*) AS n_credits,
+             CAST(sum(CAST(credit AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM credits GROUP BY 1
+    )
+    SELECT channel, CAST(n_credits AS BIGINT) AS n_credits, revenue,
+           {R4.format(c="revenue / sum(revenue) OVER ()")} AS revenue_share
+    FROM agg
+    """,
+    tags=("behavior", "attribution", "join"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR (multi-touch) attribution — the equal-split counterpart
+    of q_attribution_last_touch: each purchase's value divides evenly
+    across ALL the user's touches in the trailing 7-day window
+    (purchases with no prior touch stay 'direct'). The touch
+    expansion is a user-keyed interval join (the q_stream_interval_join
+    machinery in its batch role); the per-purchase fan-out is bounded
+    by the window, per-credit amounts det-round to 6 digits before the
+    decimal(28,6) fold (so the split's rounding is identical on both
+    engines — per-purchase credits may sum a few micro-units off the
+    purchase value, the standard split-rounding artifact), and the
+    channel rollup + share window run on a 5-row aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    cond = (
+        (touches["t_user"] == purchases["user_id"])
+        & (touches["t_ts"] < purchases["p_ts"])
+        & (touches["t_ts"] >= purchases["p_ts"] - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS"))
+    )
+    pt = purchases.join(touches, cond, "left").select("p_id", "value", "channel")
+    counted = pt.withColumn(
+        "n_t", F.count("channel").over(Window.partitionBy("p_id"))
+    )
+    credit = F.when(
+        F.col("channel").isNull(), F.col("value")
+    ).otherwise(det_round(F.col("value") / F.col("n_t"), 6))
+    agg = (
+        counted.select(
+            F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+            credit.alias("credit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.sum(F.col("credit").cast("decimal(28,6)")).cast("double").alias("revenue"),
+        )
+    )
+    share_w = Window.partitionBy(F.lit(1))
+    return agg.select(
+        "channel",
+        "n_credits",
+        "revenue",
+        det_round(F.col("revenue") / F.sum("revenue").over(share_w), 4).alias("revenue_share"),
+    )

@@ -80,6 +80,7 @@ _FRONT: tuple[str, ...] = (
     "q_active_users_hll",
     "q_hits",
     "q_attribution_last_touch",
+    "q_attribution_linear",
     "q_interarrival_stats",
     "q_theil_sen",
     "q_stream_interval_join",

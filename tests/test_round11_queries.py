@@ -134,3 +134,22 @@ def test_rank_distributed_switch_changes_no_output(spark, queries):
     finally:
         spark.conf.set("spark.rtfril.rank.distributed", "false")
     assert distributed_form == default_form
+
+
+def test_linear_attribution_conserves_revenue(spark, queries):
+    """Equal-split credits must (approximately — split rounding is
+    micro-scale) conserve total purchase revenue, and shares sum to 1;
+    'direct' only carries whole-value credits."""
+    from pyspark.sql import functions as F
+
+    rows = queries["q_attribution_linear"](spark, SF).collect()
+    total_credit = sum(r["revenue"] for r in rows)
+    total_purchases = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+        .first()[0]
+    )
+    assert abs(total_credit - total_purchases) / total_purchases < 1e-4
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-3
+    assert "purchase" not in {r["channel"] for r in rows}
