@@ -312,3 +312,51 @@ def q_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return running_ewma_batch(e).select("series_key", "total_rows", "ewma")
+
+
+@query(
+    "q_distinct_hll_shards",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    rho AS (
+      SELECT (h >> 52) AS idx,
+             CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                  ELSE strpos(lpad(bin(h & 4503599627370495), 52, '0'), '1')
+             END AS r
+      FROM h
+    ),
+    cells AS (
+      SELECT (idx % 4) AS shard, idx, max(r) AS r, count(*) AS n
+      FROM rho GROUP BY 1, 2
+    )
+    SELECT shard, idx, CAST(r AS BIGINT) AS max_rho, CAST(n AS BIGINT) AS n_rows
+    FROM cells
+    """,
+    tags=("streaming-twin", "sketch", "distinct"),
+)
+def q_distinct_hll_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of streaming/stateful.running_distinct_hll: the
+    sharded 256-register HLL over the event stream's user ids as a
+    SCALAR cell table (shard, idx, max rho, per-cell row count) — one
+    JVM map-side-combined groupBy, the hash-gateable form (the
+    comparator hashes scalar rows; the array-packed form is the
+    stream twin's state shape). The stream twin maintains the SAME
+    registers across micro-batches in ≤64-cell-per-shard state and is
+    proven exactly batch-equal (elementwise max is multiset-pure) in
+    tests/test_streaming.py::test_streaming_hll_registers_equal_batch_exactly;
+    estimates read off the merged shards via hll_estimate (the
+    q_active_users_hll machinery)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import hll_rho_cols
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        hll_rho_cols(e)
+        .groupBy("shard", "idx")
+        .agg(
+            F.max("r").cast("long").alias("max_rho"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

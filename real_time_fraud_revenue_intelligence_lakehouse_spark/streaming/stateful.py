@@ -939,3 +939,107 @@ def running_ewma_batch(
         )
 
     return events.groupBy(key_col).applyInPandas(run, EWMA_OUTPUT_SCHEMA)
+
+
+# --- streaming HyperLogLog distinct count -------------------------------------
+
+#: registers emit in canonical ascending-idx order; 256 cells split
+#: across 4 shards by pmod(idx, 4) — state is ≤ 64 (idx, max-rho)
+#: pairs per shard, FIXED regardless of key cardinality (the
+#: MG/histogram exemption class: size-capped, NoTimeout by design).
+HLL_OUTPUT_SCHEMA = (
+    "shard BIGINT, batch_rows BIGINT, total_rows BIGINT, "
+    "idxs ARRAY<BIGINT>, rs ARRAY<BIGINT>"
+)
+HLL_STATE_SCHEMA = "idxs ARRAY<BIGINT>, rs ARRAY<BIGINT>, total_rows BIGINT"
+
+HLL_SHARDS = 4
+
+
+def hll_rho_cols(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """JVM pre-reduce before any Python (the module discipline): the
+    q_hll_registers md5-60 construction — 8 index bits, string-search
+    leading-zero rank of the 52-bit tail — as Catalyst expressions, so
+    only (shard, idx, r) triples cross Arrow into the state op."""
+    h = F.expr(
+        f"conv(substr(md5(cast({key_col} as string)), 1, 15), 16, 10)"
+    ).cast("long")
+    return events.select(h.alias("h")).select(
+        F.expr("shiftright(h, 52)").alias("idx"),
+        F.expr(
+            "CASE WHEN (h & 4503599627370495) = 0 THEN 53 "
+            "ELSE locate('1', lpad(bin(h & 4503599627370495), 52, '0')) END"
+        ).cast("long").alias("r"),
+    ).withColumn("shard", F.pmod(F.col("idx"), F.lit(HLL_SHARDS)).cast("long"))
+
+
+def _update_hll():
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        idxs, rs, total = state.get if state.exists else ([], [], 0)
+        m = dict(zip(idxs, rs))
+        n = 0
+        for pdf in pdfs:
+            for idx, r in (
+                pdf.groupby("idx")["r"].max().items()
+            ):
+                m[int(idx)] = max(m.get(int(idx), 0), int(r))
+            n += len(pdf)
+        total = int(total) + n
+        pairs = sorted(m.items())
+        idxs, rs = [i for i, _ in pairs], [int(r) for _, r in pairs]
+        state.update((idxs, rs, total))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "batch_rows": [n],
+                "total_rows": [total],
+                "idxs": [idxs],
+                "rs": [rs],
+            }
+        )
+
+    return update
+
+
+def running_distinct_hll(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming HLL distinct count of ``key_col``: 256 registers
+    maintained across micro-batches in ≤ 64-cell-per-shard state —
+    the incremental form of q_hll_registers / q_active_users_hll's
+    register build, for when "distinct users so far" must exist
+    WITHIN the stream. Because elementwise max is a pure function of
+    the multiset (idempotent + commutative + associative), the
+    stream's final registers equal the batch build EXACTLY — the
+    value-histogram-class law, the strongest in this module — and
+    any point-in-time estimate reads off the merged shard registers
+    via `hll_estimate` (catalog_behavior.py). State never grows with
+    key cardinality: the size-capped NoTimeout exemption class."""
+    return (
+        hll_rho_cols(events, key_col)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _update_hll(),
+            HLL_OUTPUT_SCHEMA,
+            HLL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def distinct_hll_batch(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Batch twin: the same (shard, idx, max r) registers from one
+    JVM map-side-combined groupBy — no Python anywhere."""
+    per_cell = (
+        hll_rho_cols(events, key_col)
+        .groupBy("shard", "idx")
+        .agg(F.max("r").alias("r"), F.count(F.lit(1)).alias("n"))
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("idx", "r")))
+    return per_cell.groupBy("shard").agg(
+        F.sum("n").alias("batch_rows"),
+        F.sum("n").alias("total_rows"),
+        F.transform(pairs, lambda x: x["idx"]).alias("idxs"),
+        F.transform(pairs, lambda x: x["r"]).alias("rs"),
+    )

@@ -1273,3 +1273,69 @@ def test_streaming_ewma_matches_batch_twin_and_expires(spark, tmp_path):
             for r in spark.table("ewma_expiring").collect()]
     assert ("hot", 1, 50.0) in rows      # re-seeded fresh
     assert ("hot", 2, 18.0) not in rows  # NOT blended across the gap
+
+
+def test_streaming_hll_registers_equal_batch_exactly(spark, tmp_path):
+    """Streaming HLL distinct count: the final per-shard registers
+    equal the batch build EXACTLY (elementwise max is multiset-pure —
+    the value-histogram-class law), regardless of micro-batch split;
+    and the merged registers estimate the true distinct count within
+    the 256-register error band."""
+    from datetime import datetime
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_behavior import hll_estimate
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.stateful import (
+        distinct_hll_batch,
+        running_distinct_hll,
+    )
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    now = time.time()
+    batches = [
+        [_ev(i, f"2024-01-01 10:{i % 60:02d}:00", user=i % 37) for i in range(1, 40)],
+        [_ev(100 + i, f"2024-01-02 11:{i % 60:02d}:00", user=20 + (i % 55)) for i in range(40)],
+        [_ev(300 + i, f"2024-01-03 12:{i % 60:02d}:00", user=i % 37) for i in range(25)],  # all repeats
+    ]
+    for i, rows in enumerate(batches):
+        _write_json(str(src / f"b{i}.json"), rows, now - 30 * (len(batches) - i))
+
+    out = running_distinct_hll(read_file_stream(spark, str(src), max_files_per_trigger=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.table("hll_stream").collect():
+        if r["shard"] not in final or r["total_rows"] > final[r["shard"]]["total_rows"]:
+            final[r["shard"]] = r
+    stream_regs = {
+        r["shard"]: (tuple(r["idxs"]), tuple(r["rs"]), r["total_rows"])
+        for r in final.values()
+    }
+
+    batch_df = spark.createDataFrame(
+        [tuple(datetime.fromisoformat(v.replace(" ", "T")) if k == "ts" else v
+               for k, v in e.items()) for b in batches for e in b],
+        schema=EVENTS_SCHEMA,
+    )
+    twin_regs = {
+        r["shard"]: (tuple(r["idxs"]), tuple(r["rs"]), r["total_rows"])
+        for r in distinct_hll_batch(batch_df).collect()
+    }
+    assert stream_regs == twin_regs  # EXACT, including split-invariant totals
+
+    # merged estimate lands near the true distinct count
+    merged = [
+        (0, int(i), int(m))
+        for r in final.values()
+        for i, m in zip(r["idxs"], r["rs"])
+    ]
+    df = spark.createDataFrame(merged, "g int, idx long, m_j int")
+    est = hll_estimate(df, ["g"]).collect()[0]["est"]
+    true_n = len({e["user_id"] for b in batches for e in b})
+    assert abs(est - true_n) / true_n < 0.25
