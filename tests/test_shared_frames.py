@@ -51,12 +51,21 @@ def test_cache_served_values_match_fresh_build(spark):
 def test_clear_cache_frees_blocks_and_rebuilds(spark):
     from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import shared_frames as S
 
+    sc = spark.sparkContext
+    # Relative accounting: other tests in this session may hold their
+    # own localCheckpoint blocks (the round-11 query-level checkpoints
+    # live outside shared_frames), and Spark's ContextCleaner reaps
+    # them on ITS schedule — asserting a global zero raced it. Assert
+    # instead that clear_cache removes what shared_frames itself
+    # added.
+    S.clear_cache()  # start from an empty memo
+    base = sc._jsc.getPersistentRDDs().size()
     before = _rows(S.doc_tokens(spark, SF_SMOKE).select("doc_id"))
+    assert sc._jsc.getPersistentRDDs().size() > base, "memoized frame must persist blocks"
     S.clear_cache()
     assert not S._CACHE, "clear_cache must empty the memo"
-    sc = spark.sparkContext
-    assert sc._jsc.getPersistentRDDs().size() == 0, (
-        "clear_cache must unpersist the checkpoint blocks"
+    assert sc._jsc.getPersistentRDDs().size() <= base, (
+        "clear_cache must unpersist the checkpoint blocks it owns"
     )
     rebuilt = S.doc_tokens(spark, SF_SMOKE)
     assert _rows(rebuilt.select("doc_id")) == before
