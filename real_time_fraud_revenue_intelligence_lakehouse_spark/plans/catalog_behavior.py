@@ -1524,3 +1524,60 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         det_round(F.col("revenue") / F.sum("revenue").over(share_w), 4).alias("revenue_share"),
     )
+
+
+@query(
+    "q_conversion_latency",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT date_diff('second', first_click, first_purchase) AS latency_s
+      FROM firsts
+      WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_click
+    )
+    SELECT count(*) AS n_converted,
+           CAST(min(latency_s) AS BIGINT) AS min_s,
+           {R4.format(c="quantile_cont(latency_s, 0.5)")} AS p50_s,
+           {R4.format(c="quantile_cont(latency_s, 0.9)")} AS p90_s,
+           CAST(max(latency_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+    tags=("behavior", "funnel", "latency"),
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion latency distribution: per user, time
+    from FIRST click to FIRST purchase (users whose first purchase
+    precedes any click are organic/direct and excluded — same rule
+    both engines), then min/p50/p90/max over the converting cohort —
+    the funnel-VELOCITY artifact next to q_event_funnel's conversion
+    RATES ('half convert within ~28 h; the p90 tail takes 5 days').
+    One conditional-min agg per user (map-side combined), then one
+    tiny percentile agg over |converted users| integer latencies (the
+    q_winsorize quantile_cont ≡ F.percentile convention, det-rounded).
+    Latencies are exact integer seconds — both engines' timestamp
+    subtraction truncates identically."""
+    e = read_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        (F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")).alias("latency_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_s").cast("long").alias("min_s"),
+        det_round(F.percentile("latency_s", F.lit(0.5)), 4).alias("p50_s"),
+        det_round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.max("latency_s").cast("long").alias("max_s"),
+    )

@@ -88,6 +88,7 @@ _FRONT: tuple[str, ...] = (
     "q_degree_assortativity",
     "q_ewma_recursive",
     "q_distinct_hll_shards",
+    "q_conversion_latency",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —

@@ -63,3 +63,37 @@ def test_multi_format_roundtrip(spark, sf_dir, tmp_path):
         back = reader.load(out)
         got = sorted(tuple(r) for r in back.collect())
         assert got == want, f"{fmt} roundtrip mismatch"
+
+
+def test_dynamic_partition_pruning_on_dim_join(spark, tmp_path):
+    """Runtime partition pruning — the 100 TB lever beyond static
+    pruning: a fact partitioned by month, joined to a dim row that
+    selects ONE month, must plan a `dynamicpruning` subquery in the
+    scan's PartitionFilters (Catalyst prunes fact partitions at
+    RUNTIME from the dim's filter result — no literal month appears
+    in the query). This is why the engine's partitioned writes key on
+    low-cardinality dates: star joins then scan only the months the
+    dim side selects."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import write_batch
+
+    fact_path = str(tmp_path / "fact_by_month")
+    o = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+    )
+    write_batch(o, fact_path, mode="overwrite", partition_by=["order_month"])
+    fact = spark.read.parquet(fact_path)
+
+    months = [r["order_month"] for r in fact.select("order_month").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(m, 1 if i == 0 else 0) for i, m in enumerate(sorted(months))],
+        "order_month string, is_focus int",
+    )
+    joined = fact.join(F.broadcast(dim).filter(F.col("is_focus") == 1), "order_month")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the join really returns only the focus month's rows
+    got_months = {r["order_month"] for r in joined.select("order_month").distinct().collect()}
+    assert got_months == {sorted(months)[0]}
