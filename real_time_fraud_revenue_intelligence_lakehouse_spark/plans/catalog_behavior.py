@@ -1581,3 +1581,60 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
         F.max("latency_s").cast("long").alias("max_s"),
     )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+    ),
+    purchases AS (
+      SELECT CAST(e.ts AS DATE) AS day, e.user_id, e.value,
+             CASE WHEN CAST(e.ts AS DATE) = f.first_day THEN 1 ELSE 0 END AS is_new
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT day,
+           CAST(sum(is_new) AS BIGINT) AS n_new_purchases,
+           CAST(sum(1 - is_new) AS BIGINT) AS n_returning_purchases,
+           CAST(sum(CASE WHEN is_new = 1 THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS new_revenue,
+           CAST(sum(CASE WHEN is_new = 0 THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS returning_revenue,
+           {R4.format(c=(
+               "CAST(sum(CASE WHEN is_new = 1 THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)"
+               " / CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+           ))} AS new_share
+    FROM purchases GROUP BY 1
+    """,
+    tags=("behavior", "marts", "engagement"),
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue split by NEW vs RETURNING purchasers (new = the
+    purchase lands on the user's very first active day) — the
+    acquisition-vs-retention decomposition on every growth dashboard,
+    and the day-grain companion to q_retention_cohort. One per-user
+    min-date reduce joined back onto the purchase scan (user-keyed —
+    at 100 TB both sides bucket by user), then one day-grain
+    conditional decimal rollup; the share divides two exact decimal
+    sums. Days with zero purchases don't emit (both engines agree —
+    join semantics, no spine)."""
+    e = read_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.when(F.to_date("ts") == F.col("first_day"), 1).otherwise(0).alias("is_new"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    new_rev = F.sum(F.when(F.col("is_new") == 1, F.col("v")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+    ret_rev = F.sum(F.when(F.col("is_new") == 0, F.col("v")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+    return p.groupBy("day").agg(
+        F.sum("is_new").cast("long").alias("n_new_purchases"),
+        F.sum(1 - F.col("is_new")).cast("long").alias("n_returning_purchases"),
+        new_rev.alias("new_revenue"),
+        ret_rev.alias("returning_revenue"),
+        det_round(new_rev / F.sum("v").cast("double"), 4).alias("new_share"),
+    )

@@ -89,6 +89,7 @@ _FRONT: tuple[str, ...] = (
     "q_ewma_recursive",
     "q_distinct_hll_shards",
     "q_conversion_latency",
+    "q_new_vs_returning",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —
