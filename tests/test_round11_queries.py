@@ -153,3 +153,26 @@ def test_linear_attribution_conserves_revenue(spark, queries):
     assert abs(total_credit - total_purchases) / total_purchases < 1e-4
     assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-3
     assert "purchase" not in {r["channel"] for r in rows}
+
+
+def test_conversion_latency_ordering(spark, queries):
+    r = queries["q_conversion_latency"](spark, SF).collect()[0]
+    assert r["n_converted"] > 0
+    assert 0 <= r["min_s"] <= r["p50_s"] <= r["p90_s"] <= r["max_s"]
+
+
+def test_new_vs_returning_split_consistent(spark, queries):
+    from pyspark.sql import functions as F
+
+    rows = queries["q_new_vs_returning"](spark, SF).collect()
+    assert rows
+    total = sum(r["new_revenue"] + r["returning_revenue"] for r in rows)
+    purchases = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+        .first()[0]
+    )
+    assert abs(total - purchases) < 1e-6
+    for r in rows:
+        assert 0.0 <= r["new_share"] <= 1.0
