@@ -911,3 +911,111 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_hub = hub.select("node", F.lit("hub").alias("role"), det_round(F.col("score"), 8).alias("score"))
     out_auth = auth.select("node", F.lit("authority").alias("role"), det_round(F.col("score"), 8).alias("score"))
     return out_hub.unionByName(out_auth)
+
+
+# --- personalized PageRank ----------------------------------------------------
+
+PPR_NATION = 1
+
+
+def _ppr_oracle() -> str:
+    its = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT coalesce(x.node, t.node) AS node,
+             coalesce(t.tele, 0) + {PR_DAMP} * coalesce(x.s, 0) AS rank
+      FROM (
+        SELECT e.dst AS node,
+               cast(sum({_C14.format(x='r.rank / d.outdeg')}) as double) AS s
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY 1
+      ) x
+      FULL JOIN tele t ON t.node = x.node
+    )""")
+        prev = f"it{k}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT -(l.l_suppkey + 1) AS s_node, o.o_custkey AS c_node
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+    snodes AS (
+      SELECT DISTINCT -(s_suppkey + 1) AS node FROM supplier
+      WHERE s_nationkey = {PPR_NATION}
+    ),
+    sstats AS (SELECT count(*) AS sn FROM snodes),
+    tele AS (SELECT node, 0.15 / s.sn AS tele FROM snodes, sstats s),
+    r0 AS (SELECT node, 1.0 / s.sn AS rank FROM snodes, sstats s),
+    {','.join(its)}
+    SELECT node, (floor(rank * 100000000.0 + 0.5) / 100000000.0) AS ppr
+    FROM {prev}
+    """
+
+
+@query(
+    "q_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("graph", "iterative", "heavy"),
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at nation-1's suppliers: the
+    teleport mass returns to the SOURCE SET instead of spreading
+    uniformly, so the fixed point ranks every node by its proximity
+    to those suppliers — THE graph-proximity primitive behind
+    'customers likely served by this supplier group' recommendations
+    (global q_pagerank answers importance; this answers importance TO
+    WHOM). Same decimal(28,14)-quantized power iteration and
+    fixed-round single-DAG shape as q_pagerank; the only structural
+    change is the teleport: a FULL outer join with the |S|-row source
+    table (coalesce 0 on both sides) replacing the uniform 0.15/n
+    term — full, not left, because on a bipartite graph alternate
+    rounds starve one side of in-contributions and the seeds must
+    keep their teleport mass regardless. Nodes outside S start at
+    rank 0 and are simply absent from r0 (identical join semantics
+    both engines)."""
+    edges, nodes, stats, deg, _ = _trade_graph(spark, sf_dir)
+    sup = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == PPR_NATION
+    )
+    snodes = sup.select((-(F.col("s_suppkey") + 1)).alias("node")).distinct()
+    sstats = snodes.agg(F.count(F.lit(1)).alias("sn"))
+    tele = snodes.crossJoin(F.broadcast(sstats)).select(
+        "node", (F.lit(0.15) / F.col("sn")).alias("tele")
+    )
+    ranks = snodes.crossJoin(F.broadcast(sstats)).select(
+        "node", (F.lit(1.0) / F.col("sn")).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .select(
+                "dst",
+                (F.col("rank") / F.col("outdeg")).cast("decimal(28,14)").alias("c"),
+            )
+        )
+        agg = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").cast("double").alias("_s")
+        )
+        # FULL outer: seed nodes keep their teleport mass even on
+        # rounds where no contribution reaches them (bipartite parity
+        # starves one side of in-edges on alternate rounds — a left
+        # join silently zeroed the seeds' teleport there, which is
+        # not PPR).
+        ranks = agg.join(tele, "node", "full").select(
+            "node",
+            (
+                F.coalesce(F.col("tele"), F.lit(0.0))
+                + F.lit(PR_DAMP) * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", det_round(F.col("rank"), 8).alias("ppr"))

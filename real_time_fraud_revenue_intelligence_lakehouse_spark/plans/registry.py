@@ -90,6 +90,7 @@ _FRONT: tuple[str, ...] = (
     "q_distinct_hll_shards",
     "q_conversion_latency",
     "q_new_vs_returning",
+    "q_personalized_pagerank",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —

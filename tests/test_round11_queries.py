@@ -176,3 +176,23 @@ def test_new_vs_returning_split_consistent(spark, queries):
     assert abs(total - purchases) < 1e-6
     for r in rows:
         assert 0.0 <= r["new_share"] <= 1.0
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(spark, queries):
+    """PPR's defining property vs global PR: rank mass concentrates
+    near the seed set — the seed suppliers (negative node ids from
+    nation 1) must hold more average mass than non-seed suppliers."""
+    from pyspark.sql import functions as F
+
+    rows = queries["q_personalized_pagerank"](spark, SF).collect()
+    sup_nation1 = {
+        -(r["s_suppkey"] + 1)
+        for r in spark.read.parquet(f"{SF}/supplier.parquet")
+        .filter(F.col("s_nationkey") == 1)
+        .collect()
+    }
+    seeds = [r["ppr"] for r in rows if r["node"] in sup_nation1]
+    other_sup = [r["ppr"] for r in rows if r["node"] < 0 and r["node"] not in sup_nation1]
+    assert seeds and other_sup
+    assert sum(seeds) / len(seeds) > 2 * (sum(other_sup) / len(other_sup))
+    assert all(r["ppr"] >= 0 for r in rows)

@@ -87,6 +87,7 @@ ALLPAIRS_OK = {
     "q_route_reconstruct",  # 1-row source anchor cross joined (broadcast) — the q_rfm_segments class
     "q_hits",               # 1-row L1-normalization totals cross joined per half-round (broadcast)
     "q_theil_sen",          # |days|^2 pairwise-slope tier over the AGGREGATED day frame (calendar-bounded ~2.4k days at any fact scale) — the Theil-Sen definition
+    "q_personalized_pagerank",  # 1-row source-set-size aggregate cross joined (broadcast) — the q_pagerank class
 }
 
 #: Queries allowed an Exchange SinglePartition over a NON-aggregated
