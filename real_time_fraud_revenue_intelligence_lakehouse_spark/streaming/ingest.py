@@ -19,6 +19,8 @@ state, which is what makes 100 TB/day ingest sustainable.
 
 from __future__ import annotations
 
+from functools import reduce as functools_reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -305,3 +307,36 @@ def start_foreach_batch_merge(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def split_corrupt(
+    parsed: DataFrame,
+    required: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split for the bronze parse: rows whose payload
+    failed `from_json` (every schema field null while `_raw_payload`
+    is not) — or whose ``required`` fields are null — route to a
+    dead-letter frame carrying the ORIGINAL payload + Kafka metadata
+    for replay; clean rows flow on. The reference parses PERMISSIVE
+    and silently ships all-null rows into silver
+    (`ingest_stream.py:57-83` has no corrupt branch — §2.12-class gap,
+    fixed rather than replicated): one malformed producer then poisons
+    every downstream aggregate with nulls. Both frames come from ONE
+    predicate over the already-parsed stream — no second parse, works
+    identically for batch and streaming inputs (streaming sinks attach
+    per-branch checkpoints)."""
+    required = required or ["event_id", "ts"]
+    is_corrupt = F.col("_raw_payload").isNotNull() & functools_reduce(
+        lambda a, b: a & b, [F.col(c).isNull() for c in required]
+    )
+    clean = parsed.filter(~is_corrupt)
+    quarantined = parsed.filter(is_corrupt).select(
+        "_kafka_key",
+        "_kafka_topic",
+        "_kafka_partition",
+        "_kafka_offset",
+        "_kafka_timestamp",
+        "_raw_payload",
+        F.current_timestamp().alias("_quarantined_at"),
+    )
+    return clean, quarantined

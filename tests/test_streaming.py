@@ -1339,3 +1339,46 @@ def test_streaming_hll_registers_equal_batch_exactly(spark, tmp_path):
     est = hll_estimate(df, ["g"]).collect()[0]["est"]
     true_n = len({e["user_id"] for b in batches for e in b})
     assert abs(est - true_n) / true_n < 0.25
+
+
+def test_split_corrupt_quarantines_malformed_payloads(spark):
+    """Bronze dead-letter split: a malformed Kafka payload must land
+    in the quarantine frame WITH its raw bytes and offsets (for
+    replay), never as an all-null row in the clean stream — the
+    reference's PERMISSIVE parse ships such rows straight into silver
+    (§2.12-class gap, fixed not replicated)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.ingest import (
+        parse_kafka_payload,
+        split_corrupt,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    good1 = _json.dumps({"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7,
+                         "event_type": "click", "value": 1.5})
+    good2 = _json.dumps({"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 7,
+                         "event_type": "purchase", "value": 9.0})
+    garbage = "{not json at all"
+    raw = spark.createDataFrame(
+        [("k1", "events", 0, 100, None, good1),
+         ("k2", "events", 0, 101, None, garbage),
+         ("k3", "events", 1, 102, None, good2)],
+        "key string, topic string, partition int, offset long, timestamp timestamp, value string",
+    )
+    parsed = parse_kafka_payload(raw, schema)
+    clean, quarantined = split_corrupt(parsed)
+    assert {r["event_id"] for r in clean.collect()} == {1, 2}
+    q = quarantined.collect()
+    assert len(q) == 1
+    assert q[0]["_raw_payload"] == garbage and q[0]["_kafka_offset"] == 101
