@@ -1683,3 +1683,127 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= _PH_MAXD).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+# --- Matryoshka truncation evaluation ----------------------------------------
+
+TRUNC_DIMS = (8, 16, 32)
+TRUNC_Q = 20
+TRUNC_K = 10
+
+
+def _trunc_oracle() -> str:
+    udim = (
+        "list_transform(list_slice(list_transform(embedding, x -> x::DOUBLE), 1, {d}),"
+        " x -> x / sqrt(list_dot_product("
+        "list_slice(list_transform(embedding, x -> x::DOUBLE), 1, {d}),"
+        " list_slice(list_transform(embedding, x -> x::DOUBLE), 1, {d}))))"
+    )
+    branches = []
+    for d in (*TRUNC_DIMS, 64):
+        branches.append(f"""
+    e{d} AS (
+      SELECT vec_id, {udim.format(d=d)} AS u FROM embeddings
+    ),
+    top{d} AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (floor(list_dot_product(q.u, c.u) * 1000000.0 + 0.5) / 1000000.0) DESC,
+                          c.vec_id
+               ) AS rn
+        FROM e{d} q, e{d} c
+        WHERE q.vec_id < {TRUNC_Q} AND c.vec_id <> q.vec_id
+      ) WHERE rn <= {TRUNC_K}
+    )""")
+    hits = " UNION ALL ".join(
+        f"SELECT {d} AS d, count(*) AS hits FROM top{d} t JOIN top64 f"
+        f" ON t.query_id = f.query_id AND t.match_id = f.match_id"
+        for d in TRUNC_DIMS
+    )
+    return f"""
+    WITH {','.join(branches)},
+    h AS ({hits})
+    SELECT d, CAST(hits AS BIGINT) AS n_hits,
+           (floor((CAST(hits AS DOUBLE) / {TRUNC_Q * TRUNC_K}) * 10000.0 + 0.5) / 10000.0)
+             AS recall_at_{TRUNC_K}
+    FROM h
+    """
+
+
+@query(
+    "q_embed_dim_truncation",
+    oracle=_trunc_oracle(),
+    tags=("ext", "similarity", "evaluation"),
+)
+def q_embed_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: recall@10 of
+    brute-force retrieval using only the FIRST d ∈ {8, 16, 32} of 64
+    embedding dims against the full-dimension truth — the question a
+    storage-constrained deployment asks before truncating its vector
+    index ('half the dims keeps X% of neighbors; the index halves').
+    Each tier re-normalizes over its truncated slice (truncation
+    changes vector length — an un-renormalized dot ranks wrong), sims
+    det-round to 6 digits BEFORE the per-query ranking so both engines
+    break ties identically, and the pair stage is the sanctioned
+    brute-evaluation tier (|Q|=20 panel × corpus — the
+    q_ann_recall class; the production path would run each tier
+    through the IVF index instead). One pair join serves all four
+    tiers: the truncated slices project from the same row."""
+    e = read_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+
+    def unit_slice(col, d):
+        sl = F.slice(col, 1, d)
+        n = F.sqrt(F.aggregate(sl, F.lit(0.0), lambda a, x: a + x * x))
+        return F.transform(sl, lambda x: x / n)
+
+    dims = (*TRUNC_DIMS, 64)
+    proj = v.select(
+        "vec_id", *[unit_slice(F.col("v"), d).alias(f"u{d}") for d in dims]
+    ).localCheckpoint()
+    q = proj.filter(F.col("vec_id") < TRUNC_Q).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"u{d}").alias(f"q{d}") for d in dims],
+    )
+    pairs = q.crossJoin(proj.withColumnRenamed("vec_id", "match_id")).filter(
+        F.col("match_id") != F.col("query_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        "match_id",
+        *[
+            det_round(S.dot(F.col(f"q{d}"), F.col(f"u{d}")), 6).alias(f"s{d}")
+            for d in dims
+        ],
+    ).localCheckpoint()
+
+    def topk(col):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc(col), F.asc("match_id"))
+        return (
+            sims.select("query_id", "match_id", col)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TRUNC_K)
+            .select("query_id", "match_id")
+        )
+
+    truth = topk("s64")
+    out = None
+    for d in TRUNC_DIMS:
+        hits = (
+            topk(f"s{d}")
+            .join(truth, ["query_id", "match_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(d).cast("long").alias("d"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                det_round(
+                    F.col("n_hits").cast("double") / (TRUNC_Q * TRUNC_K), 4
+                ).alias(f"recall_at_{TRUNC_K}"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -196,3 +196,13 @@ def test_personalized_pagerank_concentrates_on_seed_side(spark, queries):
     assert seeds and other_sup
     assert sum(seeds) / len(seeds) > 2 * (sum(other_sup) / len(other_sup))
     assert all(r["ppr"] >= 0 for r in rows)
+
+
+def test_dim_truncation_recall_monotone(spark, queries):
+    """More dimensions must not retrieve worse: recall@10 is
+    non-decreasing in d, and every tier keeps a sane floor (random
+    10-of-499 would sit near 0.02)."""
+    rows = {r["d"]: r["recall_at_10"] for r in queries["q_embed_dim_truncation"](spark, SF).collect()}
+    assert sorted(rows) == [8, 16, 32]
+    assert rows[8] <= rows[16] <= rows[32] <= 1.0
+    assert rows[8] > 0.05
