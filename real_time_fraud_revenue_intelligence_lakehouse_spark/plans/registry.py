@@ -64,14 +64,15 @@ def _load_all() -> None:
 # in the r01-r10 union), so queries needing a fresh driver row come
 # FIRST. Recomputed at round 11 per VERDICT r10 #4 — the rolling
 # re-verification rotation:
-#   1-2:   round-11's NEW ids (no driver row yet) + q_decile_lift,
-#          whose ranking stage was rewritten this round (sketch-banded
-#          deciles — VERDICT r10 #1) and needs a fresh row at HEAD;
-#   3-9:   the 7 ids that overflowed round-10's 50-cap and still hold
+#   1-16:  round-11's NEW ids (no driver row yet — the round added
+#          15 queries) + q_decile_lift, whose ranking stage was
+#          rewritten this round (sketch-banded rank, VERDICT r10 #1)
+#          and needs a fresh row at HEAD;
+#   17-23: the 7 ids that overflowed round-10's 50-cap and still hold
 #          r01 rows;
-#   10-29: the r02 block (20 ids, registration order within);
-#   30-50: the r04 block head (registration order; the ~20 r04 ids
-#          past the cap lead the round-12 rotation).
+#   24-43: the r02 block (20 ids, registration order within);
+#   44-50: the r04 block head (registration order; the r04 tail past
+#          the cap leads the round-12 rotation).
 # Names not listed keep their registration order after these.
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
