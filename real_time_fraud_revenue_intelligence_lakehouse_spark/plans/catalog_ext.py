@@ -1807,3 +1807,138 @@ def q_embed_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+# --- IVF nprobe tuning curve ---------------------------------------------------
+
+NPROBE_TIERS = (1, 2, 4)
+NPROBE_Q = 20
+NPROBE_K = 10
+
+
+def _nprobe_oracle() -> str:
+    branches = []
+    for np_ in NPROBE_TIERS:
+        branches.append(f"""
+    cand{np_} AS (
+      SELECT DISTINCT q.query_id, c.match_id
+      FROM (SELECT vec_id AS query_id, centroid_id FROM assign
+            WHERE crank <= {np_} AND vec_id < {NPROBE_Q}) q
+      JOIN corpus_cells c USING (centroid_id)
+      WHERE q.query_id <> c.match_id
+    ),
+    top{np_} AS (
+      SELECT query_id, match_id FROM (
+        SELECT s.query_id, s.match_id,
+               row_number() OVER (
+                 PARTITION BY s.query_id ORDER BY s.cosine_sim DESC, s.match_id
+               ) AS rn
+        FROM (
+          SELECT query_id, match_id,
+                 {_r(_COS.format(a='eq.v', b='ec.v'), 6)} AS cosine_sim
+          FROM cand{np_} JOIN e eq ON eq.vec_id = query_id
+                        JOIN e ec ON ec.vec_id = match_id
+        ) s
+      ) WHERE rn <= {NPROBE_K}
+    )""")
+    hits = " UNION ALL ".join(
+        f"SELECT {np_} AS nprobe,"
+        f" (SELECT count(*) FROM cand{np_}) AS n_candidates,"
+        f" (SELECT count(*) FROM top{np_} t JOIN truth f"
+        f"   ON t.query_id = f.query_id AND t.match_id = f.match_id) AS n_hits"
+        for np_ in NPROBE_TIERS
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_DBL.format(v='embedding')} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % {S.CENTROID_MOD} = 0),
+    assign AS (
+      SELECT vec_id, centroid_id, crank FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_r(_COS.format(a='e.v', b='cent.cv'), 6)} DESC, cent.centroid_id
+               ) AS crank
+        FROM e, cent
+      )
+    ),
+    corpus_cells AS (SELECT vec_id AS match_id, centroid_id FROM assign WHERE crank = 1),
+    truth AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_r(_COS.format(a='q.v', b='c.v'), 6)} DESC, c.vec_id
+               ) AS rn
+        FROM e q, e c
+        WHERE q.vec_id < {NPROBE_Q} AND c.vec_id <> q.vec_id
+      ) WHERE rn <= {NPROBE_K}
+    ),
+    {','.join(branches)},
+    h AS ({hits})
+    SELECT nprobe, CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           (floor((CAST(n_hits AS DOUBLE) / {NPROBE_Q * NPROBE_K}) * 10000.0 + 0.5) / 10000.0)
+             AS recall_at_{NPROBE_K}
+    FROM h
+    """
+
+
+@query(
+    "q_ivf_nprobe_curve",
+    oracle=_nprobe_oracle(),
+    tags=("ext", "similarity", "evaluation"),
+)
+def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@10 AND candidate volume as nprobe
+    sweeps 1 → 2 → 4 — the cost/quality trade an operator reads
+    before fixing the index's probe count ('nprobe 2 scans ~2/|C| of
+    the corpus for X% recall; doubling probes buys Y points'). Truth
+    is the brute panel (|Q|=20, the q_ann_recall evaluation class);
+    every tier reuses the SAME cell assignment (one centroid-scoring
+    pass — crank ≤ nprobe is a filter, not a recompute) and the same
+    shared corpus-cells frame the production queries probe."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import ivf_corpus_cells
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < NPROBE_Q)
+    truth = S.brute_force_topk(e, queries_df, k=NPROBE_K).select(
+        "query_id", "match_id"
+    ).localCheckpoint()
+    cells = ivf_corpus_cells(spark, sf_dir)
+    out = None
+    for np_ in NPROBE_TIERS:
+        topk = S.ivf_topk(
+            e, queries_df, k=NPROBE_K, nprobe=np_, corpus_cells=cells
+        ).select("query_id", "match_id").localCheckpoint()
+        cand = (
+            S.ivf_assignments(
+                queries_df,
+                e.filter(F.col("vec_id") % S.CENTROID_MOD == 0),
+                nprobe=np_,
+            )
+            .select(F.col("vec_id").alias("query_id"), "centroid_id")
+            .join(cells.select("match_id", "centroid_id"), "centroid_id")
+            .filter(F.col("query_id") != F.col("match_id"))
+            .select("query_id", "match_id")
+            .distinct()
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(
+                    topk.join(truth, ["query_id", "match_id"]).agg(
+                        F.count(F.lit(1)).alias("n_hits")
+                    )
+                )
+            )
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                det_round(
+                    F.col("n_hits").cast("double") / (NPROBE_Q * NPROBE_K), 4
+                ).alias(f"recall_at_{NPROBE_K}"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

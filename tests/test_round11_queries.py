@@ -206,3 +206,13 @@ def test_dim_truncation_recall_monotone(spark, queries):
     assert sorted(rows) == [8, 16, 32]
     assert rows[8] <= rows[16] <= rows[32] <= 1.0
     assert rows[8] > 0.05
+
+
+def test_nprobe_curve_monotone(spark, queries):
+    """More probes must not retrieve worse and must scan more: recall
+    and candidate volume are both non-decreasing in nprobe."""
+    rows = {r["nprobe"]: r for r in queries["q_ivf_nprobe_curve"](spark, SF).collect()}
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[1]["recall_at_10"] <= rows[2]["recall_at_10"] <= rows[4]["recall_at_10"] <= 1.0
+    assert rows[1]["n_candidates"] <= rows[2]["n_candidates"] <= rows[4]["n_candidates"]
+    assert rows[4]["recall_at_10"] > 0.3

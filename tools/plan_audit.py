@@ -89,6 +89,7 @@ ALLPAIRS_OK = {
     "q_theil_sen",          # |days|^2 pairwise-slope tier over the AGGREGATED day frame (calendar-bounded ~2.4k days at any fact scale) — the Theil-Sen definition
     "q_personalized_pagerank",  # 1-row source-set-size aggregate cross joined (broadcast) — the q_pagerank class
     "q_embed_dim_truncation",   # brute-evaluation tier: |Q|=20 panel × corpus (the q_ann_recall class)
+    "q_ivf_nprobe_curve",       # brute-truth panel + IVF centroid broadcast (the q_ann_recall class)
 }
 
 #: Queries allowed an Exchange SinglePartition over a NON-aggregated
