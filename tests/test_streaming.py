@@ -1382,3 +1382,42 @@ def test_split_corrupt_quarantines_malformed_payloads(spark):
     q = quarantined.collect()
     assert len(q) == 1
     assert q[0]["_raw_payload"] == garbage and q[0]["_kafka_offset"] == 101
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Stop/restart recovery — THE Structured Streaming guarantee a
+    bronze pipeline stands on: a SECOND query started against the
+    same checkpoint must process only the files that arrived after
+    the first run drained, never re-appending the already-committed
+    batch (the file-source offsets live in the checkpoint, the sink's
+    commit log dedups partial writes)."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    now = time.time()
+    _write_json(
+        str(src / "b1.json"),
+        [_ev(1, "2024-01-01 10:00:00", value=1.0),
+         _ev(2, "2024-01-01 10:01:00", value=2.0)],
+        now - 60,
+    )
+    q1 = start_append_sink(
+        read_file_stream(spark, str(src)),
+        str(sink), str(ckpt), available_now=True,
+    )
+    q1.awaitTermination(120)
+    assert spark.read.parquet(str(sink)).count() == 2
+
+    # new files arrive AFTER the first run stopped
+    _write_json(
+        str(src / "b2.json"),
+        [_ev(3, "2024-01-01 10:02:00", value=3.0)],
+        now,
+    )
+    q2 = start_append_sink(
+        read_file_stream(spark, str(src)),
+        str(sink), str(ckpt), available_now=True,
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(str(sink)).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3], ids  # exactly once: no b1 reprocessing, no loss
