@@ -837,3 +837,72 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(intercept).alias("intercept"),
     )
 
+
+
+# --- price elasticity of demand -----------------------------------------------
+
+ELASTICITY_MIN_N = 30
+
+
+@query(
+    "q_price_elasticity",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p.p_brand AS brand,
+             {R8.format(c="ln(l.l_extendedprice / l.l_quantity)")} AS x,
+             {R8.format(c="ln(l.l_quantity)")} AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    m AS (
+      SELECT brand, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+             CAST(sum(CAST({R8.format(c="x * y")} AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST({R8.format(c="x * x")} AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY 1
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n,
+           {R6.format(c="(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS elasticity
+    FROM m WHERE n >= {ELASTICITY_MIN_N}
+    """,
+    tags=("analytics", "econometrics", "regression"),
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand: the log-log OLS slope of
+    ln(quantity) on ln(unit price) over every line item — THE retail
+    econometrics artifact ('Brand#12 demand drops ~0.50% per 1% price
+    increase'), and the engine's grouped-regression shape (q_ols_trend
+    is one global series; this is a closed-form regression PER KEY
+    from one pass of moment sums). Both log terms and their products
+    det-round to 8 digits then fold through decimal(38,8) (the
+    unigram-entropy discipline) so grouped second-moment statistics
+    hash-gate; the final slope arithmetic is identical IEEE on both
+    engines. One broadcast dim join + one grouped agg — no per-group
+    iteration, the closed form IS the aggregate."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = det_round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 8)
+    y = det_round(F.log(F.col("l_quantity")), 8)
+    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"), x.alias("x"), y.alias("y")
+    )
+    d8 = lambda c: c.cast("decimal(38,8)")
+    m = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d8(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d8(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d8(det_round(F.col("x") * F.col("y"), 8))).cast("double").alias("sxy"),
+        F.sum(d8(det_round(F.col("x") * F.col("x"), 8))).cast("double").alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    slope = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.filter(F.col("n") >= ELASTICITY_MIN_N).select(
+        "brand",
+        F.col("n").cast("long").alias("n"),
+        det_round(slope, 6).alias("elasticity"),
+    )

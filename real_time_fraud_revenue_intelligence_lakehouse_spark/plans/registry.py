@@ -94,6 +94,7 @@ _FRONT: tuple[str, ...] = (
     "q_personalized_pagerank",
     "q_embed_dim_truncation",
     "q_ivf_nprobe_curve",
+    "q_price_elasticity",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —

@@ -216,3 +216,13 @@ def test_nprobe_curve_monotone(spark, queries):
     assert rows[1]["recall_at_10"] <= rows[2]["recall_at_10"] <= rows[4]["recall_at_10"] <= 1.0
     assert rows[1]["n_candidates"] <= rows[2]["n_candidates"] <= rows[4]["n_candidates"]
     assert rows[4]["recall_at_10"] > 0.3
+
+
+def test_price_elasticity_is_negative_demand_slope(spark, queries):
+    """Economics sanity: demand curves slope DOWN — every brand's
+    log-log elasticity must be negative, with enough points behind it."""
+    rows = queries["q_price_elasticity"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] >= 30
+        assert -2.0 < r["elasticity"] < 0.0
