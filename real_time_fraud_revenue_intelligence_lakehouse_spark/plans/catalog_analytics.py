@@ -906,3 +906,68 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         det_round(slope, 6).alias("elasticity"),
     )
+
+
+@query(
+    "q_hhi_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             sum(CAST({R4.format(c="l.l_extendedprice * (1 - l.l_discount)")} AS DECIMAL(38,4))) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, sum(r) AS t, count(*) AS n_suppliers FROM rev GROUP BY 1)
+    SELECT t.nation, CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST({R8.format(c="(CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE)) * (CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE))")} AS DECIMAL(28,8))) AS DOUBLE) AS hhi,
+           {R6.format(c="1.0 / t.n_suppliers")} AS hhi_floor
+    FROM rev r JOIN tot t ON r.nation = t.nation
+    GROUP BY t.nation, t.n_suppliers
+    """,
+    tags=("analytics", "economics", "concentration"),
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier concentration per nation market:
+    HHI = Σ (supplier revenue share)² — the market-structure metric
+    regulators and category managers quote (1/n = perfectly split,
+    1.0 = monopoly; the 1/n floor is emitted next to it so the gap IS
+    the concentration excess). Complements q_gini: Gini measures
+    inequality of the distribution, HHI the dominance mass at its
+    top. Two grouped aggregates (supplier revenue in exact decimal,
+    then shares² det-rounded into a decimal(28,8) fold — the
+    layout-free square-sum discipline) and one broadcast-size join of
+    the 25-row totals; no windows, no sorts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(
+            F.sum(
+                det_round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(38,4)")
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation", "n_suppliers")
+        .agg(
+            F.sum(det_round(share * share, 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("hhi"),
+        )
+        .select(
+            "nation",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            "hhi",
+            det_round(F.lit(1.0) / F.col("n_suppliers"), 6).alias("hhi_floor"),
+        )
+    )

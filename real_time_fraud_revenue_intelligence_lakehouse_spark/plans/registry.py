@@ -95,6 +95,7 @@ _FRONT: tuple[str, ...] = (
     "q_embed_dim_truncation",
     "q_ivf_nprobe_curve",
     "q_price_elasticity",
+    "q_hhi_concentration",
     # — plan rewritten round 11 (sketch-banded deciles) —
     "q_decile_lift",
     # — r01 rows: overflowed round-10's 50-cap —

@@ -226,3 +226,12 @@ def test_price_elasticity_is_negative_demand_slope(spark, queries):
     for r in rows:
         assert r["n"] >= 30
         assert -2.0 < r["elasticity"] < 0.0
+
+
+def test_hhi_bounded_by_floor_and_one(spark, queries):
+    rows = queries["q_hhi_concentration"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_suppliers"] >= 1
+        # HHI lives in [1/n, 1]; floor equality only at a perfect split
+        assert r["hhi_floor"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-9
