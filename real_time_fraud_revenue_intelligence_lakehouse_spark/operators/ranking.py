@@ -252,10 +252,17 @@ def select_kth(
         .alias("b"),
     ).first()
     n = row["n"] if n is None else n
-    if n == 0:
+    if row["n"] == 0:
         return None
     k = (n + 1) // 2 if k is None else k
-    assert 1 <= k <= n, (k, n)
+    # Validate k against the freshly computed count, not the caller's
+    # n: an overstated n would otherwise surface as a null getItem or
+    # a TypeError deep in the band scan (ADVICE r11 #4).
+    if not 1 <= k <= row["n"]:
+        raise ValueError(
+            f"select_kth: k={k} outside actual row count {row['n']} "
+            f"(caller-supplied n={n})"
+        )
     if n <= 100_000:
         # Small input: one sorted-array agg IS the selection — skips
         # the band-count and band-filter jobs (each eager job costs
@@ -282,6 +289,7 @@ def select_kth(
             target, local_k = t, k - seen
             break
         seen += counts[t]
+    assert local_k is not None  # unreachable after the k<=actual gate
     return (
         banded.filter(F.col("__band") == target)
         .agg(F.sort_array(F.collect_list(col)).getItem(local_k - 1).alias("v"))

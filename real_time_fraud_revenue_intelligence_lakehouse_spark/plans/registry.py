@@ -59,79 +59,27 @@ def _load_all() -> None:
 
 
 # Verification priority: the driver's correctness gate walks queries()
-# in dict order with a hard 50-entry per-round budget (r01-r10 each
-# sampled exactly 50; every registered id has at least one green row
-# in the r01-r10 union), so queries needing a fresh driver row come
-# FIRST. Recomputed at round 11 per VERDICT r10 #4 — the rolling
-# re-verification rotation:
-#   1-16:  round-11's NEW ids (no driver row yet — the round added
-#          15 queries) + q_decile_lift, whose ranking stage was
-#          rewritten this round (sketch-banded rank, VERDICT r10 #1)
-#          and needs a fresh row at HEAD;
-#   17-23: the 7 ids that overflowed round-10's 50-cap and still hold
-#          r01 rows;
-#   24-43: the r02 block (20 ids, registration order within);
-#   44-50: the r04 block head (registration order; the r04 tail past
-#          the cap leads the round-12 rotation).
+# in dict order with a hard 50-entry per-round budget (every registered
+# id is green in the r01-r11 union), so ids needing a fresh driver row
+# come FIRST. Recomputed at round 12 per VERDICT r11 #2 — lead with the
+# stale blocks. Layout of this 86-entry head:
+#   1-4:   round-12's NEW ids (no driver row can exist yet; VERDICT's
+#          'done = CORRECTNESS-green' conditions for items #1/#5/#6
+#          require they be inside the 50-cap);
+#   5-41:  the 37 ids whose last driver row is r04 (registration
+#          order within the block);
+#   42-86: the 45 ids whose last driver row is r06 (registration
+#          order; positions past the 50-cap lead the r13 rotation).
 # Names not listed keep their registration order after these.
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
 _FRONT: tuple[str, ...] = (
-    # — new in round 11, never driver-verified —
-    "q_active_users_hll",
-    "q_hits",
-    "q_attribution_last_touch",
-    "q_attribution_linear",
-    "q_interarrival_stats",
-    "q_theil_sen",
-    "q_stream_interval_join",
-    "q_calibration",
-    "q_degree_assortativity",
-    "q_ewma_recursive",
-    "q_distinct_hll_shards",
-    "q_conversion_latency",
-    "q_new_vs_returning",
-    "q_personalized_pagerank",
-    "q_embed_dim_truncation",
-    "q_ivf_nprobe_curve",
-    "q_price_elasticity",
-    "q_hhi_concentration",
-    # — plan rewritten round 11 (sketch-banded deciles) —
-    "q_decile_lift",
-    # — r01 rows: overflowed round-10's 50-cap —
-    "q_velocity_window",
-    "q_asof_join",
-    "q_merge_upsert",
-    "q_ntile_quartiles",
-    "q_ratio_to_user_avg",
-    "q_ratio_to_user_p95",
-    "q_lag_delta",
-    # — r02 rows (registration order) —
-    "q_bool_sum_agg",
-    "q_trend_7d",
-    "q_percent_rank",
-    "q_incremental_month",
-    "q_dq_suite",
-    "q_dq_freshness",
-    "q_dq_fk_orphans",
-    "q_train_test_split",
-    "q_stratified_sample",
-    "q_sequence_packing",
-    "q_scd2_segments",
-    "q_cdc_apply",
-    "q_fraud_scores",
-    "q_gbt_scores",
-    "q_sql_mart_monthly",
-    "q_stream_tumbling",
-    "q_session_window",
-    "q_sessionize_batch",
-    "q_high_risk_users",
-    "q_revenue_by_method",
-    # — r04 rows (registration order; tail past the 50-cap leads r12) —
-    "q_retention_cohort",
-    "q_rfm_segments",
-    "q_winsorize",
-    "q_zscore_outliers",
+    # — new in round 12, never driver-verified —
+    "q_logreg_train",
+    "q_logreg_train_score",
+    "q_stream_interval_join_outer",
+    "q_time_travel_diff",
+    # — last driver row r04 (37 ids, registration order) —
     "q_interval_join",
     "q_multimodal_framesample",
     "q_intersect_check",
@@ -169,8 +117,53 @@ _FRONT: tuple[str, ...] = (
     "q_part_supplier_variety",
     "q_excess_suppliers",
     "q_groupwise_min",
+    # — last driver row r06 (45 ids; tail past the 50-cap leads r13) —
+    "q_event_transitions",
+    "q_skyline",
+    "q_priority_sample",
+    "q_token_entropy",
+    "q_robust_scale",
+    "q_gap_fill",
+    "q_rolling_median",
+    "q_mad_outliers",
+    "q_topk_per_group",
+    "q_cumulative_distinct",
+    "q_twap",
+    "q_yoy_growth",
+    "q_chi_square",
+    "q_weighted_sample",
+    "q_allocation",
+    "q_target_encoding",
+    "q_revenue_bridge",
+    "q_golden_record",
+    "q_gini",
+    "q_benford",
+    "q_duplicate_invoice",
+    "q_round_amount_anomaly",
+    "q_survival_km",
+    "q_abandoned",
+    "q_event_paths",
+    "q_cohort_ltv",
+    "q_funnel_windowed",
+    "q_ab_test",
+    "q_anti_join",
+    "q_first_last",
+    "q_minmax_by",
+    "q_window_share",
+    "q_multimodal_resize",
+    "q_langid_confusion",
+    "q_exif_meta",
+    "q_quantile_norm",
+    "q_map_functions",
+    "q_psi",
+    "q_ks_test",
+    "q_cusum",
+    "q_seasonal_anomaly",
+    "q_k_anonymity",
+    "q_fd_discovery",
+    "q_kfold",
+    "q_scd2_lookup",
 )
-
 
 def _ordered() -> dict[str, QuerySpec]:
     front = [n for n in _FRONT if n in _REGISTRY]

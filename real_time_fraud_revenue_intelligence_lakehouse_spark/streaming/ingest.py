@@ -313,21 +313,26 @@ def split_corrupt(
     parsed: DataFrame,
     required: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Quarantine split for the bronze parse: rows whose payload
-    failed `from_json` (every schema field null while `_raw_payload`
-    is not) — or whose ``required`` fields are null — route to a
-    dead-letter frame carrying the ORIGINAL payload + Kafka metadata
-    for replay; clean rows flow on. The reference parses PERMISSIVE
-    and silently ships all-null rows into silver
-    (`ingest_stream.py:57-83` has no corrupt branch — §2.12-class gap,
-    fixed rather than replicated): one malformed producer then poisons
-    every downstream aggregate with nulls. Both frames come from ONE
-    predicate over the already-parsed stream — no second parse, works
-    identically for batch and streaming inputs (streaming sinks attach
-    per-branch checkpoints)."""
+    """Quarantine split for the bronze parse: rows whose payload is a
+    Kafka tombstone (null value), failed `from_json`, or parsed but
+    lost ANY ``required`` field (a null `ts` alone breaks downstream
+    watermarks) route to a dead-letter frame carrying the ORIGINAL
+    payload + Kafka metadata for replay; clean rows flow on. The
+    reference parses PERMISSIVE and silently ships all-null rows into
+    silver (`ingest_stream.py:57-83` has no corrupt branch —
+    §2.12-class gap, fixed rather than replicated): one malformed
+    producer then poisons every downstream aggregate with nulls. Both
+    frames come from ONE predicate over the already-parsed stream —
+    no second parse, works identically for batch and streaming inputs
+    (streaming sinks attach per-branch checkpoints).
+
+    Corruption predicate (tightened per ADVICE r11 #1): ANY-null over
+    the required fields, not ALL-null — a valid JSON missing just one
+    required field is still unusable downstream — and a null payload
+    quarantines too (its parse is all-null by construction)."""
     required = required or ["event_id", "ts"]
-    is_corrupt = F.col("_raw_payload").isNotNull() & functools_reduce(
-        lambda a, b: a & b, [F.col(c).isNull() for c in required]
+    is_corrupt = F.col("_raw_payload").isNull() | functools_reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in required]
     )
     clean = parsed.filter(~is_corrupt)
     quarantined = parsed.filter(is_corrupt).select(

@@ -564,7 +564,13 @@ def value_histogram_batch(
     is the LAST batch group's count — matching the stream twin's
     final emission exactly, column for column. When None, the whole
     build IS one batch and batch_rows == total_rows by definition
-    (not an oversight: there is no micro-batch split to report)."""
+    (not an oversight: there is no micro-batch split to report).
+
+    REQUIREMENT (ADVICE r11 #3): "last" is the lexicographic max of
+    ``batch_key`` AFTER the string cast, so the key must sort the
+    same as strings as it does typed — timestamps and zero-padded
+    indices do; a bare numeric index does NOT ('9' > '10'). Pass
+    `F.lpad(idx.cast("string"), 6, "0")` for numeric batch ids."""
     shard = shard if shard is not None else F.pmod(F.col("user_id"), F.lit(4))
     cents = cents_col(value_col)
     sv = F.col("cents").cast("string")

@@ -286,3 +286,9 @@ def test_select_kth_matches_sorted_indexing(spark):
         assert select_kth(df, "v", k, bands=8) == sv[k - 1], k
     assert select_kth(df, "v", bands=8) == sv[(n + 1) // 2 - 1]  # lower median default
     assert select_kth(spark.createDataFrame([], "v double"), "v") is None
+    # overstated caller-supplied n → clear error, not a TypeError deep
+    # in the band scan (ADVICE r11 #4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside actual row count"):
+        select_kth(df, "v", k=n + 500, n=n + 1000, bands=8)

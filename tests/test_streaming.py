@@ -1370,18 +1370,26 @@ def test_split_corrupt_quarantines_malformed_payloads(spark):
     good2 = _json.dumps({"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 7,
                          "event_type": "purchase", "value": 9.0})
     garbage = "{not json at all"
+    # valid JSON but `ts` (a required field) is absent — downstream
+    # watermarks would silently drop or misplace it (ADVICE r11 #1)
+    missing_ts = _json.dumps({"event_id": 3, "user_id": 8,
+                              "event_type": "click", "value": 2.0})
     raw = spark.createDataFrame(
         [("k1", "events", 0, 100, None, good1),
          ("k2", "events", 0, 101, None, garbage),
-         ("k3", "events", 1, 102, None, good2)],
+         ("k3", "events", 1, 102, None, good2),
+         ("k4", "events", 1, 103, None, None),        # Kafka tombstone
+         ("k5", "events", 0, 104, None, missing_ts)],
         "key string, topic string, partition int, offset long, timestamp timestamp, value string",
     )
     parsed = parse_kafka_payload(raw, schema)
     clean, quarantined = split_corrupt(parsed)
     assert {r["event_id"] for r in clean.collect()} == {1, 2}
-    q = quarantined.collect()
-    assert len(q) == 1
-    assert q[0]["_raw_payload"] == garbage and q[0]["_kafka_offset"] == 101
+    q = {r["_kafka_offset"]: r for r in quarantined.collect()}
+    assert set(q) == {101, 103, 104}
+    assert q[101]["_raw_payload"] == garbage
+    assert q[103]["_raw_payload"] is None          # tombstone routed too
+    assert q[104]["_raw_payload"] == missing_ts    # any-null, not all-null
 
 
 def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
