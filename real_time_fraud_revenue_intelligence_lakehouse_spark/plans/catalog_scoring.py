@@ -152,3 +152,118 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(sq.cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("brier"),
     )
+
+
+# --- distributed logistic-regression TRAINING (VERDICT r11 #1) --------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round  # noqa: E402
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    logreg_score_sql,
+    logreg_weights_sql,
+    train_logreg,
+    trained_score_expr,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import (  # noqa: E402
+    SCORE_FEATURES,
+    risk_label,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import (  # noqa: E402
+    register_cache,
+    shared_frame,
+)
+
+#: memoized trained weights per (applicationId, sf_dir) — training is
+#: a pure function of the input tables, so q_logreg_train_score
+#: reuses q_logreg_train's fold inside one process exactly like the
+#: ivf_corpus_cells reuse; the bench harness clear_cache()s between
+#: timed queries, so each still pays its full cost when timed.
+_LOGREG_WEIGHTS: dict = {}
+register_cache(_LOGREG_WEIGHTS)
+
+
+def _logreg_fv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label + the 8 model features, localCheckpointed: the GD loop
+    scans it K times (and the scorer once more) — materialize once,
+    the 100 TB analog being the persisted silver feature table the
+    reference also trains from (`ml/models/train.py:44-60`)."""
+
+    def build() -> DataFrame:
+        fv = registry._REGISTRY["q_feature_vector"].fn(spark, sf_dir)
+        # 9 doubles/row → bench-scale frames are a few MB; repartition
+        # (NOT coalesce — coalesce would collapse the upstream join's
+        # parallelism into the same 4 tasks) so the K sequential
+        # gradient jobs don't pay 32 tasks of scheduling each for
+        # micro-partitions. At 100 TB the natural partitioning stands
+        # (rows/partition, not partition count, is the invariant).
+        return fv.select("label", *SCORE_FEATURES).repartition(4)
+
+    return shared_frame(spark, sf_dir, "logreg_fv", build)
+
+
+def _trained_weights(spark: SparkSession, sf_dir: str) -> tuple[dict, int]:
+    import os as _os
+
+    k = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    if k not in _LOGREG_WEIGHTS:
+        _LOGREG_WEIGHTS[k] = train_logreg(_logreg_fv(spark, sf_dir))
+    return _LOGREG_WEIGHTS[k]
+
+
+@query(
+    "q_logreg_train",
+    oracle=logreg_weights_sql(_FV_SQL),
+    tags=("training", "scoring", "iterative"),
+)
+def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING as a hash-gated query
+    — the reference's model-training surface (`ml/models/
+    train.py:44-226`) re-expressed in the only shape that survives
+    100 TB: K=5 fixed full-batch gradient-descent iterations, each
+    ONE decimal-folded aggregate over the feature frame (9 exact
+    DECIMAL(38,0) micro-sums, map-side combined; the weight vector is
+    the sole driver state). Probabilities det-round to 6 before the
+    gradient so the libm-exp ulp hazard can't compound; gradient
+    contributions are integer micros, so the sum is order-independent
+    on ANY partition layout. The oracle unrolls the identical K
+    iterations as generated CTE pairs — training itself hash-gates
+    (the q_holt_winters recursive-fold-as-oracle pattern, extended
+    from a 1-D series fold to a d-dimensional descent)."""
+    import math
+
+    w, _n = _trained_weights(spark, sf_dir)
+    names = ["bias"] + list(SCORE_FEATURES)
+    rows = [(m, math.floor(w[m] * 1e6 + 0.5) / 1e6) for m in names]
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
+@query(
+    "q_logreg_train_score",
+    oracle=logreg_score_sql(_FV_SQL),
+    tags=("training", "scoring", "iterative"),
+)
+def q_logreg_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→apply closure (BPE's train→encode pattern, for
+    models): score every row with the weights q_logreg_train just
+    descended to, band 3-way, and report per-band volume, mean
+    predicted probability, and realized event rate — the oracle
+    re-trains via the same unrolled CTEs then scores, so the WHOLE
+    loop (descent + inference + banding + decimal-folded evaluation)
+    hash-gates end-to-end. One extra scan over the checkpointed
+    feature frame; scoring is row-local inside codegen."""
+    fv = _logreg_fv(spark, sf_dir)
+    w, _n = _trained_weights(spark, sf_dir)
+    banded = fv.select(
+        "label",
+        trained_score_expr(w).alias("s"),
+    ).withColumn("risk_label", risk_label(F.col("s")))
+    return banded.groupBy("risk_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        det_round(
+            F.sum(F.col("s").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score"),
+        det_round(
+            F.sum("label").cast("double") / F.count(F.lit(1)), 6
+        ).alias("event_rate"),
+    )

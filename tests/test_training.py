@@ -1,0 +1,145 @@
+"""Distributed logistic-regression training (ext/training.py).
+
+Three laws:
+1. The Spark fold is bit-identical to a NumPy replay of the same
+   arithmetic (the determinism contract the DuckDB oracle also
+   leans on).
+2. The optimizer is real: on a linearly separable problem it finds
+   the boundary (high accuracy, margin-sign weights) and per-
+   iteration log-loss decreases monotonically.
+3. The gradient is partition-layout independent: any repartitioning
+   of the feature frame yields the SAME weights (the 100 TB claim —
+   decimal micro-sums are associative).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (
+    FEATURE_SCALES,
+    ITERS,
+    LR,
+    train_logreg,
+    trained_score_expr,
+)
+
+
+def numpy_replay(X, y, features, lr, iters, scales=None):
+    """The exact fold, replayed in NumPy: same operation ORDER per
+    step (left-assoc logit per feature, round6 sigmoid, micro-floored
+    contributions, exact integer sums, w − lr·(g/1e6/n))."""
+    n, d = X.shape
+    div = np.array([(scales or {}).get(f, 1.0) for f in features])
+    Xs = X / div
+    w = np.zeros(d + 1)
+    for _ in range(iters):
+        z = np.full(n, w[0])
+        for j in range(d):  # left-assoc, matching the Spark expression
+            z = z + w[j + 1] * Xs[:, j]
+        p = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
+        r = p - y
+        g = np.empty(d + 1)
+        g[0] = np.floor(r * 1e6 + 0.5).sum()
+        for j in range(d):
+            g[j + 1] = np.floor((r * Xs[:, j]) * 1e6 + 0.5).sum()
+        for j in range(d + 1):
+            w[j] = w[j] - lr * (g[j] / 1e6 / n)
+    return w
+
+
+def _sep_df(spark, n=400, seed=3):
+    """Linearly separable 2-feature problem with margin: y = 1 iff
+    2·x1 − x2 > 0.3 (deterministic RNG, no ties near the boundary)."""
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(-1, 1, n).round(3)
+    x2 = rng.uniform(-1, 1, n).round(3)
+    m = 2.0 * x1 - x2 - 0.3
+    keep = np.abs(m) > 0.15  # margin
+    rows = [
+        (float(a), float(b), int(v > 0))
+        for a, b, v in zip(x1[keep], x2[keep], m[keep])
+    ]
+    return spark.createDataFrame(rows, "x1 double, x2 double, label int"), rows
+
+
+def test_spark_fold_matches_numpy_replay_exactly(spark):
+    df, rows = _sep_df(spark)
+    X = np.array([[r[0], r[1]] for r in rows])
+    y = np.array([r[2] for r in rows], dtype=float)
+    w, n = train_logreg(df, features=("x1", "x2"), lr=1.0, iters=6)
+    want = numpy_replay(X, y, ("x1", "x2"), 1.0, 6)
+    assert n == len(rows)
+    got = np.array([w["bias"], w["x1"], w["x2"]])
+    assert got.tolist() == want.tolist()  # bit-identical doubles
+
+
+def test_optimizer_learns_separable_boundary(spark):
+    df, rows = _sep_df(spark)
+    X = np.array([[r[0], r[1]] for r in rows])
+    y = np.array([r[2] for r in rows], dtype=float)
+
+    # per-iteration loss strictly decreases (NumPy replay of the same
+    # fold — iteration counts beyond the query's K are fair game here)
+    losses = []
+    for k in range(1, 13):
+        w = numpy_replay(X, y, ("x1", "x2"), 2.0, k)
+        z = w[0] + X @ w[1:]
+        p = 1.0 / (1.0 + np.exp(-z))
+        losses.append(
+            -(y * np.log(np.clip(p, 1e-12, 1))
+              + (1 - y) * np.log(np.clip(1 - p, 1e-12, 1))).mean()
+        )
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+
+    # the trained Spark model separates: boundary sign recovered
+    # (w_x1 > 0 > w_x2, |w_x1| > |w_x2|) and accuracy is high
+    w, _ = train_logreg(df, features=("x1", "x2"), lr=2.0, iters=12)
+    assert w["x1"] > 0 > w["x2"] and abs(w["x1"]) > abs(w["x2"])
+    scored = df.select(
+        "label", trained_score_expr(w, ("x1", "x2"), scales={}).alias("s")
+    ).collect()
+    acc = sum((r["s"] >= 0.5) == (r["label"] == 1) for r in scored) / len(scored)
+    assert acc >= 0.95, acc
+
+
+def test_weights_are_partition_layout_independent(spark):
+    df, _ = _sep_df(spark, n=300, seed=11)
+    w1, _ = train_logreg(df.repartition(1), features=("x1", "x2"), iters=3)
+    w13, _ = train_logreg(
+        df.repartition(13, "x1"), features=("x1", "x2"), iters=3
+    )
+    assert w1 == w13  # exact: micro-sums are associative integers
+
+
+def test_catalog_query_converges_on_testdata(spark, sf_dir):
+    """End-to-end on driver testdata: the registered query's weights
+    replay exactly in NumPy AND the fit is calibrated (mean predicted
+    probability within 2% of the base rate — the max-likelihood
+    optimum for signal-free labels)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_scoring import _logreg_fv
+
+    registry._load_all()
+    fv = _logreg_fv(spark, sf_dir)
+    pdf = fv.toPandas()
+    X = pdf[list(SCORE_FEATURES)].to_numpy(float)
+    y = pdf["label"].to_numpy(float)
+    want = numpy_replay(X, y, SCORE_FEATURES, LR, ITERS, FEATURE_SCALES)
+    got = {
+        r["feature"]: r["weight"]
+        for r in registry._REGISTRY["q_logreg_train"].fn(spark, sf_dir).collect()
+    }
+    names = ["bias"] + list(SCORE_FEATURES)
+    for m, wv in zip(names, want):
+        assert got[m] == math.floor(wv * 1e6 + 0.5) / 1e6, m
+
+    w = dict(zip(names, want))
+    scored = fv.select(
+        trained_score_expr(w, SCORE_FEATURES, FEATURE_SCALES).alias("s")
+    ).agg({"s": "avg"}).first()[0]
+    assert scored == pytest.approx(y.mean(), abs=0.02)
