@@ -278,6 +278,44 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_interval_join_outer",
+    oracle="""
+    SELECT c.user_id, c.event_id AS l_event_id, c.ts AS l_ts,
+           c.value AS l_value
+    FROM events c LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_id IS NULL
+    """,
+    tags=("streaming-twin", "join", "interval", "outer"),
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment WHILE LIVE: clicks with NO same-user purchase
+    inside the 1 h horizon — the left-outer face of
+    q_stream_interval_join and the streaming twin of q_abandoned
+    (which answers the same question nightly over landed data; this
+    form answers it the moment the watermark proves no purchase can
+    still arrive). The EXACT builder runs as a live two-stream
+    left-outer join — unmatched rows flush once the right watermark
+    passes the horizon, the contract pinned (with its
+    watermark-the-source-before-splitting trap) in
+    tests/test_streaming.py::test_stream_stream_left_outer_emits_unmatched_after_watermark.
+    Batch plan: one user-keyed shuffle join with the range residual,
+    null-filtered — same cost shape as the inner form; at 100 TB both
+    feeds bucket by user."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.joins import interval_pair_join
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    pairs = interval_pair_join(clicks, purchases, within="1 hour", how="left_outer")
+    return pairs.filter(F.col("r_event_id").isNull()).select(
+        "user_id", "l_event_id", "l_ts", "l_value"
+    )
+
+
+@query(
     "q_ewma_recursive",
     oracle="""
     WITH seq AS (

@@ -1193,6 +1193,27 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     assert (2, 3, None) in rows         # unmatched click flushed with nulls
     assert not any(u == 2 and rid is not None for (u, _, rid) in rows)
 
+    # stream ≡ batch: the same builder on a static frame produces the
+    # same pair set (the q_stream_interval_join_outer contract —
+    # its declared query is the null-filtered projection of this)
+    from datetime import datetime as _dt
+
+    batch_df = spark.createDataFrame(
+        [tuple(_dt.fromisoformat(v.replace(" ", "T")) if kk == "ts" else v
+               for kk, v in e.items()) for b in batches for e in b],
+        schema=EVENTS_SCHEMA,
+    )
+    batch_rows = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in interval_pair_join(
+            batch_df.filter(F.col("event_type") == "click"),
+            batch_df.filter(F.col("event_type") == "purchase"),
+            within="1 hour",
+            how="left_outer",
+        ).collect()
+    }
+    assert rows == batch_rows
+
 
 def test_streaming_ewma_matches_batch_twin_and_expires(spark, tmp_path):
     """Streaming recursive EWMA: integer-micros state carries across
