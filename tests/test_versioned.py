@@ -1,0 +1,91 @@
+"""Manifest-based versioned tables (sources/versioned.py): snapshot
+reads, append vs overwrite lineage, history, vacuum retention, and
+commit atomicity — the live stand-in for the sandbox-gated Delta
+time-travel surface (`delta_utils.py:78-116`)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.versioned import (
+    list_versions,
+    read_version,
+    table_history,
+    vacuum_versions,
+    write_version,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_versions_are_isolated_snapshots(spark, tmp_path):
+    p = str(tmp_path / "t")
+    assert write_version(_df(spark, [(1, "a")]), p, operation="init") == 0
+    assert write_version(_df(spark, [(2, "b")]), p, mode="append") == 1
+    assert write_version(_df(spark, [(9, "z")]), p, mode="overwrite") == 2
+
+    def rows(v):
+        return {(r["k"], r["v"]) for r in read_version(spark, p, v).collect()}
+
+    assert rows(0) == {(1, "a")}
+    assert rows(1) == {(1, "a"), (2, "b")}   # append = parent + new
+    assert rows(2) == {(9, "z")}              # overwrite = new only
+    # default read = latest
+    assert {(r["k"], r["v"]) for r in read_version(spark, p).collect()} == {(9, "z")}
+    # old versions stayed readable after the overwrite
+    assert rows(1) == {(1, "a"), (2, "b")}
+
+
+def test_history_is_newest_first_with_metadata(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), p, operation="init")
+    write_version(_df(spark, [(2, "b")]), p, mode="append", operation="load")
+    h = table_history(p)
+    assert [e["version"] for e in h] == [1, 0]
+    assert h[0]["mode"] == "append" and h[0]["operation"] == "load"
+    assert h[1]["n_files"] >= 1 and h[0]["n_files"] > h[1]["n_files"] - 1
+
+
+def test_vacuum_drops_unreferenced_files_and_old_manifests(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), p)
+    write_version(_df(spark, [(2, "b")]), p, mode="overwrite")
+    removed = vacuum_versions(p, keep_last=1)
+    assert removed  # v0's files are unreferenced by v1 (overwrite)
+    assert list_versions(p) == [1]
+    # the retained version still reads; the vacuumed one is gone
+    assert {r["k"] for r in read_version(spark, p, 1).collect()} == {2}
+    with pytest.raises(ValueError, match="version 0 not in"):
+        read_version(spark, p, 0)
+    # append lineage: vacuum keeps files the retained manifest shares
+    write_version(_df(spark, [(3, "c")]), p, mode="append")
+    removed = vacuum_versions(p, keep_last=1)
+    assert removed == []  # v2 references v1's files too — all live
+    assert {r["k"] for r in read_version(spark, p).collect()} == {2, 3}
+
+
+def test_half_committed_version_is_invisible(spark, tmp_path):
+    """Crash before the manifest rename: data files exist, version
+    does not — the atomicity the os.replace protocol buys."""
+    p = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), p)
+    # simulate a crashed writer: staged manifest + orphan data files
+    os.makedirs(os.path.join(p, "data", "c000001-deadbeef"))
+    with open(
+        os.path.join(p, "_manifests", "v000001.json.tmp-deadbeef"), "w"
+    ) as fh:
+        fh.write("{corrupt")
+    assert list_versions(p) == [0]
+    assert {r["k"] for r in read_version(spark, p).collect()} == {1}
+    # a new commit claims the next version number cleanly
+    assert write_version(_df(spark, [(2, "b")]), p, mode="append") == 1
+    assert {r["k"] for r in read_version(spark, p).collect()} == {1, 2}
+
+
+def test_mode_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="overwrite|append"):
+        write_version(_df(spark, [(1, "a")]), str(tmp_path / "t"), mode="merge")
