@@ -1001,21 +1001,38 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "dst",
                 (F.col("rank") / F.col("outdeg")).cast("decimal(28,14)").alias("c"),
+                F.lit(None).cast("double").alias("t"),
             )
         )
-        agg = contrib.groupBy(F.col("dst").alias("node")).agg(
-            F.sum("c").cast("double").alias("_s")
-        )
-        # FULL outer: seed nodes keep their teleport mass even on
+        # Teleport rows FOLD INTO the contribution aggregate (one
+        # union + one shuffle per round) instead of a FULL outer join
+        # after it (two shuffles) — r12 plan fix for the 1.4×
+        # adjudication, VERDICT r11 #4. Semantics are the old full
+        # join's exactly: seed nodes keep their teleport mass even on
         # rounds where no contribution reaches them (bipartite parity
         # starves one side of in-edges on alternate rounds — a left
         # join silently zeroed the seeds' teleport there, which is
-        # not PPR).
-        ranks = agg.join(tele, "node", "full").select(
-            "node",
-            (
-                F.coalesce(F.col("tele"), F.lit(0.0))
-                + F.lit(PR_DAMP) * F.coalesce(F.col("_s"), F.lit(0.0))
-            ).alias("rank"),
+        # not PPR); at most ONE tele row per node, so sum(t) IS the
+        # teleport double, bit-exactly, and the oracle's
+        # coalesce(t.tele,0) + 0.85·coalesce(x.s,0) is unchanged.
+        tele_rows = tele.select(
+            F.col("node").alias("dst"),
+            F.lit(None).cast("decimal(28,14)").alias("c"),
+            F.col("tele").alias("t"),
+        )
+        ranks = (
+            contrib.unionByName(tele_rows)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum("t").alias("_t"),
+                F.sum("c").cast("double").alias("_s"),
+            )
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_t"), F.lit(0.0))
+                    + F.lit(PR_DAMP) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("rank"),
+            )
         )
     return ranks.select("node", det_round(F.col("rank"), 8).alias("ppr"))
