@@ -279,3 +279,183 @@ def logreg_score_sql(
     SELECT risk_label, count(*) AS n, {mean_s} AS mean_score,
            {rate} AS event_rate
     FROM banded GROUP BY 1"""
+
+
+# --- Naive Bayes: counting-based training ------------------------------------
+#
+# The second trainer, at the opposite end of the design space from
+# gradient descent: model fitting that IS an aggregation. Per-feature
+# conditional probabilities are Laplace-smoothed count ratios — ONE
+# stack + ONE groupBy trains the whole model, no iterations, no
+# driver state at all; scoring is a broadcast join of the (tiny)
+# probability table onto the stacked rows plus one decimal-folded
+# argmax. Both halves are plain relational algebra, so the oracle
+# needs no unrolling — the q_bpe_merges "training as a query" thesis
+# in its purest form. At 100 TB: train = one shuffle of (feature,
+# value, label) triples (map-side combined); score = row-local after
+# a ≤few-hundred-row broadcast.
+
+#: Categorical features (small integer domains) — NB treats each as
+#: a discrete variable; the continuous amount enters via its tier.
+NB_FEATURES = (
+    "tier_encoded",
+    "segment_encoded",
+    "order_dow",
+    "order_month",
+    "is_weekend",
+    "is_urgent",
+)
+
+
+def _nb_stack(fv: DataFrame, features: tuple[str, ...]) -> DataFrame:
+    """(o_orderkey, label, feature, value) — one row per (row,
+    feature), the long form both training counts and scoring terms
+    group over."""
+    n = len(features)
+    pairs = ", ".join(f"'{f}', CAST({f} AS BIGINT)" for f in features)
+    return fv.selectExpr(
+        "o_orderkey", "label", f"stack({n}, {pairs}) AS (feature, value)"
+    )
+
+
+def nb_train(fv: DataFrame, features: tuple[str, ...] = NB_FEATURES) -> DataFrame:
+    """Laplace-smoothed conditional probability table:
+    p(value | label, feature) = (cnt + 1) / (n_label + |domain_f|),
+    over the FULL observed-value × label grid (a value seen only
+    under one label still needs its smoothed zero-count row for the
+    other — the grid is what makes scoring joins total)."""
+    st = _nb_stack(fv, features)
+    cnts = st.groupBy("feature", "value", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vals = cnts.select("feature", "value").distinct()
+    doms = vals.groupBy("feature").agg(F.count(F.lit(1)).alias("v"))
+    lbls = fv.groupBy("label").agg(F.count(F.lit(1)).alias("n_c"))
+    # full (value × label) grid via explode + broadcast equi-join —
+    # not a cross join, so the plan stays inside the audit's
+    # hash-join-only contract
+    grid = vals.withColumn(
+        "label", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).join(F.broadcast(lbls), "label")
+    return (
+        grid.join(F.broadcast(doms), "feature")
+        .join(cnts, ["feature", "value", "label"], "left")
+        .select(
+            "feature",
+            "value",
+            "label",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            (
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("n_c") + F.col("v"))
+            ).alias("p"),
+        )
+    )
+
+
+def nb_score_confusion(
+    fv: DataFrame, features: tuple[str, ...] = NB_FEATURES
+) -> DataFrame:
+    """Train on ``fv``, score every row by decimal-exact log-posterior
+    argmax, return the confusion matrix (label, pred, n). Log terms
+    det-round to 6 then fold through DECIMAL(18,6) sums, and the
+    argmax compares decimals — no float enters the comparison, so the
+    prediction is partition-layout- and engine-independent."""
+    probs = nb_train(fv, features)
+    st = _nb_stack(fv, features)
+    terms = st.join(
+        F.broadcast(probs.select("feature", "value", F.col("label").alias("cls"), "p")),
+        ["feature", "value"],
+    ).select(
+        "o_orderkey",
+        F.col("label").alias("actual"),
+        "cls",
+        det_round(F.log("p"), 6).cast("decimal(18,6)").alias("t"),
+    )
+    # priors as decimal literals (2 scalars — the centroid-class collect)
+    import math
+
+    n_rows = {r["label"]: r["n_c"] for r in fv.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_c")).collect()}
+    n = sum(n_rows.values())
+    lp = {
+        c: math.floor(math.log(n_rows[c] / n) * 1e6 + 0.5) / 1e6
+        for c in (0, 1)
+    }
+    z = terms.groupBy("o_orderkey", "actual").agg(
+        F.sum(F.when(F.col("cls") == 0, F.col("t"))).alias("s0"),
+        F.sum(F.when(F.col("cls") == 1, F.col("t"))).alias("s1"),
+    )
+    pred = F.when(
+        F.col("s1") + F.lit(lp[1]).cast("decimal(18,6)")
+        > F.col("s0") + F.lit(lp[0]).cast("decimal(18,6)"),
+        1,
+    ).otherwise(0)
+    return (
+        z.select(F.col("actual").alias("label"), pred.alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _nb_ctes(fv_sql: str, features: tuple[str, ...] = NB_FEATURES) -> str:
+    cols = ", ".join(features)
+    casts = ", ".join(f"CAST({f} AS BIGINT) AS {f}" for f in features)
+    return f"""fv AS ({fv_sql}),
+    f AS (SELECT o_orderkey, label, {casts} FROM fv),
+    st AS (
+      SELECT o_orderkey, label, name AS feature, value
+      FROM (UNPIVOT f ON {cols} INTO NAME name VALUE value)
+    ),
+    cnts AS (
+      SELECT feature, value, label, count(*) AS cnt FROM st GROUP BY 1, 2, 3
+    ),
+    vals AS (SELECT DISTINCT feature, value FROM cnts),
+    doms AS (SELECT feature, count(*) AS v FROM vals GROUP BY 1),
+    lbls AS (SELECT label, count(*) AS n_c FROM f GROUP BY 1),
+    probs AS (
+      SELECT g.feature, g.value, g.label,
+             coalesce(c.cnt, 0) AS cnt,
+             CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / (g.n_c + d.v) AS p
+      FROM (SELECT vv.feature, vv.value, l.label, l.n_c
+            FROM vals vv CROSS JOIN lbls l) g
+      JOIN doms d ON d.feature = g.feature
+      LEFT JOIN cnts c
+        ON c.feature = g.feature AND c.value = g.value AND c.label = g.label
+    )"""
+
+
+def nb_train_sql(fv_sql: str, features: tuple[str, ...] = NB_FEATURES) -> str:
+    return (
+        f"WITH {_nb_ctes(fv_sql, features)}\n    "
+        "SELECT feature, value, label, cnt, p FROM probs"
+    )
+
+
+def nb_score_sql(fv_sql: str, features: tuple[str, ...] = NB_FEATURES) -> str:
+    t6 = _R6.format(c="ln(p.p)")
+    lp = _R6.format(c="ln(CAST(n_c AS DOUBLE) / (SELECT count(*) FROM f))")
+    return f"""WITH {_nb_ctes(fv_sql, features)},
+    priors AS (
+      SELECT label, CAST({lp} AS DECIMAL(18,6)) AS lp FROM lbls
+    ),
+    terms AS (
+      SELECT s.o_orderkey, s.label AS actual, p.label AS cls,
+             CAST({t6} AS DECIMAL(18,6)) AS t
+      FROM st s
+      JOIN probs p ON p.feature = s.feature AND p.value = s.value
+    ),
+    z AS (
+      SELECT o_orderkey, actual,
+             sum(CASE WHEN cls = 0 THEN t END) AS s0,
+             sum(CASE WHEN cls = 1 THEN t END) AS s1
+      FROM terms GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT actual AS label,
+             CASE WHEN z.s1 + p1.lp > z.s0 + p0.lp THEN 1 ELSE 0 END AS pred
+      FROM z,
+           (SELECT lp FROM priors WHERE label = 0) p0(lp),
+           (SELECT lp FROM priors WHERE label = 1) p1(lp)
+    )
+    SELECT label, pred, count(*) AS n FROM scored GROUP BY 1, 2"""

@@ -195,13 +195,16 @@ def _logreg_fv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         fv = registry._REGISTRY["q_feature_vector"].fn(spark, sf_dir)
-        # 9 doubles/row → bench-scale frames are a few MB; repartition
-        # (NOT coalesce — coalesce would collapse the upstream join's
-        # parallelism into the same 4 tasks) so the K sequential
-        # gradient jobs don't pay 32 tasks of scheduling each for
-        # micro-partitions. At 100 TB the natural partitioning stands
-        # (rows/partition, not partition count, is the invariant).
-        return fv.select("label", *SCORE_FEATURES).repartition(4)
+        # ~10 narrow cols/row → bench-scale frames are a few MB;
+        # repartition (NOT coalesce — coalesce would collapse the
+        # upstream join's parallelism into the same 4 tasks) so the K
+        # sequential gradient jobs don't pay 32 tasks of scheduling
+        # each for micro-partitions. At 100 TB the natural
+        # partitioning stands (rows/partition, not partition count,
+        # is the invariant). o_orderkey rides along for the NB
+        # scorer's per-row grouping — one checkpoint serves both
+        # trainers.
+        return fv.select("o_orderkey", "label", *SCORE_FEATURES).repartition(4)
 
     return shared_frame(spark, sf_dir, "logreg_fv", build)
 
@@ -271,3 +274,50 @@ def q_logreg_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("label").cast("double") / F.count(F.lit(1)), 6
         ).alias("event_rate"),
     )
+
+
+# --- Naive Bayes trainer (counting-based; the non-iterative end) -------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    nb_score_confusion,
+    nb_score_sql,
+    nb_train,
+    nb_train_sql,
+)
+
+
+@query(
+    "q_naive_bayes_train",
+    oracle=nb_train_sql(_FV_SQL),
+    tags=("training", "scoring"),
+)
+def q_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes TRAINING as pure aggregation — the opposite end of
+    the trainer design space from q_logreg_train's iterative descent:
+    the model (Laplace-smoothed per-feature conditional probability
+    table over 6 categorical features) falls out of ONE stack + ONE
+    (feature, value, label) groupBy, map-side combined, no driver
+    state, no iterations. Probabilities are count ratios — exact
+    integer arithmetic up to one double division, so the table
+    hash-gates with no rounding convention at all. At 100 TB: train
+    cost = one shuffle of long-form triples; the model is a few
+    hundred rows."""
+    fv = _logreg_fv(spark, sf_dir)
+    return nb_train(fv)
+
+
+@query(
+    "q_naive_bayes_score",
+    oracle=nb_score_sql(_FV_SQL),
+    tags=("training", "scoring", "evaluation"),
+)
+def q_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply→evaluate for the counting trainer: log-posterior
+    argmax per row (log terms det-round to 6 and fold through
+    DECIMAL(18,6) sums; the argmax compares decimals, so no float
+    reaches the decision), confusion matrix out. Scoring is the
+    stacked frame broadcast-joined with the ≤few-hundred-row model —
+    row-local after the broadcast, one groupBy per row, one 4-cell
+    agg. The evaluative twin of q_logreg_train_score."""
+    fv = _logreg_fv(spark, sf_dir)
+    return nb_score_confusion(fv)

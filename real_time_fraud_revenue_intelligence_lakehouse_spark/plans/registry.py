@@ -77,6 +77,8 @@ _FRONT: tuple[str, ...] = (
     # — new in round 12, never driver-verified —
     "q_logreg_train",
     "q_logreg_train_score",
+    "q_naive_bayes_train",
+    "q_naive_bayes_score",
     "q_stream_interval_join_outer",
     "q_time_travel_diff",
     # — last driver row r04 (37 ids, registration order) —

@@ -143,3 +143,61 @@ def test_catalog_query_converges_on_testdata(spark, sf_dir):
         trained_score_expr(w, SCORE_FEATURES, FEATURE_SCALES).alias("s")
     ).agg({"s": "avg"}).first()[0]
     assert scored == pytest.approx(y.mean(), abs=0.02)
+
+
+def test_naive_bayes_probs_are_valid_and_smoothed(spark):
+    """Per (feature, label): probabilities over the observed domain
+    sum to (n_seen_values_c + V)/(n_c + V)… in the Laplace world that
+    is exactly 1 when every domain value was seen under the label —
+    and a value unseen under one label still gets its 1/(n_c+V) row."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import nb_train
+
+    rows = [
+        (1, 0, 0, 1), (2, 0, 0, 1), (3, 0, 1, 0),
+        (4, 1, 1, 1), (5, 1, 1, 0), (6, 1, 2, 0),  # f1=2 unseen under label 0
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey int, label int, f1 int, f2 int")
+    probs = {
+        (r["feature"], r["value"], r["label"]): (r["cnt"], r["p"])
+        for r in nb_train(df, features=("f1", "f2")).collect()
+    }
+    # f1 domain V=3 (values 0,1,2); label 0 has n_c=3, saw f1∈{0,0,1}
+    assert probs[("f1", 0, 0)] == (2, (2 + 1) / (3 + 3))
+    assert probs[("f1", 1, 0)] == (1, (1 + 1) / (3 + 3))
+    assert probs[("f1", 2, 0)] == (0, (0 + 1) / (3 + 3))  # smoothed zero
+    # every (feature,label) block: sum over the FULL grid = (n_c+V)/(n_c+V) = 1
+    for f, v_dom in (("f1", 3), ("f2", 2)):
+        for c in (0, 1):
+            s = sum(p for (ff, _, cc), (_, p) in probs.items() if ff == f and cc == c)
+            assert abs(s - 1.0) < 1e-12, (f, c, s)
+
+
+def test_naive_bayes_prediction_matches_hand_computation(spark):
+    """Decimal log-posterior argmax reproduces the hand-computed NB
+    decision on a tiny separable table (f1 perfectly predicts)."""
+    import math
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (
+        nb_score_confusion,
+        nb_train,
+    )
+
+    rows = [(i, 0, 0, i % 2) for i in range(1, 9)] + [
+        (i, 1, 1, i % 2) for i in range(9, 17)
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey int, label int, f1 int, f2 int")
+    conf = {
+        (r["label"], r["pred"]): r["n"]
+        for r in nb_score_confusion(df, features=("f1", "f2")).collect()
+    }
+    assert conf == {(0, 0): 8, (1, 1): 8}  # perfectly recovered
+
+    # replay one row's decision by hand from the trained table
+    probs = {
+        (r["feature"], r["value"], r["label"]): r["p"]
+        for r in nb_train(df, features=("f1", "f2")).collect()
+    }
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    z0 = r6(math.log(probs[("f1", 0, 0)])) + r6(math.log(probs[("f2", 1, 0)])) + r6(math.log(0.5))
+    z1 = r6(math.log(probs[("f1", 0, 1)])) + r6(math.log(probs[("f2", 1, 1)])) + r6(math.log(0.5))
+    assert z0 > z1  # row (f1=0, f2=1) → class 0, as the matrix showed
