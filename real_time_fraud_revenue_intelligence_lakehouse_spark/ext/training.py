@@ -459,3 +459,75 @@ def nb_score_sql(fv_sql: str, features: tuple[str, ...] = NB_FEATURES) -> str:
            (SELECT lp FROM priors WHERE label = 1) p1(lp)
     )
     SELECT label, pred, count(*) AS n FROM scored GROUP BY 1, 2"""
+
+
+# --- trained-model ROC sweep --------------------------------------------------
+
+#: Fixed decision thresholds for the ROC sweep — k/20 gives doubles
+#: whose repr round-trips identically in Python, Spark literals, and
+#: DuckDB SQL (0.05 * k would not: 0.05*3 != parse("0.15")).
+ROC_THRESHOLDS = tuple(k / 20 for k in range(1, 11))
+
+
+def logreg_roc_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    lr: float = LR,
+    iters: int = ITERS,
+) -> str:
+    """Oracle for q_logreg_roc: re-train via the unrolled CTEs, score,
+    then confusion counts + TPR/FPR/precision at each fixed
+    threshold. Rates are ratios of exact integers — no rounding
+    convention needed; zero-prediction precision pins to 0.0 in both
+    engines via CASE."""
+    ctes, wk = logreg_train_ctes(fv_sql, features, lr, iters)
+    z = _z_sql("w.", features)
+    s = _R6.format(c=f"1.0 / (1.0 + exp(-({z})))")
+    taus = ", ".join(f"({t!r})" for t in ROC_THRESHOLDS)
+    return f"""WITH {ctes},
+    scored AS (
+      SELECT fv.label, {s} AS s FROM fv CROSS JOIN {wk} w
+    ),
+    sweep AS (
+      SELECT t.tau, scored.label, scored.s
+      FROM scored CROSS JOIN (VALUES {taus}) t(tau)
+    )
+    SELECT tau,
+           CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN s >= tau AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(label) AS tpr,
+           CAST(sum(CASE WHEN s >= tau AND label = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(1 - label) AS fpr,
+           CASE WHEN sum(CASE WHEN s >= tau THEN 1 ELSE 0 END) = 0 THEN 0.0
+                ELSE CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN s >= tau THEN 1 ELSE 0 END) END AS precision_at
+    FROM sweep GROUP BY 1"""
+
+
+def logreg_roc(
+    scored: DataFrame, thresholds: tuple[float, ...] = ROC_THRESHOLDS
+) -> DataFrame:
+    """ROC sweep over a (label, s) frame: explode the fixed threshold
+    ladder in-row (no join) and take confusion counts per threshold —
+    one shuffle of 10·|rows| tiny tuples, map-side combined."""
+    sw = scored.select(
+        "label",
+        "s",
+        F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("tau"),
+    )
+    pred = (F.col("s") >= F.col("tau")).cast("int")
+    tp = F.sum(pred * F.col("label")).alias("tp")
+    fp = F.sum(pred * (1 - F.col("label"))).alias("fp")
+    return sw.groupBy("tau").agg(
+        tp,
+        fp,
+        (F.sum(pred * F.col("label")).cast("double") / F.sum("label")).alias("tpr"),
+        (
+            F.sum(pred * (1 - F.col("label"))).cast("double")
+            / F.sum(F.lit(1) - F.col("label"))
+        ).alias("fpr"),
+        F.when(F.sum(pred) == 0, 0.0)
+        .otherwise(F.sum(pred * F.col("label")).cast("double") / F.sum(pred))
+        .alias("precision_at"),
+    )

@@ -321,3 +321,29 @@ def q_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg. The evaluative twin of q_logreg_train_score."""
     fv = _logreg_fv(spark, sf_dir)
     return nb_score_confusion(fv)
+
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    logreg_roc,
+    logreg_roc_sql,
+)
+
+
+@query(
+    "q_logreg_roc",
+    oracle=logreg_roc_sql(_FV_SQL),
+    tags=("training", "scoring", "evaluation"),
+)
+def q_logreg_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the TRAINED logistic model: confusion
+    counts + TPR/FPR/precision at 10 fixed thresholds — the artifact
+    a fraud gate is actually tuned from (q_auc ranks the fixed
+    scorer; this prices each cutoff of the trained one). Thresholds
+    are k/20 literals (repr-stable across engines); rates are ratios
+    of exact integer counts, so no rounding convention is needed.
+    One in-row threshold explode + one 10-group agg over the scored
+    frame; the oracle re-trains via the unrolled CTEs then sweeps."""
+    fv = _logreg_fv(spark, sf_dir)
+    w, _n = _trained_weights(spark, sf_dir)
+    scored = fv.select("label", trained_score_expr(w).alias("s"))
+    return logreg_roc(scored)
