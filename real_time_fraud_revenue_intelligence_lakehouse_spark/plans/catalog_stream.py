@@ -398,3 +398,51 @@ def q_distinct_hll_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+_ALERT_W = {"bias": -3.0, "value": 6.0}
+
+
+@query(
+    "q_fraud_alert_windows",
+    oracle="""
+    WITH scored AS (
+      SELECT ts,
+             (floor((1.0 / (1.0 + exp(-(-3.0 + 6.0 * (CAST(value AS DOUBLE) / 500.0)))))
+                    * 1000000.0 + 0.5) / 1000000.0) AS fraud_score
+      FROM events
+    ),
+    agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             CAST(sum(CASE WHEN fraud_score >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+             CAST(sum(CAST(CASE WHEN fraud_score >= 0.7 THEN fraud_score ELSE 0.0 END
+                           AS DECIMAL(18,6))) AS DOUBLE) AS score_mass
+      FROM scored GROUP BY 1
+    )
+    SELECT window_start, n_alerts, score_mass FROM agg WHERE n_alerts > 0
+    """,
+    tags=("streaming-twin", "scoring", "alerting"),
+)
+def q_fraud_alert_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LIVE fraud-alert feed (streaming/scoring.py):
+    every event scored in-row by the model expression, hourly tumbling
+    windows of high-risk (≥0.7) volume + exact decimal score mass,
+    zero-alert windows dropped AFTER the aggregate. The identical
+    builder runs as a watermarked streaming query — including this
+    module's hardest-won lesson: the rollup aggregates CONDITIONALLY
+    over ALL rows instead of filtering first, because Catalyst pushes
+    a non-event-time predicate through the EventTimeWatermark node
+    and a filtered stream's watermark stalls on quiet traffic
+    (stream ≡ batch equality + the trap pinned in
+    tests/test_streaming.py::test_stream_scoring_matches_batch_and_alert_rollup).
+    One scan, one window agg; scoring is whole-stage-codegen
+    row-local — the REST-free counterpart of the reference's
+    `/predict` path (`ml/serving/api.py:198-258`)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import (
+        high_risk_alerts,
+        score_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    scored = score_stream(ev, _ALERT_W, ("value",), {"value": 500.0})
+    return high_risk_alerts(scored, threshold=0.7, window="1 hour", watermark=None)

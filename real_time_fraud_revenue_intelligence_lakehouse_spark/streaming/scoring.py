@@ -1,0 +1,99 @@
+"""Streaming model serving — score events WHILE they ingest.
+
+The reference serves its fraud model over REST (`ml/serving/api.py:
+198-258`: FastAPI `/predict`, <50 ms p99 per transaction, plus a
+`/predict/batch` loop-avoidance endpoint). The Spark-idiomatic
+counterpart removes the network hop entirely: the trained model is a
+Catalyst expression (ext/training.trained_score_expr — the engine's
+own deterministic trainer, or any weights loaded from a registry), so
+scoring rides INSIDE the ingest micro-batch as a stateless
+projection. Latency = micro-batch trigger; throughput = the scan's.
+The same expression scores batch frames, which is what lets the
+stream be equality-tested against its batch twin bit-for-bit
+(tests/test_streaming.py).
+
+The alert feed is the operational half: high-risk rows filtered
+in-stream and counted per tumbling window — the
+`fraud_summary.py:117-133` dashboard rollup, but live. Both are
+append-mode-safe (no stateful operator in the score path; the alert
+rollup's only state is the watermarked window aggregate).
+
+At 100 TB-scale ingest: scoring adds zero shuffle — it fuses into
+the parse/stamp projection of the bronze pipeline; one Python-free
+codegen stage per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import risk_label
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import trained_score_expr
+
+
+def score_stream(
+    features: DataFrame,
+    w: dict[str, float],
+    feature_cols: tuple[str, ...],
+    scales: dict[str, float] | None = None,
+) -> DataFrame:
+    """Stateless scoring projection: round6(σ(w·x)) + 3-way banding
+    appended to every (streaming or batch) row — the identical
+    expression either way, so stream ≡ batch is exact."""
+    s = trained_score_expr(w, feature_cols, scales)
+    return features.withColumn("fraud_score", s).withColumn(
+        "risk_label", risk_label(F.col("fraud_score"))
+    )
+
+
+def high_risk_alerts(
+    scored: DataFrame,
+    threshold: float = 0.7,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window alert rollup over the scored stream: rows at or
+    above ``threshold``, counted per window with their exact decimal
+    score mass — the live face of the reference's fraud-summary
+    dashboard query. Watermark bounds the window state; pass None on
+    batch frames (the twin used for equality tests).
+
+    WATERMARK TRAP, round 3 (found by this module's own test): the
+    naive shape — filter high-risk rows, then window-aggregate — lets
+    only FLAGGED rows advance event time, so in a quiet (low-fraud)
+    period the watermark stalls and finalized alert windows never
+    emit: the exact moment a fraud gate must not go blind. And
+    applying withWatermark BEFORE the filter does not fix it:
+    Catalyst pushes a predicate that doesn't reference the event-time
+    column straight through the EventTimeWatermark node, silently
+    re-creating the stall (observed: watermark stuck at the last
+    flagged row's time while clean traffic streamed past). The robust
+    shape is filter-free: aggregate CONDITIONALLY over every row
+    (sum-of-flags, not count-of-filtered), so all traffic feeds the
+    watermark, then drop zero-alert windows AFTER the aggregate —
+    a post-agg filter is pushdown-safe because it references the agg
+    output."""
+    if watermark is not None:
+        scored = scored.withWatermark(ts_col, watermark)
+    is_hit = F.col("fraud_score") >= threshold
+    return (
+        scored.groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.sum(is_hit.cast("long")).alias("n_alerts"),
+            F.sum(
+                F.when(is_hit, F.col("fraud_score"))
+                .otherwise(0.0)
+                .cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("score_mass"),
+        )
+        .filter(F.col("n_alerts") > 0)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_alerts",
+            "score_mass",
+        )
+    )

@@ -1450,3 +1450,86 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(str(sink)).collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3], ids  # exactly once: no b1 reprocessing, no loss
+
+
+def test_stream_scoring_matches_batch_and_alert_rollup(spark, tmp_path):
+    """Streaming model serving (streaming/scoring.py): the trained
+    model scores INSIDE the micro-batch as a stateless projection —
+    stream rows carry bit-identical scores/bands to the batch twin
+    (the REST-hop-free counterpart of the reference's `/predict`,
+    `ml/serving/api.py:198-258`) — and the high-risk alert rollup
+    emits finalized tumbling windows under a watermark that match
+    the batch twin exactly."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import (
+        high_risk_alerts,
+        score_stream,
+    )
+
+    src = tmp_path / "score_src"
+    src.mkdir()
+    now = time.time()
+    batches = [
+        [_ev(1, "2024-01-01 10:05:00", value=480.0),   # high score
+         _ev(2, "2024-01-01 10:20:00", value=30.0),    # low
+         _ev(3, "2024-01-01 10:40:00", value=450.0)],  # high
+        [_ev(4, "2024-01-01 11:10:00", value=470.0),   # high, next window
+         _ev(5, "2024-01-01 13:00:00", value=1.0)],    # advances watermark
+        [_ev(6, "2024-01-01 14:00:00", value=1.0)],    # flushes [11,12)
+    ]
+    for i, rows in enumerate(batches):
+        _write_json(str(src / f"b{i}.json"), rows, now - 60 * (len(batches) - i))
+
+    w = {"bias": -1.0, "value": 5.0}
+    feats = ("value",)
+    scales = {"value": 500.0}
+
+    scored_s = score_stream(
+        read_file_stream(spark, str(src), max_files_per_trigger=1), w, feats, scales
+    )
+    q = (
+        scored_s.writeStream.format("memory")
+        .queryName("scored_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["fraud_score"], r["risk_label"])
+        for r in spark.table("scored_stream").collect()
+    }
+
+    batch_df = spark.read.schema(EVENTS_SCHEMA).json(str(src))
+    scored_b = score_stream(batch_df, w, feats, scales)
+    want = {
+        r["event_id"]: (r["fraud_score"], r["risk_label"])
+        for r in scored_b.collect()
+    }
+    assert got == want and len(got) == 6   # bit-identical scores+bands
+    assert got[1][1] == "high" and got[2][1] == "low"
+
+    # alert rollup: stream (watermarked, append) ≡ batch twin
+    qa = (
+        high_risk_alerts(scored_s, threshold=0.7, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("alerts_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination(120)
+    got_a = {
+        r["window_start"].isoformat(): (r["n_alerts"], str(r["score_mass"]))
+        for r in spark.table("alerts_stream").collect()
+    }
+    want_a = {
+        r["window_start"].isoformat(): (r["n_alerts"], str(r["score_mass"]))
+        for r in high_risk_alerts(scored_b, threshold=0.7, window="1 hour",
+                                  watermark=None).collect()
+    }
+    # the stream emits only watermark-finalized windows — every one of
+    # them must match the batch twin cell for cell
+    assert got_a
+    for k, v in got_a.items():
+        assert want_a[k] == v, (k, v, want_a)
+    assert got_a["2024-01-01T10:00:00"][0] == 2  # events 1 and 3
