@@ -354,14 +354,18 @@ def nb_train(fv: DataFrame, features: tuple[str, ...] = NB_FEATURES) -> DataFram
 
 
 def nb_score_confusion(
-    fv: DataFrame, features: tuple[str, ...] = NB_FEATURES
+    fv: DataFrame,
+    features: tuple[str, ...] = NB_FEATURES,
+    probs: DataFrame | None = None,
 ) -> DataFrame:
-    """Train on ``fv``, score every row by decimal-exact log-posterior
-    argmax, return the confusion matrix (label, pred, n). Log terms
-    det-round to 6 then fold through DECIMAL(18,6) sums, and the
-    argmax compares decimals — no float enters the comparison, so the
-    prediction is partition-layout- and engine-independent."""
-    probs = nb_train(fv, features)
+    """Train on ``fv`` (or take a pre-trained ``probs`` table), score
+    every row by decimal-exact log-posterior argmax, return the
+    confusion matrix (label, pred, n). Log terms det-round to 6 then
+    fold through DECIMAL(18,6) sums, and the argmax compares decimals
+    — no float enters the comparison, so the prediction is
+    partition-layout- and engine-independent."""
+    if probs is None:
+        probs = nb_train(fv, features)
     st = _nb_stack(fv, features)
     terms = st.join(
         F.broadcast(probs.select("feature", "value", F.col("label").alias("cls"), "p")),

@@ -286,6 +286,17 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import ( 
 )
 
 
+def _nb_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained NB probability table, memoized like the logreg
+    weights (pure function of the inputs; ≤ a few hundred rows) — the
+    scorer reuses the trainer's output instead of re-counting."""
+
+    def build() -> DataFrame:
+        return nb_train(_logreg_fv(spark, sf_dir))
+
+    return shared_frame(spark, sf_dir, "nb_probs", build)
+
+
 @query(
     "q_naive_bayes_train",
     oracle=nb_train_sql(_FV_SQL),
@@ -302,8 +313,7 @@ def q_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gates with no rounding convention at all. At 100 TB: train
     cost = one shuffle of long-form triples; the model is a few
     hundred rows."""
-    fv = _logreg_fv(spark, sf_dir)
-    return nb_train(fv)
+    return _nb_probs(spark, sf_dir)
 
 
 @query(
@@ -320,7 +330,7 @@ def q_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local after the broadcast, one groupBy per row, one 4-cell
     agg. The evaluative twin of q_logreg_train_score."""
     fv = _logreg_fv(spark, sf_dir)
-    return nb_score_confusion(fv)
+    return nb_score_confusion(fv, probs=_nb_probs(spark, sf_dir))
 
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
