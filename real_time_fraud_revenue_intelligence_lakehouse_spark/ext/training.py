@@ -361,42 +361,57 @@ def nb_score_confusion(
     """Train on ``fv`` (or take a pre-trained ``probs`` table), score
     every row by decimal-exact log-posterior argmax, return the
     confusion matrix (label, pred, n). Log terms det-round to 6 then
-    fold through DECIMAL(18,6) sums, and the argmax compares decimals
-    — no float enters the comparison, so the prediction is
-    partition-layout- and engine-independent."""
-    if probs is None:
-        probs = nb_train(fv, features)
-    st = _nb_stack(fv, features)
-    terms = st.join(
-        F.broadcast(probs.select("feature", "value", F.col("label").alias("cls"), "p")),
-        ["feature", "value"],
-    ).select(
-        "o_orderkey",
-        F.col("label").alias("actual"),
-        "cls",
-        det_round(F.log("p"), 6).cast("decimal(18,6)").alias("t"),
-    )
-    # priors as decimal literals (2 scalars — the centroid-class collect)
+    fold through DECIMAL(18,6) additions, and the argmax compares
+    decimals — no float enters the comparison, so the prediction is
+    partition-layout- and engine-independent.
+
+    Execution shape: the trained table (≤ a few hundred rows — the
+    model-broadcast class of collect) COMPILES into per-feature CASE
+    expressions, so scoring is entirely row-local inside codegen and
+    the only shuffle is the 4-cell confusion aggregate — the
+    dict-lookup→literal-map discipline (SURVEY §2.13) applied to a
+    trained model. The earlier stack→join→per-row-groupBy form probed
+    2.98x at 10x data (the |rows|-key shuffle); this form is flat.
+    Each CASE's ``otherwise`` is the smoothed unseen-value term
+    round6(ln(1/(n_c+V))), so out-of-sample values score by the same
+    Laplace law instead of nulling out."""
     import math
 
-    n_rows = {r["label"]: r["n_c"] for r in fv.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_c")).collect()}
-    n = sum(n_rows.values())
-    lp = {
-        c: math.floor(math.log(n_rows[c] / n) * 1e6 + 0.5) / 1e6
-        for c in (0, 1)
-    }
-    z = terms.groupBy("o_orderkey", "actual").agg(
-        F.sum(F.when(F.col("cls") == 0, F.col("t"))).alias("s0"),
-        F.sum(F.when(F.col("cls") == 1, F.col("t"))).alias("s1"),
-    )
-    pred = F.when(
-        F.col("s1") + F.lit(lp[1]).cast("decimal(18,6)")
-        > F.col("s0") + F.lit(lp[0]).cast("decimal(18,6)"),
-        1,
-    ).otherwise(0)
+    if probs is None:
+        probs = nb_train(fv, features)
+    rows = probs.collect()
+    by_fc: dict[tuple[str, int], list] = {}
+    n_c: dict[int, int] = {}
+    for r in rows:
+        by_fc.setdefault((r["feature"], r["label"]), []).append(r)
+    lbl_rows = fv.groupBy("label").agg(F.count(F.lit(1)).alias("n_c")).collect()
+    for r in lbl_rows:
+        n_c[r["label"]] = r["n_c"]
+    n = sum(n_c.values())
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def term(f: str, cls: int):
+        entries = sorted(by_fc[(f, cls)], key=lambda r: r["value"])
+        v_dom = len({r["value"] for r in by_fc[(f, 0)] + by_fc.get((f, 1), [])})
+        expr = None
+        for r in entries:
+            cond = F.col(f).cast("bigint") == int(r["value"])
+            val = F.lit(r6(math.log(r["p"]))).cast("decimal(18,6)")
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        unseen = F.lit(r6(math.log(1.0 / (n_c[cls] + v_dom)))).cast("decimal(18,6)")
+        return expr.otherwise(unseen)
+
+    def z(cls: int):
+        out = F.lit(r6(math.log(n_c[cls] / n))).cast("decimal(18,6)")
+        for f in features:
+            out = out + term(f, cls)
+        return out
+
+    pred = F.when(z(1) > z(0), 1).otherwise(0)
     return (
-        z.select(F.col("actual").alias("label"), pred.alias("pred"))
+        fv.select("label", pred.alias("pred"))
         .groupBy("label", "pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )

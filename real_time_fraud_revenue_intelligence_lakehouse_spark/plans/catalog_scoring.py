@@ -357,3 +357,80 @@ def q_logreg_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, _n = _trained_weights(spark, sf_dir)
     scored = fv.select("label", trained_score_expr(w).alias("s"))
     return logreg_roc(scored)
+
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    logreg_train_ctes,
+    _z_sql,
+)
+
+_PSI_EPS = 1e-6
+
+
+def _score_drift_oracle() -> str:
+    ctes, wk = logreg_train_ctes(_FV_SQL)
+    s = _R6.format(c=f"1.0 / (1.0 + exp(-({_z_sql('w.', ('amount_log', 'tier_encoded', 'acctbal_neg', 'segment_encoded', 'order_dow', 'order_month', 'is_weekend', 'is_urgent'))})))")
+    r6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+    r8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+    pa = "cast(n_a as double) / ta"
+    pb = "cast(n_b as double) / tb"
+    return f"""WITH {ctes},
+    scored AS (
+      SELECT least(CAST(floor(({s}) * 20) AS BIGINT), 19) AS bin,
+             CASE WHEN fv.order_month <= 6 THEN 0 ELSE 1 END AS h
+      FROM fv CROSS JOIN {wk} w
+    ),
+    c AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM scored GROUP BY 1
+    ),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+    SELECT bin, n_a, n_b,
+           {r6.format(c=pa)} AS p_a,
+           {r6.format(c=pb)} AS p_b,
+           {r8.format(c=f"(({pa}) - ({pb})) * ln((({pa}) + {_PSI_EPS!r}) / (({pb}) + {_PSI_EPS!r}))")} AS psi_term
+    FROM c, t"""
+
+
+@query(
+    "q_score_drift_psi",
+    oracle=_score_drift_oracle(),
+    tags=("training", "monitoring", "drift"),
+)
+def q_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-drift monitor for the TRAINED scorer: PSI between the
+    H1 (order_month ≤ 6) and H2 score distributions in 0.05
+    fixed-width cells — q_psi watches a FEATURE drift; this watches
+    the MODEL OUTPUT, the alarm that actually pages an ML on-call.
+    Unlike q_psi's total tier ladder, score cells can be one-sided,
+    so both engines apply the standard +1e-6 floor inside the log
+    (the production-gate form q_psi's docstring defers). One scored
+    scan + one ≤20-group conditional agg + a 1-row totals broadcast;
+    the oracle re-trains via the unrolled CTEs then bins identically.
+    Completes the training loop's operations story:
+    train → score → calibrate → ROC → drift."""
+    fv = _logreg_fv(spark, sf_dir)
+    w, _n = _trained_weights(spark, sf_dir)
+    s = trained_score_expr(w)
+    scored = fv.select(
+        F.least(F.floor(s * 20), F.lit(19)).cast("long").alias("bin"),
+        F.when(F.col("order_month") <= 6, 0).otherwise(1).alias("h"),
+    )
+    c = scored.groupBy("bin").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    t = c.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    eps = F.lit(_PSI_EPS)
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        det_round(pa, 6).alias("p_a"),
+        det_round(pb, 6).alias("p_b"),
+        det_round((pa - pb) * F.log((pa + eps) / (pb + eps)), 8).alias("psi_term"),
+    )

@@ -58,6 +58,7 @@ ALLPAIRS_OK = {
     "q_important_parts",    # 1-row global-share threshold cross joined (broadcast)
     "q_kmv_set_ops",        # 1-row sketch stats (u_k/k, rho, exact counts) cross joined (broadcast)
     "q_lsh_quality",        # 1-row hit/cand/truth counts cross joined (broadcast)
+    "q_score_drift_psi",    # 1-row PSI totals aggregate cross joined (broadcast, the q_psi idiom)
     "q_bigram_logprob",     # 1-row vocabulary-size aggregate cross joined (broadcast)
     "q_benford",            # 1-row total cross joined (broadcast)
     "q_round_amount_anomaly",  # 1-row global-rate cross joined (broadcast)
