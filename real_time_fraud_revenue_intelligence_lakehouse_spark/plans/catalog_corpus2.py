@@ -680,3 +680,60 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_r.alias("exact_jaccard"),
         F.abs(est_r - exact_r).alias("abs_err"),
     )
+
+
+# --- dedup threshold tuning curve (round 12) ---------------------------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry as _registry  # noqa: E402
+
+DEDUP_THETAS = tuple(k / 10 for k in range(5, 10))  # 0.5 … 0.9, repr-stable
+
+
+def _dedup_curve_oracle() -> str:
+    base = _registry._REGISTRY["q_prefix_jaccard_join"].oracle
+    taus = ", ".join(f"({t!r})" for t in DEDUP_THETAS)
+    return f"""WITH base AS ({base}),
+    sw AS (
+      SELECT t.theta, doc_a, doc_b
+      FROM base CROSS JOIN (VALUES {taus}) t(theta)
+      WHERE jaccard >= t.theta
+    ),
+    st AS (
+      SELECT theta, doc_a AS doc FROM sw
+      UNION ALL
+      SELECT theta, doc_b FROM sw
+    )
+    SELECT theta,
+           CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+    FROM st GROUP BY 1"""
+
+
+@query(
+    "q_dedup_threshold_curve",
+    oracle=_dedup_curve_oracle(),
+    tags=("ext", "dedup", "evaluation", "curve"),
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup TUNING curve: near-dup pair volume and affected-document
+    count at Jaccard thresholds 0.5…0.9, off ONE exact PPJoin pair
+    table (the q_ivf_nprobe_curve / q_logreg_roc eval-cost
+    discipline: the expensive stage runs once, the sweep is an
+    in-row threshold explode + one agg). This is the artifact that
+    decides a corpus's dedup threshold — how many documents each θ
+    would implicate — graded against the LOSSLESS pair tier, so the
+    curve is exact, not LSH-approximate. Thresholds are k/10
+    literals (repr-stable); jaccard is already det-rounded by the
+    base query, so the >= comparisons agree across engines."""
+    pairs = _registry._REGISTRY["q_prefix_jaccard_join"].fn(spark, sf_dir)
+    sw = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.explode(F.array(*[F.lit(t) for t in DEDUP_THETAS])).alias("theta"),
+    ).filter(F.col("jaccard") >= F.col("theta"))
+    st = sw.select("theta", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+    return st.groupBy("theta").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("doc").alias("n_docs"),
+    )

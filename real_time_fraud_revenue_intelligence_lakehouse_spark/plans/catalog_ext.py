@@ -1942,3 +1942,55 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- intra-document repetition (Gopher-style filter, round 12) ---------------
+
+_R6X = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+REP_FLAG = 0.2
+
+
+@query(
+    "q_repetition_ratio",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {TOKS.format(c=NORM.format(c='text'))} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, {SHINGLES.format(t='toks')} AS tri FROM tk
+    )
+    SELECT doc_id,
+           CAST(len(tri) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct,
+           {_R6X.format(c="1.0 - cast(len(list_distinct(tri)) as double) / len(tri)")} AS rep_ratio,
+           CAST({_R6X.format(c="1.0 - cast(len(list_distinct(tri)) as double) / len(tri)")} > {REP_FLAG!r} AS INT) AS flagged
+    FROM tri
+    """,
+    tags=("ext", "text", "quality", "filter"),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition — the Gopher-class repetition filter
+    (Rae et al. 2021 §A1.1, "fraction of duplicate n-grams") the
+    cross-document dedup tier deliberately doesn't cover: per doc,
+    the fraction of 3-gram occurrences that are repeats of an earlier
+    3-gram in the SAME doc, flagged above {REP_FLAG}. Boilerplate,
+    keyboard-mash, and template spam score high while clean prose
+    sits near 0 — a pretraining-quality gate orthogonal to
+    q_quality_score's surface stats and q_gopher_quality's
+    length/stopword rules. Entirely row-local (tokens staged once so
+    the interpreted higher-order shingle transform isn't re-evaluated
+    per reference — the ext/text.shingles_of discipline), zero
+    shuffles; ratio is an exact-integer division det-rounded."""
+    docs = read_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", X.tokens(X.norm_text(F.col("text"))).alias("toks"))
+    tri = tk.select("doc_id", X.shingles_of(F.col("toks"), 3).alias("tri"))
+    ratio = det_round(
+        F.lit(1.0) - F.size(F.array_distinct("tri")).cast("double") / F.size("tri"), 6
+    )
+    return tri.select(
+        "doc_id",
+        F.size("tri").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("tri")).cast("long").alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+        (ratio > F.lit(REP_FLAG)).cast("int").alias("flagged"),
+    )

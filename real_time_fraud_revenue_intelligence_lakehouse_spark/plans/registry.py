@@ -62,15 +62,15 @@ def _load_all() -> None:
 # in dict order with a hard 50-entry per-round budget (every registered
 # id is green in the r01-r11 union), so ids needing a fresh driver row
 # come FIRST. Recomputed at round 12 per VERDICT r11 #2 — lead with the
-# stale blocks. Layout of this 91-entry head:
-#   1-9:   round-12's NEW ids (no driver row can exist yet; VERDICT's
+# stale blocks. Layout of this 93-entry head:
+#   1-11:  round-12's NEW ids (no driver row can exist yet; VERDICT's
 #          'done = CORRECTNESS-green' conditions for items #1/#5/#6
 #          require they be inside the 50-cap);
-#   10-46: the 37 ids whose last driver row is r04 (registration
+#   12-48: the 37 ids whose last driver row is r04 (registration
 #          order within the block);
-#   47-91: the 45 ids whose last driver row is r06 (registration
-#          order; positions 51+ — q_robust_scale onward — lead the
-#          r13 rotation).
+#   49-93: the 45 ids whose last driver row is r06 (registration
+#          order; positions 51+ — q_priority_sample onward — lead
+#          the r13 rotation).
 # Names not listed keep their registration order after these.
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
@@ -83,6 +83,8 @@ _FRONT: tuple[str, ...] = (
     "q_logreg_roc",
     "q_fraud_alert_windows",
     "q_score_drift_psi",
+    "q_dedup_threshold_curve",
+    "q_repetition_ratio",
     "q_stream_interval_join_outer",
     "q_time_travel_diff",
     # — last driver row r04 (37 ids, registration order) —
