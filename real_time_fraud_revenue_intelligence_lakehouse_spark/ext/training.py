@@ -550,3 +550,183 @@ def logreg_roc(
         .otherwise(F.sum(pred * F.col("label")).cast("double") / F.sum(pred))
         .alias("precision_at"),
     )
+
+
+# --- k-means: centroid-based training -----------------------------------------
+#
+# The third trainer archetype (gradient descent = q_logreg_train,
+# counting = q_naive_bayes_train, centroids = this): fixed-iteration
+# Lloyd's over the SCALED feature space. Each iteration is ONE
+# conditional aggregate (k·(d+1) decimal-folded sums, map-side
+# combined); the k×d centroid matrix is the only driver state — the
+# IVF-centroid discipline (ext/similarity.py) promoted to a declared,
+# hash-gated training query. The oracle unrolls the same iterations
+# as generated CTE pairs (assign-aggregate ⨯ centroid-update), the
+# logreg pattern with a 2-D state.
+#
+# Determinism: distances are pure double arithmetic on identical
+# inputs (left-assoc term order); per-row sum contributions det-round
+# to 8 digits then fold through DECIMAL(28,8) (exact, associative —
+# the q_calibration cast convention, so the half-up/half-even
+# double→decimal divergence can't bite); argmin tie-breaks to the
+# smallest cluster id via the same <= cascade in both engines; empty
+# clusters keep their previous centroid.
+
+KM_K = 4
+KM_ITERS = 3
+
+
+def _km_init(k: int, features: tuple[str, ...]) -> list[dict[str, float]]:
+    """Diagonal seeds in the scaled unit cube: centroid i puts every
+    coordinate at (i + 0.5)/k — deterministic, engine-free."""
+    return [{f: (i + 0.5) / k for f in features} for i in range(k)]
+
+
+def _km_assign_expr(
+    cents: list[dict[str, float]],
+    features: tuple[str, ...],
+    scales: dict[str, float] | None,
+) -> Column:
+    dists = []
+    for c in cents:
+        d: Column = F.lit(0.0)
+        for f in features:
+            diff = _x_expr(f, scales) - F.lit(float(c[f]))
+            d = d + diff * diff
+        dists.append(d)
+    k = len(cents)
+    expr = None
+    for i in range(k - 1):
+        cond = None
+        for j in range(i + 1, k):
+            c = dists[i] <= dists[j]
+            cond = c if cond is None else cond & c
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    return expr.otherwise(k - 1)
+
+
+def train_kmeans(
+    fv: DataFrame,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    scales: dict[str, float] | None = None,
+) -> tuple[list[dict[str, float]], list[int]]:
+    """Fixed-iteration Lloyd's: returns (centroids, sizes) where
+    sizes are the cluster populations of the LAST update step."""
+    cents = _km_init(k, features)
+    sizes = [0] * k
+    for _ in range(iters):
+        # stage the assignment as a real column so the k·(d+1)
+        # conditional sums reference ONE computed value per row, not
+        # k·(d+1) inlined copies of the k-way distance cascade
+        staged = fv.withColumn("__asg", _km_assign_expr(cents, features, scales))
+        aggs = []
+        for i in range(k):
+            hit = F.col("__asg") == i
+            aggs.append(F.sum(hit.cast("long")).alias(f"n_{i}"))
+            for f in features:
+                contrib = det_round(_x_expr(f, scales), 8).cast("decimal(28,8)")
+                aggs.append(
+                    F.sum(F.when(hit, contrib)).alias(f"s_{i}_{f}")
+                )
+        row = staged.agg(*aggs).first()
+        new = []
+        for i in range(k):
+            n_i = row[f"n_{i}"] or 0
+            sizes[i] = n_i
+            if n_i == 0:
+                new.append(dict(cents[i]))  # empty cluster keeps its seat
+            else:
+                new.append(
+                    {f: float(row[f"s_{i}_{f}"]) / n_i for f in features}
+                )
+        cents = new
+    return cents, sizes
+
+
+def kmeans_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> str:
+    """Oracle for q_kmeans_train: unrolled Lloyd iterations; final
+    select emits one row per cluster (long form) referencing the last
+    centroid CTE exactly once via an id VALUES join + CASE unpivot
+    (the logreg_weights_sql single-reference discipline)."""
+    r8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+    _R6L = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+
+    def x(f: str) -> str:
+        return _x_sql(f)
+
+    def dist(i: int) -> str:
+        terms = [
+            f"(({x(f)}) - w.c{i}_{f}) * (({x(f)}) - w.c{i}_{f})"
+            for f in features
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    def assign_from_d() -> str:
+        whens = []
+        for i in range(k - 1):
+            conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
+            whens.append(f"WHEN {conds} THEN {i}")
+        return "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+
+    init_cols = ", ".join(
+        f"CAST({(i + 0.5) / k!r} AS DOUBLE) AS c{i}_{f}"
+        for i in range(k)
+        for f in features
+    )
+    feat_cols = ", ".join(features)
+    parts = [f"fv AS ({fv_sql})", f"k0 AS (SELECT {init_cols})"]
+    for t in range(1, iters + 1):
+        # stage distances then the assignment, each written ONCE —
+        # inlining the cascade into every conditional sum blows the
+        # statement up ~50x (measured 1.2 MB of SQL)
+        dists = ", ".join(f"{dist(i)} AS d{i}" for i in range(k))
+        parts.append(
+            f"a{t} AS (SELECT {feat_cols}, {assign_from_d()} AS asg "
+            f"FROM (SELECT {feat_cols}, {dists} FROM fv CROSS JOIN k{t - 1} w))"
+        )
+        gsel = []
+        for i in range(k):
+            gsel.append(
+                f"CAST(sum(CASE WHEN asg = {i} THEN 1 ELSE 0 END) AS BIGINT) AS n_{i}"
+            )
+            for f in features:
+                gsel.append(
+                    f"sum(CASE WHEN asg = {i} THEN "
+                    f"CAST({r8.format(c=x(f))} AS DECIMAL(28,8)) END) AS s_{i}_{f}"
+                )
+        parts.append(f"g{t} AS (SELECT {', '.join(gsel)} FROM a{t})")
+        usel = []
+        for i in range(k):
+            for f in features:
+                usel.append(
+                    f"CASE WHEN g{t}.n_{i} > 0 "
+                    f"THEN CAST(g{t}.s_{i}_{f} AS DOUBLE) / g{t}.n_{i} "
+                    f"ELSE w.c{i}_{f} END AS c{i}_{f}"
+                )
+        nsel = ", ".join(f"g{t}.n_{i} AS n_{i}" for i in range(k))
+        parts.append(
+            f"k{t} AS (SELECT {', '.join(usel)}, {nsel} "
+            f"FROM g{t} CROSS JOIN k{t - 1} w)"
+        )
+    wk = f"k{iters}"
+    ids = ", ".join(f"({i})" for i in range(k))
+    n_case = " ".join(f"WHEN {i} THEN n_{i}" for i in range(k))
+    cols = []
+    for f in features:
+        c_case = " ".join(
+            f"WHEN {i} THEN {_R6L.format(c=f'c{i}_{f}')}" for i in range(k)
+        )
+        cols.append(f"CASE u.cluster {c_case} END AS c_{f}")
+    cte_block = ",\n    ".join(parts)
+    return (
+        f"WITH {cte_block}\n    "
+        f"SELECT u.cluster, CASE u.cluster {n_case} END AS n, {', '.join(cols)}\n    "
+        f"FROM {wk} CROSS JOIN (VALUES {ids}) u(cluster)"
+    )

@@ -434,3 +434,47 @@ def q_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(pb, 6).alias("p_b"),
         det_round((pa - pb) * F.log((pa + eps) / (pb + eps)), 8).alias("psi_term"),
     )
+
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    KM_K,
+    kmeans_sql,
+    train_kmeans,
+)
+
+
+@query(
+    "q_kmeans_train",
+    oracle=kmeans_sql(_FV_SQL),
+    tags=("training", "clustering", "iterative"),
+)
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third trainer archetype, hash-gated: fixed-iteration
+    Lloyd's k-means (k=4, 3 iterations) over the scaled feature
+    space — gradient descent (q_logreg_train) fits weights, counting
+    (q_naive_bayes_train) fits tables, this fits CENTROIDS, the
+    primitive under the engine's own IVF index (ext/similarity.py)
+    promoted to a declared training query. Each iteration stages the
+    k-way argmin assignment as one computed column, then ONE
+    conditional aggregate (k·(d+1) decimal-folded sums, map-side
+    combined); the k×d centroid matrix is the sole driver state.
+    Determinism: distances are identical double arithmetic,
+    contributions det-round to 8 then fold through DECIMAL(28,8),
+    ties break to the smallest cluster id via the same <= cascade,
+    empty clusters keep their previous centroid. The oracle unrolls
+    the identical iterations as assign→aggregate→update CTE triples.
+    Output: one row per cluster — size from the final update step +
+    round6 centroid coordinates."""
+    import math
+
+    fv = _logreg_fv(spark, sf_dir)
+    cents, sizes = train_kmeans(fv)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    rows = [
+        tuple([i, sizes[i]] + [r6(cents[i][f]) for f in SCORE_FEATURES])
+        for i in range(KM_K)
+    ]
+    schema = "cluster int, n long, " + ", ".join(
+        f"c_{f} double" for f in SCORE_FEATURES
+    )
+    return spark.createDataFrame(rows, schema)

@@ -201,3 +201,74 @@ def test_naive_bayes_prediction_matches_hand_computation(spark):
     z0 = r6(math.log(probs[("f1", 0, 0)])) + r6(math.log(probs[("f2", 1, 0)])) + r6(math.log(0.5))
     z1 = r6(math.log(probs[("f1", 0, 1)])) + r6(math.log(probs[("f2", 1, 1)])) + r6(math.log(0.5))
     assert z0 > z1  # row (f1=0, f2=1) → class 0, as the matrix showed
+
+
+def kmeans_numpy_replay(X, features, k, iters, scales=None):
+    """Exact replay of train_kmeans: identical distance arithmetic
+    (left-assoc term order), round8 decimal-folded sums via integer
+    units, <=-cascade argmin, empty-cluster carry."""
+    div = np.array([(scales or {}).get(f, 1.0) for f in features])
+    Xs = X / div
+    n, d = Xs.shape
+    cents = np.array([[(i + 0.5) / k] * d for i in range(k)])
+    sizes = [0] * k
+    for _ in range(iters):
+        dists = np.zeros((n, k))
+        for i in range(k):
+            acc = np.zeros(n)
+            for j in range(d):
+                diff = Xs[:, j] - cents[i][j]
+                acc = acc + diff * diff
+            dists[:, i] = acc
+        asg = np.full(n, k - 1)
+        for i in range(k - 2, -1, -1):
+            ok = np.ones(n, dtype=bool)
+            for j in range(i + 1, k):
+                ok &= dists[:, i] <= dists[:, j]
+            asg = np.where(ok, i, asg)
+        new = cents.copy()
+        for i in range(k):
+            m = asg == i
+            sizes[i] = int(m.sum())
+            if sizes[i]:
+                for j in range(d):
+                    units = np.floor(Xs[m, j] * 1e8 + 0.5).astype(np.int64).sum()
+                    new[i][j] = (int(units) / 1e8) / sizes[i]
+        cents = new
+    return cents, sizes
+
+
+def test_kmeans_matches_numpy_replay_and_recovers_blobs(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import train_kmeans
+
+    rng = np.random.RandomState(5)
+    blobs = []
+    centers = [(0.1, 0.1), (0.9, 0.2), (0.5, 0.9)]
+    for cx, cy in centers:
+        blobs.append(np.column_stack([
+            (cx + rng.uniform(-0.05, 0.05, 60)).round(4),
+            (cy + rng.uniform(-0.05, 0.05, 60)).round(4),
+        ]))
+    X = np.vstack(blobs)
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in X], "x1 double, x2 double")
+    cents, sizes = train_kmeans(df, features=("x1", "x2"), k=3, iters=4, scales={})
+    want_c, want_s = kmeans_numpy_replay(X, ("x1", "x2"), 3, 4, scales={})
+    assert sizes == want_s
+    for i in range(3):
+        assert [cents[i]["x1"], cents[i]["x2"]] == list(want_c[i])  # bit-identical
+    # blob recovery: every true center has a trained centroid within 0.06
+    for cx, cy in centers:
+        d = min((cents[i]["x1"] - cx) ** 2 + (cents[i]["x2"] - cy) ** 2 for i in range(3))
+        assert d < 0.06 ** 2, (cx, cy, cents)
+    assert sorted(sizes) == [60, 60, 60]
+
+
+def test_kmeans_is_partition_layout_independent(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import train_kmeans
+
+    rng = np.random.RandomState(9)
+    rows = [(float(a), float(b)) for a, b in rng.uniform(0, 1, (200, 2)).round(4)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double")
+    c1, s1 = train_kmeans(df.repartition(1), features=("x1", "x2"), k=3, iters=2, scales={})
+    c9, s9 = train_kmeans(df.repartition(9, "x1"), features=("x1", "x2"), k=3, iters=2, scales={})
+    assert s1 == s9 and c1 == c9  # decimal folds are associative
