@@ -730,3 +730,76 @@ def kmeans_sql(
         f"SELECT u.cluster, CASE u.cluster {n_case} END AS n, {', '.join(cols)}\n    "
         f"FROM {wk} CROSS JOIN (VALUES {ids}) u(cluster)"
     )
+
+
+def kmeans_inertia(
+    fv: DataFrame,
+    cents: list[dict[str, float]],
+    features: tuple[str, ...] = SCORE_FEATURES,
+    scales: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-cluster within-cluster SSE under TRAINED centroids: one
+    staged-assignment scan; each row's min distance det-rounds to 8
+    and folds through DECIMAL(28,8), so the inertia is exact on any
+    layout. The clustering-quality artifact (elbow/inertia) of the
+    train→evaluate family."""
+    dists = []
+    for c in cents:
+        d: Column = F.lit(0.0)
+        for f in features:
+            diff = _x_expr(f, scales) - F.lit(float(c[f]))
+            d = d + diff * diff
+        dists.append(d)
+    staged = fv.withColumn(
+        "__asg", _km_assign_expr(cents, features, scales)
+    ).withColumn("__dmin", F.least(*dists))
+    return staged.groupBy(F.col("__asg").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        det_round(
+            F.sum(det_round(F.col("__dmin"), 8).cast("decimal(28,8)")).cast("double"),
+            6,
+        ).alias("inertia"),
+    )
+
+
+def kmeans_inertia_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> str:
+    """Oracle for q_kmeans_inertia: the same unrolled training CTEs,
+    then one assign+least staging pass and per-cluster decimal SSE."""
+    r8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+    r6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+    full = kmeans_sql(fv_sql, features, k, iters)
+    # reuse everything up to the final select: rebuild the CTE block
+    head, _sep, _tail = full.rpartition("\n    SELECT u.cluster")
+    ctes = head[len("WITH "):]
+    wk = f"k{iters}"
+
+    def x(f: str) -> str:
+        return _x_sql(f)
+
+    def dist(i: int) -> str:
+        terms = [
+            f"(({x(f)}) - w.c{i}_{f}) * (({x(f)}) - w.c{i}_{f})"
+            for f in features
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    dists = ", ".join(f"{dist(i)} AS d{i}" for i in range(k))
+    whens = []
+    for i in range(k - 1):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
+        whens.append(f"WHEN {conds} THEN {i}")
+    asg = "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+    least = "least(" + ", ".join(f"d{i}" for i in range(k)) + ")"
+    return f"""WITH {ctes},
+    ev AS (
+      SELECT {asg} AS cluster, {least} AS dmin
+      FROM (SELECT {", ".join(features)}, {dists} FROM fv CROSS JOIN {wk} w)
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           {r6.format(c=f"CAST(sum(CAST({r8.format(c='dmin')} AS DECIMAL(28,8))) AS DOUBLE)")} AS inertia
+    FROM ev GROUP BY 1"""

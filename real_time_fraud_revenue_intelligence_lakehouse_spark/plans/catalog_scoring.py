@@ -443,6 +443,21 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import ( 
 )
 
 
+#: memoized trained centroids per (applicationId, sf_dir) — the
+#: logreg-weights discipline; q_kmeans_inertia reuses the fold.
+_KMEANS: dict = {}
+register_cache(_KMEANS)
+
+
+def _trained_kmeans(spark: SparkSession, sf_dir: str):
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    if key not in _KMEANS:
+        _KMEANS[key] = train_kmeans(_logreg_fv(spark, sf_dir))
+    return _KMEANS[key]
+
+
 @query(
     "q_kmeans_train",
     oracle=kmeans_sql(_FV_SQL),
@@ -467,8 +482,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     round6 centroid coordinates."""
     import math
 
-    fv = _logreg_fv(spark, sf_dir)
-    cents, sizes = train_kmeans(fv)
+    cents, sizes = _trained_kmeans(spark, sf_dir)
     r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
     rows = [
         tuple([i, sizes[i]] + [r6(cents[i][f]) for f in SCORE_FEATURES])
@@ -478,3 +492,29 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"c_{f} double" for f in SCORE_FEATURES
     )
     return spark.createDataFrame(rows, schema)
+
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    kmeans_inertia,
+    kmeans_inertia_sql,
+)
+
+
+@query(
+    "q_kmeans_inertia",
+    oracle=kmeans_inertia_sql(_FV_SQL),
+    tags=("training", "clustering", "evaluation"),
+)
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation under the TRAINED centroids:
+    per-cluster population and within-cluster SSE (inertia) — the
+    number an elbow plot is made of, and the train→evaluate closure
+    for the centroid trainer (ROC is to logreg what this is to
+    k-means). One staged assign+least scan over the checkpointed
+    feature frame; row distances det-round to 8 and fold through
+    DECIMAL(28,8), so the SSE is exact on any partition layout. The
+    oracle re-trains via the unrolled Lloyd CTEs then evaluates with
+    the identical staging."""
+    fv = _logreg_fv(spark, sf_dir)
+    cents, _sizes = _trained_kmeans(spark, sf_dir)
+    return kmeans_inertia(fv, cents)

@@ -62,15 +62,14 @@ def _load_all() -> None:
 # in dict order with a hard 50-entry per-round budget (every registered
 # id is green in the r01-r11 union), so ids needing a fresh driver row
 # come FIRST. Recomputed at round 12 per VERDICT r11 #2 — lead with the
-# stale blocks. Layout of this 94-entry head:
-#   1-12:  round-12's NEW ids (no driver row can exist yet; VERDICT's
+# stale blocks. Layout of this 95-entry head:
+#   1-13:  round-12's NEW ids (no driver row can exist yet; VERDICT's
 #          'done = CORRECTNESS-green' conditions for items #1/#5/#6
 #          require they be inside the 50-cap);
-#   13-49: the 37 ids whose last driver row is r04 (registration
+#   14-50: the 37 ids whose last driver row is r04 (registration
 #          order within the block);
-#   50-94: the 45 ids whose last driver row is r06 (registration
-#          order; positions 51+ — q_skyline onward — lead the r13
-#          rotation).
+#   51-95: the 45 ids whose last driver row is r06 (registration
+#          order — the whole block leads the r13 rotation).
 # Names not listed keep their registration order after these.
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
@@ -81,6 +80,7 @@ _FRONT: tuple[str, ...] = (
     "q_naive_bayes_train",
     "q_naive_bayes_score",
     "q_kmeans_train",
+    "q_kmeans_inertia",
     "q_logreg_roc",
     "q_fraud_alert_windows",
     "q_score_drift_psi",
