@@ -28,3 +28,17 @@ def test_queries_run_on_smoke_sf(spark, sf_dir):
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_front_rotation_names_all_resolve():
+    """Every id in the registry's verification-priority head must be a
+    registered query: a typo'd _FRONT entry is silently dropped by
+    _ordered() (by design, for planned-but-unregistered names), which
+    would quietly hand the driver's 50-cap to the wrong queries."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+
+    registry._load_all()
+    missing = [n for n in registry._FRONT if n not in registry._REGISTRY]
+    assert missing == [], f"_FRONT names not registered: {missing}"
+    dupes = [n for n in set(registry._FRONT) if list(registry._FRONT).count(n) > 1]
+    assert dupes == [], f"_FRONT duplicates: {dupes}"

@@ -89,3 +89,43 @@ def test_half_committed_version_is_invisible(spark, tmp_path):
 def test_mode_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="overwrite|append"):
         write_version(_df(spark, [(1, "a")]), str(tmp_path / "t"), mode="merge")
+
+
+def test_random_commit_sequences_match_model(spark, tmp_path):
+    """Model-based check: any sequence of append/overwrite commits
+    must satisfy snapshot semantics — version v's visible rows equal
+    the model's replay (append = parent multiset + batch, overwrite =
+    batch), for EVERY v, after the whole sequence ran. Deterministic
+    'random' sequences (seeded) keep the run reproducible without
+    hypothesis's shrink loop spawning hundreds of Spark jobs."""
+    import random
+
+    rng = random.Random(1234)
+    for case in range(4):
+        p = str(tmp_path / f"t{case}")
+        model: list[list[tuple]] = []  # model[v] = expected multiset
+        next_key = 0
+        for step in range(rng.randint(2, 6)):
+            batch = []
+            for _ in range(rng.randint(1, 4)):
+                batch.append((next_key, f"v{next_key % 3}"))
+                next_key += 1
+            mode = rng.choice(["append", "overwrite"])
+            df = _df(spark, batch)
+            v = write_version(df, p, mode=mode, operation=f"s{step}")
+            if mode == "append" and model:
+                model.append(model[-1] + batch)
+            else:
+                model.append(list(batch))
+            assert v == len(model) - 1
+        assert list_versions(p) == list(range(len(model)))
+        for v, want in enumerate(model):
+            got = sorted(
+                (r["k"], r["v"]) for r in read_version(spark, p, v).collect()
+            )
+            assert got == sorted(want), (case, v)
+        # vacuum to the latest only — it must still replay the model tail
+        vacuum_versions(p, keep_last=1)
+        last = len(model) - 1
+        got = sorted((r["k"], r["v"]) for r in read_version(spark, p).collect())
+        assert got == sorted(model[last]), case
