@@ -803,3 +803,105 @@ def kmeans_inertia_sql(
     SELECT cluster, CAST(count(*) AS BIGINT) AS n,
            {r6.format(c=f"CAST(sum(CAST({r8.format(c='dmin')} AS DECIMAL(28,8))) AS DOUBLE)")} AS inertia
     FROM ev GROUP BY 1"""
+
+
+# --- HBOS: unsupervised anomaly training --------------------------------------
+#
+# The reference is a FRAUD system, and its only anomaly signal is the
+# supervised model's score — which can't see novel fraud patterns the
+# label never captured. HBOS (Goldstein & Dengel 2012) is the
+# unsupervised complement in the counting-trainer mold: per feature,
+# a histogram of value frequencies IS the model (one stack + one
+# groupBy — no labels, no iterations); a row's anomaly score is
+# Σ_f −ln p_f(value_f), i.e. the surprise of its per-feature bins
+# under independence. Training is NB's machinery minus the label;
+# scoring compiles the histogram into row-local CASE expressions
+# (the q_naive_bayes_score discipline), decimal-folded so the ranking
+# is engine- and layout-exact.
+
+HBOS_TOP_K = 20
+
+
+def hbos_train(fv: DataFrame, features: tuple[str, ...] = NB_FEATURES) -> DataFrame:
+    """(feature, value, cnt, p) — per-feature value frequencies.
+    In-sample scoring never sees a zero bin, so no smoothing term."""
+    st = _nb_stack(fv, features)
+    cnts = st.groupBy("feature", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    n = fv.count()
+    return cnts.select(
+        "feature",
+        "value",
+        "cnt",
+        (F.col("cnt").cast("double") / F.lit(float(n))).alias("p"),
+    )
+
+
+def hbos_top_anomalies(
+    fv: DataFrame,
+    features: tuple[str, ...] = NB_FEATURES,
+    top_k: int = HBOS_TOP_K,
+    probs: DataFrame | None = None,
+) -> DataFrame:
+    """Score every row by compiled decimal surprise and return the
+    top-k most anomalous (o_orderkey tie-break) — the triage list a
+    fraud analyst reviews. Deterministic: per-bin −ln p det-rounds to
+    6 then folds through DECIMAL(18,6) additions; the final ranking
+    compares decimals."""
+    import math
+
+    if probs is None:
+        probs = hbos_train(fv, features)
+    rows = probs.collect()  # ≤ a few hundred — the model-broadcast class
+    by_f: dict[str, list] = {}
+    for r in rows:
+        by_f.setdefault(r["feature"], []).append(r)
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    score = None
+    for f in features:
+        expr = None
+        for r in sorted(by_f[f], key=lambda r: r["value"]):
+            cond = F.col(f).cast("bigint") == int(r["value"])
+            val = F.lit(r6(-math.log(r["p"]))).cast("decimal(18,6)")
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        term = expr.otherwise(F.lit(None).cast("decimal(18,6)"))
+        score = term if score is None else score + term
+    return (
+        fv.select("o_orderkey", score.alias("hbos"))
+        .orderBy(F.desc("hbos"), F.asc("o_orderkey"))
+        .limit(top_k)
+        .select("o_orderkey", F.col("hbos").cast("double").alias("hbos"))
+    )
+
+
+def hbos_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = NB_FEATURES,
+    top_k: int = HBOS_TOP_K,
+) -> str:
+    """Oracle: the same histograms via UNPIVOT counts, the same
+    decimal surprise via a probs join, the same top-k ordering."""
+    cols = ", ".join(features)
+    casts = ", ".join(f"CAST({f} AS BIGINT) AS {f}" for f in features)
+    t6 = _R6.format(c="-ln(p.p)")
+    return f"""WITH fv AS ({fv_sql}),
+    f AS (SELECT o_orderkey, {casts} FROM fv),
+    st AS (
+      SELECT o_orderkey, name AS feature, value
+      FROM (UNPIVOT f ON {cols} INTO NAME name VALUE value)
+    ),
+    n AS (SELECT count(*) AS n_rows FROM f),
+    probs AS (
+      SELECT feature, value,
+             CAST(count(*) AS DOUBLE) / (SELECT n_rows FROM n) AS p
+      FROM st GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT s.o_orderkey, sum(CAST({t6} AS DECIMAL(18,6))) AS hbos
+      FROM st s JOIN probs p ON p.feature = s.feature AND p.value = s.value
+      GROUP BY 1
+    )
+    SELECT o_orderkey, CAST(hbos AS DOUBLE) AS hbos
+    FROM scored ORDER BY hbos DESC, o_orderkey LIMIT {top_k}"""

@@ -518,3 +518,31 @@ def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     fv = _logreg_fv(spark, sf_dir)
     cents, _sizes = _trained_kmeans(spark, sf_dir)
     return kmeans_inertia(fv, cents)
+
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    hbos_sql,
+    hbos_top_anomalies,
+)
+
+
+@query(
+    "q_hbos_anomalies",
+    oracle=hbos_sql(_FV_SQL),
+    tags=("training", "anomaly", "scoring"),
+)
+def q_hbos_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED anomaly triage — the fraud capability no label
+    covers (novel patterns): HBOS (Goldstein & Dengel 2012), the
+    histogram-based outlier score, trained by ONE stack + ONE
+    (feature, value) groupBy over 6 categorical features and scored
+    as the decimal-folded per-feature surprise Σ −ln p_f(x_f); output
+    is the top-20 most anomalous orders (o_orderkey tie-break) — the
+    analyst review queue next to q_fraud_scores' supervised bands.
+    Scoring compiles the histogram into row-local CASE expressions
+    (the q_naive_bayes_score model-broadcast discipline), so the only
+    non-local work is the top-k; the decimal ranking is exact on any
+    layout. At 100 TB: train = one triple shuffle; score = row-local;
+    top-k = TakeOrdered, never a global sort."""
+    fv = _logreg_fv(spark, sf_dir)
+    return hbos_top_anomalies(fv)

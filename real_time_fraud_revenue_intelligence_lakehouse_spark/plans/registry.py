@@ -62,14 +62,15 @@ def _load_all() -> None:
 # in dict order with a hard 50-entry per-round budget (every registered
 # id is green in the r01-r11 union), so ids needing a fresh driver row
 # come FIRST. Recomputed at round 12 per VERDICT r11 #2 — lead with the
-# stale blocks. Layout of this 95-entry head:
-#   1-13:  round-12's NEW ids (no driver row can exist yet; VERDICT's
+# stale blocks. Layout of this 96-entry head:
+#   1-14:  round-12's NEW ids (no driver row can exist yet; VERDICT's
 #          'done = CORRECTNESS-green' conditions for items #1/#5/#6
 #          require they be inside the 50-cap);
-#   14-50: the 37 ids whose last driver row is r04 (registration
-#          order within the block);
-#   51-95: the 45 ids whose last driver row is r06 (registration
-#          order — the whole block leads the r13 rotation).
+#   15-51: the 37 ids whose last driver row is r04 (registration
+#          order; its tail id q_groupwise_min sits at position 51,
+#          just past the 50-cap, and leads the r13 rotation with the
+#          whole r06 block);
+#   52-96: the 45 ids whose last driver row is r06.
 # Names not listed keep their registration order after these.
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
@@ -79,6 +80,7 @@ _FRONT: tuple[str, ...] = (
     "q_logreg_train_score",
     "q_naive_bayes_train",
     "q_naive_bayes_score",
+    "q_hbos_anomalies",
     "q_kmeans_train",
     "q_kmeans_inertia",
     "q_logreg_roc",

@@ -143,3 +143,24 @@ def test_fraud_alert_windows_match_direct_computation(spark, queries):
         if math.floor((1.0 / (1.0 + math.exp(-(-3.0 + 6.0 * (v / 500.0))))) * 1e6 + 0.5) / 1e6 >= 0.7
     )
     assert total == want
+
+
+def test_hbos_top_anomalies_are_ranked_and_rare(spark, queries):
+    rows = queries["q_hbos_anomalies"](spark, SF).collect()
+    assert len(rows) == 20
+    scores = [r["hbos"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len({r["o_orderkey"] for r in rows}) == 20
+    # the top anomaly is genuinely rarer than a typical row: its
+    # surprise exceeds the mean surprise by construction of the ranking
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (
+        hbos_top_anomalies,
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_scoring import _logreg_fv
+
+    fv = _logreg_fv(spark, SF)
+    all_scores = hbos_top_anomalies(fv, top_k=10**9)
+    import pyspark.sql.functions as F
+
+    mean_all = all_scores.agg(F.avg("hbos")).first()[0]
+    assert rows[0]["hbos"] > mean_all
