@@ -43,6 +43,13 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "_manifests"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed this version number first — the
+    optimistic-concurrency conflict Delta surfaces the same way
+    (commit = put-if-absent on the next log entry). Re-read
+    list_versions and retry with the new head."""
+
+
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
 
@@ -102,7 +109,20 @@ def write_version(
     staged = _manifest_path(path, n) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(staged, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(staged, _manifest_path(path, n))
+    # put-if-absent, not replace: os.link fails with EEXIST if another
+    # writer claimed version n between our list_versions and now — the
+    # optimistic-concurrency commit Delta's log uses. os.replace here
+    # would silently OVERWRITE the racing writer's manifest and lose
+    # its commit (and, under append, orphan its data files).
+    try:
+        os.link(staged, _manifest_path(path, n))
+    except FileExistsError as e:
+        os.remove(staged)
+        raise ConcurrentCommitError(
+            f"version {n} at {path} was committed by another writer; "
+            "re-read list_versions and retry"
+        ) from e
+    os.remove(staged)
     return n
 
 

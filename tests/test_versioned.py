@@ -129,3 +129,42 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
         last = len(model) - 1
         got = sorted((r["k"], r["v"]) for r in read_version(spark, p).collect())
         assert got == sorted(model[last]), case
+
+
+def test_concurrent_commit_is_put_if_absent(spark, tmp_path, monkeypatch):
+    """Two writers racing for the same version number: the second
+    commit must FAIL loudly (ConcurrentCommitError), never silently
+    overwrite the first writer's manifest — the optimistic-concurrency
+    contract Delta's log provides. The race window (between reading
+    the version list and linking the manifest) is simulated by
+    handing the losing writer a STALE version listing while the
+    winner's manifest already sits at the contested number."""
+    import json as _json
+    import os
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources import versioned as V
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.versioned import (
+        ConcurrentCommitError,
+    )
+
+    p = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), p)
+    # a "racing writer" claims v1 directly
+    winner = {
+        "version": 1, "mode": "overwrite", "operation": "racer",
+        "files": [], "n_files": 0, "committed_at": 0.0,
+    }
+    with open(os.path.join(p, "_manifests", "v000001.json"), "w") as fh:
+        _json.dump(winner, fh)
+    # the loser read the versions BEFORE the winner committed
+    monkeypatch.setattr(V, "list_versions", lambda path: [0])
+    with pytest.raises(ConcurrentCommitError, match="version 1"):
+        V.write_version(_df(spark, [(2, "b")]), p, mode="overwrite")
+    monkeypatch.undo()
+    # the winner's manifest is intact and the loser left no manifest
+    with open(os.path.join(p, "_manifests", "v000001.json")) as fh:
+        assert _json.load(fh)["operation"] == "racer"
+    assert list_versions(p) == [0, 1]
+    # retry against the fresh head succeeds with the NEXT number
+    assert write_version(_df(spark, [(2, "b")]), p, mode="overwrite") == 2
+    assert {r["k"] for r in read_version(spark, p, 2).collect()} == {2}
