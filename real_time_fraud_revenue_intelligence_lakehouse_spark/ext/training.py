@@ -394,7 +394,9 @@ def nb_score_confusion(
 
     def term(f: str, cls: int):
         entries = sorted(by_fc[(f, cls)], key=lambda r: r["value"])
-        v_dom = len({r["value"] for r in by_fc[(f, 0)] + by_fc.get((f, 1), [])})
+        v_dom = len(
+            {r["value"] for r in by_fc.get((f, 0), []) + by_fc.get((f, 1), [])}
+        )
         expr = None
         for r in entries:
             cond = F.col(f).cast("bigint") == int(r["value"])
