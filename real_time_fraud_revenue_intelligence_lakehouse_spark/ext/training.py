@@ -907,3 +907,105 @@ def hbos_sql(
     )
     SELECT o_orderkey, CAST(hbos AS DOUBLE) AS hbos
     FROM scored ORDER BY hbos DESC, o_orderkey LIMIT {top_k}"""
+
+
+# --- drop-one ablation importance ---------------------------------------------
+
+
+def _loss_expr(z: Column, label: str = "label") -> Column:
+    """Per-row log-loss under p = round6(σ(z)), det-rounded to 6 —
+    safe here because scaled features + small trained weights keep z
+    in a narrow band, so p never saturates to exactly 0/1."""
+    p = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    raw = F.when(F.col(label) == 1, -F.log(p)).otherwise(
+        -F.log(F.lit(1.0) - p)
+    )
+    return det_round(raw, 6)
+
+
+def logreg_ablation(
+    fv: DataFrame,
+    w: dict[str, float],
+    features: tuple[str, ...] = SCORE_FEATURES,
+    scales: dict[str, float] | None = None,
+) -> DataFrame:
+    """Drop-one feature importance for the TRAINED model: mean
+    log-loss of the full model and of each variant with ONE feature's
+    term removed (weights otherwise unchanged — ablation, not
+    retraining); importance = variant − full. ALL d+1 losses come
+    from ONE scan (each variant is just another decimal-folded sum
+    column), then the 1-row wide aggregate unpivots in-row — zero
+    extra passes however many features."""
+    import math
+
+    def z_without(skip: str | None) -> Column:
+        z: Column = F.lit(float(w["bias"]))
+        for f in features:
+            if f != skip:
+                z = z + F.lit(float(w[f])) * _x_expr(f, scales)
+        return z
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    names = ["full"] + list(features)
+    for name in names:
+        skip = None if name == "full" else name
+        aggs.append(
+            F.sum(_loss_expr(z_without(skip)).cast("decimal(18,6)")).alias(
+                f"L_{name}"
+            )
+        )
+    wide = fv.agg(*aggs)
+    mean6 = lambda c: det_round(F.col(c).cast("double") / F.col("n"), 6)  # noqa: E731
+    cols = []
+    for name in names:
+        cols.append(mean6(f"L_{name}").alias(f"m_{name}"))
+    m = wide.select("n", *cols)
+    pairs = ", ".join(f"'{name}', m_{name}" for name in names)
+    long = m.selectExpr("m_full", f"stack({len(names)}, {pairs}) AS (variant, logloss)")
+    return long.select(
+        "variant",
+        "logloss",
+        det_round(F.col("logloss") - F.col("m_full"), 6).alias("delta_vs_full"),
+    )
+
+
+def logreg_ablation_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    lr: float = LR,
+    iters: int = ITERS,
+) -> str:
+    """Oracle: re-train via the unrolled CTEs, then the same one-scan
+    multi-variant loss aggregate and in-row unpivot."""
+    ctes, wk = logreg_train_ctes(fv_sql, features, lr, iters)
+    r6 = _R6
+    names = ["full"] + list(features)
+
+    def z_without(skip: str | None) -> str:
+        terms = ["w.w_bias"] + [
+            f"w.w_{f} * ({_x_sql(f)})" for f in features if f != skip
+        ]
+        return " + ".join(terms)
+
+    def loss(skip: str | None) -> str:
+        p = r6.format(c=f"1.0 / (1.0 + exp(-({z_without(skip)})))")
+        raw = f"CASE WHEN label = 1 THEN -ln({p}) ELSE -ln(1.0 - {p}) END"
+        return r6.format(c=raw)
+
+    sums = ", ".join(
+        f"sum(CAST({loss(None if name == 'full' else name)} AS DECIMAL(18,6))) AS L_{name}"
+        for name in names
+    )
+    means = ", ".join(
+        f"{r6.format(c=f'CAST(L_{name} AS DOUBLE) / n')} AS m_{name}"
+        for name in names
+    )
+    values = ", ".join(f"('{name}')" for name in names)
+    m_case = " ".join(f"WHEN '{name}' THEN m_{name}" for name in names)
+    return f"""WITH {ctes},
+    wide AS (SELECT count(*) AS n, {sums} FROM fv CROSS JOIN {wk} w),
+    m AS (SELECT {means} FROM wide)
+    SELECT u.variant,
+           CASE u.variant {m_case} END AS logloss,
+           {r6.format(c=f"(CASE u.variant {m_case} END) - m_full")} AS delta_vs_full
+    FROM m CROSS JOIN (VALUES {values}) u(variant)"""

@@ -546,3 +546,32 @@ def q_hbos_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k = TakeOrdered, never a global sort."""
     fv = _logreg_fv(spark, sf_dir)
     return hbos_top_anomalies(fv)
+
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    logreg_ablation,
+    logreg_ablation_sql,
+)
+
+
+@query(
+    "q_logreg_ablation",
+    oracle=logreg_ablation_sql(_FV_SQL),
+    tags=("training", "evaluation", "explanation"),
+)
+def q_logreg_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-one feature importance for the TRAINED model — the
+    explanation artifact next to the reference's XGBoost
+    feature-importance plot (`ml/models/train.py` logs
+    feature_importances_): mean log-loss of the full model and of
+    each variant with one feature's term ablated (weights unchanged);
+    delta_vs_full ranks what the model actually leans on. ALL d+1
+    losses come from ONE scan — each variant is just another
+    decimal-folded sum column in the same aggregate — then the 1-row
+    wide result unpivots in-row. Per-row losses det-round to 6 before
+    the decimal fold, so the importances hash-gate; the oracle
+    re-trains via the unrolled CTEs then runs the identical
+    multi-variant aggregate."""
+    fv = _logreg_fv(spark, sf_dir)
+    w, _n = _trained_weights(spark, sf_dir)
+    return logreg_ablation(fv, w)

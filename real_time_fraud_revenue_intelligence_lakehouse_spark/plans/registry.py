@@ -62,15 +62,15 @@ def _load_all() -> None:
 # in dict order with a hard 50-entry per-round budget (every registered
 # id is green in the r01-r11 union), so ids needing a fresh driver row
 # come FIRST. Recomputed at round 12 per VERDICT r11 #2 — lead with the
-# stale blocks. Layout of this 96-entry head:
-#   1-14:  round-12's NEW ids (no driver row can exist yet; VERDICT's
+# stale blocks. Layout of this 97-entry head:
+#   1-15:  round-12's NEW ids (no driver row can exist yet; VERDICT's
 #          'done = CORRECTNESS-green' conditions for items #1/#5/#6
 #          require they be inside the 50-cap);
-#   15-51: the 37 ids whose last driver row is r04 (registration
-#          order; its tail id q_groupwise_min sits at position 51,
-#          just past the 50-cap, and leads the r13 rotation with the
-#          whole r06 block);
-#   52-96: the 45 ids whose last driver row is r06.
+#   16-52: the 37 ids whose last driver row is r04 (registration
+#          order; its tail pair q_excess_suppliers/q_groupwise_min
+#          sits just past the 50-cap and leads the r13 rotation with
+#          the whole r06 block);
+#   53-97: the 45 ids whose last driver row is r06.
 # Names not listed keep their registration order after these.
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
@@ -84,6 +84,7 @@ _FRONT: tuple[str, ...] = (
     "q_kmeans_train",
     "q_kmeans_inertia",
     "q_logreg_roc",
+    "q_logreg_ablation",
     "q_fraud_alert_windows",
     "q_score_drift_psi",
     "q_dedup_threshold_curve",
