@@ -155,3 +155,17 @@ def test_hbos_top_anomalies_are_ranked_and_rare(spark, queries):
     # and the top anomaly genuinely exceeds the panel's tail
     assert rows[-1]["hbos"] > 0
     assert rows[0]["hbos"] > rows[-1]["hbos"]
+
+
+def test_ablation_full_model_is_best_or_tied(spark, queries):
+    rows = {r["variant"]: r for r in queries["q_logreg_ablation"](spark, SF).collect()}
+    assert set(rows) == {"full", "amount_log", "tier_encoded", "acctbal_neg",
+                         "segment_encoded", "order_dow", "order_month",
+                         "is_weekend", "is_urgent"}
+    full = rows["full"]["logloss"]
+    assert rows["full"]["delta_vs_full"] == 0.0
+    # ablating a TRAINED feature can only hurt or barely move the
+    # loss at the optimum (first-order flatness): deltas are ~>= 0
+    for v, r in rows.items():
+        assert r["delta_vs_full"] >= -5e-4, (v, r["delta_vs_full"])
+        assert abs(r["logloss"] - (full + r["delta_vs_full"])) < 2e-6
