@@ -387,6 +387,18 @@ def nb_score_confusion(
     lbl_rows = fv.groupBy("label").agg(F.count(F.lit(1)).alias("n_c")).collect()
     for r in lbl_rows:
         n_c[r["label"]] = r["n_c"]
+    # nb_train's grid only explodes labels present in the training
+    # frame — a one-class frame would otherwise surface later as a
+    # bare KeyError deep inside expression compilation (ADVICE r12).
+    missing = sorted(
+        ({0, 1} - set(n_c)) | ({0, 1} - {cls for (_f, cls) in by_fc})
+    )
+    if missing:
+        raise ValueError(
+            f"naive-bayes training needs both classes; label(s) {missing} "
+            "absent from the training frame — a prior-only model has no "
+            "conditional terms to compile"
+        )
     n = sum(n_c.values())
 
     def r6(x: float) -> float:
@@ -454,17 +466,27 @@ def nb_train_sql(fv_sql: str, features: tuple[str, ...] = NB_FEATURES) -> str:
 
 
 def nb_score_sql(fv_sql: str, features: tuple[str, ...] = NB_FEATURES) -> str:
+    """Oracle for nb_score_confusion. The per-term join is a LEFT
+    JOIN with the smoothed unseen-value fallback round6(ln(1/(n_c+V)))
+    — the same Laplace law the Spark scorer compiles into each CASE's
+    ``otherwise`` — so oracle and engine agree even when the scored
+    frame carries feature values the trained table never saw (ADVICE
+    r12: the old inner join silently dropped those rows)."""
     t6 = _R6.format(c="ln(p.p)")
+    unseen = _R6.format(c="ln(1.0 / (l.n_c + d.v))")
     lp = _R6.format(c="ln(CAST(n_c AS DOUBLE) / (SELECT count(*) FROM f))")
     return f"""WITH {_nb_ctes(fv_sql, features)},
     priors AS (
       SELECT label, CAST({lp} AS DECIMAL(18,6)) AS lp FROM lbls
     ),
     terms AS (
-      SELECT s.o_orderkey, s.label AS actual, p.label AS cls,
-             CAST({t6} AS DECIMAL(18,6)) AS t
+      SELECT s.o_orderkey, s.label AS actual, l.label AS cls,
+             CAST(coalesce({t6}, {unseen}) AS DECIMAL(18,6)) AS t
       FROM st s
-      JOIN probs p ON p.feature = s.feature AND p.value = s.value
+      CROSS JOIN lbls l
+      JOIN doms d ON d.feature = s.feature
+      LEFT JOIN probs p
+        ON p.feature = s.feature AND p.value = s.value AND p.label = l.label
     ),
     z AS (
       SELECT o_orderkey, actual,
@@ -516,10 +538,12 @@ def logreg_roc_sql(
     SELECT tau,
            CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
            CAST(sum(CASE WHEN s >= tau AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-           CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / sum(label) AS tpr,
-           CAST(sum(CASE WHEN s >= tau AND label = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-             / sum(1 - label) AS fpr,
+           CASE WHEN sum(label) = 0 THEN 0.0
+                ELSE CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(label) END AS tpr,
+           CASE WHEN sum(1 - label) = 0 THEN 0.0
+                ELSE CAST(sum(CASE WHEN s >= tau AND label = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(1 - label) END AS fpr,
            CASE WHEN sum(CASE WHEN s >= tau THEN 1 ELSE 0 END) = 0 THEN 0.0
                 ELSE CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                      / sum(CASE WHEN s >= tau THEN 1 ELSE 0 END) END AS precision_at
@@ -531,7 +555,10 @@ def logreg_roc(
 ) -> DataFrame:
     """ROC sweep over a (label, s) frame: explode the fixed threshold
     ladder in-row (no join) and take confusion counts per threshold —
-    one shuffle of 10·|rows| tiny tuples, map-side combined."""
+    one shuffle of 10·|rows| tiny tuples, map-side combined. All three
+    rates pin to 0.0 when their denominator is empty (no positives /
+    no negatives / no predictions), matching the oracle's CASE guards
+    so degenerate frames hash identically across engines."""
     sw = scored.select(
         "label",
         "s",
@@ -543,11 +570,15 @@ def logreg_roc(
     return sw.groupBy("tau").agg(
         tp,
         fp,
-        (F.sum(pred * F.col("label")).cast("double") / F.sum("label")).alias("tpr"),
-        (
+        F.when(F.sum("label") == 0, 0.0)
+        .otherwise(F.sum(pred * F.col("label")).cast("double") / F.sum("label"))
+        .alias("tpr"),
+        F.when(F.sum(F.lit(1) - F.col("label")) == 0, 0.0)
+        .otherwise(
             F.sum(pred * (1 - F.col("label"))).cast("double")
             / F.sum(F.lit(1) - F.col("label"))
-        ).alias("fpr"),
+        )
+        .alias("fpr"),
         F.when(F.sum(pred) == 0, 0.0)
         .otherwise(F.sum(pred * F.col("label")).cast("double") / F.sum(pred))
         .alias("precision_at"),

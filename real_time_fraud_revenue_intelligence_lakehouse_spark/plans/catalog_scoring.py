@@ -369,7 +369,7 @@ _PSI_EPS = 1e-6
 
 def _score_drift_oracle() -> str:
     ctes, wk = logreg_train_ctes(_FV_SQL)
-    s = _R6.format(c=f"1.0 / (1.0 + exp(-({_z_sql('w.', ('amount_log', 'tier_encoded', 'acctbal_neg', 'segment_encoded', 'order_dow', 'order_month', 'is_weekend', 'is_urgent'))})))")
+    s = _R6.format(c=f"1.0 / (1.0 + exp(-({_z_sql('w.', SCORE_FEATURES)})))")
     r6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
     r8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
     pa = "cast(n_a as double) / ta"

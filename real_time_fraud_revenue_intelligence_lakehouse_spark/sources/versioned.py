@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -60,8 +61,12 @@ def list_versions(path: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(mdir):
-        if name.startswith("v") and name.endswith(".json"):
-            out.append(int(name[1:-5]))
+        # strict match: a stray 'vfinal.json' or editor backup in
+        # _manifests must not brick every read/history call with a
+        # ValueError (ADVICE r12) — non-conforming names are ignored
+        m = re.fullmatch(r"v(\d{6})\.json", name)
+        if m:
+            out.append(int(m.group(1)))
     return sorted(out)
 
 

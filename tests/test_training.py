@@ -272,3 +272,39 @@ def test_kmeans_is_partition_layout_independent(spark):
     c1, s1 = train_kmeans(df.repartition(1), features=("x1", "x2"), k=3, iters=2, scales={})
     c9, s9 = train_kmeans(df.repartition(9, "x1"), features=("x1", "x2"), k=3, iters=2, scales={})
     assert s1 == s9 and c1 == c9  # decimal folds are associative
+
+
+def test_roc_rates_pin_to_zero_on_one_class_frames(spark):
+    """ADVICE r12: tpr/fpr need the same zero-denominator guard as
+    precision_at — a frame with no positives (or no negatives) must
+    yield 0.0, not NULL, matching the oracle's CASE guards."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import logreg_roc
+
+    no_pos = spark.createDataFrame(
+        [(0, 0.2), (0, 0.8), (0, 0.5)], "label int, s double"
+    )
+    rows = {r["tau"]: r for r in logreg_roc(no_pos).collect()}
+    assert all(r["tpr"] == 0.0 for r in rows.values())
+    assert rows[0.5]["fpr"] == pytest.approx(2 / 3)
+
+    no_neg = spark.createDataFrame(
+        [(1, 0.2), (1, 0.8), (1, 0.5)], "label int, s double"
+    )
+    rows = {r["tau"]: r for r in logreg_roc(no_neg).collect()}
+    assert all(r["fpr"] == 0.0 for r in rows.values())
+    assert rows[0.5]["tpr"] == pytest.approx(2 / 3)
+
+
+def test_naive_bayes_rejects_one_class_training_frame(spark):
+    """ADVICE r12: a single-class frame must raise a clear ValueError
+    up front, not a bare KeyError deep in expression compilation."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (
+        nb_score_confusion,
+    )
+
+    one_class = spark.createDataFrame(
+        [(i, 0, i % 3, i % 2) for i in range(20)],
+        "o_orderkey long, label int, f1 int, f2 int",
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        nb_score_confusion(one_class, features=("f1", "f2"))

@@ -168,3 +168,23 @@ def test_concurrent_commit_is_put_if_absent(spark, tmp_path, monkeypatch):
     # retry against the fresh head succeeds with the NEXT number
     assert write_version(_df(spark, [(2, "b")]), p, mode="overwrite") == 2
     assert {r["k"] for r in read_version(spark, p, 2).collect()} == {2}
+
+
+def test_stray_manifest_files_are_ignored(spark, tmp_path):
+    """ADVICE r12: a foreign file in _manifests (editor backup,
+    'vfinal.json') must not brick list_versions/read/history with a
+    ValueError — only strict v{6 digits}.json names are versions."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    p = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), p)
+    mdir = os.path.join(p, "_manifests")
+    for stray in ("vfinal.json", "v000000.json.bak", "notes.txt", "v12.json"):
+        with open(os.path.join(mdir, stray), "w") as fh:
+            fh.write("{}")
+    assert list_versions(p) == [0]
+    assert read_version(spark, p).count() == 1
