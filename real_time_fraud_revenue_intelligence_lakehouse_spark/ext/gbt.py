@@ -1,0 +1,482 @@
+"""Distributed, deterministic gradient-boosted-tree TRAINING.
+
+The reference's actual model family is XGBoost with histogram split
+finding (`ml/models/fraud_detector.py:36,154` —
+``XGBClassifier(tree_method="hist")``, fitted by `train.py:201` after
+pulling the feature table to one machine). The engine already *serves*
+a GBT (`q_gbt_scores` compiles an ensemble to CASE expressions); this
+module closes the loop by FITTING one, in the only shape that survives
+100 TB — the insight being that ``tree_method=hist`` is literally an
+aggregation pipeline:
+
+- **Binning**: each feature quantizes once into ``GBT_BINS`` fixed
+  buckets of its scaled [0,1] range (the FEATURE_SCALES discipline) —
+  row-local, computed once, reused by every round and level.
+- **Split finding**: per boosting round × per tree level, ONE groupBy
+  over (node, feature, bin) summing micro-floored gradient/hessian
+  integers through exact BIGINT folds (map-side combined; ≤
+  nodes·d·B cells — bytes, not rows, cross the wire). Cumulative
+  sums over bins give every candidate split's (G_L, H_L); the greedy
+  argmax of the standard XGBoost gain
+  ``G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ)``
+  is a deterministic fold over ≤ d·B candidates (gain desc, feature
+  index asc, bin asc — the q_bpe_merges argmax-per-round pattern).
+- **Leaf values**: ``w = −G_leaf/(H_leaf+λ)`` from the SAME collected
+  histogram — no extra pass.
+- **Boosting**: the partial ensemble compiles to nested CASE
+  expressions (exactly the q_gbt_scores / q_naive_bayes_score
+  model-as-Catalyst-expression discipline), so next round's gradients
+  are row-local inside codegen: ``p = round6(σ(f)), g = p − y,
+  h = p·(1−p)`` micro-floored to integers.
+
+Driver state is the tree list (3 trees × 7 structure fields — the
+sanctioned model-broadcast scalar class); per round the engine runs
+exactly TWO aggregate jobs (root histogram, children histogram).
+
+Determinism contract (the q_logreg_train conventions, extended to
+tree structure): probabilities det-round to 6 before the gradient;
+gradient/hessian contributions are integer micros summed exactly;
+gains are IEEE doubles computed by the identical expression in Spark
+(driver Python), generated DuckDB SQL, and the NumPy replay
+(tests/test_gbt.py), so the argmax — and therefore the TREE ITSELF —
+is bit-identical across engines and partition layouts. The oracle
+unrolls the same rounds as generated MATERIALIZED CTE blocks
+(per-row node/side resolution goes through the stacked long form
+joined to the 1-row best-split tables, the standard trick for
+"CASE on a data-dependent column name" in SQL).
+
+Cites: reference `ml/models/fraud_detector.py:36,154` (XGBClassifier,
+tree_method=hist), `ml/models/train.py:201` (fit call),
+`FINAL_VALIDATION_REPORT.md:349-419` (model card) — semantics
+reproduced, execution re-architected.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import _x_expr, _x_sql
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+#: Fixed hyper-parameters — part of the query's identity (the oracle
+#: unrolls exactly this many rounds at exactly this shrinkage).
+#: 3 depth-2 trees × 16 bins is the smallest REAL boosting run: the
+#: round-2/3 trees fit the residuals the earlier trees leave, which a
+#: NumPy sweep confirms (log-loss 0.6931 → 0.6372 → 0.6365 → 0.6362
+#: on sf0.01; each later tree moves the loss, so the boosting — not
+#: just the first tree — is what the hash gates).
+GBT_ROUNDS = 3
+GBT_BINS = 16
+GBT_LAMBDA = 1.0
+GBT_ETA = 0.3
+
+_MICRO = 1_000_000.0
+_R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
+def _r6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _bin_expr(f: str, scales: dict[str, float] | None, bins: int) -> Column:
+    """least(greatest(floor(x_scaled·B), 0), B−1) — identical text in
+    :func:`_bin_sql`; features are scaled into [0,1] so the clamp only
+    catches the exact-1.0 boundary."""
+    raw = F.floor(_x_expr(f, scales) * F.lit(float(bins)))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+
+
+def _bin_sql(f: str, bins: int) -> str:
+    return (
+        f"CAST(least(greatest(floor(({_x_sql(f)}) * {float(bins)!r}), 0), "
+        f"{bins - 1}) AS BIGINT)"
+    )
+
+
+def _gain(glm: int, hlm: int, gm: int, hm: int, lam: float) -> float:
+    """XGBoost split gain from integer micro-sums — the EXACT
+    expression the SQL oracle writes (same operation order, so the
+    resulting doubles are bit-identical and the argmax transfers)."""
+    gl = glm / 1e6
+    hl = hlm / 1e6
+    gr = (gm - glm) / 1e6
+    hr = (hm - hlm) / 1e6
+    g = gm / 1e6
+    h = hm / 1e6
+    return (gl * gl) / (hl + lam) + (gr * gr) / (hr + lam) - (g * g) / (h + lam)
+
+
+def _gain_sql(glm: str, hlm: str, gm: str, hm: str, lam: float) -> str:
+    gl = f"(CAST({glm} AS DOUBLE) / 1000000.0)"
+    hl = f"(CAST({hlm} AS DOUBLE) / 1000000.0)"
+    gr = f"(CAST({gm} - {glm} AS DOUBLE) / 1000000.0)"
+    hr = f"(CAST({hm} - {hlm} AS DOUBLE) / 1000000.0)"
+    g = f"(CAST({gm} AS DOUBLE) / 1000000.0)"
+    h = f"(CAST({hm} AS DOUBLE) / 1000000.0)"
+    return (
+        f"({gl} * {gl}) / ({hl} + {lam!r}) + ({gr} * {gr}) / ({hr} + {lam!r})"
+        f" - ({g} * {g}) / ({h} + {lam!r})"
+    )
+
+
+def _leaf_w(glm: int, hlm: int, lam: float) -> float:
+    """w = −G/(H+λ) from integer micro-sums — same text as the SQL."""
+    return -(glm / 1e6) / ((hlm / 1e6) + lam)
+
+
+def _argmax_split(
+    cells: list[tuple[int, int, int, int]],
+    features: tuple[str, ...],
+    lam: float,
+) -> tuple[int, int, int, int, int, int]:
+    """Greedy best split over histogram cells (fidx, bin, gs, hs):
+    returns (fidx, bin, gl_m, hl_m, g_m, h_m). Deterministic fold:
+    strictly-greater gain wins, so ties keep the smallest (fidx, bin)
+    — matching ORDER BY gain DESC, fidx, bin LIMIT 1."""
+    by_f: dict[int, list[tuple[int, int, int]]] = {}
+    for fidx, b, gs, hs in cells:
+        by_f.setdefault(fidx, []).append((b, gs, hs))
+    # node totals from feature 0's cells (every row carries every
+    # feature, so any one feature's cells partition the node)
+    g_m = sum(gs for b, gs, hs in by_f[0])
+    h_m = sum(hs for b, gs, hs in by_f[0])
+    best = None
+    for fidx in range(len(features)):
+        glm = 0
+        hlm = 0
+        for b, gs, hs in sorted(by_f.get(fidx, [])):
+            glm += gs
+            hlm += hs
+            gain = _gain(glm, hlm, g_m, h_m, lam)
+            if best is None or gain > best[0]:
+                best = (gain, fidx, b, glm, hlm)
+    _gain_v, fidx, b, glm, hlm = best
+    return fidx, b, glm, hlm, g_m, h_m
+
+
+def _tree_logit_on_bins(tree: dict, features: tuple[str, ...]) -> Column:
+    """Tree value over the b_<feature> bin columns of the working
+    frame (the trainer's inner loop — the raw-feature form for
+    serving is :func:`gbt_trained_logit_expr`)."""
+    rf, rb = tree["root"]
+    lf, lb = tree["left"]
+    rrf, rrb = tree["right"]
+    left = F.when(
+        F.col(f"b_{features[lf]}") <= lb, F.lit(tree["w_ll"])
+    ).otherwise(F.lit(tree["w_lr"]))
+    right = F.when(
+        F.col(f"b_{features[rrf]}") <= rrb, F.lit(tree["w_rl"])
+    ).otherwise(F.lit(tree["w_rr"]))
+    return F.when(F.col(f"b_{features[rf]}") <= rb, left).otherwise(right)
+
+
+def train_gbt(
+    fv: DataFrame,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+) -> list[dict]:
+    """Fit ``rounds`` depth-2 trees by histogram gradient boosting.
+
+    Each round: compile the partial ensemble to a row-local logit,
+    micro-floor gradients/hessians, then TWO distributed aggregates —
+    (feature, bin) for the root split, (node, feature, bin) for the
+    child splits — each collecting ≤ nodes·d·B integer cells (the
+    sanctioned model-broadcast class). Returns the tree list; leaf
+    values are full-precision doubles (round only at the output
+    boundary).
+    """
+    binned = fv.select(
+        F.col(label).alias("label"),
+        *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+    )
+    trees: list[dict] = []
+    for _t in range(rounds):
+        z: Column = F.lit(0.0)
+        for tr in trees:
+            z = z + F.lit(float(eta)) * _tree_logit_on_bins(tr, features)
+        p = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        g = p - F.col("label").cast("double")
+        h = p * (F.lit(1.0) - p)
+        work = binned.select(
+            "*",
+            F.floor(g * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("gm"),
+            F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("hm"),
+        )
+        n_f = len(features)
+        pairs = ", ".join(f"{i}, b_{f}" for i, f in enumerate(features))
+        stacked = work.selectExpr(
+            "gm", "hm", f"stack({n_f}, {pairs}) AS (fidx, bin)"
+        )
+        h1 = (
+            stacked.groupBy("fidx", "bin")
+            .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+            .collect()
+        )
+        cells = [(r["fidx"], r["bin"], r["gs"], r["hs"]) for r in h1]
+        rfidx, rbin, _glm, _hlm, _gm, _hm = _argmax_split(cells, features, lam)
+
+        node = F.when(F.col(f"b_{features[rfidx]}") <= rbin, 0).otherwise(1)
+        stacked2 = work.withColumn("node", node).selectExpr(
+            "node", "gm", "hm", f"stack({n_f}, {pairs}) AS (fidx, bin)"
+        )
+        h2 = (
+            stacked2.groupBy("node", "fidx", "bin")
+            .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+            .collect()
+        )
+        by_node: dict[int, list] = {}
+        for r in h2:
+            by_node.setdefault(r["node"], []).append(
+                (r["fidx"], r["bin"], r["gs"], r["hs"])
+            )
+        if sorted(by_node) != [0, 1]:
+            raise ValueError(
+                f"degenerate root split in round {_t}: child node(s) "
+                f"{sorted({0, 1} - set(by_node))} are empty — the input "
+                "frame has too little feature variation for depth-2 trees"
+            )
+        tree = {"root": (rfidx, rbin)}
+        for n_id, side in ((0, "left"), (1, "right")):
+            cfidx, cbin, glm, hlm, g_m, h_m = _argmax_split(
+                by_node[n_id], features, lam
+            )
+            tree[side] = (cfidx, cbin)
+            wl = _leaf_w(glm, hlm, lam)
+            wr = _leaf_w(g_m - glm, h_m - hlm, lam)
+            if n_id == 0:
+                tree["w_ll"], tree["w_lr"] = wl, wr
+            else:
+                tree["w_rl"], tree["w_rr"] = wl, wr
+        trees.append(tree)
+    return trees
+
+
+def gbt_trained_logit_expr(
+    trees: list[dict],
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    eta: float = GBT_ETA,
+    scales: dict[str, float] | None = None,
+) -> Column:
+    """The trained ensemble's logit over RAW feature columns (bins
+    recomputed row-locally) — the train→serve closure; shape-identical
+    to ext/scoring.gbt_logit_expr's compiled-CASE serving form."""
+
+    def bcol(fidx: int) -> Column:
+        return _bin_expr(features[fidx], scales, bins)
+
+    z: Column = F.lit(0.0)
+    for tr in trees:
+        rf, rb = tr["root"]
+        lf, lb = tr["left"]
+        rrf, rrb = tr["right"]
+        left = F.when(bcol(lf) <= lb, F.lit(tr["w_ll"])).otherwise(
+            F.lit(tr["w_lr"])
+        )
+        right = F.when(bcol(rrf) <= rrb, F.lit(tr["w_rl"])).otherwise(
+            F.lit(tr["w_rr"])
+        )
+        t_val = F.when(bcol(rf) <= rb, left).otherwise(right)
+        z = z + F.lit(float(eta)) * t_val
+    return z
+
+
+# --- generated DuckDB oracle -------------------------------------------------
+
+
+def _gbt_ctes(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+) -> tuple[str, str]:
+    """(cte_block, final_rows_cte): the unrolled boosting rounds.
+    Every arithmetic step mirrors :func:`train_gbt` token for token.
+    Per-row split application resolves the data-dependent split
+    feature through the stacked long form joined to the 1-row best
+    tables; hot CTEs are MATERIALIZED (DuckDB otherwise re-inlines
+    each reference, exponentially re-evaluating the chain)."""
+    bin_cols = ", ".join(
+        f"{_bin_sql(f, bins)} AS b_{f}" for f in features
+    )
+    stack_case = " ".join(
+        f"WHEN {i} THEN g.b_{f}" for i, f in enumerate(features)
+    )
+    fidx_vals = ", ".join(f"({i})" for i in range(len(features)))
+    parts = [
+        f"fv AS ({fv_sql})",
+        (
+            "rows0 AS MATERIALIZED (SELECT o_orderkey, label, "
+            f"{bin_cols}, CAST(0.0 AS DOUBLE) AS f FROM fv)"
+        ),
+    ]
+    b_star = ", ".join(f"b_{f}" for f in features)
+    for t in range(1, rounds + 1):
+        p = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        parts.append(
+            f"gh{t} AS MATERIALIZED (SELECT o_orderkey, label, {b_star}, f, "
+            f"CAST(floor((({p}) - CAST(label AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS gm, "
+            f"CAST(floor((({p}) * (1.0 - ({p}))) * 1000000.0 + 0.5) AS BIGINT) AS hm "
+            f"FROM rows{t - 1})"
+        )
+        parts.append(
+            f"st{t} AS MATERIALIZED (SELECT g.o_orderkey, g.gm, g.hm, fe.fidx, "
+            f"CASE fe.fidx {stack_case} END AS bin "
+            f"FROM gh{t} g CROSS JOIN (VALUES {fidx_vals}) fe(fidx))"
+        )
+        parts.append(
+            f"h1_{t} AS MATERIALIZED (SELECT fidx, bin, "
+            f"sum(gm) AS gs, sum(hm) AS hs FROM st{t} GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"tot{t} AS (SELECT sum(gs) AS g_m, sum(hs) AS h_m "
+            f"FROM h1_{t} WHERE fidx = 0)"
+        )
+        parts.append(
+            f"cum1_{t} AS (SELECT fidx, bin, "
+            f"sum(gs) OVER (PARTITION BY fidx ORDER BY bin) AS gl_m, "
+            f"sum(hs) OVER (PARTITION BY fidx ORDER BY bin) AS hl_m "
+            f"FROM h1_{t})"
+        )
+        gain1 = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
+        parts.append(
+            f"best1_{t} AS MATERIALIZED (SELECT c.fidx, c.bin "
+            f"FROM cum1_{t} c CROSS JOIN tot{t} t "
+            f"ORDER BY {gain1} DESC, c.fidx, c.bin LIMIT 1)"
+        )
+        parts.append(
+            f"nod{t} AS MATERIALIZED (SELECT s.o_orderkey, "
+            f"CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS node "
+            f"FROM st{t} s JOIN best1_{t} b ON s.fidx = b.fidx)"
+        )
+        parts.append(
+            f"h2_{t} AS MATERIALIZED (SELECT n.node, s.fidx, s.bin, "
+            f"sum(s.gm) AS gs, sum(s.hm) AS hs "
+            f"FROM st{t} s JOIN nod{t} n ON n.o_orderkey = s.o_orderkey "
+            f"GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"tot2_{t} AS (SELECT node, sum(gs) AS g_m, sum(hs) AS h_m "
+            f"FROM h2_{t} WHERE fidx = 0 GROUP BY 1)"
+        )
+        parts.append(
+            f"cum2_{t} AS (SELECT node, fidx, bin, "
+            f"sum(gs) OVER (PARTITION BY node, fidx ORDER BY bin) AS gl_m, "
+            f"sum(hs) OVER (PARTITION BY node, fidx ORDER BY bin) AS hl_m "
+            f"FROM h2_{t})"
+        )
+        gain2 = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
+        parts.append(
+            f"best2_{t} AS MATERIALIZED (SELECT node, fidx, bin, gl_m, hl_m FROM ("
+            f"SELECT c.node, c.fidx, c.bin, c.gl_m, c.hl_m, "
+            f"row_number() OVER (PARTITION BY c.node "
+            f"ORDER BY {gain2} DESC, c.fidx, c.bin) AS rn "
+            f"FROM cum2_{t} c JOIN tot2_{t} t ON t.node = c.node) WHERE rn = 1)"
+        )
+        wl = (
+            "-(CAST(b.gl_m AS DOUBLE) / 1000000.0)"
+            f" / ((CAST(b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
+        )
+        wr = (
+            "-(CAST(t.g_m - b.gl_m AS DOUBLE) / 1000000.0)"
+            f" / ((CAST(t.h_m - b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
+        )
+        parts.append(
+            f"leafw{t} AS MATERIALIZED (SELECT b.node, s.side, "
+            f"CASE s.side WHEN 0 THEN {wl} ELSE {wr} END AS w "
+            f"FROM best2_{t} b JOIN tot2_{t} t ON t.node = b.node "
+            f"CROSS JOIN (VALUES (0), (1)) s(side))"
+        )
+        parts.append(
+            f"sides{t} AS (SELECT n.o_orderkey, n.node, "
+            f"CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS side "
+            f"FROM nod{t} n JOIN best2_{t} b ON b.node = n.node "
+            f"JOIN st{t} s ON s.o_orderkey = n.o_orderkey AND s.fidx = b.fidx)"
+        )
+        parts.append(
+            f"rows{t} AS MATERIALIZED (SELECT r.o_orderkey, r.label, {b_star}, "
+            f"r.f + {eta!r} * l.w AS f "
+            f"FROM rows{t - 1} r "
+            f"JOIN sides{t} sd ON sd.o_orderkey = r.o_orderkey "
+            f"JOIN leafw{t} l ON l.node = sd.node AND l.side = sd.side)"
+        )
+    return ",\n    ".join(parts), f"rows{rounds}"
+
+
+def gbt_train_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+) -> str:
+    """Complete oracle for q_gbt_train: one row per tree with the full
+    depth-2 structure — split features by NAME, split bins, and the
+    four round6 leaf values."""
+    ctes, _ = _gbt_ctes(fv_sql, features, rounds, bins, lam, eta)
+    fname_case = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(features)
+    )
+    tree_sels = []
+    for t in range(1, rounds + 1):
+        w = lambda node, side: (  # noqa: E731
+            f"(SELECT {_R6.format(c='w')} FROM leafw{t} "
+            f"WHERE node = {node} AND side = {side})"
+        )
+        tree_sels.append(
+            f"SELECT CAST({t - 1} AS INTEGER) AS tree, "
+            f"(SELECT CASE fidx {fname_case} END FROM best1_{t}) AS root_feature, "
+            f"(SELECT bin FROM best1_{t}) AS root_bin, "
+            f"(SELECT CASE fidx {fname_case} END FROM best2_{t} WHERE node = 0) AS l_feature, "
+            f"(SELECT bin FROM best2_{t} WHERE node = 0) AS l_bin, "
+            f"(SELECT CASE fidx {fname_case} END FROM best2_{t} WHERE node = 1) AS r_feature, "
+            f"(SELECT bin FROM best2_{t} WHERE node = 1) AS r_bin, "
+            f"{w(0, 0)} AS w_ll, {w(0, 1)} AS w_lr, "
+            f"{w(1, 0)} AS w_rl, {w(1, 1)} AS w_rr"
+        )
+        if t < rounds:
+            tree_sels.append("UNION ALL")
+    return f"WITH {ctes}\n    " + "\n    ".join(tree_sels)
+
+
+def gbt_score_band_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+) -> str:
+    """Complete oracle for q_gbt_train_score: re-train via the
+    unrolled rounds, score every row with the final ensemble logit,
+    band 3-way, aggregate — the logreg_score_sql shape for trees."""
+    ctes, rows_k = _gbt_ctes(fv_sql, features, rounds, bins, lam, eta)
+    s = _R6.format(c="1.0 / (1.0 + exp(-f))")
+    mean_s = _R6.format(
+        c="CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*)"
+    )
+    rate = _R6.format(c="CAST(sum(label) AS DOUBLE) / count(*)")
+    return f"""WITH {ctes},
+    scored AS (SELECT label, {s} AS s FROM {rows_k}),
+    banded AS (
+      SELECT label, s,
+             CASE WHEN s >= 0.7 THEN 'high'
+                  WHEN s >= 0.4 THEN 'medium'
+                  ELSE 'low' END AS risk_label
+      FROM scored
+    )
+    SELECT risk_label, count(*) AS n, {mean_s} AS mean_score,
+           {rate} AS event_rate
+    FROM banded GROUP BY 1"""

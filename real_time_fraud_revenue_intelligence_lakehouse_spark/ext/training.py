@@ -98,6 +98,28 @@ def _z_expr(
     return z
 
 
+def scale_pos_weight(fv: DataFrame, label: str = "label") -> tuple[float, float]:
+    """(pos_weight, n_eff) for class-weighted training — the
+    reference's `fraud_detector.py:148` scale_pos_weight =
+    (y==0).sum()/(y==1).sum(), derived from one exact count aggregate
+    so both engines compute the identical double. n_eff =
+    n0 + pw·n1 is the weighted-sample mass the gradient mean divides
+    by (written in this exact operation order in Python, Spark, and
+    the generated SQL)."""
+    row = fv.agg(
+        F.sum(F.lit(1) - F.col(label)).alias("n0"),
+        F.sum(label).alias("n1"),
+    ).first()
+    n0d, n1d = float(row["n0"]), float(row["n1"])
+    if n1d == 0.0 or n0d == 0.0:
+        raise ValueError(
+            "class-weighted training needs both classes present "
+            f"(n0={row['n0']}, n1={row['n1']})"
+        )
+    pw = n0d / n1d
+    return pw, n0d + pw * n1d
+
+
 def train_logreg(
     fv: DataFrame,
     features: tuple[str, ...] = SCORE_FEATURES,
@@ -105,6 +127,8 @@ def train_logreg(
     iters: int = ITERS,
     label: str = "label",
     scales: dict[str, float] | None = None,
+    pos_weight: float | None = None,
+    n_eff: float | None = None,
 ) -> tuple[dict[str, float], int]:
     """K fixed iterations of full-batch gradient descent on log-loss.
 
@@ -112,11 +136,27 @@ def train_logreg(
     exact decimal sum of floor((p−y)·x_j·1e6 + 0.5) — all d+1 sums in
     ONE aggregate job. Returns (weights, n_rows). Weights are
     full-precision doubles; round only at the output boundary.
+
+    With ``pos_weight`` (and its matching ``n_eff`` from
+    :func:`scale_pos_weight`), every positive row's gradient
+    contribution is multiplied by the weight before micro-flooring
+    and the update divides by n_eff instead of n — the class-weighted
+    gradient of weighted log-loss, i.e. the scale-correct counterpart
+    of the reference's SMOTE resampling (`fraud_detector.py:134-148`):
+    SMOTE is a driver-side pandas resampler that dies at 100 TB, while
+    a weight is one extra literal in the fold.
     """
     names = ["bias"] + list(features)
     w = {m: 0.0 for m in names}
     n = 0
     spark = fv.sparkSession
+    if (pos_weight is None) != (n_eff is None):
+        raise ValueError("pos_weight and n_eff come as a pair (scale_pos_weight)")
+    wgt: Column | None = (
+        None
+        if pos_weight is None
+        else F.when(F.col(label) == 1, F.lit(float(pos_weight))).otherwise(F.lit(1.0))
+    )
     w_schema = ", ".join(f"w_{m} double" for m in names)
     # Weights enter as a broadcast 1-row frame, not literals: every
     # iteration then compiles to the IDENTICAL generated code (only
@@ -132,14 +172,22 @@ def train_logreg(
             z = z + F.col(f"w_{f}") * _x_expr(f, scales)
         p = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
         resid = p - F.col(label).cast("double")
+        bias_c = (
+            resid * F.lit(_MICRO) if wgt is None else resid * wgt * F.lit(_MICRO)
+        )
         aggs = [
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.floor(resid * F.lit(_MICRO) + F.lit(0.5)).cast("decimal(38,0)")
-            ).alias("g_bias"),
+            F.sum(F.floor(bias_c + F.lit(0.5)).cast("decimal(38,0)")).alias(
+                "g_bias"
+            ),
         ]
         for f in features:
-            contrib = resid * _x_expr(f, scales) * F.lit(_MICRO)
+            contrib = resid * _x_expr(f, scales)
+            contrib = (
+                contrib * F.lit(_MICRO)
+                if wgt is None
+                else contrib * wgt * F.lit(_MICRO)
+            )
             aggs.append(
                 F.sum(F.floor(contrib + F.lit(0.5)).cast("decimal(38,0)")).alias(
                     f"g_{f}"
@@ -147,8 +195,9 @@ def train_logreg(
             )
         row = j.agg(*aggs).first()
         n = row["n"]
+        denom = float(n) if n_eff is None else float(n_eff)
         for m in names:
-            w[m] = w[m] - lr * (float(row[f"g_{m}"]) / _MICRO / n)
+            w[m] = w[m] - lr * (float(row[f"g_{m}"]) / _MICRO / denom)
     return w, n
 
 
@@ -188,40 +237,67 @@ def logreg_train_ctes(
     features: tuple[str, ...] = SCORE_FEATURES,
     lr: float = LR,
     iters: int = ITERS,
+    weighted: bool = False,
+    prefix: str = "",
 ) -> tuple[str, str]:
     """(cte_block, final_weight_cte_name): the K unrolled GD
     iterations as WITH-clauses over the feature CTE. Every arithmetic
     step mirrors :func:`train_logreg` token for token — left-assoc
     logit, round6 sigmoid, micro-floored contributions, DECIMAL(38,0)
     sums, `w - lr * (CAST(g AS DOUBLE) / 1e6 / n)` updates — so the
-    unrolled SQL computes bit-identical weights."""
+    unrolled SQL computes bit-identical weights.
+
+    ``weighted=True`` unrolls the class-weighted fold: every
+    contribution gains a `CASE WHEN label = 1 THEN (n0/n1) ELSE 1.0`
+    factor before the micro-floor, and updates divide by
+    `n0 + (n0/n1)·n1` — the same expressions (same operation order)
+    :func:`scale_pos_weight` + the weighted :func:`train_logreg`
+    compute. ``prefix`` namespaces every CTE so several configs can
+    share one statement (q_model_selection)."""
     names = ["bias"] + list(features)
-    parts = [f"fv AS ({fv_sql})"]
+    p_ = prefix
+    parts = [f"{p_}fv AS ({fv_sql})"]
+    if weighted:
+        parts.append(
+            f"{p_}cnts AS (SELECT CAST(sum(1 - label) AS DOUBLE) AS n0, "
+            f"CAST(sum(label) AS DOUBLE) AS n1 FROM {p_}fv)"
+        )
+        wgt = "(CASE WHEN label = 1 THEN (n0 / n1) ELSE 1.0 END)"
+        denom = "(n0 + (n0 / n1) * n1)"
+        cnts_join = f" CROSS JOIN {p_}cnts"
     zeros = ", ".join(f"CAST(0.0 AS DOUBLE) AS w_{m}" for m in names)
-    parts.append(f"w0 AS (SELECT {zeros})")
+    parts.append(f"{p_}w0 AS (SELECT {zeros})")
     for t in range(1, iters + 1):
         p = _R6.format(c=f"1.0 / (1.0 + exp(-({_z_sql('', features)})))")
         resid = f"({p} - CAST(label AS DOUBLE))"
+        bias_c = (
+            f"{resid} * 1000000.0" if not weighted else f"{resid} * {wgt} * 1000000.0"
+        )
         gsel = [
             "count(*) AS n",
-            f"sum(CAST(floor({resid} * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS g_bias",
+            f"sum(CAST(floor({bias_c} + 0.5) AS DECIMAL(38,0))) AS g_bias",
         ]
         for f in features:
-            gsel.append(
-                f"sum(CAST(floor({resid} * ({_x_sql(f)}) * 1000000.0 + 0.5)"
-                f" AS DECIMAL(38,0))) AS g_{f}"
+            fc = (
+                f"{resid} * ({_x_sql(f)}) * 1000000.0"
+                if not weighted
+                else f"{resid} * ({_x_sql(f)}) * {wgt} * 1000000.0"
             )
+            gsel.append(f"sum(CAST(floor({fc} + 0.5) AS DECIMAL(38,0))) AS g_{f}")
         parts.append(
-            f"g{t} AS (SELECT {', '.join(gsel)} FROM fv CROSS JOIN w{t - 1})"
+            f"{p_}g{t} AS (SELECT {', '.join(gsel)} FROM {p_}fv "
+            f"CROSS JOIN {p_}w{t - 1}{cnts_join if weighted else ''})"
         )
+        d = "n" if not weighted else denom
         wsel = [
-            f"w_{m} - {lr!r} * (CAST(g_{m} AS DOUBLE) / 1000000.0 / n) AS w_{m}"
+            f"w_{m} - {lr!r} * (CAST(g_{m} AS DOUBLE) / 1000000.0 / {d}) AS w_{m}"
             for m in names
         ]
         parts.append(
-            f"w{t} AS (SELECT {', '.join(wsel)} FROM g{t} CROSS JOIN w{t - 1})"
+            f"{p_}w{t} AS (SELECT {', '.join(wsel)} FROM {p_}g{t} "
+            f"CROSS JOIN {p_}w{t - 1}{cnts_join if weighted else ''})"
         )
-    return ",\n    ".join(parts), f"w{iters}"
+    return ",\n    ".join(parts), f"{p_}w{iters}"
 
 
 def logreg_weights_sql(
@@ -229,13 +305,15 @@ def logreg_weights_sql(
     features: tuple[str, ...] = SCORE_FEATURES,
     lr: float = LR,
     iters: int = ITERS,
+    weighted: bool = False,
 ) -> str:
-    """Complete oracle for q_logreg_train: one (feature, weight) row
-    per model term, weights round6 at the output boundary only. The
-    unpivot references the final weight CTE exactly ONCE (a VALUES
-    cross join + CASE, not 9 UNION ALL arms — DuckDB re-evaluates the
-    whole unrolled CTE chain per reference, measured 59 s → 5 s)."""
-    ctes, wk = logreg_train_ctes(fv_sql, features, lr, iters)
+    """Complete oracle for q_logreg_train (and its class-weighted
+    twin): one (feature, weight) row per model term, weights round6
+    at the output boundary only. The unpivot references the final
+    weight CTE exactly ONCE (a VALUES cross join + CASE, not 9 UNION
+    ALL arms — DuckDB re-evaluates the whole unrolled CTE chain per
+    reference, measured 59 s → 5 s)."""
+    ctes, wk = logreg_train_ctes(fv_sql, features, lr, iters, weighted=weighted)
     names = ["bias"] + list(features)
     values = ", ".join(f"('{m}')" for m in names)
     case = " ".join(
@@ -279,6 +357,87 @@ def logreg_score_sql(
     SELECT risk_label, count(*) AS n, {mean_s} AS mean_score,
            {rate} AS event_rate
     FROM banded GROUP BY 1"""
+
+
+# --- deterministic hyperparameter grid (model selection) ---------------------
+
+#: The grid: (config id, lr, iters, weighted) — lr × depth × class
+#: weighting, the axes the reference sweeps with Optuna
+#: (`fraud_detector.py:6`, `train.py:201 optimize_hyperparams`),
+#: made deterministic: every config trains by the same unrolled fold,
+#: so the whole SELECTION (not just each fit) hash-gates.
+MS_CONFIGS: tuple[tuple[str, float, int, int], ...] = (
+    ("lr1.0_k5", 1.0, 5, 0),
+    ("lr0.5_k5", 0.5, 5, 0),
+    ("lr1.0_k2", 1.0, 2, 0),
+    ("lr1.0_k5_w", 1.0, 5, 1),
+)
+
+_H60_OK = "('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100"
+
+
+def model_selection_sql(
+    fv_sql: str,
+    configs: tuple[tuple[str, float, int, int], ...] = MS_CONFIGS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+) -> str:
+    """Oracle for q_model_selection: hash-split train/holdout, one
+    unrolled CTE chain per config (namespaced by prefix), then ONE
+    holdout scan summing every config's decimal-folded log-loss, and
+    an is_best rank (val_logloss asc, config id tie-break)."""
+    parts = [
+        f"base AS ({fv_sql})",
+        f"tr AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} < 80)",
+        f"va AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} >= 80)",
+    ]
+    finals = []
+    for i, (_name, lr, iters, weighted) in enumerate(configs):
+        ctes, wk = logreg_train_ctes(
+            "SELECT * FROM tr",
+            features,
+            lr=lr,
+            iters=iters,
+            weighted=bool(weighted),
+            prefix=f"c{i}_",
+        )
+        parts.append(ctes)
+        finals.append(wk)
+    sums = []
+    for i in range(len(configs)):
+        z = _z_sql(f"m{i}.", features)
+        p = _R6.format(c=f"1.0 / (1.0 + exp(-({z})))")
+        raw = f"CASE WHEN label = 1 THEN -ln({p}) ELSE -ln(1.0 - {p}) END"
+        sums.append(
+            f"sum(CAST({_R6.format(c=raw)} AS DECIMAL(18,6))) AS L_{i}"
+        )
+    joins = " ".join(f"CROSS JOIN {wk} m{i}" for i, wk in enumerate(finals))
+    parts.append(
+        f"wide AS (SELECT count(*) AS n, {', '.join(sums)} FROM va {joins})"
+    )
+    means = ", ".join(
+        f"{_R6.format(c=f'CAST(L_{i} AS DOUBLE) / n')} AS m_{i}"
+        for i in range(len(configs))
+    )
+    parts.append(f"m AS (SELECT {means} FROM wide)")
+    vals = ", ".join(
+        f"('{name}', {lr!r}, {iters}, {wtd})"
+        for name, lr, iters, wtd in configs
+    )
+    loss_case = " ".join(
+        f"WHEN '{name}' THEN m_{i}" for i, (name, _l, _k, _w) in enumerate(configs)
+    )
+    cte_block = ",\n    ".join(parts)
+    return f"""WITH {cte_block},
+    longf AS (
+      SELECT c.config, c.lr, c.iters, c.weighted,
+             CASE c.config {loss_case} END AS val_logloss
+      FROM (VALUES {vals}) c(config, lr, iters, weighted) CROSS JOIN m
+    )
+    SELECT config, lr, CAST(iters AS INTEGER) AS iters,
+           CAST(weighted AS INTEGER) AS weighted, val_logloss,
+           CAST(CASE WHEN row_number() OVER (ORDER BY val_logloss, config) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM longf"""
 
 
 # --- Naive Bayes: counting-based training ------------------------------------

@@ -245,6 +245,106 @@ def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, weight double")
 
 
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    MS_CONFIGS,
+    _loss_expr,
+    _z_expr,
+    model_selection_sql,
+    scale_pos_weight,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60  # noqa: E402
+
+
+@query(
+    "q_logreg_train_weighted",
+    oracle=logreg_weights_sql(_FV_SQL, weighted=True),
+    tags=("training", "scoring", "iterative", "imbalance"),
+)
+def q_logreg_train_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-WEIGHTED gradient descent — the scale-correct counterpart
+    of the reference's imbalance handling: `fraud_detector.py:148`
+    sets scale_pos_weight = (y==0)/(y==1) and :134-142 applies SMOTE.
+    SMOTE is deliberately NOT replicated: it is a driver-side pandas
+    resampler (synthesize minority rows on one machine) — exactly the
+    `train.py` pull-everything anti-pattern this engine exists to
+    kill, and statistically it is a noisier estimate of the same
+    reweighting. The weighted gradient is ONE extra literal in the
+    fold: every positive row's micro-contribution multiplies by
+    pw = n0/n1 before flooring, and updates divide by the weighted
+    mass n0 + pw·n1. pw derives from one exact count aggregate, so
+    the oracle computes the identical double from its own counts and
+    the whole weighted descent hash-gates like the unweighted one."""
+    import math
+
+    fv = _logreg_fv(spark, sf_dir)
+    pw, n_eff = scale_pos_weight(fv)
+    w, _n = train_logreg(fv, pos_weight=pw, n_eff=n_eff)
+    names = ["bias"] + list(SCORE_FEATURES)
+    rows = [(m, math.floor(w[m] * 1e6 + 0.5) / 1e6) for m in names]
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
+@query(
+    "q_model_selection",
+    oracle=model_selection_sql(_FV_SQL),
+    tags=("training", "evaluation", "selection"),
+)
+def q_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hyperparameter search — the reference sweeps
+    XGBoost configs with Optuna (`fraud_detector.py:6`,
+    `train.py:201 optimize_hyperparams`); the engine's counterpart
+    trains the whole grid as ONE declared query: 4 logreg configs
+    (lr × iters × class-weighting, MS_CONFIGS) fit on the hash-split
+    train fold (bucket(o_orderkey) < 80 — the q_train_test_split
+    discipline, append-stable and RNG-free), then ONE holdout scan
+    sums every config's decimal-folded log-loss (the q_logreg_ablation
+    multi-variant-aggregate trick applied across models instead of
+    across features); is_best ranks by (val_logloss, config). All
+    folds share the same checkpointed feature scan; the oracle
+    re-trains all four via namespaced unrolled CTE chains, so MODEL
+    SELECTION ITSELF hash-gates — the q_ivf_nprobe_curve
+    decision-artifact pattern applied to training."""
+    import math
+
+    fv = _logreg_fv(spark, sf_dir)
+    b = hash60(F.col("o_orderkey").cast("string")) % 100
+    tr = fv.filter(b < 80)
+    va = fv.filter(b >= 80)
+    ws = []
+    for _name, lr_c, iters_c, weighted in MS_CONFIGS:
+        if weighted:
+            pw, n_eff = scale_pos_weight(tr)
+            w, _ = train_logreg(
+                tr, lr=lr_c, iters=iters_c, pos_weight=pw, n_eff=n_eff
+            )
+        else:
+            w, _ = train_logreg(tr, lr=lr_c, iters=iters_c)
+        ws.append(w)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, w in enumerate(ws):
+        aggs.append(
+            F.sum(
+                _loss_expr(_z_expr(w, SCORE_FEATURES)).cast("decimal(18,6)")
+            ).alias(f"L_{i}")
+        )
+    row = va.agg(*aggs).first()
+    n = row["n"]
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    losses = [r6(float(row[f"L_{i}"]) / n) for i in range(len(MS_CONFIGS))]
+    best = min(
+        range(len(MS_CONFIGS)), key=lambda i: (losses[i], MS_CONFIGS[i][0])
+    )
+    out = [
+        (name, lr_c, iters_c, weighted, losses[i], 1 if i == best else 0)
+        for i, (name, lr_c, iters_c, weighted) in enumerate(MS_CONFIGS)
+    ]
+    return spark.createDataFrame(
+        out,
+        "config string, lr double, iters int, weighted int, "
+        "val_logloss double, is_best int",
+    )
+
+
 @query(
     "q_logreg_train_score",
     oracle=logreg_score_sql(_FV_SQL),
@@ -546,6 +646,119 @@ def q_hbos_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k = TakeOrdered, never a global sort."""
     fv = _logreg_fv(spark, sf_dir)
     return hbos_top_anomalies(fv)
+
+
+# --- histogram gradient-boosted-tree trainer (VERDICT r12 #1) ----------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (  # noqa: E402
+    GBT_ROUNDS,
+    gbt_score_band_sql,
+    gbt_train_sql,
+    gbt_trained_logit_expr,
+    train_gbt,
+)
+
+#: memoized trained trees per (applicationId, sf_dir) — the logreg
+#: weights discipline; q_gbt_train_score reuses q_gbt_train's fit.
+_GBT: dict = {}
+register_cache(_GBT)
+
+
+def _trained_gbt(spark: SparkSession, sf_dir: str) -> list[dict]:
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    if key not in _GBT:
+        _GBT[key] = train_gbt(_logreg_fv(spark, sf_dir))
+    return _GBT[key]
+
+
+@query(
+    "q_gbt_train",
+    oracle=gbt_train_sql(_FV_SQL),
+    tags=("training", "scoring", "iterative", "trees"),
+)
+def q_gbt_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL model archetype, trained distributed:
+    histogram gradient-boosted trees (`ml/models/fraud_detector.py:
+    36,154` — XGBClassifier(tree_method=hist), fitted at
+    `train.py:201` by pulling 500k rows to one machine). Here
+    tree_method=hist is taken at its word — it IS an aggregation
+    pipeline: features bin once into 16 fixed buckets; each of 3
+    boosting rounds runs exactly TWO distributed aggregates (one
+    (feature,bin) histogram for the root, one (node,feature,bin) for
+    the children — ≤ 2·8·16 integer cells each, map-side combined,
+    bytes not rows); greedy split = deterministic argmax of the
+    XGBoost gain over cumulative histogram sums; leaves
+    w = −G/(H+λ) from the same cells; the partial ensemble compiles
+    to CASE expressions so next round's gradients are row-local in
+    codegen (the q_gbt_scores serving compiler, now fed by training).
+    Gradients/hessians are integer micros (round6 probability first),
+    so every histogram — and therefore the TREE STRUCTURE ITSELF —
+    is bit-identical on any partition layout; the oracle re-runs the
+    identical rounds as unrolled MATERIALIZED CTE blocks. Output: one
+    row per tree (split features/bins + round6 leaf weights)."""
+    trees = _trained_gbt(spark, sf_dir)
+    import math
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    rows = []
+    for t, tr in enumerate(trees):
+        rows.append(
+            (
+                t,
+                SCORE_FEATURES[tr["root"][0]],
+                tr["root"][1],
+                SCORE_FEATURES[tr["left"][0]],
+                tr["left"][1],
+                SCORE_FEATURES[tr["right"][0]],
+                tr["right"][1],
+                r6(tr["w_ll"]),
+                r6(tr["w_lr"]),
+                r6(tr["w_rl"]),
+                r6(tr["w_rr"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "tree int, root_feature string, root_bin long, "
+        "l_feature string, l_bin long, r_feature string, r_bin long, "
+        "w_ll double, w_lr double, w_rl double, w_rr double",
+    )
+
+
+@query(
+    "q_gbt_train_score",
+    oracle=gbt_score_band_sql(_FV_SQL),
+    tags=("training", "scoring", "iterative", "trees"),
+)
+def q_gbt_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply closure for the boosted trees: score every row
+    with the ensemble q_gbt_train just fitted (compiled to row-local
+    CASE cascades over recomputed bins — zero joins, zero Python),
+    band 3-way, and report per-band volume, mean predicted
+    probability, and realized event rate. The oracle re-trains via
+    the same unrolled rounds then scores the final per-row logit —
+    the WHOLE boosting loop hash-gates end-to-end, completing the
+    trainer family with the reference's own algorithm (logreg = GD,
+    NB = counting, k-means = centroids, GBT = trees)."""
+    fv = _logreg_fv(spark, sf_dir)
+    trees = _trained_gbt(spark, sf_dir)
+    s = det_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees))), 6
+    )
+    banded = fv.select("label", s.alias("s")).withColumn(
+        "risk_label", risk_label(F.col("s"))
+    )
+    return banded.groupBy("risk_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        det_round(
+            F.sum(F.col("s").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score"),
+        det_round(
+            F.sum("label").cast("double") / F.count(F.lit(1)), 6
+        ).alias("event_rate"),
+    )
 
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402

@@ -1,0 +1,187 @@
+"""Histogram gradient-boosted-tree training (ext/gbt.py).
+
+The q_logreg_train laws, extended to tree structure:
+1. The Spark fit is bit-identical to a NumPy replay of the same
+   arithmetic — including the TREES THEMSELVES (split features, bins,
+   leaf doubles), not just the scores.
+2. The booster is real: on a planted axis-aligned boundary the root
+   split finds the boundary feature/bin, and the leaf values separate
+   the classes with the right signs; later rounds keep shrinking the
+   planted holdout's log-loss (boosting, not one tree repeated).
+3. Tree structure is partition-layout independent (integer micro-sum
+   histograms are associative).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
+    GBT_BINS,
+    GBT_ETA,
+    GBT_LAMBDA,
+    GBT_ROUNDS,
+    _argmax_split,
+    _leaf_w,
+    train_gbt,
+)
+
+
+def _hist(fidxs, binned, gm, hm, mask):
+    """(fidx, bin) → (Σgm, Σhm) integer cells over mask-selected rows."""
+    cells = []
+    for fidx in fidxs:
+        bs = binned[mask, fidx]
+        for b in np.unique(bs):
+            sel = mask & (binned[:, fidx] == b)
+            cells.append((int(fidx), int(b), int(gm[sel].sum()), int(hm[sel].sum())))
+    return cells
+
+
+def gbt_numpy_replay(X, y, features, rounds, bins, lam, eta, scales):
+    """The exact fit, replayed in NumPy: same binning, same round6
+    sigmoid, same micro-floored integer histograms, and the SAME
+    _argmax_split/_leaf_w folds (pure Python, shared with the
+    trainer) — only the distributed aggregation is replaced by
+    numpy masking."""
+    div = np.array([(scales or {}).get(f, 1.0) for f in features])
+    B = np.minimum(
+        np.maximum(np.floor((X / div) * bins), 0), bins - 1
+    ).astype(np.int64)
+    n, d = X.shape
+    fidxs = list(range(d))
+    trees = []
+    for _t in range(rounds):
+        z = np.zeros(n)
+        for tr in trees:
+            rf, rb = tr["root"]
+            lf, lb = tr["left"]
+            rrf, rrb = tr["right"]
+            left = np.where(B[:, lf] <= lb, tr["w_ll"], tr["w_lr"])
+            right = np.where(B[:, rrf] <= rrb, tr["w_rl"], tr["w_rr"])
+            z = z + eta * np.where(B[:, rf] <= rb, left, right)
+        p = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
+        g = p - y
+        h = p * (1.0 - p)
+        gm = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        hm = np.floor(h * 1e6 + 0.5).astype(np.int64)
+        all_rows = np.ones(n, dtype=bool)
+        rfidx, rbin, _glm, _hlm, _gm, _hm = _argmax_split(
+            _hist(fidxs, B, gm, hm, all_rows), features, lam
+        )
+        tree = {"root": (rfidx, rbin)}
+        left_mask = B[:, rfidx] <= rbin
+        for n_id, side, mask in ((0, "left", left_mask), (1, "right", ~left_mask)):
+            assert mask.any(), "degenerate split in replay"
+            cfidx, cbin, glm, hlm, g_m, h_m = _argmax_split(
+                _hist(fidxs, B, gm, hm, mask), features, lam
+            )
+            tree[side] = (cfidx, cbin)
+            wl = _leaf_w(glm, hlm, lam)
+            wr = _leaf_w(g_m - glm, h_m - hlm, lam)
+            if n_id == 0:
+                tree["w_ll"], tree["w_lr"] = wl, wr
+            else:
+                tree["w_rl"], tree["w_rr"] = wl, wr
+        trees.append(tree)
+    return trees
+
+
+def _boundary_df(spark, n=600, seed=11):
+    """Planted axis-aligned boundary with noise: y = 1 iff x2 > 0.55
+    (90% of the time) — x1 is pure noise, so the root split must pick
+    x2 and land at the 0.55 bin edge."""
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 1, n).round(4)
+    x2 = rng.uniform(0, 1, n).round(4)
+    flip = rng.uniform(0, 1, n) < 0.1
+    y = ((x2 > 0.55) ^ flip).astype(int)
+    rows = [(float(a), float(b), int(v)) for a, b, v in zip(x1, x2, y)]
+    return (
+        spark.createDataFrame(rows, "x1 double, x2 double, label int"),
+        np.column_stack([x1, x2]),
+        y.astype(float),
+    )
+
+
+def test_spark_fit_matches_numpy_replay_bit_exactly(spark):
+    df, X, y = _boundary_df(spark)
+    got = train_gbt(df, features=("x1", "x2"), scales={})
+    want = gbt_numpy_replay(
+        X, y, ("x1", "x2"), GBT_ROUNDS, GBT_BINS, GBT_LAMBDA, GBT_ETA, {}
+    )
+    assert got == want  # trees AND leaf doubles, bit-identical
+
+
+def test_booster_recovers_planted_boundary_and_boosts(spark):
+    df, X, y = _boundary_df(spark)
+    trees = train_gbt(df, features=("x1", "x2"), scales={})
+    # the root split finds the planted feature at the planted edge:
+    # x2 > 0.55 → bin boundary at floor(0.55·16) = 8
+    rfidx, rbin = trees[0]["root"]
+    assert rfidx == 1
+    assert rbin == 8
+    # left child (x2 ≤ 0.55) is the negative class, right positive:
+    # leaf values push the logit the right way
+    assert trees[0]["w_ll"] < 0 and trees[0]["w_lr"] < 0
+    # (an empty leaf yields -0.0 = -(0/1e6)/(0/1e6+λ); no row can
+    # reach it, so only the populated right leaf carries the sign)
+    assert trees[0]["w_rl"] > 0
+    assert trees[0]["w_rr"] >= 0 or trees[0]["w_rr"] == 0.0
+    # boosting is real: per-round log-loss decreases monotonically
+    bins = GBT_BINS
+    B = np.minimum(np.maximum(np.floor(X * bins), 0), bins - 1).astype(int)
+
+    def logloss(upto):
+        z = np.zeros(len(y))
+        for tr in trees[:upto]:
+            rf, rb = tr["root"]
+            lf, lb = tr["left"]
+            rrf, rrb = tr["right"]
+            left = np.where(B[:, lf] <= lb, tr["w_ll"], tr["w_lr"])
+            right = np.where(B[:, rrf] <= rrb, tr["w_rl"], tr["w_rr"])
+            z = z + GBT_ETA * np.where(B[:, rf] <= rb, left, right)
+        p = np.clip(1.0 / (1.0 + np.exp(-z)), 1e-9, 1 - 1e-9)
+        return float(-(y * np.log(p) + (1 - y) * np.log(1 - p)).mean())
+
+    losses = [logloss(k) for k in range(GBT_ROUNDS + 1)]
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    # and the model actually classifies the planted boundary
+    z = np.zeros(len(y))
+    for tr in trees:
+        rf, rb = tr["root"]
+        lf, lb = tr["left"]
+        rrf, rrb = tr["right"]
+        left = np.where(B[:, lf] <= lb, tr["w_ll"], tr["w_lr"])
+        right = np.where(B[:, rrf] <= rrb, tr["w_rl"], tr["w_rr"])
+        z = z + GBT_ETA * np.where(B[:, rf] <= rb, left, right)
+    acc = ((z > 0).astype(int) == y).mean()
+    assert acc > 0.85, acc
+
+
+def test_tree_structure_is_partition_layout_independent(spark):
+    df, _X, _y = _boundary_df(spark, n=400, seed=7)
+    t1 = train_gbt(df.repartition(1), features=("x1", "x2"), scales={})
+    t9 = train_gbt(df.repartition(9, "x2"), features=("x1", "x2"), scales={})
+    assert t1 == t9  # integer histograms are associative
+
+
+def test_degenerate_frame_raises_cleanly(spark):
+    """A constant frame puts every row in one bin: the root split
+    can't separate anything → a clear ValueError, not a silent
+    nonsense tree (the q_naive_bayes one-class discipline)."""
+    df = spark.createDataFrame(
+        [(0.5, 0.5, i % 2) for i in range(50)], "x1 double, x2 double, label int"
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        train_gbt(df, features=("x1", "x2"), scales={})
+
+
+def test_leaf_rounding_is_half_up_floor(spark):
+    """The output-boundary round6 is the engine's portable formula —
+    pin it against Python banker's rounding regressions."""
+    assert math.floor(-0.1234565 * 1e6 + 0.5) / 1e6 == -0.123456
+    assert math.floor(0.1234565 * 1e6 + 0.5) / 1e6 == 0.123457

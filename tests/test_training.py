@@ -308,3 +308,146 @@ def test_naive_bayes_rejects_one_class_training_frame(spark):
     )
     with pytest.raises(ValueError, match="both classes"):
         nb_score_confusion(one_class, features=("f1", "f2"))
+
+
+def numpy_replay_weighted(X, y, features, lr, iters, pw, scales=None):
+    """Weighted twin of numpy_replay: contributions multiply by
+    w_y = pw (y=1) / 1.0 (y=0) before micro-flooring; updates divide
+    by n_eff = n0 + pw*n1 (same operation order as the engine)."""
+    n, d = X.shape
+    div = np.array([(scales or {}).get(f, 1.0) for f in features])
+    Xs = X / div
+    wgt = np.where(y == 1, pw, 1.0)
+    n0d, n1d = float((y == 0).sum()), float((y == 1).sum())
+    n_eff = n0d + pw * n1d
+    w = np.zeros(d + 1)
+    for _ in range(iters):
+        z = np.full(n, w[0])
+        for j in range(d):
+            z = z + w[j + 1] * Xs[:, j]
+        p = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
+        r = p - y
+        g = np.empty(d + 1)
+        g[0] = np.floor(r * wgt * 1e6 + 0.5).sum()
+        for j in range(d):
+            g[j + 1] = np.floor((r * Xs[:, j]) * wgt * 1e6 + 0.5).sum()
+        for j in range(d + 1):
+            w[j] = w[j] - lr * (g[j] / 1e6 / n_eff)
+    return w
+
+
+def _imbalanced_df(spark, n=2000, seed=17):
+    """Deliberately imbalanced planted boundary: ~5% positives, all
+    with x1 > 0.7 (clean margin) — the unweighted 5-iteration fold
+    stays dominated by the negative mass and predicts nothing at 0.5,
+    while the weighted fold recovers the boundary."""
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 1, n).round(3)
+    y = ((x1 > 0.75) & (rng.uniform(0, 1, n) < 0.4)).astype(int)
+    keep = (x1 < 0.7) | (y == 1)  # margin: negatives stay below 0.7
+    rows = [(float(a), int(v)) for a, v in zip(x1[keep], y[keep])]
+    X = x1[keep].reshape(-1, 1)
+    return spark.createDataFrame(rows, "x1 double, label int"), X, y[keep].astype(float)
+
+
+def test_weighted_fold_matches_numpy_replay_exactly(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import scale_pos_weight
+
+    df, X, y = _imbalanced_df(spark)
+    pw, n_eff = scale_pos_weight(df)
+    assert pw == float((y == 0).sum()) / float((y == 1).sum())
+    w, n = train_logreg(
+        df, features=("x1",), lr=1.0, iters=5, scales={}, pos_weight=pw, n_eff=n_eff
+    )
+    want = numpy_replay_weighted(X, y, ("x1",), 1.0, 5, pw, scales={})
+    assert [w["bias"], w["x1"]] == list(want)  # bit-identical
+    assert n == len(y)
+
+
+def test_weighting_recovers_imbalanced_boundary_unweighted_does_not(spark):
+    """The reason scale_pos_weight exists (fraud_detector.py:148):
+    on a 20:1 frame the unweighted 5-step fold never crosses the 0.5
+    decision line for ANY positive, the weighted one catches nearly
+    all of them."""
+    import math
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import scale_pos_weight
+
+    df, X, y = _imbalanced_df(spark)
+
+    def recall(w):
+        z = w["bias"] + w["x1"] * X[:, 0]
+        pred = (1.0 / (1.0 + np.exp(-z)) >= 0.5).astype(int)
+        tp = int(((pred == 1) & (y == 1)).sum())
+        return tp / int((y == 1).sum())
+
+    w_plain, _ = train_logreg(df, features=("x1",), lr=1.0, iters=5, scales={})
+    pw, n_eff = scale_pos_weight(df)
+    w_wtd, _ = train_logreg(
+        df, features=("x1",), lr=1.0, iters=5, scales={}, pos_weight=pw, n_eff=n_eff
+    )
+    assert recall(w_plain) < 0.2, (recall(w_plain), w_plain)
+    assert recall(w_wtd) > 0.8, (recall(w_wtd), w_wtd)
+    assert math.isfinite(w_wtd["bias"])
+
+
+def test_scale_pos_weight_rejects_one_class(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import scale_pos_weight
+
+    df = spark.createDataFrame([(0.1, 0), (0.2, 0)], "x1 double, label int")
+    with pytest.raises(ValueError, match="both classes"):
+        scale_pos_weight(df)
+
+
+def test_model_selection_grid_matches_numpy_sweep(spark, sf_dir):
+    """The winning config of q_model_selection equals an independent
+    NumPy sweep: replay every config's fold on the collected train
+    fold, score the holdout, argmin by (loss, config)."""
+    import math
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import MS_CONFIGS
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+
+    registry._load_all()
+    res = {
+        r["config"]: r
+        for r in registry._REGISTRY["q_model_selection"].fn(spark, sf_dir).collect()
+    }
+    assert set(res) == {c[0] for c in MS_CONFIGS}
+    assert sum(r["is_best"] for r in res.values()) == 1
+
+    # independent replay: pull the split frames once
+    fv = registry._REGISTRY["q_feature_vector"].fn(spark, sf_dir)
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+    from pyspark.sql import functions as F
+
+    b = hash60(F.col("o_orderkey").cast("string")) % 100
+    cols = ["label", *SCORE_FEATURES]
+    tr = np.array(fv.filter(b < 80).select(*cols).collect(), dtype=float)
+    va = np.array(fv.filter(b >= 80).select(*cols).collect(), dtype=float)
+    ytr, Xtr = tr[:, 0], tr[:, 1:]
+    yva, Xva = va[:, 0], va[:, 1:]
+    losses = {}
+    for name, lr, iters, weighted in MS_CONFIGS:
+        if weighted:
+            pw = float((ytr == 0).sum()) / float((ytr == 1).sum())
+            w = numpy_replay_weighted(
+                Xtr, ytr, SCORE_FEATURES, lr, iters, pw, scales=FEATURE_SCALES
+            )
+        else:
+            w = numpy_replay(Xtr, ytr, SCORE_FEATURES, lr, iters, scales=FEATURE_SCALES)
+        div = np.array([FEATURE_SCALES.get(f, 1.0) for f in SCORE_FEATURES])
+        z = np.full(len(yva), w[0])
+        Xs = Xva / div
+        for j in range(len(SCORE_FEATURES)):
+            z = z + w[j + 1] * Xs[:, j]
+        p = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
+        raw = np.where(yva == 1, -np.log(p), -np.log(1.0 - p))
+        l6 = np.floor(raw * 1e6 + 0.5) / 1e6
+        losses[name] = math.floor((l6.sum() / len(yva)) * 1e6 + 0.5) / 1e6
+    for name in losses:
+        assert res[name]["val_logloss"] == pytest.approx(losses[name], abs=2e-6), name
+    want_best = min(losses, key=lambda k: (losses[k], k))
+    got_best = next(k for k, r in res.items() if r["is_best"] == 1)
+    assert got_best == want_best
