@@ -203,10 +203,17 @@ def train_gbt(
         z: Column = F.lit(0.0)
         for tr in trees:
             z = z + F.lit(float(eta)) * _tree_logit_on_bins(tr, features)
-        p = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        # stage p as a real column (the q_kmeans_train staged-argmin
+        # discipline): gm and hm both read ONE computed sigmoid value
+        # per row instead of two inlined copies of the full ensemble
+        # CASE cascade — halves the codegen surface per round
+        staged = binned.withColumn(
+            "__p", det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        )
+        p = F.col("__p")
         g = p - F.col("label").cast("double")
         h = p * (F.lit(1.0) - p)
-        work = binned.select(
+        work = staged.select(
             "*",
             F.floor(g * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("gm"),
             F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("hm"),
