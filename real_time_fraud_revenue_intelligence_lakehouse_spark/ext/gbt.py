@@ -132,11 +132,11 @@ def _argmax_split(
     cells: list[tuple[int, int, int, int]],
     features: tuple[str, ...],
     lam: float,
-) -> tuple[int, int, int, int, int, int]:
+) -> tuple[int, int, int, int, int, int, float]:
     """Greedy best split over histogram cells (fidx, bin, gs, hs):
-    returns (fidx, bin, gl_m, hl_m, g_m, h_m). Deterministic fold:
-    strictly-greater gain wins, so ties keep the smallest (fidx, bin)
-    — matching ORDER BY gain DESC, fidx, bin LIMIT 1."""
+    returns (fidx, bin, gl_m, hl_m, g_m, h_m, gain). Deterministic
+    fold: strictly-greater gain wins, so ties keep the smallest
+    (fidx, bin) — matching ORDER BY gain DESC, fidx, bin LIMIT 1."""
     by_f: dict[int, list[tuple[int, int, int]]] = {}
     for fidx, b, gs, hs in cells:
         by_f.setdefault(fidx, []).append((b, gs, hs))
@@ -154,8 +154,8 @@ def _argmax_split(
             gain = _gain(glm, hlm, g_m, h_m, lam)
             if best is None or gain > best[0]:
                 best = (gain, fidx, b, glm, hlm)
-    _gain_v, fidx, b, glm, hlm = best
-    return fidx, b, glm, hlm, g_m, h_m
+    gain_v, fidx, b, glm, hlm = best
+    return fidx, b, glm, hlm, g_m, h_m, gain_v
 
 
 def _tree_logit_on_bins(tree: dict, features: tuple[str, ...]) -> Column:
@@ -229,7 +229,9 @@ def train_gbt(
             .collect()
         )
         cells = [(r["fidx"], r["bin"], r["gs"], r["hs"]) for r in h1]
-        rfidx, rbin, _glm, _hlm, _gm, _hm = _argmax_split(cells, features, lam)
+        rfidx, rbin, _glm, _hlm, _gm, _hm, rgain = _argmax_split(
+            cells, features, lam
+        )
 
         node = F.when(F.col(f"b_{features[rfidx]}") <= rbin, 0).otherwise(1)
         stacked2 = work.withColumn("node", node).selectExpr(
@@ -251,12 +253,13 @@ def train_gbt(
                 f"{sorted({0, 1} - set(by_node))} are empty — the input "
                 "frame has too little feature variation for depth-2 trees"
             )
-        tree = {"root": (rfidx, rbin)}
+        tree = {"root": (rfidx, rbin), "gain_root": rgain}
         for n_id, side in ((0, "left"), (1, "right")):
-            cfidx, cbin, glm, hlm, g_m, h_m = _argmax_split(
+            cfidx, cbin, glm, hlm, g_m, h_m, cgain = _argmax_split(
                 by_node[n_id], features, lam
             )
             tree[side] = (cfidx, cbin)
+            tree[f"gain_{side}"] = cgain
             wl = _leaf_w(glm, hlm, lam)
             wr = _leaf_w(g_m - glm, h_m - hlm, lam)
             if n_id == 0:
@@ -358,7 +361,7 @@ def _gbt_ctes(
         )
         gain1 = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
         parts.append(
-            f"best1_{t} AS MATERIALIZED (SELECT c.fidx, c.bin "
+            f"best1_{t} AS MATERIALIZED (SELECT c.fidx, c.bin, {gain1} AS gain "
             f"FROM cum1_{t} c CROSS JOIN tot{t} t "
             f"ORDER BY {gain1} DESC, c.fidx, c.bin LIMIT 1)"
         )
@@ -385,8 +388,8 @@ def _gbt_ctes(
         )
         gain2 = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
         parts.append(
-            f"best2_{t} AS MATERIALIZED (SELECT node, fidx, bin, gl_m, hl_m FROM ("
-            f"SELECT c.node, c.fidx, c.bin, c.gl_m, c.hl_m, "
+            f"best2_{t} AS MATERIALIZED (SELECT node, fidx, bin, gl_m, hl_m, gain FROM ("
+            f"SELECT c.node, c.fidx, c.bin, c.gl_m, c.hl_m, {gain2} AS gain, "
             f"row_number() OVER (PARTITION BY c.node "
             f"ORDER BY {gain2} DESC, c.fidx, c.bin) AS rn "
             f"FROM cum2_{t} c JOIN tot2_{t} t ON t.node = c.node) WHERE rn = 1)"
@@ -456,6 +459,104 @@ def gbt_train_sql(
         if t < rounds:
             tree_sels.append("UNION ALL")
     return f"WITH {ctes}\n    " + "\n    ".join(tree_sels)
+
+
+def gbt_importance_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+) -> str:
+    """Oracle for q_gbt_importance: total split gain per feature over
+    all rounds×levels (XGBoost's gain-mode feature_importances_).
+    Per-split gains round6 to decimals BEFORE summing so the per-
+    feature total is order-independent across the UNION arms."""
+    ctes, _ = _gbt_ctes(fv_sql, features, rounds, bins, lam, eta)
+    arms = []
+    for t in range(1, rounds + 1):
+        arms.append(f"SELECT fidx, gain FROM best1_{t}")
+        arms.append(f"SELECT fidx, gain FROM best2_{t}")
+    splits = " UNION ALL ".join(arms)
+    fvals = ", ".join(f"({i}, '{f}')" for i, f in enumerate(features))
+    g6 = _R6.format(c="s.gain")
+    return f"""WITH {ctes},
+    splits AS ({splits})
+    SELECT fe.fname AS feature,
+           CAST(coalesce(sum(CAST({g6} AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_gain,
+           CAST(count(s.fidx) AS BIGINT) AS n_splits
+    FROM (VALUES {fvals}) fe(fidx, fname)
+    LEFT JOIN splits s ON s.fidx = fe.fidx
+    GROUP BY 1"""
+
+
+def gbt_learning_curve_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+) -> str:
+    """Oracle for q_gbt_learning_curve: in-sample mean log-loss of
+    the partial ensemble after each boosting round (round 0 = the
+    constant 0-logit model) — the loss ladder that proves each tree
+    earns its keep. Every rows{t} CTE already carries the partial
+    logit f, so each arm is one aggregate over a MATERIALIZED frame."""
+    ctes, _ = _gbt_ctes(fv_sql, features, rounds, bins, lam, eta)
+    arms = []
+    for t in range(rounds + 1):
+        p = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        raw = f"CASE WHEN label = 1 THEN -ln({p}) ELSE -ln(1.0 - {p}) END"
+        l6 = _R6.format(c=raw)
+        mean = _R6.format(
+            c=f"CAST(sum(CAST({l6} AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+        )
+        arms.append(
+            f"SELECT CAST({t} AS INTEGER) AS round, {mean} AS train_logloss "
+            f"FROM rows{t}"
+        )
+    body = "\n    UNION ALL ".join(arms)
+    return f"WITH {ctes}\n    {body}"
+
+
+def gbt_roc_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+) -> str:
+    """Oracle for q_gbt_roc: re-train via the unrolled rounds, then
+    the fixed-threshold confusion sweep with the logreg_roc_sql
+    zero-denominator guards (identical sweep text — only the scored
+    CTE differs)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import ROC_THRESHOLDS
+
+    ctes, rows_k = _gbt_ctes(fv_sql, features, rounds, bins, lam, eta)
+    s = _R6.format(c="1.0 / (1.0 + exp(-f))")
+    taus = ", ".join(f"({t!r})" for t in ROC_THRESHOLDS)
+    return f"""WITH {ctes},
+    scored AS (SELECT label, {s} AS s FROM {rows_k}),
+    sweep AS (
+      SELECT t.tau, scored.label, scored.s
+      FROM scored CROSS JOIN (VALUES {taus}) t(tau)
+    )
+    SELECT tau,
+           CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN s >= tau AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CASE WHEN sum(label) = 0 THEN 0.0
+                ELSE CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(label) END AS tpr,
+           CASE WHEN sum(1 - label) = 0 THEN 0.0
+                ELSE CAST(sum(CASE WHEN s >= tau AND label = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(1 - label) END AS fpr,
+           CASE WHEN sum(CASE WHEN s >= tau THEN 1 ELSE 0 END) = 0 THEN 0.0
+                ELSE CAST(sum(CASE WHEN s >= tau AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN s >= tau THEN 1 ELSE 0 END) END AS precision_at
+    FROM sweep GROUP BY 1"""
 
 
 def gbt_score_band_sql(

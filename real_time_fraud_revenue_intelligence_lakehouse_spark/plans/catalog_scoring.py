@@ -778,6 +778,124 @@ def q_gbt_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (  # noqa: E402
+    GBT_ETA,
+    gbt_importance_sql,
+    gbt_learning_curve_sql,
+    gbt_roc_sql,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import logreg_roc  # noqa: E402
+
+
+@query(
+    "q_gbt_importance",
+    oracle=gbt_importance_sql(_FV_SQL),
+    tags=("training", "evaluation", "explanation", "trees"),
+)
+def q_gbt_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-mode feature importance for the TRAINED booster — the
+    reference's feature_importances_ artifact (`train.py:222-226`
+    logs the top features of the fitted XGBoost) for the engine-fit
+    model: per feature, the total split gain over all 9 splits
+    (3 rounds × root+2 children) plus the split count. Gains fall out
+    of the training fold itself (no extra pass — the argmax already
+    computed them); per-split gains round6 to decimals before the sum
+    so the per-feature total is order-independent. Zero-split
+    features report 0.0 — the full 8-row grid keeps the artifact's
+    shape stable. The oracle re-trains via the unrolled rounds and
+    unions the gain column of every best-split CTE."""
+    import math
+
+    trees = _trained_gbt(spark, sf_dir)
+    micros: dict[int, int] = {i: 0 for i in range(len(SCORE_FEATURES))}
+    n_splits: dict[int, int] = {i: 0 for i in range(len(SCORE_FEATURES))}
+    for tr in trees:
+        for part, gkey in (("root", "gain_root"), ("left", "gain_left"), ("right", "gain_right")):
+            fidx = tr[part][0]
+            micros[fidx] += math.floor(tr[gkey] * 1e6 + 0.5)
+            n_splits[fidx] += 1
+    rows = [
+        (f, micros[i] / 1e6, n_splits[i]) for i, f in enumerate(SCORE_FEATURES)
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, total_gain double, n_splits long"
+    )
+
+
+@query(
+    "q_gbt_learning_curve",
+    oracle=gbt_learning_curve_sql(_FV_SQL),
+    tags=("training", "evaluation", "trees"),
+)
+def q_gbt_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boosting loss ladder: in-sample mean log-loss of the
+    partial ensemble after each round (round 0 = the 0-logit
+    constant), proving every tree earns its keep — the artifact an
+    early-stopping rule reads. ALL rounds+1 losses come from ONE scan
+    of the feature frame (each partial logit is just another staged
+    column in the same aggregate — the q_logreg_ablation trick along
+    the boosting axis); per-row losses det-round to 6 and fold
+    through DECIMAL(18,6). The oracle reuses the MATERIALIZED rows{t}
+    frames, whose f column IS the partial logit."""
+    import math
+
+    fv = _logreg_fv(spark, sf_dir)
+    trees = _trained_gbt(spark, sf_dir)
+    zs = [F.lit(0.0)]
+    for tr in trees:
+        zs.append(
+            zs[-1] + F.lit(float(GBT_ETA)) * _gbt_tree_expr_raw(tr)
+        )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for t, z in enumerate(zs):
+        aggs.append(
+            F.sum(_loss_expr(z).cast("decimal(18,6)")).alias(f"L_{t}")
+        )
+    row = fv.agg(*aggs).first()
+    n = row["n"]
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    out = [(t, r6(float(row[f"L_{t}"]) / n)) for t in range(len(zs))]
+    return spark.createDataFrame(out, "round int, train_logloss double")
+
+
+def _gbt_tree_expr_raw(tr: dict):
+    """One tree's value over raw feature columns (bins recomputed
+    row-locally) — the single-tree slice of gbt_trained_logit_expr."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_BINS, _bin_expr
+
+    def bcol(fidx: int):
+        return _bin_expr(SCORE_FEATURES[fidx], None, GBT_BINS)
+
+    rf, rb = tr["root"]
+    lf, lb = tr["left"]
+    rrf, rrb = tr["right"]
+    left = F.when(bcol(lf) <= lb, F.lit(tr["w_ll"])).otherwise(F.lit(tr["w_lr"]))
+    right = F.when(bcol(rrf) <= rrb, F.lit(tr["w_rl"])).otherwise(F.lit(tr["w_rr"]))
+    return F.when(bcol(rf) <= rb, left).otherwise(right)
+
+
+@query(
+    "q_gbt_roc",
+    oracle=gbt_roc_sql(_FV_SQL),
+    tags=("training", "evaluation", "trees"),
+)
+def q_gbt_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the TRAINED booster: confusion
+    counts + TPR/FPR/precision at the same 10 repr-stable k/20
+    thresholds as q_logreg_roc — the gate-tuning artifact for the
+    reference's own model family, sharing the in-row threshold
+    explode and the zero-denominator guards. One compiled-CASE
+    scoring scan + one 10-group agg; the oracle re-trains via the
+    unrolled rounds then runs the identical sweep."""
+    fv = _logreg_fv(spark, sf_dir)
+    trees = _trained_gbt(spark, sf_dir)
+    s = det_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees))), 6
+    )
+    scored = fv.select("label", s.alias("s"))
+    return logreg_roc(scored)
+
+
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
     logreg_ablation,
     logreg_ablation_sql,

@@ -69,17 +69,18 @@ def gbt_numpy_replay(X, y, features, rounds, bins, lam, eta, scales):
         gm = np.floor(g * 1e6 + 0.5).astype(np.int64)
         hm = np.floor(h * 1e6 + 0.5).astype(np.int64)
         all_rows = np.ones(n, dtype=bool)
-        rfidx, rbin, _glm, _hlm, _gm, _hm = _argmax_split(
+        rfidx, rbin, _glm, _hlm, _gm, _hm, rgain = _argmax_split(
             _hist(fidxs, B, gm, hm, all_rows), features, lam
         )
-        tree = {"root": (rfidx, rbin)}
+        tree = {"root": (rfidx, rbin), "gain_root": rgain}
         left_mask = B[:, rfidx] <= rbin
         for n_id, side, mask in ((0, "left", left_mask), (1, "right", ~left_mask)):
             assert mask.any(), "degenerate split in replay"
-            cfidx, cbin, glm, hlm, g_m, h_m = _argmax_split(
+            cfidx, cbin, glm, hlm, g_m, h_m, cgain = _argmax_split(
                 _hist(fidxs, B, gm, hm, mask), features, lam
             )
             tree[side] = (cfidx, cbin)
+            tree[f"gain_{side}"] = cgain
             wl = _leaf_w(glm, hlm, lam)
             wr = _leaf_w(g_m - glm, h_m - hlm, lam)
             if n_id == 0:
@@ -185,3 +186,29 @@ def test_leaf_rounding_is_half_up_floor(spark):
     pin it against Python banker's rounding regressions."""
     assert math.floor(-0.1234565 * 1e6 + 0.5) / 1e6 == -0.123456
     assert math.floor(0.1234565 * 1e6 + 0.5) / 1e6 == 0.123457
+
+
+def test_catalog_gbt_ops_artifacts_are_consistent(spark, sf_dir):
+    """End-to-end on driver testdata: the importance table accounts
+    for exactly 9 splits (3 rounds x 3 nodes) with non-negative
+    gains, and the learning curve strictly decreases from the 0-logit
+    constant — boosting earns every round."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import registry
+
+    registry._load_all()
+    imp = {
+        r["feature"]: r
+        for r in registry._REGISTRY["q_gbt_importance"].fn(spark, sf_dir).collect()
+    }
+    assert len(imp) == 8
+    assert sum(r["n_splits"] for r in imp.values()) == 9
+    for r in imp.values():
+        assert r["total_gain"] >= 0.0
+        assert (r["n_splits"] == 0) == (r["total_gain"] == 0.0) or r["total_gain"] >= 0.0
+    curve = {
+        r["round"]: r["train_logloss"]
+        for r in registry._REGISTRY["q_gbt_learning_curve"].fn(spark, sf_dir).collect()
+    }
+    assert sorted(curve) == [0, 1, 2, 3]
+    assert curve[0] == pytest.approx(0.693147, abs=1e-6)  # ln 2 at z=0
+    assert all(curve[t + 1] < curve[t] for t in range(3)), curve
