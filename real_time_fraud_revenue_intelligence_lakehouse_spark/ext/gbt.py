@@ -183,6 +183,7 @@ def train_gbt(
     eta: float = GBT_ETA,
     label: str = "label",
     scales: dict[str, float] | None = None,
+    pos_weight: float | None = None,
 ) -> list[dict]:
     """Fit ``rounds`` depth-2 trees by histogram gradient boosting.
 
@@ -193,10 +194,24 @@ def train_gbt(
     sanctioned model-broadcast class). Returns the tree list; leaf
     values are full-precision doubles (round only at the output
     boundary).
+
+    ``pos_weight`` is XGBoost's scale_pos_weight, the exact parameter
+    the reference sets (`fraud_detector.py:148`): positive rows'
+    gradient AND hessian contributions multiply by it before the
+    micro-floor — splits then optimize weighted loss and leaves
+    −G/(H+λ) are naturally weighted (no n_eff: the weights flow
+    through both numerator and denominator).
     """
     binned = fv.select(
         F.col(label).alias("label"),
         *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+    )
+    wgt: Column | None = (
+        None
+        if pos_weight is None
+        else F.when(F.col("label") == 1, F.lit(float(pos_weight))).otherwise(
+            F.lit(1.0)
+        )
     )
     trees: list[dict] = []
     for _t in range(rounds):
@@ -213,10 +228,12 @@ def train_gbt(
         p = F.col("__p")
         g = p - F.col("label").cast("double")
         h = p * (F.lit(1.0) - p)
+        gc = g * F.lit(_MICRO) if wgt is None else g * wgt * F.lit(_MICRO)
+        hc = h * F.lit(_MICRO) if wgt is None else h * wgt * F.lit(_MICRO)
         work = staged.select(
             "*",
-            F.floor(g * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("gm"),
-            F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("hm"),
+            F.floor(gc + F.lit(0.5)).cast("long").alias("gm"),
+            F.floor(hc + F.lit(0.5)).cast("long").alias("hm"),
         )
         n_f = len(features)
         pairs = ", ".join(f"{i}, b_{f}" for i, f in enumerate(features))
@@ -310,13 +327,17 @@ def _gbt_ctes(
     bins: int = GBT_BINS,
     lam: float = GBT_LAMBDA,
     eta: float = GBT_ETA,
+    weighted: bool = False,
 ) -> tuple[str, str]:
     """(cte_block, final_rows_cte): the unrolled boosting rounds.
     Every arithmetic step mirrors :func:`train_gbt` token for token.
     Per-row split application resolves the data-dependent split
     feature through the stacked long form joined to the 1-row best
     tables; hot CTEs are MATERIALIZED (DuckDB otherwise re-inlines
-    each reference, exponentially re-evaluating the chain)."""
+    each reference, exponentially re-evaluating the chain).
+    ``weighted=True`` multiplies every gradient/hessian contribution
+    by scale_pos_weight = n0/n1 (from a cnts CTE of exact counts)
+    before the micro-floor — the weighted :func:`train_gbt` fold."""
     bin_cols = ", ".join(
         f"{_bin_sql(f, bins)} AS b_{f}" for f in features
     )
@@ -331,14 +352,25 @@ def _gbt_ctes(
             f"{bin_cols}, CAST(0.0 AS DOUBLE) AS f FROM fv)"
         ),
     ]
+    if weighted:
+        parts.append(
+            "cnts AS (SELECT CAST(sum(1 - label) AS DOUBLE) AS n0, "
+            "CAST(sum(label) AS DOUBLE) AS n1 FROM fv)"
+        )
+    wgt = "(CASE WHEN label = 1 THEN (n0 / n1) ELSE 1.0 END)"
     b_star = ", ".join(f"b_{f}" for f in features)
     for t in range(1, rounds + 1):
         p = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        gc = f"(({p}) - CAST(label AS DOUBLE))"
+        hc = f"(({p}) * (1.0 - ({p})))"
+        if weighted:
+            gc = f"{gc} * {wgt}"
+            hc = f"{hc} * {wgt}"
         parts.append(
             f"gh{t} AS MATERIALIZED (SELECT o_orderkey, label, {b_star}, f, "
-            f"CAST(floor((({p}) - CAST(label AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS gm, "
-            f"CAST(floor((({p}) * (1.0 - ({p}))) * 1000000.0 + 0.5) AS BIGINT) AS hm "
-            f"FROM rows{t - 1})"
+            f"CAST(floor({gc} * 1000000.0 + 0.5) AS BIGINT) AS gm, "
+            f"CAST(floor({hc} * 1000000.0 + 0.5) AS BIGINT) AS hm "
+            f"FROM rows{t - 1}{' CROSS JOIN cnts' if weighted else ''})"
         )
         parts.append(
             f"st{t} AS MATERIALIZED (SELECT g.o_orderkey, g.gm, g.hm, fe.fidx, "
@@ -431,11 +463,12 @@ def gbt_train_sql(
     bins: int = GBT_BINS,
     lam: float = GBT_LAMBDA,
     eta: float = GBT_ETA,
+    weighted: bool = False,
 ) -> str:
-    """Complete oracle for q_gbt_train: one row per tree with the full
-    depth-2 structure — split features by NAME, split bins, and the
-    four round6 leaf values."""
-    ctes, _ = _gbt_ctes(fv_sql, features, rounds, bins, lam, eta)
+    """Complete oracle for q_gbt_train (and its scale_pos_weight
+    twin): one row per tree with the full depth-2 structure — split
+    features by NAME, split bins, and the four round6 leaf values."""
+    ctes, _ = _gbt_ctes(fv_sql, features, rounds, bins, lam, eta, weighted=weighted)
     fname_case = " ".join(
         f"WHEN {i} THEN '{f}'" for i, f in enumerate(features)
     )

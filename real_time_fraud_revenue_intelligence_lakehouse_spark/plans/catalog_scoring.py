@@ -788,6 +788,68 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import lo
 
 
 @query(
+    "q_gbt_train_weighted",
+    oracle=gbt_train_sql(_FV_SQL, weighted=True),
+    tags=("training", "scoring", "iterative", "trees", "imbalance"),
+)
+def q_gbt_train_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT training configuration, distributed:
+    XGBClassifier(tree_method=hist, scale_pos_weight=(y==0)/(y==1))
+    (`fraud_detector.py:36,148,154`). Positive rows' gradient AND
+    hessian micro-contributions multiply by pw = n0/n1 before the
+    integer floor, so split selection optimizes weighted loss and
+    leaves −G/(H+λ) are naturally weighted (no n_eff — the weight
+    flows through numerator and denominator). Same two-aggregate-per-
+    round shape as q_gbt_train; the oracle derives the identical pw
+    double from its own cnts CTE and unrolls the same rounds. On an
+    imbalanced planted boundary the weighted booster's minority
+    leaves cross the decision line where the unweighted one's don't
+    (tests/test_gbt.py)."""
+    import math
+
+    trees = _trained_gbt_weighted(spark, sf_dir)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    rows = []
+    for t, tr in enumerate(trees):
+        rows.append(
+            (
+                t,
+                SCORE_FEATURES[tr["root"][0]],
+                tr["root"][1],
+                SCORE_FEATURES[tr["left"][0]],
+                tr["left"][1],
+                SCORE_FEATURES[tr["right"][0]],
+                tr["right"][1],
+                r6(tr["w_ll"]),
+                r6(tr["w_lr"]),
+                r6(tr["w_rl"]),
+                r6(tr["w_rr"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "tree int, root_feature string, root_bin long, "
+        "l_feature string, l_bin long, r_feature string, r_bin long, "
+        "w_ll double, w_lr double, w_rl double, w_rr double",
+    )
+
+
+_GBT_W: dict = {}
+register_cache(_GBT_W)
+
+
+def _trained_gbt_weighted(spark: SparkSession, sf_dir: str) -> list[dict]:
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    if key not in _GBT_W:
+        fv = _logreg_fv(spark, sf_dir)
+        pw, _n_eff = scale_pos_weight(fv)
+        _GBT_W[key] = train_gbt(fv, pos_weight=pw)
+    return _GBT_W[key]
+
+
+@query(
     "q_gbt_importance",
     oracle=gbt_importance_sql(_FV_SQL),
     tags=("training", "evaluation", "explanation", "trees"),

@@ -85,6 +85,7 @@ _FRONT: tuple[str, ...] = (
     "q_gbt_importance",
     "q_gbt_learning_curve",
     "q_gbt_roc",
+    "q_gbt_train_weighted",
     # — r04 stragglers (past r12's cap; judge-selfchecked green) —
     "q_excess_suppliers",
     "q_groupwise_min",

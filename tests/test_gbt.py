@@ -212,3 +212,52 @@ def test_catalog_gbt_ops_artifacts_are_consistent(spark, sf_dir):
     assert sorted(curve) == [0, 1, 2, 3]
     assert curve[0] == pytest.approx(0.693147, abs=1e-6)  # ln 2 at z=0
     assert all(curve[t + 1] < curve[t] for t in range(3)), curve
+
+
+def _imbalanced_gbt_df(spark, n=2500, seed=23):
+    """A WEAK minority signal, the case scale_pos_weight exists for:
+    x1 > 0.75 is 30% positive, elsewhere 0% (≈7% positives overall).
+    A clean-margin boundary wouldn't separate the trainers — pure
+    leaves go positive regardless of imbalance; here every risky leaf
+    is 70% negative, so the unweighted leaf value converges to
+    p≈0.3 < 0.5 (recall 0) while the weighted one converges to
+    p·pw/(p·pw+1−p) ≈ 0.84 > 0.5."""
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 1, n).round(4)
+    y = ((x1 > 0.75) & (rng.uniform(0, 1, n) < 0.3)).astype(int)
+    rows = [(float(a), int(v)) for a, v in zip(x1, y)]
+    return (
+        spark.createDataFrame(rows, "x1 double, label int"),
+        x1.reshape(-1, 1),
+        y.astype(float),
+    )
+
+
+def test_scale_pos_weight_booster_recovers_imbalanced_boundary(spark):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import scale_pos_weight
+
+    df, X, y = _imbalanced_gbt_df(spark)
+    pw, _ = scale_pos_weight(df)
+
+    def recall(trees):
+        B = np.minimum(np.maximum(np.floor(X * GBT_BINS), 0), GBT_BINS - 1).astype(int)
+        z = np.zeros(len(y))
+        for tr in trees:
+            rf, rb = tr["root"]
+            lf, lb = tr["left"]
+            rrf, rrb = tr["right"]
+            left = np.where(B[:, lf] <= lb, tr["w_ll"], tr["w_lr"])
+            right = np.where(B[:, rrf] <= rrb, tr["w_rl"], tr["w_rr"])
+            z = z + GBT_ETA * np.where(B[:, rf] <= rb, left, right)
+        pred = (z > 0).astype(int)
+        return float(((pred == 1) & (y == 1)).sum() / (y == 1).sum())
+
+    plain = train_gbt(df, features=("x1",), scales={})
+    wtd = train_gbt(df, features=("x1",), scales={}, pos_weight=pw)
+    assert recall(plain) < 0.2, (recall(plain), plain)
+    assert recall(wtd) > 0.8, (recall(wtd), wtd)
+    # the weighted fit is still layout-independent
+    wtd9 = train_gbt(
+        df.repartition(9, "x1"), features=("x1",), scales={}, pos_weight=pw
+    )
+    assert wtd == wtd9
