@@ -744,6 +744,151 @@ def logreg_roc(
     )
 
 
+# --- model card: the reference's ModelMetrics as a query ----------------------
+
+#: the reference's FRAUD_THRESHOLD (`fraud_detector.py:85` ModelMetrics
+#: .threshold = 0.70; predict() binarizes at it)
+MODEL_CARD_TAU = 0.7
+
+
+def model_metrics(scored: DataFrame, tau: float = MODEL_CARD_TAU) -> DataFrame:
+    """The reference's ModelMetrics dataclass (`fraud_detector.py:
+    76-89`, computed by `_evaluate` :278-320) as ONE distributed
+    query over a (label, s) frame: exact ROC AUC (Mann-Whitney
+    rank-sum with average-rank ties — the q_auc machinery), average
+    precision (the sklearn Σ(R_k−R_{k−1})·P_k step sum over
+    descending score groups, each term round8-decimal-folded so the
+    sum is order-independent), precision/recall/F1 at the reference's
+    0.70 threshold (zero_division=0 guards, like sklearn's), and the
+    confusion counts. Everything reduces to the distinct-score table
+    (a compiled GBT emits ≤ leaves^trees distinct scores), cumulative
+    offsets come from distributed_cumsum (no single-partition
+    window), and the only floats are final divisions of exact
+    integers — a model card that hash-gates."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import (
+        distributed_cumsum,
+    )
+
+    c = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("np")
+    ).localCheckpoint()
+    cum = distributed_cumsum(c, "s", ["n", "np"], exclusive=True)
+    t = c.agg(
+        F.sum("np").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).alias("n_neg"),
+        F.sum("n").alias("n_tot"),
+    )
+    j = cum.crossJoin(F.broadcast(t))
+    avg_rank = (F.col("cum_n") + (F.col("n") + 1) / 2.0).cast("decimal(28,1)")
+    rs = F.col("np").cast("decimal(28,1)") * avg_rank
+    # term-level n_pos guard: ANSI mode evaluates the division per
+    # row before any aggregate-level CASE could mask it
+    ap_term = det_round(
+        F.when(F.col("n_pos") == 0, 0.0).otherwise(
+            (F.col("np").cast("double") / F.col("n_pos"))
+            * (
+                (F.col("n_pos") - F.col("cum_np")).cast("double")
+                / (F.col("n_tot") - F.col("cum_n"))
+            )
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    agg = j.groupBy("n_pos", "n_neg", "n_tot").agg(
+        F.sum(rs).alias("rank_sum"),
+        F.sum(ap_term).alias("ap_sum"),
+        F.sum(F.when(F.col("s") >= F.lit(tau), F.col("np")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(F.when(F.col("s") >= F.lit(tau), F.col("n")).otherwise(F.lit(0))).alias("pp"),
+    )
+    auc_raw = (
+        F.col("rank_sum").cast("double")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
+    auc = F.when((F.col("n_pos") == 0) | (F.col("n_neg") == 0), 0.0).otherwise(auc_raw)
+    ap = F.when(F.col("n_pos") == 0, 0.0).otherwise(F.col("ap_sum").cast("double"))
+    prec = F.when(F.col("pp") == 0, 0.0).otherwise(
+        F.col("tp").cast("double") / F.col("pp")
+    )
+    rec = F.when(F.col("n_pos") == 0, 0.0).otherwise(
+        F.col("tp").cast("double") / F.col("n_pos")
+    )
+    f1 = F.when(prec + rec == 0.0, 0.0).otherwise(
+        F.lit(2.0) * prec * rec / (prec + rec)
+    )
+    return agg.select(
+        F.lit(float(tau)).alias("threshold"),
+        F.col("n_tot").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        det_round(auc, 6).alias("roc_auc"),
+        det_round(ap, 6).alias("avg_precision"),
+        det_round(prec, 6).alias("precision_at"),
+        det_round(rec, 6).alias("recall_at"),
+        det_round(f1, 6).alias("f1_at"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("pp") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_pos") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("n_tot") - F.col("pp") - (F.col("n_pos") - F.col("tp")))
+        .cast("long")
+        .alias("tn"),
+    )
+
+
+def model_metrics_sql_tail(tau: float = MODEL_CARD_TAU) -> str:
+    """The SQL twin of :func:`model_metrics`, to append after a
+    ``scored`` CTE of (label, s) — shared by any trained scorer's
+    card."""
+    r6 = _R6
+    r8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
+    ap_term = r8.format(
+        c=(
+            "CASE WHEN n_pos = 0 THEN 0.0 ELSE "
+            "(CAST(np AS DOUBLE) / n_pos)"
+            " * (CAST(n_pos - cum_np AS DOUBLE) / (n_tot - cum_n)) END"
+        )
+    )
+    auc_raw = (
+        "(CAST(rank_sum AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)"
+        " / (CAST(n_pos AS DOUBLE) * n_neg)"
+    )
+    prec = "CASE WHEN pp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / pp END"
+    rec = "CASE WHEN n_pos = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pos END"
+    f1 = (
+        f"CASE WHEN ({prec}) + ({rec}) = 0.0 THEN 0.0 "
+        f"ELSE 2.0 * ({prec}) * ({rec}) / (({prec}) + ({rec})) END"
+    )
+    return f"""c AS (SELECT s, count(*) AS n, sum(label) AS np FROM scored GROUP BY 1),
+    cum AS (
+      SELECT s, n, np,
+             coalesce(sum(n) OVER w, 0) AS cum_n,
+             coalesce(sum(np) OVER w, 0) AS cum_np
+      FROM c
+      WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    t AS (SELECT sum(np) AS n_pos, sum(n) - sum(np) AS n_neg, sum(n) AS n_tot FROM c),
+    agg AS (
+      SELECT n_pos, n_neg, n_tot,
+             sum(CAST(np AS DECIMAL(28,1))
+                 * CAST(cum_n + (n + 1) / 2.0 AS DECIMAL(28,1))) AS rank_sum,
+             sum(CAST({ap_term} AS DECIMAL(18,8))) AS ap_sum,
+             sum(CASE WHEN s >= {tau!r} THEN np ELSE 0 END) AS tp,
+             sum(CASE WHEN s >= {tau!r} THEN n ELSE 0 END) AS pp
+      FROM cum CROSS JOIN t
+      GROUP BY 1, 2, 3
+    )
+    SELECT {float(tau)!r} AS threshold,
+           CAST(n_tot AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           {r6.format(c=f"CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0 ELSE {auc_raw} END")} AS roc_auc,
+           {r6.format(c="CASE WHEN n_pos = 0 THEN 0.0 ELSE CAST(ap_sum AS DOUBLE) END")} AS avg_precision,
+           {r6.format(c=prec)} AS precision_at,
+           {r6.format(c=rec)} AS recall_at,
+           {r6.format(c=f1)} AS f1_at,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(pp - tp AS BIGINT) AS fp,
+           CAST(n_pos - tp AS BIGINT) AS fn,
+           CAST(n_tot - pp - (n_pos - tp) AS BIGINT) AS tn
+    FROM agg"""
+
+
 # --- k-means: centroid-based training -----------------------------------------
 #
 # The third trainer archetype (gradient descent = q_logreg_train,

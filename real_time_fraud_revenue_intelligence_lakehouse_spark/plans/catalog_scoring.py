@@ -936,6 +936,53 @@ def _gbt_tree_expr_raw(tr: dict):
     return F.when(bcol(rf) <= rb, left).otherwise(right)
 
 
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import _gbt_ctes  # noqa: E402
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (  # noqa: E402
+    model_metrics,
+    model_metrics_sql_tail,
+)
+
+
+def _model_card_oracle() -> str:
+    ctes, rows_k = _gbt_ctes(_FV_SQL)
+    s = _R6.format(c="1.0 / (1.0 + exp(-f))")
+    return (
+        f"WITH {ctes},\n"
+        f"    scored AS (SELECT label, {s} AS s FROM {rows_k}),\n"
+        f"    {model_metrics_sql_tail()}"
+    )
+
+
+@query(
+    "q_model_card",
+    oracle=_model_card_oracle(),
+    tags=("training", "evaluation", "trees", "monitoring"),
+)
+def q_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ModelMetrics dataclass (`fraud_detector.py:
+    76-89`, filled by `_evaluate` :278-320 and saved to the registry
+    as metrics.json) as ONE hash-gated query over the TRAINED
+    booster: exact ROC AUC (Mann-Whitney rank-sum, average-rank
+    ties — the q_auc machinery pointed at trained scores), sklearn
+    average precision (descending step sum, terms round8-decimal-
+    folded for order independence), precision/recall/F1 at the
+    reference's 0.70 threshold with its zero_division=0 guards, and
+    the tp/fp/fn/tn confusion counts. A compiled 3-tree ensemble
+    emits ≤ 4³ distinct scores, so everything reduces to a tiny
+    distinct-score table; cumulative offsets via distributed_cumsum
+    (no single-partition window even for continuous scorers). At
+    bench scale all scores sit below 0.70, so the thresholded block
+    pins to the guard values — matching what the reference's card
+    would honestly report for this data."""
+    fv = _logreg_fv(spark, sf_dir)
+    trees = _trained_gbt(spark, sf_dir)
+    s = det_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees))), 6
+    )
+    scored = fv.select("label", s.alias("s"))
+    return model_metrics(scored)
+
+
 @query(
     "q_gbt_roc",
     oracle=gbt_roc_sql(_FV_SQL),

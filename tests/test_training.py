@@ -451,3 +451,76 @@ def test_model_selection_grid_matches_numpy_sweep(spark, sf_dir):
     want_best = min(losses, key=lambda k: (losses[k], k))
     got_best = next(k for k, r in res.items() if r["is_best"] == 1)
     assert got_best == want_best
+
+
+def test_model_metrics_matches_sklearn_formulas(spark):
+    """model_metrics (the reference's ModelMetrics/_evaluate) equals
+    an independent NumPy computation of the sklearn definitions —
+    rank-sum AUC with average-rank ties, step-sum average precision,
+    and zero_division=0 P/R/F1 at the 0.70 threshold — on a frame
+    with heavy score ties and a real signal."""
+    import math
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import model_metrics
+
+    rng = np.random.RandomState(31)
+    # scores quantized to 0.05 steps → heavy ties (the average-rank path)
+    s = (np.round(rng.uniform(0, 1, 800) * 20) / 20.0).round(6)
+    y = (rng.uniform(0, 1, 800) < np.clip(s * 0.8 + 0.05, 0, 1)).astype(int)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "label int, s double"
+    )
+    row = model_metrics(df).collect()[0]
+
+    # NumPy replay of the sklearn definitions
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    order = np.argsort(s, kind="mergesort")
+    ss, yy = s[order], y[order]
+    ranks = np.empty(len(ss))
+    i = 0
+    while i < len(ss):
+        j = i
+        while j < len(ss) and ss[j] == ss[i]:
+            j += 1
+        ranks[i:j] = (i + 1 + j) / 2.0  # average rank, 1-based
+        i = j
+    auc = (ranks[yy == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert row["roc_auc"] == pytest.approx(auc, abs=2e-6)
+    # AP: descending distinct thresholds
+    uniq = np.unique(s)[::-1]
+    ap, prev_r = 0.0, 0.0
+    for tau in uniq:
+        pred = s >= tau
+        tp = int((pred & (y == 1)).sum())
+        p_k = tp / int(pred.sum())
+        r_k = tp / n_pos
+        ap += (r_k - prev_r) * p_k
+        prev_r = r_k
+    assert row["avg_precision"] == pytest.approx(ap, abs=1e-5)
+    pred = s >= 0.7
+    tp = int((pred & (y == 1)).sum())
+    pp = int(pred.sum())
+    prec = tp / pp if pp else 0.0
+    rec = tp / n_pos if n_pos else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    assert row["precision_at"] == pytest.approx(prec, abs=2e-6)
+    assert row["recall_at"] == pytest.approx(rec, abs=2e-6)
+    assert row["f1_at"] == pytest.approx(f1, abs=2e-6)
+    assert (row["tp"], row["fp"]) == (tp, pp - tp)
+    assert row["fn"] == n_pos - tp
+    assert row["tn"] == len(y) - pp - (n_pos - tp)
+    assert math.isclose(row["threshold"], 0.7)
+
+
+def test_model_metrics_guards_degenerate_frames(spark):
+    """zero_division=0 semantics: no positives → recall/f1/auc/ap pin
+    to 0.0 (and no predictions above τ → precision 0.0), not NULL."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import model_metrics
+
+    df = spark.createDataFrame(
+        [(0, 0.1), (0, 0.2), (0, 0.3)], "label int, s double"
+    )
+    row = model_metrics(df).collect()[0]
+    assert (row["roc_auc"], row["avg_precision"]) == (0.0, 0.0)
+    assert (row["precision_at"], row["recall_at"], row["f1_at"]) == (0.0, 0.0, 0.0)
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (0, 0, 0, 3)

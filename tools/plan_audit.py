@@ -65,6 +65,7 @@ ALLPAIRS_OK = {
     "q_psi",                # 1-row period-totals cross joined (broadcast)
     "q_ks_test",            # 1-row sample-size totals cross joined (broadcast)
     "q_auc",                # 1-row class-count totals cross joined (broadcast)
+    "q_model_card",         # 1-row class-count totals cross joined (broadcast) — the q_auc machinery over the trained booster's scores
     "q_k_anonymity",        # 1-row total cross joined (broadcast)
     "q_chi_square",         # 1-row n/dof/marginal-dims aggregates cross joined (broadcast)
     "q_basket_lift",        # 1-row order-count aggregate cross joined (broadcast)
