@@ -1,0 +1,132 @@
+"""Versioned model registry — the reference's artifact lifecycle.
+
+The reference serializes its fitted model to a registry directory
+(`ml/models/fraud_detector.py:193-233`: joblib model + scaler,
+metrics.json, features.json, and a `latest` symlink; `load()` reads a
+version back and re-wraps it for serving). The engine's models are
+deterministic *data* — a tree list / weight dict, not a pickled
+object — so the registry stores them as versioned JSON documents with
+the same commit discipline sources/versioned.py uses for tables:
+
+- **Atomic commit**: the document lands under a temp name and
+  appears via `os.replace` (atomic on POSIX) — a reader never sees a
+  half-written model.
+- **Put-if-absent**: two concurrent trainers racing to publish the
+  same version number — one wins, the other gets
+  :class:`ModelExistsError` and must re-read the head (the
+  optimistic-concurrency contract, mirrored from table commits).
+- **No `latest` symlink**: the newest version is derived from the
+  listing (symlinks are a mutable second source of truth — the exact
+  class of bug `delta_utils.py`'s history-vs-files mismatch warns
+  about); `load_model(path)` with no version reads the head.
+
+A loaded model re-compiles to the same Catalyst expression the
+trainer produced (`ext/gbt.gbt_trained_logit_expr`), so
+save → load → score is bit-identical to training → score —
+round-trip-tested in tests/test_model_registry.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+
+class ModelExistsError(RuntimeError):
+    """Another writer claimed this model version first — re-read
+    list_models and retry with the new head."""
+
+
+def _doc_path(path: str, version: int) -> str:
+    return os.path.join(path, f"v{version:06d}.json")
+
+
+def list_models(path: str) -> list[int]:
+    """Committed version numbers, ascending. Strict name match: a
+    stray file in the registry directory must not brick every load."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = re.fullmatch(r"v(\d{6})\.json", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def save_model(
+    path: str,
+    kind: str,
+    params: dict,
+    features: list[str],
+    metrics: dict | None = None,
+) -> int:
+    """Commit a model document as the next registry version.
+
+    ``kind`` names the archetype (``gbt``, ``logreg``, ...); ``params``
+    is its full deterministic parameterization (tree list / weight
+    dict / hyperparameters — everything needed to re-compile the
+    scoring expression); ``metrics`` is the model-card dict the
+    reference writes as metrics.json (q_model_card's row, typically).
+    """
+    os.makedirs(path, exist_ok=True)
+    versions = list_models(path)
+    version = (versions[-1] + 1) if versions else 0
+    doc = {
+        "version": version,
+        "kind": kind,
+        "params": params,
+        "features": list(features),
+        "metrics": metrics or {},
+        "committed_at": time.time(),
+    }
+    tmp = os.path.join(path, f"_tmp_{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    target = _doc_path(path, version)
+    if os.path.exists(target):  # lost the race while writing
+        os.remove(tmp)
+        raise ModelExistsError(f"version {version} already committed at {path}")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        os.remove(tmp)
+        raise ModelExistsError(f"version {version} already committed at {path}")
+    os.close(fd)
+    os.replace(tmp, target)  # atomic publish over the claimed slot
+    return version
+
+
+def load_model(path: str, version: int | None = None) -> dict:
+    """Read a committed model document (head version by default)."""
+    versions = list_models(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed models at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in registry {path} ({versions})")
+    with open(_doc_path(path, v)) as fh:
+        return json.load(fh)
+
+
+def gbt_doc(trees: list[dict], features: tuple[str, ...]) -> tuple[str, dict]:
+    """(kind, params) for a fitted booster — tuples JSON-ify to lists,
+    so :func:`gbt_from_doc` restores them on load."""
+    return "gbt", {"trees": trees}
+
+
+def gbt_from_doc(doc: dict) -> list[dict]:
+    """Restore the tree list from a loaded document (JSON turned the
+    (fidx, bin) tuples into lists; scoring needs indexable pairs, so
+    lists are fine — but tests compare against the trainer's tuples,
+    so normalize back)."""
+    trees = []
+    for tr in doc["params"]["trees"]:
+        out = dict(tr)
+        for k in ("root", "left", "right"):
+            out[k] = tuple(out[k])
+        trees.append(out)
+    return trees

@@ -1,0 +1,114 @@
+"""Model registry (ext/model_registry.py) — the reference's
+save/load artifact lifecycle (`fraud_detector.py:193-233`) with the
+versioned-table commit discipline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
+    gbt_trained_logit_expr,
+    train_gbt,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import (
+    ModelExistsError,
+    gbt_doc,
+    gbt_from_doc,
+    list_models,
+    load_model,
+    save_model,
+)
+
+
+def _fit(spark, seed=13):
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 1, 300).round(4)
+    x2 = rng.uniform(0, 1, 300).round(4)
+    y = ((x2 > 0.5) ^ (rng.uniform(0, 1, 300) < 0.15)).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(v)) for a, b, v in zip(x1, x2, y)],
+        "x1 double, x2 double, label int",
+    )
+    return df, train_gbt(df, features=("x1", "x2"), scales={})
+
+
+def test_save_load_roundtrip_is_bit_exact(spark, tmp_path):
+    df, trees = _fit(spark)
+    p = str(tmp_path / "reg")
+    kind, params = gbt_doc(trees, ("x1", "x2"))
+    v = save_model(p, kind, params, ["x1", "x2"], metrics={"roc_auc": 0.9})
+    assert v == 0
+    doc = load_model(p)
+    assert doc["kind"] == "gbt"
+    assert doc["features"] == ["x1", "x2"]
+    assert doc["metrics"] == {"roc_auc": 0.9}
+    assert gbt_from_doc(doc) == trees  # leaf doubles bit-identical through JSON
+
+
+def test_loaded_model_scores_identically(spark, tmp_path):
+    """save → load → compile → score ≡ train → score (the serving
+    swap the reference does through joblib, done through JSON +
+    Catalyst re-compilation)."""
+    df, trees = _fit(spark)
+    p = str(tmp_path / "reg")
+    kind, params = gbt_doc(trees, ("x1", "x2"))
+    save_model(p, kind, params, ["x1", "x2"])
+    loaded = gbt_from_doc(load_model(p))
+    a = df.select(
+        gbt_trained_logit_expr(trees, ("x1", "x2"), scales={}).alias("z")
+    ).collect()
+    b = df.select(
+        gbt_trained_logit_expr(loaded, ("x1", "x2"), scales={}).alias("z")
+    ).collect()
+    assert [r["z"] for r in a] == [r["z"] for r in b]
+
+
+def test_versions_are_immutable_and_head_is_derived(spark, tmp_path):
+    df, trees = _fit(spark)
+    p = str(tmp_path / "reg")
+    kind, params = gbt_doc(trees, ("x1", "x2"))
+    save_model(p, kind, params, ["x1", "x2"], metrics={"tag": "first"})
+    save_model(p, kind, params, ["x1", "x2"], metrics={"tag": "second"})
+    assert list_models(p) == [0, 1]
+    assert load_model(p)["metrics"]["tag"] == "second"  # head
+    assert load_model(p, 0)["metrics"]["tag"] == "first"  # old version intact
+
+
+def test_commit_is_put_if_absent(spark, tmp_path, monkeypatch):
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import model_registry as MR
+
+    df, trees = _fit(spark)
+    p = str(tmp_path / "reg")
+    kind, params = gbt_doc(trees, ("x1", "x2"))
+    save_model(p, kind, params, ["x1", "x2"])
+    # racer claims v1 AFTER this writer's stale listing ([0]) but
+    # before its publish — the O_EXCL claim must lose cleanly
+    with open(os.path.join(p, "v000001.json"), "w") as fh:
+        json.dump({"version": 1}, fh)
+    monkeypatch.setattr(MR, "list_models", lambda path: [0])
+    with pytest.raises(ModelExistsError):
+        MR.save_model(p, kind, params, ["x1", "x2"])
+    # and no temp debris was left behind
+    assert all(not f.startswith("_tmp_") for f in os.listdir(p))
+
+
+def test_stray_files_are_ignored(spark, tmp_path):
+    df, trees = _fit(spark)
+    p = str(tmp_path / "reg")
+    kind, params = gbt_doc(trees, ("x1", "x2"))
+    save_model(p, kind, params, ["x1", "x2"])
+    for stray in ("latest", "vfinal.json", "v000000.json.bak", "notes.txt"):
+        with open(os.path.join(p, stray), "w") as fh:
+            fh.write("x")
+    assert list_models(p) == [0]
+    assert load_model(p)["version"] == 0
+
+
+def test_missing_registry_raises_clearly(tmp_path):
+    with pytest.raises(FileNotFoundError, match="no committed models"):
+        load_model(str(tmp_path / "nope"))
