@@ -204,7 +204,8 @@ def test_catalog_gbt_ops_artifacts_are_consistent(spark, sf_dir):
     assert sum(r["n_splits"] for r in imp.values()) == 9
     for r in imp.values():
         assert r["total_gain"] >= 0.0
-        assert (r["n_splits"] == 0) == (r["total_gain"] == 0.0) or r["total_gain"] >= 0.0
+        if r["n_splits"] == 0:
+            assert r["total_gain"] == 0.0
     curve = {
         r["round"]: r["train_logloss"]
         for r in registry._REGISTRY["q_gbt_learning_curve"].fn(spark, sf_dir).collect()
