@@ -440,6 +440,98 @@ def model_selection_sql(
     FROM longf"""
 
 
+def train_logreg_grid(
+    fv: DataFrame,
+    configs: tuple[tuple[str, float, int, int], ...] = MS_CONFIGS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+) -> list[dict[str, float]]:
+    """Train EVERY grid config in max(iters) shared scans — the
+    multi-model fusion of :func:`train_logreg`: per descent step, ONE
+    aggregate computes all still-active configs' d+1 micro-sums side
+    by side (each config's sigmoid/residual uses its own weights from
+    the same broadcast row), so the 4-config grid costs 5 scans
+    instead of 17. Per-config arithmetic is INDEPENDENT and written
+    in the identical operation order as the sequential fold, so the
+    returned weights are bit-identical to calling train_logreg per
+    config (law-pinned in tests/test_training.py) and the unrolled
+    per-config SQL oracle still gates them. At 100 TB this is the
+    standard way to amortize hyperparameter search: the scan and
+    shuffle are shared, each extra config is just 9 more decimal
+    columns in the same map-side combine."""
+    spark = fv.sparkSession
+    names = ["bias"] + list(features)
+    k = len(configs)
+    ws: list[dict[str, float]] = [{m: 0.0 for m in names} for _ in configs]
+    pws: list[float | None] = []
+    n_effs: list[float | None] = []
+    for _name, _lr, _iters, weighted in configs:
+        if weighted:
+            pw, n_eff = scale_pos_weight(fv, label)
+            pws.append(pw)
+            n_effs.append(n_eff)
+        else:
+            pws.append(None)
+            n_effs.append(None)
+    max_iters = max(it for _n, _l, it, _w in configs)
+    w_schema = ", ".join(
+        f"c{c}_w_{m} double" for c in range(k) for m in names
+    )
+    for t in range(1, max_iters + 1):
+        active = [c for c in range(k) if configs[c][2] >= t]
+        wrow = spark.createDataFrame(
+            [tuple(ws[c][m] for c in range(k) for m in names)], w_schema
+        )
+        j = fv.crossJoin(F.broadcast(wrow))
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in active:
+            z: Column = F.col(f"c{c}_w_bias")
+            for f in features:
+                z = z + F.col(f"c{c}_w_{f}") * _x_expr(f, scales)
+            p = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+            resid = p - F.col(label).cast("double")
+            wgt: Column | None = (
+                None
+                if pws[c] is None
+                else F.when(F.col(label) == 1, F.lit(float(pws[c]))).otherwise(
+                    F.lit(1.0)
+                )
+            )
+            bias_c = (
+                resid * F.lit(_MICRO)
+                if wgt is None
+                else resid * wgt * F.lit(_MICRO)
+            )
+            aggs.append(
+                F.sum(F.floor(bias_c + F.lit(0.5)).cast("decimal(38,0)")).alias(
+                    f"c{c}_g_bias"
+                )
+            )
+            for f in features:
+                contrib = resid * _x_expr(f, scales)
+                contrib = (
+                    contrib * F.lit(_MICRO)
+                    if wgt is None
+                    else contrib * wgt * F.lit(_MICRO)
+                )
+                aggs.append(
+                    F.sum(
+                        F.floor(contrib + F.lit(0.5)).cast("decimal(38,0)")
+                    ).alias(f"c{c}_g_{f}")
+                )
+        row = j.agg(*aggs).first()
+        n = row["n"]
+        for c in active:
+            lr_c = configs[c][1]
+            denom = float(n) if n_effs[c] is None else float(n_effs[c])
+            for m in names:
+                ws[c][m] = ws[c][m] - lr_c * (
+                    float(row[f"c{c}_g_{m}"]) / _MICRO / denom
+                )
+    return ws
+
+
 # --- Naive Bayes: counting-based training ------------------------------------
 #
 # The second trainer, at the opposite end of the design space from

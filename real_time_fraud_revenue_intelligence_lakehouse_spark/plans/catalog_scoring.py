@@ -251,6 +251,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import ( 
     _z_expr,
     model_selection_sql,
     scale_pos_weight,
+    train_logreg_grid,
 )
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60  # noqa: E402
 
@@ -326,16 +327,11 @@ def q_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = hash60(F.col("o_orderkey").cast("string")) % 100
         tr = fv.filter(b < 80)
         va = fv.filter(b >= 80)
-        ws = []
-        for _name, lr_c, iters_c, weighted in MS_CONFIGS:
-            if weighted:
-                pw, n_eff = scale_pos_weight(tr)
-                w, _ = train_logreg(
-                    tr, lr=lr_c, iters=iters_c, pos_weight=pw, n_eff=n_eff
-                )
-            else:
-                w, _ = train_logreg(tr, lr=lr_c, iters=iters_c)
-            ws.append(w)
+        # fused grid descent: all 4 configs share each step's scan
+        # (5 aggregates total instead of 17) — bit-identical weights
+        # to the sequential per-config fold, law-pinned in
+        # tests/test_training.py
+        ws = train_logreg_grid(tr)
         aggs = [F.count(F.lit(1)).alias("n")]
         for i, w in enumerate(ws):
             aggs.append(

@@ -524,3 +524,33 @@ def test_model_metrics_guards_degenerate_frames(spark):
     assert (row["roc_auc"], row["avg_precision"]) == (0.0, 0.0)
     assert (row["precision_at"], row["recall_at"], row["f1_at"]) == (0.0, 0.0, 0.0)
     assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (0, 0, 0, 3)
+
+
+def test_fused_grid_descent_equals_sequential_folds(spark):
+    """train_logreg_grid (all configs' gradients in ONE aggregate per
+    step) returns BIT-IDENTICAL weights to the sequential per-config
+    train_logreg calls — the fusion only shares scans, never
+    arithmetic."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import (
+        scale_pos_weight,
+        train_logreg_grid,
+    )
+
+    df, X, y = _imbalanced_df(spark)
+    configs = (
+        ("a", 1.0, 4, 0),
+        ("b", 0.5, 4, 0),
+        ("c", 1.0, 2, 0),
+        ("d", 1.0, 4, 1),
+    )
+    fused = train_logreg_grid(df, configs, features=("x1",), scales={})
+    for i, (_name, lr, iters, weighted) in enumerate(configs):
+        if weighted:
+            pw, n_eff = scale_pos_weight(df)
+            w, _ = train_logreg(
+                df, features=("x1",), lr=lr, iters=iters, scales={},
+                pos_weight=pw, n_eff=n_eff,
+            )
+        else:
+            w, _ = train_logreg(df, features=("x1",), lr=lr, iters=iters, scales={})
+        assert fused[i] == w, configs[i]
