@@ -112,6 +112,57 @@ def load_model(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+#: The reference's promotion gates (`airflow/dags/ml_training_dag.py:
+#: 22-24`): a retrained model reaches production only if every metric
+#: clears its floor; otherwise the DAG branches to reject_model.
+QUALITY_GATES: dict[str, float] = {
+    "roc_auc": 0.85,
+    "precision_at": 0.70,
+    "recall_at": 0.60,
+}
+
+
+def quality_gate(
+    metrics: dict, gates: dict[str, float] | None = None
+) -> tuple[bool, dict]:
+    """(passed, report): every gated metric must exist and clear its
+    floor — a MISSING metric rejects, exactly like the DAG's
+    can't-read-metrics branch (`ml_training_dag.py:59-61`)."""
+    gates = QUALITY_GATES if gates is None else gates
+    report = {}
+    for name, floor in gates.items():
+        value = metrics.get(name)
+        report[name] = {
+            "value": value,
+            "min": floor,
+            "ok": value is not None and value >= floor,
+        }
+    return all(r["ok"] for r in report.values()), report
+
+
+def promote_model(
+    path: str,
+    kind: str,
+    params: dict,
+    features: list[str],
+    metrics: dict,
+    gates: dict[str, float] | None = None,
+) -> tuple[int | None, dict]:
+    """The DAG's quality_gate → promote_model/reject_model branch
+    (`ml_training_dag.py:51-75,145-165`) against this registry:
+    commit the candidate ONLY if every gate clears — a rejected model
+    never becomes a version, so serving (which loads the head) can't
+    regress. Returns (version | None, gate_report); the report is
+    stored on promoted models under metrics['gate_report']."""
+    passed, report = quality_gate(metrics, gates)
+    if not passed:
+        return None, report
+    doc_metrics = dict(metrics)
+    doc_metrics["gate_report"] = report
+    version = save_model(path, kind, params, features, doc_metrics)
+    return version, report
+
+
 def gbt_doc(trees: list[dict], features: tuple[str, ...]) -> tuple[str, dict]:
     """(kind, params) for a fitted booster — tuples JSON-ify to lists,
     so :func:`gbt_from_doc` restores them on load."""

@@ -112,3 +112,50 @@ def test_stray_files_are_ignored(spark, tmp_path):
 def test_missing_registry_raises_clearly(tmp_path):
     with pytest.raises(FileNotFoundError, match="no committed models"):
         load_model(str(tmp_path / "nope"))
+
+
+def test_quality_gate_promotes_and_rejects_like_the_dag(spark, tmp_path):
+    """The ml_training_dag branch: pass all floors → new version with
+    the gate report attached; fail any (or a MISSING metric) → no
+    commit at all, so serving's head never regresses."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import (
+        promote_model,
+        quality_gate,
+    )
+
+    df, trees = _fit(spark)
+    p = str(tmp_path / "reg")
+    kind, params = gbt_doc(trees, ("x1", "x2"))
+    good = {"roc_auc": 0.91, "precision_at": 0.8, "recall_at": 0.7}
+    v, report = promote_model(p, kind, params, ["x1", "x2"], good)
+    assert v == 0 and all(r["ok"] for r in report.values())
+    assert load_model(p)["metrics"]["gate_report"]["roc_auc"]["ok"] is True
+
+    bad = {"roc_auc": 0.91, "precision_at": 0.8, "recall_at": 0.59}
+    v2, report2 = promote_model(p, kind, params, ["x1", "x2"], bad)
+    assert v2 is None and report2["recall_at"]["ok"] is False
+    assert list_models(p) == [0]  # rejected candidate never committed
+
+    missing = {"roc_auc": 0.91, "precision_at": 0.8}
+    passed, rep = quality_gate(missing)
+    assert not passed and rep["recall_at"]["value"] is None
+    assert list_models(p) == [0]
+
+
+def test_gate_report_uses_model_card_column_names(spark, tmp_path):
+    """The gate keys are q_model_card's output columns — the card row
+    IS the metrics.json the gate reads (train → card → gate → promote
+    without renaming anything)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import QUALITY_GATES
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import model_metrics
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    s = rng.uniform(0, 1, 200).round(3)
+    y = (rng.uniform(0, 1, 200) < s).astype(int)
+    scored = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "label int, s double"
+    )
+    card = model_metrics(scored).collect()[0].asDict()
+    assert set(QUALITY_GATES) <= set(card)
