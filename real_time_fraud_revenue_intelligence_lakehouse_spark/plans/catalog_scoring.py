@@ -979,6 +979,74 @@ def q_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model_metrics(scored)
 
 
+def _model_promotion_oracle() -> str:
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import QUALITY_GATES
+
+    card = _model_card_oracle()
+    vals = ", ".join(f"('{m}', {v!r})" for m, v in QUALITY_GATES.items())
+    val_case = " ".join(
+        f"WHEN '{m}' THEN {m}" for m in QUALITY_GATES
+    )
+    return f"""WITH card AS ({card})
+    SELECT g.metric,
+           CASE g.metric {val_case} END AS value,
+           g.floor AS min_required,
+           CAST(CASE WHEN (CASE g.metric {val_case} END) >= g.floor
+                THEN 1 ELSE 0 END AS INTEGER) AS ok,
+           CAST(min(CASE WHEN (CASE g.metric {val_case} END) >= g.floor
+                THEN 1 ELSE 0 END) OVER () AS INTEGER) AS promoted
+    FROM card CROSS JOIN (VALUES {vals}) g(metric, floor)"""
+
+
+@query(
+    "q_model_promotion",
+    oracle=_model_promotion_oracle(),
+    tags=("training", "evaluation", "monitoring", "trees"),
+)
+def q_model_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ml_training_dag's daily retrain loop, end to end and
+    hash-gated (`airflow/dags/ml_training_dag.py:36-165`: train →
+    evaluate → quality_gate → promote_model/reject_model): compute
+    the trained booster's card, check every promotion floor
+    (roc_auc ≥ 0.85, precision ≥ 0.70, recall ≥ 0.60 — the DAG's
+    constants), ACTUALLY run promote_model against a scratch
+    registry (a rejected candidate commits nothing — serving's head
+    cannot regress), and emit the per-gate report with the overall
+    branch decision. On this deliberately signal-poor synthetic data
+    the booster fails the gates, so the honest output is the DAG's
+    reject branch — promoted = 0, with every floor's value beside
+    its threshold. The oracle re-derives the identical report from
+    the re-trained card; the registry side effect is covered by
+    tests/test_model_registry.py."""
+    import shutil
+    import tempfile
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import (
+        QUALITY_GATES,
+        gbt_doc,
+        promote_model,
+    )
+
+    card = q_model_card(spark, sf_dir).collect()[0].asDict()
+    trees = _trained_gbt(spark, sf_dir)
+    kind, params = gbt_doc(trees, SCORE_FEATURES)
+    tdir = tempfile.mkdtemp(prefix="rtfril_registry_")
+    try:
+        version, report = promote_model(
+            tdir, kind, params, list(SCORE_FEATURES), card
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    promoted = 1 if version is not None else 0
+    rows = [
+        (m, float(card[m]), float(QUALITY_GATES[m]), 1 if report[m]["ok"] else 0, promoted)
+        for m in QUALITY_GATES
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, value double, min_required double, ok int, promoted int"
+    )
+
+
 @query(
     "q_gbt_roc",
     oracle=gbt_roc_sql(_FV_SQL),

@@ -63,15 +63,15 @@ def _load_all() -> None:
 # id is green in the r01-r12 union), so ids needing a fresh driver row
 # come FIRST. Recomputed at round 13 per VERDICT r12 #2 — lead with the
 # stale blocks. Layout of this head:
-#   1-9:   round-13's NEW ids (no driver row can exist yet; VERDICT's
+#   1-10:  round-13's NEW ids (no driver row can exist yet; VERDICT's
 #          'done = CORRECTNESS-green' conditions require they be
 #          inside the 50-cap);
-#   10-11: the two r04 stragglers that slipped past r12's 50-cap
+#   11-12: the two r04 stragglers that slipped past r12's 50-cap
 #          (judge-selfchecked green at r12 HEAD, still need a row);
-#   12-56: the 45 ids whose last driver row is r06 (the final six —
-#          q_cusum q_seasonal_anomaly q_k_anonymity q_fd_discovery
-#          q_kfold q_scd2_lookup — sit past the 50-cap; they lead the
-#          r14 rotation with the r07-last-green block).
+#   13-57: the 45 ids whose last driver row is r06 (the final seven —
+#          q_ks_test q_cusum q_seasonal_anomaly q_k_anonymity
+#          q_fd_discovery q_kfold q_scd2_lookup — sit past the
+#          50-cap; they lead the r14 rotation with the r07 block).
 # Names not listed keep their registration order after these (the r12
 # and r04 blocks rotated out: all driver-green at r12).
 # Planned-but-not-yet-registered names are harmless: _ordered()
@@ -87,6 +87,7 @@ _FRONT: tuple[str, ...] = (
     "q_gbt_roc",
     "q_gbt_train_weighted",
     "q_model_card",
+    "q_model_promotion",
     # — r04 stragglers (past r12's cap; judge-selfchecked green) —
     "q_excess_suppliers",
     "q_groupwise_min",
