@@ -328,6 +328,7 @@ def _gbt_ctes(
     lam: float = GBT_LAMBDA,
     eta: float = GBT_ETA,
     weighted: bool = False,
+    prefix: str = "",
 ) -> tuple[str, str]:
     """(cte_block, final_rows_cte): the unrolled boosting rounds.
     Every arithmetic step mirrors :func:`train_gbt` token for token.
@@ -337,7 +338,19 @@ def _gbt_ctes(
     each reference, exponentially re-evaluating the chain).
     ``weighted=True`` multiplies every gradient/hessian contribution
     by scale_pos_weight = n0/n1 (from a cnts CTE of exact counts)
-    before the micro-floor — the weighted :func:`train_gbt` fold."""
+    before the micro-floor — the weighted :func:`train_gbt` fold.
+    ``prefix`` namespaces every CTE so several configs can share one
+    statement (q_gbt_model_selection — the logreg_train_ctes
+    convention).
+
+    Degenerate-frame contract (ADVICE r13): on a frame where the root
+    split leaves a child node EMPTY, :func:`train_gbt` raises
+    ValueError — and so does this oracle: a chk CTE (evaluated on the
+    best2 path every arm reads) calls DuckDB ``error()`` unless both
+    child nodes materialized, so engine and oracle agree on degenerate
+    inputs by BOTH failing loudly instead of the oracle inventing
+    NULL-structured rows."""
+    p_ = prefix
     bin_cols = ", ".join(
         f"{_bin_sql(f, bins)} AS b_{f}" for f in features
     )
@@ -346,16 +359,16 @@ def _gbt_ctes(
     )
     fidx_vals = ", ".join(f"({i})" for i in range(len(features)))
     parts = [
-        f"fv AS ({fv_sql})",
+        f"{p_}fv AS ({fv_sql})",
         (
-            "rows0 AS MATERIALIZED (SELECT o_orderkey, label, "
-            f"{bin_cols}, CAST(0.0 AS DOUBLE) AS f FROM fv)"
+            f"{p_}rows0 AS MATERIALIZED (SELECT o_orderkey, label, "
+            f"{bin_cols}, CAST(0.0 AS DOUBLE) AS f FROM {p_}fv)"
         ),
     ]
     if weighted:
         parts.append(
-            "cnts AS (SELECT CAST(sum(1 - label) AS DOUBLE) AS n0, "
-            "CAST(sum(label) AS DOUBLE) AS n1 FROM fv)"
+            f"{p_}cnts AS (SELECT CAST(sum(1 - label) AS DOUBLE) AS n0, "
+            f"CAST(sum(label) AS DOUBLE) AS n1 FROM {p_}fv)"
         )
     wgt = "(CASE WHEN label = 1 THEN (n0 / n1) ELSE 1.0 END)"
     b_star = ", ".join(f"b_{f}" for f in features)
@@ -367,64 +380,77 @@ def _gbt_ctes(
             gc = f"{gc} * {wgt}"
             hc = f"{hc} * {wgt}"
         parts.append(
-            f"gh{t} AS MATERIALIZED (SELECT o_orderkey, label, {b_star}, f, "
+            f"{p_}gh{t} AS MATERIALIZED (SELECT o_orderkey, label, {b_star}, f, "
             f"CAST(floor({gc} * 1000000.0 + 0.5) AS BIGINT) AS gm, "
             f"CAST(floor({hc} * 1000000.0 + 0.5) AS BIGINT) AS hm "
-            f"FROM rows{t - 1}{' CROSS JOIN cnts' if weighted else ''})"
+            f"FROM {p_}rows{t - 1}{f' CROSS JOIN {p_}cnts' if weighted else ''})"
         )
         parts.append(
-            f"st{t} AS MATERIALIZED (SELECT g.o_orderkey, g.gm, g.hm, fe.fidx, "
+            f"{p_}st{t} AS MATERIALIZED (SELECT g.o_orderkey, g.gm, g.hm, fe.fidx, "
             f"CASE fe.fidx {stack_case} END AS bin "
-            f"FROM gh{t} g CROSS JOIN (VALUES {fidx_vals}) fe(fidx))"
+            f"FROM {p_}gh{t} g CROSS JOIN (VALUES {fidx_vals}) fe(fidx))"
         )
         parts.append(
-            f"h1_{t} AS MATERIALIZED (SELECT fidx, bin, "
-            f"sum(gm) AS gs, sum(hm) AS hs FROM st{t} GROUP BY 1, 2)"
+            f"{p_}h1_{t} AS MATERIALIZED (SELECT fidx, bin, "
+            f"sum(gm) AS gs, sum(hm) AS hs FROM {p_}st{t} GROUP BY 1, 2)"
         )
         parts.append(
-            f"tot{t} AS (SELECT sum(gs) AS g_m, sum(hs) AS h_m "
-            f"FROM h1_{t} WHERE fidx = 0)"
+            f"{p_}tot{t} AS (SELECT sum(gs) AS g_m, sum(hs) AS h_m "
+            f"FROM {p_}h1_{t} WHERE fidx = 0)"
         )
         parts.append(
-            f"cum1_{t} AS (SELECT fidx, bin, "
+            f"{p_}cum1_{t} AS (SELECT fidx, bin, "
             f"sum(gs) OVER (PARTITION BY fidx ORDER BY bin) AS gl_m, "
             f"sum(hs) OVER (PARTITION BY fidx ORDER BY bin) AS hl_m "
-            f"FROM h1_{t})"
+            f"FROM {p_}h1_{t})"
         )
         gain1 = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
         parts.append(
-            f"best1_{t} AS MATERIALIZED (SELECT c.fidx, c.bin, {gain1} AS gain "
-            f"FROM cum1_{t} c CROSS JOIN tot{t} t "
+            f"{p_}best1_{t} AS MATERIALIZED (SELECT c.fidx, c.bin, {gain1} AS gain "
+            f"FROM {p_}cum1_{t} c CROSS JOIN {p_}tot{t} t "
             f"ORDER BY {gain1} DESC, c.fidx, c.bin LIMIT 1)"
         )
         parts.append(
-            f"nod{t} AS MATERIALIZED (SELECT s.o_orderkey, "
+            f"{p_}nod{t} AS MATERIALIZED (SELECT s.o_orderkey, "
             f"CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS node "
-            f"FROM st{t} s JOIN best1_{t} b ON s.fidx = b.fidx)"
+            f"FROM {p_}st{t} s JOIN {p_}best1_{t} b ON s.fidx = b.fidx)"
         )
         parts.append(
-            f"h2_{t} AS MATERIALIZED (SELECT n.node, s.fidx, s.bin, "
+            f"{p_}h2_{t} AS MATERIALIZED (SELECT n.node, s.fidx, s.bin, "
             f"sum(s.gm) AS gs, sum(s.hm) AS hs "
-            f"FROM st{t} s JOIN nod{t} n ON n.o_orderkey = s.o_orderkey "
+            f"FROM {p_}st{t} s JOIN {p_}nod{t} n ON n.o_orderkey = s.o_orderkey "
             f"GROUP BY 1, 2, 3)"
         )
         parts.append(
-            f"tot2_{t} AS (SELECT node, sum(gs) AS g_m, sum(hs) AS h_m "
-            f"FROM h2_{t} WHERE fidx = 0 GROUP BY 1)"
+            f"{p_}tot2_{t} AS (SELECT node, sum(gs) AS g_m, sum(hs) AS h_m "
+            f"FROM {p_}h2_{t} WHERE fidx = 0 GROUP BY 1)"
+        )
+        # the train_gbt ValueError twin: an empty child node means no
+        # depth-2 tree exists — refuse to fabricate NULL structure
+        parts.append(
+            f"{p_}chk{t} AS (SELECT CASE WHEN "
+            f"(SELECT count(*) FROM {p_}tot2_{t}) = 2 THEN 1 "
+            f"ELSE CAST(error('degenerate root split in round {t}: a child "
+            f"node is empty - out of the gated GBT domain (train_gbt "
+            f"raises ValueError)') AS INTEGER) END AS ok)"
         )
         parts.append(
-            f"cum2_{t} AS (SELECT node, fidx, bin, "
+            f"{p_}cum2_{t} AS (SELECT node, fidx, bin, "
             f"sum(gs) OVER (PARTITION BY node, fidx ORDER BY bin) AS gl_m, "
             f"sum(hs) OVER (PARTITION BY node, fidx ORDER BY bin) AS hl_m "
-            f"FROM h2_{t})"
+            f"FROM {p_}h2_{t})"
         )
         gain2 = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
         parts.append(
-            f"best2_{t} AS MATERIALIZED (SELECT node, fidx, bin, gl_m, hl_m, gain FROM ("
+            f"{p_}best2_{t} AS MATERIALIZED (SELECT node, fidx, bin, gl_m, hl_m, gain FROM ("
             f"SELECT c.node, c.fidx, c.bin, c.gl_m, c.hl_m, {gain2} AS gain, "
             f"row_number() OVER (PARTITION BY c.node "
             f"ORDER BY {gain2} DESC, c.fidx, c.bin) AS rn "
-            f"FROM cum2_{t} c JOIN tot2_{t} t ON t.node = c.node) WHERE rn = 1)"
+            f"FROM {p_}cum2_{t} c JOIN {p_}tot2_{t} t ON t.node = c.node) "
+            # ok rides in the WHERE (not an unused projection DuckDB
+            # would prune away): the filter must evaluate the CASE,
+            # so the error() actually fires on degenerate frames
+            f"CROSS JOIN {p_}chk{t} WHERE rn = 1 AND ok = 1)"
         )
         wl = (
             "-(CAST(b.gl_m AS DOUBLE) / 1000000.0)"
@@ -435,25 +461,25 @@ def _gbt_ctes(
             f" / ((CAST(t.h_m - b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
         )
         parts.append(
-            f"leafw{t} AS MATERIALIZED (SELECT b.node, s.side, "
+            f"{p_}leafw{t} AS MATERIALIZED (SELECT b.node, s.side, "
             f"CASE s.side WHEN 0 THEN {wl} ELSE {wr} END AS w "
-            f"FROM best2_{t} b JOIN tot2_{t} t ON t.node = b.node "
+            f"FROM {p_}best2_{t} b JOIN {p_}tot2_{t} t ON t.node = b.node "
             f"CROSS JOIN (VALUES (0), (1)) s(side))"
         )
         parts.append(
-            f"sides{t} AS (SELECT n.o_orderkey, n.node, "
+            f"{p_}sides{t} AS (SELECT n.o_orderkey, n.node, "
             f"CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS side "
-            f"FROM nod{t} n JOIN best2_{t} b ON b.node = n.node "
-            f"JOIN st{t} s ON s.o_orderkey = n.o_orderkey AND s.fidx = b.fidx)"
+            f"FROM {p_}nod{t} n JOIN {p_}best2_{t} b ON b.node = n.node "
+            f"JOIN {p_}st{t} s ON s.o_orderkey = n.o_orderkey AND s.fidx = b.fidx)"
         )
         parts.append(
-            f"rows{t} AS MATERIALIZED (SELECT r.o_orderkey, r.label, {b_star}, "
+            f"{p_}rows{t} AS MATERIALIZED (SELECT r.o_orderkey, r.label, {b_star}, "
             f"r.f + {eta!r} * l.w AS f "
-            f"FROM rows{t - 1} r "
-            f"JOIN sides{t} sd ON sd.o_orderkey = r.o_orderkey "
-            f"JOIN leafw{t} l ON l.node = sd.node AND l.side = sd.side)"
+            f"FROM {p_}rows{t - 1} r "
+            f"JOIN {p_}sides{t} sd ON sd.o_orderkey = r.o_orderkey "
+            f"JOIN {p_}leafw{t} l ON l.node = sd.node AND l.side = sd.side)"
         )
-    return ",\n    ".join(parts), f"rows{rounds}"
+    return ",\n    ".join(parts), f"{p_}rows{rounds}"
 
 
 def gbt_train_sql(

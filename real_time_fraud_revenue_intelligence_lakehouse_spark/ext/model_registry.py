@@ -8,9 +8,13 @@ deterministic *data* — a tree list / weight dict, not a pickled
 object — so the registry stores them as versioned JSON documents with
 the same commit discipline sources/versioned.py uses for tables:
 
-- **Atomic commit**: the document lands under a temp name and
-  appears via `os.replace` (atomic on POSIX) — a reader never sees a
-  half-written model.
+- **Atomic commit**: the document is FULLY written under a temp name
+  first, then committed via `os.link` (put-if-absent hard link, the
+  same primitive sources/versioned.py write_version uses) — the
+  version name exists only once the bytes behind it are complete, so
+  a reader never sees a half-written model and a crash mid-publish
+  leaves only an unreferenced temp file, never a committed-looking
+  empty slot.
 - **Put-if-absent**: two concurrent trainers racing to publish the
   same version number — one wins, the other gets
   :class:`ModelExistsError` and must re-read the head (the
@@ -51,7 +55,11 @@ def list_models(path: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(path):
-        m = re.fullmatch(r"v(\d{6})\.json", name)
+        # \d{6,}: the writer's :06d padding is a minimum, not a cap —
+        # version 1,000,000 formats to 7 digits and must stay visible,
+        # or the next writer recomputes the same number and every
+        # commit after it fails put-if-absent forever (ADVICE r13).
+        m = re.fullmatch(r"v(\d{6,})\.json", name)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
@@ -87,16 +95,20 @@ def save_model(
     with open(tmp, "w") as fh:
         json.dump(doc, fh, indent=1)
     target = _doc_path(path, version)
-    if os.path.exists(target):  # lost the race while writing
-        os.remove(tmp)
-        raise ModelExistsError(f"version {version} already committed at {path}")
+    # Put-if-absent commit: the fully-written temp document becomes
+    # the version via a hard link — one atomic syscall that both
+    # claims the slot and publishes complete bytes (mirrors
+    # sources/versioned.py write_version). A pre-claim O_CREAT|O_EXCL
+    # would expose an empty committed-looking file between claim and
+    # publish (ADVICE r13); link cannot.
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+        os.link(tmp, target)
+    except FileExistsError as e:
         os.remove(tmp)
-        raise ModelExistsError(f"version {version} already committed at {path}")
-    os.close(fd)
-    os.replace(tmp, target)  # atomic publish over the claimed slot
+        raise ModelExistsError(
+            f"version {version} already committed at {path}"
+        ) from e
+    os.remove(tmp)
     return version
 
 

@@ -63,8 +63,11 @@ def list_versions(path: str) -> list[int]:
     for name in os.listdir(mdir):
         # strict match: a stray 'vfinal.json' or editor backup in
         # _manifests must not brick every read/history call with a
-        # ValueError (ADVICE r12) — non-conforming names are ignored
-        m = re.fullmatch(r"v(\d{6})\.json", name)
+        # ValueError (ADVICE r12) — non-conforming names are ignored.
+        # \d{6,}: the writer's :06d padding is a minimum, not a cap —
+        # version 1,000,000 emits 7 digits and must stay listed, or
+        # every later commit collides put-if-absent (ADVICE r13).
+        m = re.fullmatch(r"v(\d{6,})\.json", name)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)

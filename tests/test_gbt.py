@@ -262,3 +262,31 @@ def test_scale_pos_weight_booster_recovers_imbalanced_boundary(spark):
         df.repartition(9, "x1"), features=("x1",), scales={}, pos_weight=pw
     )
     assert wtd == wtd9
+
+
+def test_oracle_errors_on_degenerate_frame_like_the_engine():
+    """ADVICE r13: train_gbt raises ValueError on a frame with an
+    empty child node; the generated oracle must FAIL TOO (DuckDB
+    error() on the best2 path), not fabricate NULL-structured tree
+    rows — engine and oracle agree on degenerate inputs by both
+    failing loudly."""
+    import duckdb
+    import pandas as pd
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import gbt_train_sql
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
+
+    con = duckdb.connect()
+    n = 40
+    con.register(
+        "deg",
+        pd.DataFrame(
+            {
+                "o_orderkey": range(n),
+                "label": [i % 2 for i in range(n)],
+                **{f: [0.0] * n for f in SCORE_FEATURES},
+            }
+        ),
+    )
+    with pytest.raises(duckdb.Error, match="degenerate root split"):
+        con.execute(gbt_train_sql("SELECT * FROM deg")).fetchall()

@@ -159,3 +159,56 @@ def test_gate_report_uses_model_card_column_names(spark, tmp_path):
     )
     card = model_metrics(scored).collect()[0].asDict()
     assert set(QUALITY_GATES) <= set(card)
+
+
+def test_crash_mid_write_leaves_no_committed_looking_slot(tmp_path, monkeypatch):
+    """ADVICE r13: the old O_CREAT|O_EXCL pre-claim exposed an EMPTY
+    committed-looking file between claim and publish — a crash there
+    permanently bricked the head with JSONDecodeError. The link-based
+    commit publishes only fully-written bytes: crash the serializer
+    mid-save and the registry must look EMPTY (and recover on the
+    next save), never half-committed."""
+    import json as _json
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import model_registry as MR
+
+    p = str(tmp_path / "reg")
+
+    def boom(*a, **k):
+        raise OSError("disk vanished mid-write")
+
+    monkeypatch.setattr(MR.json, "dump", boom)
+    with pytest.raises(OSError):
+        MR.save_model(p, "gbt", {"trees": []}, ["x1"])
+    monkeypatch.undo()
+    # no v*.json exists at all — readers see "no models", not garbage
+    assert MR.list_models(p) == []
+    with pytest.raises(FileNotFoundError):
+        MR.load_model(p)
+    # and the next writer commits version 0 normally
+    assert MR.save_model(p, "gbt", {"trees": []}, ["x1"]) == 0
+    assert _json.load(open(os.path.join(p, "v000000.json")))["version"] == 0
+
+
+def test_seven_digit_versions_stay_visible(tmp_path):
+    """ADVICE r13: v1000000 formats to SEVEN digits ({:06d} pads a
+    minimum, not a cap); the lister must still see it or every later
+    commit recomputes the same number and fails put-if-absent
+    forever."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import model_registry as MR
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources import versioned as V
+
+    p = str(tmp_path / "reg")
+    os.makedirs(p)
+    with open(os.path.join(p, "v1000000.json"), "w") as fh:
+        json.dump({"version": 1000000, "kind": "gbt", "params": {"trees": []},
+                   "features": [], "metrics": {}}, fh)
+    assert MR.list_models(p) == [1000000]
+    assert MR.save_model(p, "gbt", {"trees": []}, []) == 1000001
+    assert MR.list_models(p) == [1000000, 1000001]
+
+    mdir = tmp_path / "tbl" / "_manifests"
+    mdir.mkdir(parents=True)
+    with open(mdir / "v1000000.json", "w") as fh:
+        json.dump({"version": 1000000, "files": []}, fh)
+    assert V.list_versions(str(tmp_path / "tbl")) == [1000000]
