@@ -647,3 +647,353 @@ def gbt_score_band_sql(
     SELECT risk_label, count(*) AS n, {mean_s} AS mean_score,
            {rate} AS event_rate
     FROM banded GROUP BY 1"""
+
+
+# --- deterministic GBT hyperparameter grid (model selection) ------------------
+
+#: The GBT grid: (config id, rounds, eta, lam) — the deterministic
+#: subset of the space the reference's Optuna study actually sweeps
+#: (`ml/models/fraud_detector.py:249-276`: n_estimators,
+#: learning_rate, min_child_weight/lambda; called from
+#: `train.py:201`). Subsampling enters via the content-hash
+#: train/holdout split, not RNG. Config 0 is the production default
+#: (GBT_ROUNDS/GBT_ETA/GBT_LAMBDA), so its trees double as the
+#: early-stopping ladder's booster.
+GBT_MS_CONFIGS: tuple[tuple[str, int, float, float], ...] = (
+    ("r3_e0.3_l1", GBT_ROUNDS, GBT_ETA, GBT_LAMBDA),
+    ("r2_e0.3_l1", 2, GBT_ETA, GBT_LAMBDA),
+    ("r3_e0.1_l1", GBT_ROUNDS, 0.1, GBT_LAMBDA),
+    ("r3_e0.3_l5", GBT_ROUNDS, GBT_ETA, 5.0),
+)
+
+
+def train_gbt_grid(
+    fv: DataFrame,
+    configs: tuple[tuple[str, int, float, float], ...] = GBT_MS_CONFIGS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+) -> list[list[dict]]:
+    """Fit EVERY grid config in max(rounds)·2 shared scans — the
+    multi-model fusion of :func:`train_gbt` (train_logreg_grid's
+    shared-scan discipline for boosting): per round, ONE stacked
+    aggregate computes all still-active configs' (feature, bin) root
+    histograms side by side, and ONE their (node, feature, bin) child
+    histograms (each config's gradients come from its own partial
+    ensemble staged as its own sigmoid column; its node column from
+    its own root split). Per-config arithmetic is INDEPENDENT and
+    written in the identical operation order as the sequential fold,
+    so the returned tree lists are bit-identical to calling train_gbt
+    per config (law-pinned in tests/test_gbt.py) and the unrolled
+    per-config SQL oracle still gates them. At 100 TB each extra
+    config is ≤ 2·d·B more integer cells in the same map-side
+    combine — the scan is shared, the histograms stay bytes."""
+    binned = fv.select(
+        F.col(label).alias("label"),
+        *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+    )
+    k = len(configs)
+    trees_all: list[list[dict]] = [[] for _ in configs]
+    max_rounds = max(r for _n, r, _e, _l in configs)
+    n_f = len(features)
+    for t in range(max_rounds):
+        active = [c for c in range(k) if configs[c][1] > t]
+        staged = binned
+        for c in active:
+            eta_c = float(configs[c][2])
+            z: Column = F.lit(0.0)
+            for tr in trees_all[c]:
+                z = z + F.lit(eta_c) * _tree_logit_on_bins(tr, features)
+            staged = staged.withColumn(
+                f"__p_{c}", det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+            )
+        cols = ["*"]
+        for c in active:
+            p = F.col(f"__p_{c}")
+            g = p - F.col("label").cast("double")
+            h = p * (F.lit(1.0) - p)
+            cols.append(
+                F.floor(g * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias(f"gm_{c}")
+            )
+            cols.append(
+                F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias(f"hm_{c}")
+            )
+        work = staged.select(*cols)
+        entries = ", ".join(
+            f"{c}, {i}, b_{f}, gm_{c}, hm_{c}"
+            for c in active
+            for i, f in enumerate(features)
+        )
+        stacked = work.selectExpr(
+            f"stack({len(active) * n_f}, {entries}) AS (cfg, fidx, bin, gm, hm)"
+        )
+        h1 = (
+            stacked.groupBy("cfg", "fidx", "bin")
+            .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+            .collect()
+        )
+        roots: dict[int, tuple[int, int, float]] = {}
+        for c in active:
+            lam_c = float(configs[c][3])
+            cells = [
+                (r["fidx"], r["bin"], r["gs"], r["hs"]) for r in h1 if r["cfg"] == c
+            ]
+            rfidx, rbin, _glm, _hlm, _gm, _hm, rgain = _argmax_split(
+                cells, features, lam_c
+            )
+            roots[c] = (rfidx, rbin, rgain)
+        work2 = work
+        for c in active:
+            rfidx, rbin, _g = roots[c]
+            work2 = work2.withColumn(
+                f"node_{c}",
+                F.when(F.col(f"b_{features[rfidx]}") <= rbin, 0).otherwise(1),
+            )
+        entries2 = ", ".join(
+            f"{c}, node_{c}, {i}, b_{f}, gm_{c}, hm_{c}"
+            for c in active
+            for i, f in enumerate(features)
+        )
+        stacked2 = work2.selectExpr(
+            f"stack({len(active) * n_f}, {entries2}) AS (cfg, node, fidx, bin, gm, hm)"
+        )
+        h2 = (
+            stacked2.groupBy("cfg", "node", "fidx", "bin")
+            .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+            .collect()
+        )
+        for c in active:
+            lam_c = float(configs[c][3])
+            rfidx, rbin, rgain = roots[c]
+            by_node: dict[int, list] = {}
+            for r in h2:
+                if r["cfg"] == c:
+                    by_node.setdefault(r["node"], []).append(
+                        (r["fidx"], r["bin"], r["gs"], r["hs"])
+                    )
+            if sorted(by_node) != [0, 1]:
+                raise ValueError(
+                    f"degenerate root split in round {t} of config "
+                    f"{configs[c][0]}: child node(s) "
+                    f"{sorted({0, 1} - set(by_node))} are empty"
+                )
+            tree = {"root": (rfidx, rbin), "gain_root": rgain}
+            for n_id, side in ((0, "left"), (1, "right")):
+                cfidx, cbin, glm, hlm, g_m, h_m, cgain = _argmax_split(
+                    by_node[n_id], features, lam_c
+                )
+                tree[side] = (cfidx, cbin)
+                tree[f"gain_{side}"] = cgain
+                wl = _leaf_w(glm, hlm, lam_c)
+                wr = _leaf_w(g_m - glm, h_m - hlm, lam_c)
+                if n_id == 0:
+                    tree["w_ll"], tree["w_lr"] = wl, wr
+                else:
+                    tree["w_rl"], tree["w_rr"] = wl, wr
+            trees_all[c].append(tree)
+    return trees_all
+
+
+_H60_OK = "('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100"
+
+
+def _gbt_holdout_ctes(
+    prefix: str,
+    holdout_from: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    eta: float = GBT_ETA,
+) -> tuple[str, str]:
+    """(cte_block, final_holdout_cte): replay the TRAINED splits on a
+    holdout frame — per round, resolve each holdout row's node and
+    side against the training chain's {prefix}best1/{prefix}best2
+    tables and accumulate f += eta·w from {prefix}leafw, in the exact
+    operation order rows{t} uses, so the holdout logit is the same
+    left-associated double the engine's compiled ensemble computes."""
+    p_ = prefix
+    bin_cols = ", ".join(f"{_bin_sql(f, bins)} AS b_{f}" for f in features)
+    stack_case = " ".join(
+        f"WHEN {i} THEN g.b_{f}" for i, f in enumerate(features)
+    )
+    fidx_vals = ", ".join(f"({i})" for i in range(len(features)))
+    parts = [
+        (
+            f"{p_}hrows0 AS MATERIALIZED (SELECT o_orderkey, label, "
+            f"{bin_cols}, CAST(0.0 AS DOUBLE) AS f FROM {holdout_from})"
+        ),
+        (
+            f"{p_}hst AS MATERIALIZED (SELECT g.o_orderkey, fe.fidx, "
+            f"CASE fe.fidx {stack_case} END AS bin "
+            f"FROM {p_}hrows0 g CROSS JOIN (VALUES {fidx_vals}) fe(fidx))"
+        ),
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"{p_}hnod{t} AS (SELECT s.o_orderkey, "
+            f"CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS node "
+            f"FROM {p_}hst s JOIN {p_}best1_{t} b ON s.fidx = b.fidx)"
+        )
+        parts.append(
+            f"{p_}hsides{t} AS (SELECT n.o_orderkey, n.node, "
+            f"CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS side "
+            f"FROM {p_}hnod{t} n JOIN {p_}best2_{t} b ON b.node = n.node "
+            f"JOIN {p_}hst s ON s.o_orderkey = n.o_orderkey AND s.fidx = b.fidx)"
+        )
+        parts.append(
+            f"{p_}hrows{t} AS MATERIALIZED (SELECT r.o_orderkey, r.label, "
+            f"r.f + {eta!r} * l.w AS f "
+            f"FROM {p_}hrows{t - 1} r "
+            f"JOIN {p_}hsides{t} sd ON sd.o_orderkey = r.o_orderkey "
+            f"JOIN {p_}leafw{t} l ON l.node = sd.node AND l.side = sd.side)"
+        )
+    return ",\n    ".join(parts), f"{p_}hrows{rounds}"
+
+
+def gbt_model_selection_sql(
+    fv_sql: str,
+    configs: tuple[tuple[str, int, float, float], ...] = GBT_MS_CONFIGS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+) -> str:
+    """Oracle for q_gbt_model_selection: hash-split train/holdout
+    (the q_model_selection split), one unrolled boosting chain per
+    config (namespaced by prefix), a holdout split-replay per config,
+    then per-config decimal-folded holdout log-loss and an is_best
+    rank (val_logloss asc, config id tie-break)."""
+    parts = [
+        f"base AS ({fv_sql})",
+        f"tr AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} < 80)",
+        f"va AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} >= 80)",
+    ]
+    loss_ctes = []
+    for i, (_name, rounds, eta, lam) in enumerate(configs):
+        p_ = f"g{i}_"
+        ctes, _rk = _gbt_ctes(
+            "SELECT * FROM tr", features, rounds, bins, lam, eta, prefix=p_
+        )
+        parts.append(ctes)
+        hctes, hk = _gbt_holdout_ctes(p_, "va", features, rounds, bins, eta)
+        parts.append(hctes)
+        p = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        raw = f"CASE WHEN label = 1 THEN -ln({p}) ELSE -ln(1.0 - {p}) END"
+        l6 = _R6.format(c=raw)
+        loss_ctes.append(f"{p_}loss")
+        parts.append(
+            f"{p_}loss AS (SELECT count(*) AS n, "
+            f"sum(CAST({l6} AS DECIMAL(18,6))) AS L FROM {hk})"
+        )
+    joins = " ".join(f"CROSS JOIN {lc} v{i}" for i, lc in enumerate(loss_ctes[1:], 1))
+    means = ", ".join(
+        f"{_R6.format(c=f'CAST(v{i}.L AS DOUBLE) / v{i}.n')} AS m_{i}"
+        for i in range(len(configs))
+    )
+    parts.append(f"m AS (SELECT {means} FROM {loss_ctes[0]} v0 {joins})")
+    vals = ", ".join(
+        f"('{name}', {rounds}, {eta!r}, {lam!r})"
+        for name, rounds, eta, lam in configs
+    )
+    loss_case = " ".join(
+        f"WHEN '{name}' THEN m_{i}"
+        for i, (name, _r, _e, _l) in enumerate(configs)
+    )
+    cte_block = ",\n    ".join(parts)
+    return f"""WITH {cte_block},
+    longf AS (
+      SELECT c.config, c.rounds, c.eta, c.lam,
+             CASE c.config {loss_case} END AS val_logloss
+      FROM (VALUES {vals}) c(config, rounds, eta, lam) CROSS JOIN m
+    )
+    SELECT config, CAST(rounds AS INTEGER) AS rounds, eta, lam, val_logloss,
+           CAST(CASE WHEN row_number() OVER (ORDER BY val_logloss, config) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM longf"""
+
+
+def gbt_early_stop_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+) -> str:
+    """Oracle for q_gbt_early_stop: train on the hash-split train
+    fold, replay the splits on the holdout fold, emit the per-round
+    HOLDOUT log-loss ladder, then apply the patience-1 rule in SQL:
+    stop at the first round that fails to improve the running best
+    (eval_set + early_stopping_rounds, `fraud_detector.py:157,246`);
+    is_best marks the argmin among reached rounds."""
+    p_ = "es_"
+    parts = [
+        f"base AS ({fv_sql})",
+        f"tr AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} < 80)",
+        f"va AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} >= 80)",
+    ]
+    ctes, _rk = _gbt_ctes(
+        "SELECT * FROM tr", features, rounds, bins, lam, eta, prefix=p_
+    )
+    parts.append(ctes)
+    hctes, _hk = _gbt_holdout_ctes(p_, "va", features, rounds, bins, eta)
+    parts.append(hctes)
+    arms = []
+    for t in range(rounds + 1):
+        p = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        raw = f"CASE WHEN label = 1 THEN -ln({p}) ELSE -ln(1.0 - {p}) END"
+        l6 = _R6.format(c=raw)
+        mean = _R6.format(
+            c=f"CAST(sum(CAST({l6} AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+        )
+        arms.append(
+            f"SELECT CAST({t} AS INTEGER) AS round, {mean} AS val_logloss "
+            f"FROM {p_}hrows{t}"
+        )
+    parts.append("lad AS (" + "\n      UNION ALL ".join(arms) + ")")
+    parts.append(
+        "pb AS (SELECT round, val_logloss, "
+        "min(val_logloss) OVER (ORDER BY round "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best "
+        "FROM lad)"
+    )
+    parts.append(
+        "fl AS (SELECT round, val_logloss, "
+        "CASE WHEN round = 0 OR val_logloss < prev_best THEN 1 ELSE 0 END "
+        "AS improved FROM pb)"
+    )
+    parts.append(
+        f"sp AS (SELECT coalesce(min(CASE WHEN improved = 0 THEN round END), "
+        f"{rounds}) AS stop_at FROM fl)"
+    )
+    cte_block = ",\n    ".join(parts)
+    return f"""WITH {cte_block}
+    SELECT f.round, f.val_logloss,
+           CAST(CASE WHEN f.round <= s.stop_at THEN 1 ELSE 0 END AS INTEGER)
+             AS reached,
+           CAST(CASE WHEN f.round <= s.stop_at
+                AND row_number() OVER (
+                  PARTITION BY CASE WHEN f.round <= s.stop_at THEN 1 ELSE 0 END
+                  ORDER BY f.val_logloss, f.round) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM fl f CROSS JOIN sp s"""
+
+
+def early_stop_decision(losses: list[float]) -> tuple[int, int]:
+    """(stop_at, best_round) under the patience-1 rule over a round6
+    holdout loss ladder (losses[t] = holdout log-loss after t rounds):
+    boosting stops at the first round that fails to improve the
+    running best (the reference's eval_set + early_stopping_rounds,
+    `fraud_detector.py:157,246`, at patience 1); best_round is the
+    argmin among reached rounds, earliest on ties — the round count a
+    retrain would deploy with. Identical logic to the SQL oracle's
+    window-function form (gbt_early_stop_sql)."""
+    best_loss = losses[0]
+    stop_at = len(losses) - 1
+    for t in range(1, len(losses)):
+        if losses[t] < best_loss:
+            best_loss = losses[t]
+        else:
+            stop_at = t
+            break
+    best_round = min(range(stop_at + 1), key=lambda t: (losses[t], t))
+    return stop_at, best_round

@@ -60,83 +60,79 @@ def _load_all() -> None:
 
 # Verification priority: the driver's correctness gate walks queries()
 # in dict order with a hard 50-entry per-round budget (every registered
-# id is green in the r01-r12 union), so ids needing a fresh driver row
-# come FIRST. Recomputed at round 13 per VERDICT r12 #2 — lead with the
+# id is green in the r01-r13 union), so ids needing a fresh driver row
+# come FIRST. Recomputed at round 14 per VERDICT r13 #1 — lead with the
 # stale blocks. Layout of this head:
-#   1-10:  round-13's NEW ids (no driver row can exist yet; VERDICT's
+#   1-3:   round-14's NEW ids (no driver row can exist yet; VERDICT's
 #          'done = CORRECTNESS-green' conditions require they be
 #          inside the 50-cap);
-#   11-12: the two r04 stragglers that slipped past r12's 50-cap
-#          (judge-selfchecked green at r12 HEAD, still need a row);
-#   13-57: the 45 ids whose last driver row is r06 (the final seven —
-#          q_ks_test q_cusum q_seasonal_anomaly q_k_anonymity
-#          q_fd_discovery q_kfold q_scd2_lookup — sit past the
-#          50-cap; they lead the r14 rotation with the r07 block).
-# Names not listed keep their registration order after these (the r12
-# and r04 blocks rotated out: all driver-green at r12).
+#   4-10:  the seven ids whose last driver row is r06;
+#   11-55: the 45 ids whose last driver row is r07 (the tail past the
+#          50-cap — judge-selfchecked green at r13 HEAD — leads the
+#          r15 rotation).
+# Names not listed keep their registration order after these (the
+# r09-r13 blocks rotated out: all driver-green at r12/r13).
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
 _FRONT: tuple[str, ...] = (
-    # — new in round 13, never driver-verified —
-    "q_gbt_train",
-    "q_gbt_train_score",
-    "q_logreg_train_weighted",
-    "q_model_selection",
-    "q_gbt_importance",
-    "q_gbt_learning_curve",
-    "q_gbt_roc",
-    "q_gbt_train_weighted",
-    "q_model_card",
-    "q_model_promotion",
-    # — r04 stragglers (past r12's cap; judge-selfchecked green) —
-    "q_excess_suppliers",
-    "q_groupwise_min",
-    # — last driver row r06 (45 ids; tail past the 50-cap leads r14) —
-    "q_event_transitions",
-    "q_skyline",
-    "q_priority_sample",
-    "q_token_entropy",
-    "q_robust_scale",
-    "q_gap_fill",
-    "q_rolling_median",
-    "q_mad_outliers",
-    "q_topk_per_group",
-    "q_cumulative_distinct",
-    "q_twap",
-    "q_yoy_growth",
-    "q_chi_square",
-    "q_weighted_sample",
-    "q_allocation",
-    "q_target_encoding",
-    "q_revenue_bridge",
-    "q_golden_record",
-    "q_gini",
-    "q_benford",
-    "q_duplicate_invoice",
-    "q_round_amount_anomaly",
-    "q_survival_km",
-    "q_abandoned",
-    "q_event_paths",
-    "q_cohort_ltv",
-    "q_funnel_windowed",
-    "q_ab_test",
-    "q_anti_join",
-    "q_first_last",
-    "q_minmax_by",
-    "q_window_share",
-    "q_multimodal_resize",
-    "q_langid_confusion",
-    "q_exif_meta",
-    "q_quantile_norm",
-    "q_map_functions",
-    "q_psi",
-    "q_ks_test",
+    # — new in round 14, never driver-verified —
+    "q_gbt_model_selection",
+    "q_gbt_early_stop",
+    "q_gbt_shap",
+    # — last driver row r06 (judge-selfchecked green at r13 HEAD) —
     "q_cusum",
-    "q_seasonal_anomaly",
-    "q_k_anonymity",
     "q_fd_discovery",
+    "q_k_anonymity",
     "q_kfold",
+    "q_ks_test",
     "q_scd2_lookup",
+    "q_seasonal_anomaly",
+    # — last driver row r07 (45 ids) —
+    "q_ann_recall",
+    "q_auc",
+    "q_augment",
+    "q_basket_lift",
+    "q_bfs_distance",
+    "q_bigram_logprob",
+    "q_bloom_prune",
+    "q_bm25",
+    "q_bootstrap_ci",
+    "q_cheapest_route",
+    "q_correlated_subquery",
+    "q_data_skew_report",
+    "q_dedup_pipeline",
+    "q_diff_in_diff",
+    "q_dup_ngram_ratio",
+    "q_embed_pq",
+    "q_ewma",
+    "q_fuzzy_match",
+    "q_graph_communities",
+    "q_graph_degree",
+    "q_greedy_packing",
+    "q_hll_registers",
+    "q_item_sim",
+    "q_ivfpq_topk",
+    "q_json_roundtrip",
+    "q_kmv_set_ops",
+    "q_knn_label_vote",
+    "q_knn_triangles",
+    "q_latency_sla",
+    "q_lsh_quality",
+    "q_market_share",
+    "q_median_mode",
+    "q_min_cost_supplier",
+    "q_minhash_accuracy",
+    "q_pagerank",
+    "q_pagerank_converge",
+    "q_parent_share",
+    "q_prefix_jaccard_join",
+    "q_reconciliation",
+    "q_sample_limit",
+    "q_shard_rebalance",
+    "q_silhouette",
+    "q_stateful_profile",
+    "q_weighted_median",
+    "q_zorder_key",
 )
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -290,3 +290,89 @@ def test_oracle_errors_on_degenerate_frame_like_the_engine():
     )
     with pytest.raises(duckdb.Error, match="degenerate root split"):
         con.execute(gbt_train_sql("SELECT * FROM deg")).fetchall()
+
+
+def test_grid_fold_matches_sequential_fold_bit_exactly(spark):
+    """train_gbt_grid's fused shared-scan descent must return trees
+    BIT-IDENTICAL to calling train_gbt per config — the
+    train_logreg_grid law for boosting (per-config arithmetic is
+    independent and written in the same operation order; only the
+    scan is shared)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import train_gbt_grid
+
+    df, _X, _y = _boundary_df(spark, n=500, seed=3)
+    configs = (
+        ("r3_e0.3_l1", 3, GBT_ETA, GBT_LAMBDA),
+        ("r2_e0.3_l1", 2, GBT_ETA, GBT_LAMBDA),
+        ("r3_e0.1_l1", 3, 0.1, GBT_LAMBDA),
+        ("r3_e0.3_l5", 3, GBT_ETA, 5.0),
+    )
+    fused = train_gbt_grid(df, configs, features=("x1", "x2"), scales={})
+    for i, (_n, rounds, eta, lam) in enumerate(configs):
+        seq = train_gbt(
+            df, features=("x1", "x2"), rounds=rounds, eta=eta, lam=lam, scales={}
+        )
+        assert fused[i] == seq, f"config {i} diverged from sequential fold"
+
+
+def test_early_stop_decision_rule():
+    """The patience-1 rule, pinned: stop at the first non-improving
+    round; best = argmin among reached rounds, earliest on ties."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import early_stop_decision
+
+    # monotone improvement → never stops early, last round wins
+    assert early_stop_decision([0.69, 0.65, 0.64, 0.63]) == (3, 3)
+    # worsens at 3 → stop there, round 2 deploys
+    assert early_stop_decision([0.69, 0.66, 0.64, 0.66]) == (3, 2)
+    # worsens immediately → stop at 1, constant model wins
+    assert early_stop_decision([0.60, 0.61, 0.50, 0.40]) == (1, 0)
+    # plateau (tie) is NOT an improvement → stop, earlier round wins
+    assert early_stop_decision([0.69, 0.65, 0.65, 0.10]) == (2, 1)
+
+
+def test_early_stop_halts_when_round_overfits_planted_noise(spark):
+    """VERDICT r13 #3's acceptance test: a small train fold where the
+    round-3 tree latches onto the pure-noise feature x1 — the holdout
+    ladder improves through round 2, worsens at 3, and the decision
+    stops with best_round = 2 (seed pinned from a deterministic
+    search; the replay asserts the overfit tree really roots on
+    noise)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
+        early_stop_decision,
+        gbt_trained_logit_expr,
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import _loss_expr
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(56)
+
+    def mk(n):
+        x1 = rng.uniform(0, 1, n).round(4)  # pure noise
+        x2 = rng.uniform(0, 1, n).round(4)  # signal
+        flip = rng.uniform(0, 1, n) < 0.25
+        y = ((x2 > 0.55) ^ flip).astype(int)
+        return [(float(a), float(b), int(v)) for a, b, v in zip(x1, x2, y)]
+
+    tr = spark.createDataFrame(mk(80), "x1 double, x2 double, label int")
+    va = spark.createDataFrame(mk(400), "x1 double, x2 double, label int")
+    trees = train_gbt(tr, features=("x1", "x2"), scales={})
+    assert trees[2]["root"][0] == 0, "round-3 tree should root on the noise feature"
+    zs = [F.lit(0.0)]
+    for t in trees:
+        zs.append(
+            zs[-1]
+            + F.lit(GBT_ETA)
+            * gbt_trained_logit_expr([t], features=("x1", "x2"), eta=1.0, scales={})
+        )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(_loss_expr(z).cast("decimal(18,6)")).alias(f"L_{t}")
+        for t, z in enumerate(zs)
+    ]
+    row = va.agg(*aggs).first()
+    losses = [
+        math.floor(float(row[f"L_{t}"]) / row["n"] * 1e6 + 0.5) / 1e6
+        for t in range(4)
+    ]
+    assert losses[1] < losses[0] and losses[2] < losses[1]
+    assert losses[3] >= losses[2], "round 3 must overfit on holdout"
+    assert early_stop_decision(losses) == (3, 2)
