@@ -1254,3 +1254,126 @@ def q_gbt_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, val_logloss double, reached int, is_best int"
     )
+
+
+# --- r14: exact TreeSHAP for the depth-2 booster -------------------------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.shap import (  # noqa: E402
+    gbt_shap_sql,
+    shap_terms,
+)
+
+
+def _gbt_covers(fv: DataFrame, trees: list[dict]) -> list[tuple[int, ...]]:
+    """Per-tree training covers (n, nL, nR, nLL, nLR, nRL, nRR) from
+    ONE count aggregate over the feature frame — 1 + 3·|trees| exact
+    integer sums (the fitted splits re-evaluated as row-local bin
+    comparisons), the sanctioned bounded-histogram collect class."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_BINS, _bin_expr
+
+    def bcol(fidx: int):
+        return _bin_expr(SCORE_FEATURES[fidx], None, GBT_BINS)
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for t, tr in enumerate(trees):
+        rf, rb = tr["root"]
+        lf, lb = tr["left"]
+        rrf, rrb = tr["right"]
+        i_a = bcol(rf) <= rb
+        i_b = bcol(lf) <= lb
+        i_c = bcol(rrf) <= rrb
+        aggs.append(F.sum(i_a.cast("long")).alias(f"nl_{t}"))
+        aggs.append(F.sum((i_a & i_b).cast("long")).alias(f"nll_{t}"))
+        aggs.append(F.sum(((~i_a) & i_c).cast("long")).alias(f"nrl_{t}"))
+    row = fv.agg(*aggs).first()
+    n = int(row["n"])
+    out = []
+    for t in range(len(trees)):
+        nl = int(row[f"nl_{t}"])
+        nr = n - nl
+        nll = int(row[f"nll_{t}"])
+        nlr = nl - nll
+        nrl = int(row[f"nrl_{t}"])
+        nrr = nr - nrl
+        out.append((n, nl, nr, nll, nlr, nrl, nrr))
+    return out
+
+
+@query(
+    "q_gbt_shap",
+    oracle=gbt_shap_sql(_FV_SQL),
+    tags=("training", "evaluation", "explanation", "trees"),
+)
+def q_gbt_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prediction attribution for the TRAINED booster — the last
+    FraudDetector method without an engine counterpart: the reference
+    explains single predictions with SHAP over its fitted XGBoost
+    (`ml/models/fraud_detector.py:185-191`, shap.TreeExplainer). For
+    depth-2 trees path-dependent TreeSHAP is CLOSED FORM (ext/shap.py:
+    ≤ 2³ subsets of each tree's ≤ 3 unique features, cover-weighted
+    conditional expectations from the training row counts the fitted
+    splits induce — coincident split features handled by the subset
+    algebra itself), so per-row φ compiles to CASE LITERALS on the
+    row's three branch indicators: zero joins, zero Python, one scan.
+    Covers come from one 10-column count aggregate; per-term values
+    micro-floor before summation so the artifact is order-independent
+    and hash-gates. Output: per (risk band, feature) — mean φ and
+    mean |φ| (the global explanation summary; additivity
+    Σφ = tree − base pinned exactly in Fractions in tests/
+    test_shap.py). The oracle re-trains via the unrolled rounds and
+    runs the identical enumeration relationally."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_BINS, GBT_ETA, _bin_expr
+
+    fv = _logreg_fv(spark, sf_dir)
+    trees = _trained_gbt(spark, sf_dir)
+    covers = _gbt_covers(fv, trees)
+    tables = [shap_terms(tr, cov, GBT_ETA) for tr, cov in zip(trees, covers)]
+
+    def bcol(fidx: int):
+        return _bin_expr(SCORE_FEATURES[fidx], None, GBT_BINS)
+
+    cols = []
+    for fidx in range(len(SCORE_FEATURES)):
+        col = F.lit(0).cast("long")
+        for t, tr in enumerate(trees):
+            if fidx not in {tr["root"][0], tr["left"][0], tr["right"][0]}:
+                continue
+            rf, rb = tr["root"]
+            lf, lb = tr["left"]
+            rrf, rrb = tr["right"]
+            i_a = bcol(rf) <= rb
+            i_b = bcol(lf) <= lb
+            i_c = bcol(rrf) <= rrb
+            expr = None
+            for (a, b, c), phis in tables[t].items():
+                cond = (
+                    (i_a if a else ~i_a)
+                    & (i_b if b else ~i_b)
+                    & (i_c if c else ~i_c)
+                )
+                val = F.lit(phis.get(fidx, 0)).cast("long")
+                expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+            col = col + expr.otherwise(F.lit(0).cast("long"))
+        cols.append(col.alias(f"p6_{fidx}"))
+    s = det_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees))), 6
+    )
+    wide = fv.select(risk_label(s).alias("risk_label"), *cols)
+    pairs = ", ".join(
+        f"'{f}', p6_{i}" for i, f in enumerate(SCORE_FEATURES)
+    )
+    stacked = wide.selectExpr(
+        "risk_label", f"stack({len(SCORE_FEATURES)}, {pairs}) AS (feature, p6)"
+    )
+    return stacked.groupBy("risk_label", "feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        det_round(
+            F.sum("p6").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+        ).alias("mean_phi"),
+        det_round(
+            F.sum(F.abs(F.col("p6"))).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_abs_phi"),
+    )
