@@ -101,6 +101,19 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Host-drift sentinel (BASELINE.md "Host-drift governance"): the
+    # geometric mean of two never-changed r2-era queries' inflation
+    # vs their recorded rows calibrates this run's host speed; perf
+    # flags are graded against 2 * max(1, sentinel_ratio) rather than
+    # a bare 2x, so uniform machine drift can't trip per-query gates.
+    _SENTINEL_ROWS = {"q_clean_filter": 0.257, "q_pricing_summary": 1.051}
+    sentinel_ratio = None
+    if all(timings.get(n, -1) > 0 for n in _SENTINEL_ROWS):
+        prod = 1.0
+        for n, row_s in _SENTINEL_ROWS.items():
+            prod *= timings[n] / row_s
+        sentinel_ratio = round(prod ** 0.5, 3)
     # The harness that records this run keeps only a bounded tail of
     # stdout, so the contract line must stay SHORT: per-query minima
     # at 2 decimals, compact separators, nothing else on stdout. The
@@ -114,6 +127,7 @@ def main() -> None:
         "cold": cold,
         "warm": warm,
         "trainer_cold": trainer_cold,
+        "sentinel_ratio": sentinel_ratio,
         "sf": sf_val,
     }
     (REPO / "BENCH_FULL.json").write_text(json.dumps(detail, indent=1) + "\n")
@@ -145,6 +159,7 @@ def main() -> None:
         "queries": {},
         "sf": sf_val,
         "n_queries": len(timings),
+        "sentinel_ratio": sentinel_ratio,
         "detail": "BENCH_FULL.json",
     }
     compact: dict[str, float] = {}
