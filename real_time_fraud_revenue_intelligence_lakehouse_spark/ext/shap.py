@@ -200,6 +200,34 @@ def gbt_shap_sql(
     masks → membership bits → the :func:`_v_sql` template), micro-
     floor each term, and aggregate mean φ / mean |φ| per (risk band,
     feature) over the full feature grid."""
+    parts, _ = _shap_cte_parts(fv_sql, features, rounds, bins, lam, eta)
+    fvals = ", ".join(f"({i}, '{f}')" for i, f in enumerate(features))
+    mean_phi = _R6.format(c="CAST(sum(p6) AS DOUBLE) / count(*) / 1000000.0")
+    mean_abs = _R6.format(c="CAST(sum(abs(p6)) AS DOUBLE) / count(*) / 1000000.0")
+    cte_block = ",\n    ".join(parts)
+    return f"""WITH {cte_block},
+    grid AS (
+      SELECT b.risk_label, fe.fname,
+             coalesce(p.p6, 0) AS p6
+      FROM banded b CROSS JOIN (VALUES {fvals}) fe(fidx, fname)
+      LEFT JOIN phis p ON p.o_orderkey = b.o_orderkey AND p.fidx = fe.fidx
+    )
+    SELECT risk_label, fname AS feature, count(*) AS n,
+           {mean_phi} AS mean_phi, {mean_abs} AS mean_abs_phi
+    FROM grid GROUP BY 1, 2"""
+
+
+def _shap_cte_parts(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+) -> tuple[list[str], str]:
+    """(cte parts, final rows cte): everything through the per-row
+    per-feature φ6 table (``phis``) and the score banding (``banded``)
+    — shared by the band-mean and top-feature oracles."""
     ctes, rows_k = _gbt_ctes(fv_sql, features, rounds, bins, lam, eta)
     parts = [ctes]
     phi_arms = []
@@ -301,17 +329,38 @@ def gbt_shap_sql(
         f"WHEN {s} >= 0.4 THEN 'medium' ELSE 'low' END AS risk_label "
         f"FROM {rows_k})"
     )
+    return parts, rows_k
+
+
+def gbt_shap_top_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+) -> str:
+    """Complete oracle for q_gbt_shap_top: per row, the feature with
+    the largest |φ6| (FIRST index on ties — matching the engine's
+    array_position-of-max fold), aggregated per (risk band, top
+    feature) with the mean |φ| it carried when on top."""
+    parts, _ = _shap_cte_parts(fv_sql, features, rounds, bins, lam, eta)
     fvals = ", ".join(f"({i}, '{f}')" for i, f in enumerate(features))
-    mean_phi = _R6.format(c="CAST(sum(p6) AS DOUBLE) / count(*) / 1000000.0")
     mean_abs = _R6.format(c="CAST(sum(abs(p6)) AS DOUBLE) / count(*) / 1000000.0")
     cte_block = ",\n    ".join(parts)
     return f"""WITH {cte_block},
     grid AS (
-      SELECT b.risk_label, fe.fname,
+      SELECT b.o_orderkey, b.risk_label, fe.fidx, fe.fname,
              coalesce(p.p6, 0) AS p6
       FROM banded b CROSS JOIN (VALUES {fvals}) fe(fidx, fname)
       LEFT JOIN phis p ON p.o_orderkey = b.o_orderkey AND p.fidx = fe.fidx
+    ),
+    ranked AS (
+      SELECT risk_label, fname, p6,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY abs(p6) DESC, fidx) AS rn
+      FROM grid
     )
-    SELECT risk_label, fname AS feature, count(*) AS n,
-           {mean_phi} AS mean_phi, {mean_abs} AS mean_abs_phi
-    FROM grid GROUP BY 1, 2"""
+    SELECT risk_label, fname AS top_feature, count(*) AS n,
+           {mean_abs} AS mean_abs_phi
+    FROM ranked WHERE rn = 1 GROUP BY 1, 2"""

@@ -1299,33 +1299,13 @@ def _gbt_covers(fv: DataFrame, trees: list[dict]) -> list[tuple[int, ...]]:
     return out
 
 
-@query(
-    "q_gbt_shap",
-    oracle=gbt_shap_sql(_FV_SQL),
-    tags=("training", "evaluation", "explanation", "trees"),
-)
-def q_gbt_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-prediction attribution for the TRAINED booster — the last
-    FraudDetector method without an engine counterpart: the reference
-    explains single predictions with SHAP over its fitted XGBoost
-    (`ml/models/fraud_detector.py:185-191`, shap.TreeExplainer). For
-    depth-2 trees path-dependent TreeSHAP is CLOSED FORM (ext/shap.py:
-    ≤ 2³ subsets of each tree's ≤ 3 unique features, cover-weighted
-    conditional expectations from the training row counts the fitted
-    splits induce — coincident split features handled by the subset
-    algebra itself), so per-row φ compiles to CASE LITERALS on the
-    row's three branch indicators: zero joins, zero Python, one scan.
-    Covers come from one 10-column count aggregate; per-term values
-    micro-floor before summation so the artifact is order-independent
-    and hash-gates. Output: per (risk band, feature) — mean φ and
-    mean |φ| (the global explanation summary; additivity
-    Σφ = tree − base pinned exactly in Fractions in tests/
-    test_shap.py). The oracle re-trains via the unrolled rounds and
-    runs the identical enumeration relationally."""
+def _shap_phi_columns(fv: DataFrame, trees: list[dict]) -> list:
+    """Per-feature φ6 columns for the fitted ensemble: covers from
+    one aggregate, per-(tree, branch-pattern) values precomputed
+    driver-side (shap_terms), compiled to CASE literals on the row's
+    bin comparisons — row-local, zero joins."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_BINS, GBT_ETA, _bin_expr
 
-    fv = _logreg_fv(spark, sf_dir)
-    trees = _trained_gbt(spark, sf_dir)
     covers = _gbt_covers(fv, trees)
     tables = [shap_terms(tr, cov, GBT_ETA) for tr, cov in zip(trees, covers)]
 
@@ -1354,7 +1334,38 @@ def q_gbt_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 val = F.lit(phis.get(fidx, 0)).cast("long")
                 expr = F.when(cond, val) if expr is None else expr.when(cond, val)
             col = col + expr.otherwise(F.lit(0).cast("long"))
-        cols.append(col.alias(f"p6_{fidx}"))
+        cols.append(col)
+    return cols
+
+
+@query(
+    "q_gbt_shap",
+    oracle=gbt_shap_sql(_FV_SQL),
+    tags=("training", "evaluation", "explanation", "trees"),
+)
+def q_gbt_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prediction attribution for the TRAINED booster — the last
+    FraudDetector method without an engine counterpart: the reference
+    explains single predictions with SHAP over its fitted XGBoost
+    (`ml/models/fraud_detector.py:185-191`, shap.TreeExplainer). For
+    depth-2 trees path-dependent TreeSHAP is CLOSED FORM (ext/shap.py:
+    ≤ 2³ subsets of each tree's ≤ 3 unique features, cover-weighted
+    conditional expectations from the training row counts the fitted
+    splits induce — coincident split features handled by the subset
+    algebra itself), so per-row φ compiles to CASE LITERALS on the
+    row's three branch indicators: zero joins, zero Python, one scan.
+    Covers come from one 10-column count aggregate; per-term values
+    micro-floor before summation so the artifact is order-independent
+    and hash-gates. Output: per (risk band, feature) — mean φ and
+    mean |φ| (the global explanation summary; additivity
+    Σφ = tree − base pinned exactly in Fractions in tests/
+    test_shap.py). The oracle re-trains via the unrolled rounds and
+    runs the identical enumeration relationally."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_BINS, GBT_ETA, _bin_expr
+
+    fv = _logreg_fv(spark, sf_dir)
+    trees = _trained_gbt(spark, sf_dir)
+    cols = [c.alias(f"p6_{i}") for i, c in enumerate(_shap_phi_columns(fv, trees))]
     s = det_round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees))), 6
     )
@@ -1374,6 +1385,63 @@ def q_gbt_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("p6"))).cast("double")
             / F.count(F.lit(1))
             / F.lit(1000000.0),
+            6,
+        ).alias("mean_abs_phi"),
+    )
+
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.shap import gbt_shap_top_sql  # noqa: E402
+
+
+@query(
+    "q_gbt_shap_top",
+    oracle=gbt_shap_top_sql(_FV_SQL),
+    tags=("training", "evaluation", "explanation", "trees"),
+)
+def q_gbt_shap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-transaction explanation payload, aggregated — the
+    reference's /predict returns the SHAP-ranked driver of each
+    score (`fraud_detector.py:185-191`, served by `ml/serving/
+    api.py`); here every row's TOP feature (largest |φ6|, first
+    feature index on ties) is computed row-locally — the φ6 CASE
+    literals land in an array and array_position(arr, array_max(arr))
+    is the argmax fold, no per-row window, no shuffle beyond the
+    final (band, top_feature) rollup — then aggregated per risk band
+    with the mean |φ| the top feature carried. The oracle ranks the
+    same per-row φ table with (abs(p6) DESC, fidx) row_number — the
+    identical integer tie-break, so the whole explanation artifact
+    hash-gates."""
+    fv = _logreg_fv(spark, sf_dir)
+    trees = _trained_gbt(spark, sf_dir)
+    phis = _shap_phi_columns(fv, trees)
+    s = det_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees))), 6
+    )
+    # stage the |φ| array as ONE computed column (the q_kmeans
+    # staged-argmin discipline): argmax/element_at then read the
+    # staged value instead of re-expanding 24 CASE cascades 3x each
+    staged = fv.select(
+        risk_label(s).alias("risk_label"),
+        F.array(*[F.abs(c) for c in phis]).alias("absarr"),
+    )
+    idx = F.array_position(F.col("absarr"), F.array_max(F.col("absarr")))
+    top_feature = None
+    for i, fname in enumerate(SCORE_FEATURES):
+        cond = F.col("__idx") == i + 1
+        top_feature = (
+            F.when(cond, F.lit(fname))
+            if top_feature is None
+            else top_feature.when(cond, F.lit(fname))
+        )
+    rows = staged.withColumn("__idx", idx).select(
+        "risk_label",
+        top_feature.alias("top_feature"),
+        F.element_at(F.col("absarr"), F.col("__idx").cast("int")).alias("top_abs"),
+    )
+    return rows.groupBy("risk_label", "top_feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        det_round(
+            F.sum("top_abs").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0),
             6,
         ).alias("mean_abs_phi"),
     )
