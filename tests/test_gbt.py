@@ -376,3 +376,144 @@ def test_early_stop_halts_when_round_overfits_planted_noise(spark):
     assert losses[1] < losses[0] and losses[2] < losses[1]
     assert losses[3] >= losses[2], "round 3 must overfit on holdout"
     assert early_stop_decision(losses) == (3, 2)
+
+
+def _numpy_holdout_losses(trees_list, Xv, yv, etas, scales, feats):
+    """round6 holdout mean log-loss ladders per config, replayed in
+    NumPy with the engine's exact fold (bin with scales, accumulate
+    eta*leaf left-assoc, round6 sigmoid, round6 per-row loss,
+    round6 mean)."""
+    div = np.array([scales.get(f, 1.0) for f in feats])
+    B = np.minimum(
+        np.maximum(np.floor((Xv / div) * GBT_BINS), 0), GBT_BINS - 1
+    ).astype(np.int64)
+
+    def r6a(a):
+        return np.floor(a * 1e6 + 0.5) / 1e6
+
+    out = []
+    for trees, eta in zip(trees_list, etas):
+        z = np.zeros(len(yv))
+        ladder = []
+        for t in range(len(trees) + 1):
+            if t > 0:
+                tr = trees[t - 1]
+                rf, rb = tr["root"]
+                lf, lb = tr["left"]
+                rrf, rrb = tr["right"]
+                left = np.where(B[:, lf] <= lb, tr["w_ll"], tr["w_lr"])
+                right = np.where(B[:, rrf] <= rrb, tr["w_rl"], tr["w_rr"])
+                z = z + eta * np.where(B[:, rf] <= rb, left, right)
+            p = r6a(1.0 / (1.0 + np.exp(-z)))
+            l6 = r6a(np.where(yv == 1, -np.log(p), -np.log(1.0 - p)))
+            ladder.append(math.floor((l6.sum() / len(yv)) * 1e6 + 0.5) / 1e6)
+        out.append(ladder)
+    return out
+
+
+def _hash_split_pandas(fv):
+    """The engine's bucket(o_orderkey) < 80 split, replayed with
+    hashlib (first 15 md5 hex chars as an int, mod 100)."""
+    import hashlib
+
+    b = fv["o_orderkey"].astype(str).map(
+        lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 100
+    )
+    return fv[b < 80], fv[b >= 80]
+
+
+def test_gbt_model_selection_winner_matches_numpy_sweep(spark, sf_dir):
+    """VERDICT r13 #2's acceptance clause: the grid query's winner
+    (and every config's round6 holdout loss) must match an
+    INDEPENDENT NumPy sweep — pandas-side hash split, per-config
+    NumPy boosting replay, NumPy holdout ladders."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_MS_CONFIGS
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import FEATURE_SCALES
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_scoring import (
+        _logreg_fv,
+        q_gbt_model_selection,
+    )
+
+    fv = _logreg_fv(spark, sf_dir).toPandas()
+    tr, va = _hash_split_pandas(fv)
+    feats = tuple(SCORE_FEATURES)
+    Xt = tr[list(feats)].to_numpy(float)
+    yt = tr["label"].to_numpy(float)
+    trees_list = [
+        gbt_numpy_replay(
+            Xt, yt, feats, rounds, GBT_BINS, lam, eta, dict(FEATURE_SCALES)
+        )
+        for _n, rounds, eta, lam in GBT_MS_CONFIGS
+    ]
+    ladders = _numpy_holdout_losses(
+        trees_list,
+        va[list(feats)].to_numpy(float),
+        va["label"].to_numpy(float),
+        [eta for _n, _r, eta, _l in GBT_MS_CONFIGS],
+        dict(FEATURE_SCALES),
+        feats,
+    )
+    np_losses = [lad[-1] for lad in ladders]
+    got = {
+        r["config"]: r
+        for r in q_gbt_model_selection(spark, sf_dir).collect()
+    }
+    for i, (name, _r, _e, _l) in enumerate(GBT_MS_CONFIGS):
+        assert abs(got[name]["val_logloss"] - np_losses[i]) <= 2e-6, (
+            name,
+            got[name]["val_logloss"],
+            np_losses[i],
+        )
+    np_best = min(
+        range(len(GBT_MS_CONFIGS)),
+        key=lambda i: (np_losses[i], GBT_MS_CONFIGS[i][0]),
+    )
+    winners = [c for c, r in got.items() if r["is_best"] == 1]
+    assert winners == [GBT_MS_CONFIGS[np_best][0]]
+
+
+def test_gbt_early_stop_matches_numpy_ladder(spark, sf_dir):
+    """The early-stop query's ladder and decision replayed end to end
+    in NumPy (config-0 booster on the pandas hash split)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
+        GBT_MS_CONFIGS,
+        early_stop_decision,
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import FEATURE_SCALES
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_scoring import (
+        _logreg_fv,
+        q_gbt_early_stop,
+    )
+
+    fv = _logreg_fv(spark, sf_dir).toPandas()
+    tr, va = _hash_split_pandas(fv)
+    feats = tuple(SCORE_FEATURES)
+    _n0, rounds, eta, lam = GBT_MS_CONFIGS[0]
+    trees = gbt_numpy_replay(
+        tr[list(feats)].to_numpy(float),
+        tr["label"].to_numpy(float),
+        feats,
+        rounds,
+        GBT_BINS,
+        lam,
+        eta,
+        dict(FEATURE_SCALES),
+    )
+    ladder = _numpy_holdout_losses(
+        [trees],
+        va[list(feats)].to_numpy(float),
+        va["label"].to_numpy(float),
+        [eta],
+        dict(FEATURE_SCALES),
+        feats,
+    )[0]
+    got = sorted(q_gbt_early_stop(spark, sf_dir).collect(), key=lambda r: r["round"])
+    assert len(got) == len(ladder)
+    for t, row in enumerate(got):
+        assert abs(row["val_logloss"] - ladder[t]) <= 2e-6, (t, row, ladder[t])
+    stop_at, best_round = early_stop_decision([row["val_logloss"] for row in got])
+    for t, row in enumerate(got):
+        assert row["reached"] == (1 if t <= stop_at else 0)
+        assert row["is_best"] == (1 if t == best_round else 0)
