@@ -1386,8 +1386,6 @@ def q_gbt_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σφ = tree − base pinned exactly in Fractions in tests/
     test_shap.py). The oracle re-trains via the unrolled rounds and
     runs the identical enumeration relationally."""
-    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_BINS, GBT_ETA, _bin_expr
-
     fv = _logreg_fv(spark, sf_dir)
     trees = _trained_gbt(spark, sf_dir)
     cols = [c.alias(f"p6_{i}") for i, c in enumerate(_shap_phi_columns(fv, trees))]
