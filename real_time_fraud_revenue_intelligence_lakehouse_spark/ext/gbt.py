@@ -851,17 +851,18 @@ def _gbt_holdout_ctes(
     return ",\n    ".join(parts), f"{p_}hrows{rounds}"
 
 
-def gbt_model_selection_sql(
+def _gbt_ms_parts(
     fv_sql: str,
     configs: tuple[tuple[str, int, float, float], ...] = GBT_MS_CONFIGS,
     features: tuple[str, ...] = SCORE_FEATURES,
     bins: int = GBT_BINS,
-) -> str:
-    """Oracle for q_gbt_model_selection: hash-split train/holdout
-    (the q_model_selection split), one unrolled boosting chain per
-    config (namespaced by prefix), a holdout split-replay per config,
-    then per-config decimal-folded holdout log-loss and an is_best
-    rank (val_logloss asc, config id tie-break)."""
+) -> tuple[list[str], str, str]:
+    """(cte parts through the selection, vals, loss_case): hash-split
+    train/holdout, one unrolled boosting chain per config (namespaced
+    g{i}_), a holdout split-replay per config, per-config decimal-
+    folded holdout losses folded into the 1-row ``m`` CTE, plus the
+    VALUES/CASE strings consumers need to label configs — shared by
+    the selection and retrain-best oracles."""
     parts = [
         f"base AS ({fv_sql})",
         f"tr AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} < 80)",
@@ -898,6 +899,21 @@ def gbt_model_selection_sql(
         f"WHEN '{name}' THEN m_{i}"
         for i, (name, _r, _e, _l) in enumerate(configs)
     )
+    return parts, vals, loss_case
+
+
+def gbt_model_selection_sql(
+    fv_sql: str,
+    configs: tuple[tuple[str, int, float, float], ...] = GBT_MS_CONFIGS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+) -> str:
+    """Oracle for q_gbt_model_selection: hash-split train/holdout
+    (the q_model_selection split), one unrolled boosting chain per
+    config (namespaced by prefix), a holdout split-replay per config,
+    then per-config decimal-folded holdout log-loss and an is_best
+    rank (val_logloss asc, config id tie-break)."""
+    parts, vals, loss_case = _gbt_ms_parts(fv_sql, configs, features, bins)
     cte_block = ",\n    ".join(parts)
     return f"""WITH {cte_block},
     longf AS (
@@ -909,6 +925,70 @@ def gbt_model_selection_sql(
            CAST(CASE WHEN row_number() OVER (ORDER BY val_logloss, config) = 1
                 THEN 1 ELSE 0 END AS INTEGER) AS is_best
     FROM longf"""
+
+
+def gbt_retrain_best_sql(
+    fv_sql: str,
+    configs: tuple[tuple[str, int, float, float], ...] = GBT_MS_CONFIGS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    gates: dict[str, float] | None = None,
+) -> str:
+    """Oracle for q_retrain_best — the reference `train.py` main flow
+    in one statement: the selection chains pick the winner, every
+    config ALSO re-trains on the FULL frame with its card computed
+    (SQL cannot branch the unrolled training on the data-dependent
+    winner — the engine trains only the winner; this all-configs form
+    is an oracle artifact), and the winner's card is gated against
+    the promotion floors."""
+    if gates is None:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import QUALITY_GATES
+
+        gates = QUALITY_GATES
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import model_metrics_ctes
+
+    parts, vals, loss_case = _gbt_ms_parts(fv_sql, configs, features, bins)
+    card_arms = []
+    for i, (name, rounds, eta, lam) in enumerate(configs):
+        p_ = f"f{i}_"
+        ctes, rk = _gbt_ctes(
+            "SELECT * FROM base", features, rounds, bins, lam, eta, prefix=p_
+        )
+        parts.append(ctes)
+        s = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        parts.append(f"{p_}scored AS (SELECT label, {s} AS s FROM {rk})")
+        cctes, card = model_metrics_ctes(prefix=p_, scored_from=f"{p_}scored")
+        parts.append(cctes)
+        card_arms.append(f"SELECT '{name}' AS config, * FROM {card}")
+    parts.append(
+        f"""longf AS (
+      SELECT c.config, c.rounds, c.eta, c.lam,
+             CASE c.config {loss_case} END AS val_logloss
+      FROM (VALUES {vals}) c(config, rounds, eta, lam) CROSS JOIN m
+    )"""
+    )
+    parts.append(
+        "win AS (SELECT config, rounds, eta, lam, val_logloss "
+        "FROM longf ORDER BY val_logloss, config LIMIT 1)"
+    )
+    parts.append("cards AS (" + " UNION ALL ".join(card_arms) + ")")
+    parts.append(
+        "wcard AS (SELECT c.* FROM cards c JOIN win w ON w.config = c.config)"
+    )
+    gate_vals = ", ".join(f"('{m}', {v!r})" for m, v in gates.items())
+    val_case = " ".join(f"WHEN '{m}' THEN {m}" for m in gates)
+    cte_block = ",\n    ".join(parts)
+    return f"""WITH {cte_block}
+    SELECT w.config, CAST(w.rounds AS INTEGER) AS rounds, w.eta, w.lam,
+           w.val_logloss,
+           g.metric,
+           CASE g.metric {val_case} END AS value,
+           g.floor AS min_required,
+           CAST(CASE WHEN (CASE g.metric {val_case} END) >= g.floor
+                THEN 1 ELSE 0 END AS INTEGER) AS ok,
+           CAST(min(CASE WHEN (CASE g.metric {val_case} END) >= g.floor
+                THEN 1 ELSE 0 END) OVER () AS INTEGER) AS promoted
+    FROM wcard CROSS JOIN win w CROSS JOIN (VALUES {gate_vals}) g(metric, floor)"""
 
 
 def gbt_early_stop_sql(

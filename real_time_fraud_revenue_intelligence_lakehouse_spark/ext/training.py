@@ -928,6 +928,21 @@ def model_metrics_sql_tail(tau: float = MODEL_CARD_TAU) -> str:
     """The SQL twin of :func:`model_metrics`, to append after a
     ``scored`` CTE of (label, s) — shared by any trained scorer's
     card."""
+    ctes, card = model_metrics_ctes(tau)
+    return f"{ctes}\n    SELECT * FROM {card}"
+
+
+def model_metrics_ctes(
+    tau: float = MODEL_CARD_TAU, prefix: str = "", scored_from: str = "scored"
+) -> tuple[str, str]:
+    """(cte_block, card_cte_name): the :func:`model_metrics` SQL as
+    namespaced CTEs over an arbitrary (label, s) source — several
+    models' cards can share one statement (q_retrain_best computes
+    every grid config's card because SQL cannot branch the unrolled
+    training on the data-dependent winner; the ENGINE trains only the
+    winner — that asymmetry is an oracle artifact, not a scale
+    concern)."""
+    p_ = prefix
     r6 = _R6
     r8 = "(floor(({c}) * 100000000.0 + 0.5) / 100000000.0)"
     ap_term = r8.format(
@@ -947,25 +962,27 @@ def model_metrics_sql_tail(tau: float = MODEL_CARD_TAU) -> str:
         f"CASE WHEN ({prec}) + ({rec}) = 0.0 THEN 0.0 "
         f"ELSE 2.0 * ({prec}) * ({rec}) / (({prec}) + ({rec})) END"
     )
-    return f"""c AS (SELECT s, count(*) AS n, sum(label) AS np FROM scored GROUP BY 1),
-    cum AS (
+    return (
+        f"""{p_}c AS (SELECT s, count(*) AS n, sum(label) AS np FROM {scored_from} GROUP BY 1),
+    {p_}cum AS (
       SELECT s, n, np,
              coalesce(sum(n) OVER w, 0) AS cum_n,
              coalesce(sum(np) OVER w, 0) AS cum_np
-      FROM c
+      FROM {p_}c
       WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
-    t AS (SELECT sum(np) AS n_pos, sum(n) - sum(np) AS n_neg, sum(n) AS n_tot FROM c),
-    agg AS (
+    {p_}t AS (SELECT sum(np) AS n_pos, sum(n) - sum(np) AS n_neg, sum(n) AS n_tot FROM {p_}c),
+    {p_}agg AS (
       SELECT n_pos, n_neg, n_tot,
              sum(CAST(np AS DECIMAL(28,1))
                  * CAST(cum_n + (n + 1) / 2.0 AS DECIMAL(28,1))) AS rank_sum,
              sum(CAST({ap_term} AS DECIMAL(18,8))) AS ap_sum,
              sum(CASE WHEN s >= {tau!r} THEN np ELSE 0 END) AS tp,
              sum(CASE WHEN s >= {tau!r} THEN n ELSE 0 END) AS pp
-      FROM cum CROSS JOIN t
+      FROM {p_}cum CROSS JOIN {p_}t
       GROUP BY 1, 2, 3
-    )
+    ),
+    {p_}card AS (
     SELECT {float(tau)!r} AS threshold,
            CAST(n_tot AS BIGINT) AS n,
            CAST(n_pos AS BIGINT) AS n_pos,
@@ -978,7 +995,9 @@ def model_metrics_sql_tail(tau: float = MODEL_CARD_TAU) -> str:
            CAST(pp - tp AS BIGINT) AS fp,
            CAST(n_pos - tp AS BIGINT) AS fn,
            CAST(n_tot - pp - (n_pos - tp) AS BIGINT) AS tn
-    FROM agg"""
+    FROM {p_}agg)""",
+        f"{p_}card",
+    )
 
 
 # --- k-means: centroid-based training -----------------------------------------

@@ -80,6 +80,7 @@ _FRONT: tuple[str, ...] = (
     "q_gbt_early_stop",
     "q_gbt_shap",
     "q_gbt_shap_top",
+    "q_retrain_best",
     # — last driver row r06 (judge-selfchecked green at r13 HEAD) —
     "q_cusum",
     "q_fd_discovery",

@@ -517,3 +517,29 @@ def test_gbt_early_stop_matches_numpy_ladder(spark, sf_dir):
     for t, row in enumerate(got):
         assert row["reached"] == (1 if t <= stop_at else 0)
         assert row["is_best"] == (1 if t == best_round else 0)
+
+
+def test_retrain_best_ships_the_selection_winner(spark, sf_dir):
+    """q_retrain_best's identity columns must be exactly the
+    selection's is_best row (same winner, same holdout loss), its
+    gate rows must cover every promotion floor, and promoted must be
+    the AND of the per-gate oks — train.py's main flow wired together
+    without renaming anything."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import QUALITY_GATES
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_scoring import (
+        q_gbt_model_selection,
+        q_retrain_best,
+    )
+
+    sel = {r["config"]: r for r in q_gbt_model_selection(spark, sf_dir).collect()}
+    winner = next(r for r in sel.values() if r["is_best"] == 1)
+    rows = q_retrain_best(spark, sf_dir).collect()
+    assert {r["metric"] for r in rows} == set(QUALITY_GATES)
+    for r in rows:
+        assert r["config"] == winner["config"]
+        assert r["rounds"] == winner["rounds"]
+        assert r["eta"] == winner["eta"]
+        assert r["lam"] == winner["lam"]
+        assert r["val_logloss"] == winner["val_logloss"]
+        assert r["ok"] == (1 if r["value"] >= r["min_required"] else 0)
+        assert r["promoted"] == min(x["ok"] for x in rows)
