@@ -364,3 +364,49 @@ def gbt_shap_top_sql(
     SELECT risk_label, fname AS top_feature, count(*) AS n,
            {mean_abs} AS mean_abs_phi
     FROM ranked WHERE rn = 1 GROUP BY 1, 2"""
+
+
+def shap_phi_columns(
+    trees: list[dict],
+    tables: list[dict[tuple[int, int, int], dict[int, int]]],
+    features: tuple[str, ...] = SCORE_FEATURES,
+    scales: dict[str, float] | None = None,
+    bins: int = GBT_BINS,
+) -> list:
+    """Per-feature φ6 Spark columns for a fitted ensemble, given the
+    precomputed per-(tree, branch-pattern) tables (:func:`shap_terms`
+    over training covers): pure CASE literals on the row's bin
+    comparisons — row-local and STATELESS, so the same columns score
+    batch frames and streaming micro-batches identically
+    (streaming/scoring.explain_stream rides them inside ingest)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import _bin_expr
+
+    def bcol(fidx: int):
+        return _bin_expr(features[fidx], scales, bins)
+
+    cols = []
+    for fidx in range(len(features)):
+        col = F.lit(0).cast("long")
+        for t, tr in enumerate(trees):
+            if fidx not in {tr["root"][0], tr["left"][0], tr["right"][0]}:
+                continue
+            rf, rb = tr["root"]
+            lf, lb = tr["left"]
+            rrf, rrb = tr["right"]
+            i_a = bcol(rf) <= rb
+            i_b = bcol(lf) <= lb
+            i_c = bcol(rrf) <= rrb
+            expr = None
+            for (a, b, c), phis in tables[t].items():
+                cond = (
+                    (i_a if a else ~i_a)
+                    & (i_b if b else ~i_b)
+                    & (i_c if c else ~i_c)
+                )
+                val = F.lit(phis.get(fidx, 0)).cast("long")
+                expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+            col = col + expr.otherwise(F.lit(0).cast("long"))
+        cols.append(col)
+    return cols

@@ -1335,40 +1335,14 @@ def _gbt_covers(fv: DataFrame, trees: list[dict]) -> list[tuple[int, ...]]:
 def _shap_phi_columns(fv: DataFrame, trees: list[dict]) -> list:
     """Per-feature φ6 columns for the fitted ensemble: covers from
     one aggregate, per-(tree, branch-pattern) values precomputed
-    driver-side (shap_terms), compiled to CASE literals on the row's
-    bin comparisons — row-local, zero joins."""
-    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_BINS, GBT_ETA, _bin_expr
+    driver-side (shap_terms), compiled by the generic
+    ext/shap.shap_phi_columns (shared with the streaming explainer)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_ETA
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.shap import shap_phi_columns
 
     covers = _gbt_covers(fv, trees)
     tables = [shap_terms(tr, cov, GBT_ETA) for tr, cov in zip(trees, covers)]
-
-    def bcol(fidx: int):
-        return _bin_expr(SCORE_FEATURES[fidx], None, GBT_BINS)
-
-    cols = []
-    for fidx in range(len(SCORE_FEATURES)):
-        col = F.lit(0).cast("long")
-        for t, tr in enumerate(trees):
-            if fidx not in {tr["root"][0], tr["left"][0], tr["right"][0]}:
-                continue
-            rf, rb = tr["root"]
-            lf, lb = tr["left"]
-            rrf, rrb = tr["right"]
-            i_a = bcol(rf) <= rb
-            i_b = bcol(lf) <= lb
-            i_c = bcol(rrf) <= rrb
-            expr = None
-            for (a, b, c), phis in tables[t].items():
-                cond = (
-                    (i_a if a else ~i_a)
-                    & (i_b if b else ~i_b)
-                    & (i_c if c else ~i_c)
-                )
-                val = F.lit(phis.get(fidx, 0)).cast("long")
-                expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-            col = col + expr.otherwise(F.lit(0).cast("long"))
-        cols.append(col)
-    return cols
+    return shap_phi_columns(trees, tables, SCORE_FEATURES, None)
 
 
 @query(

@@ -97,3 +97,67 @@ def high_risk_alerts(
             "score_mass",
         )
     )
+
+
+def explain_stream(
+    features: DataFrame,
+    trees: list[dict],
+    tables: list[dict],
+    feature_cols: tuple[str, ...],
+    scales: dict[str, float] | None = None,
+    bins: int | None = None,
+    eta: float | None = None,
+) -> DataFrame:
+    """Scored-AND-EXPLAINED projection for the GBT ensemble: appends
+    fraud_score / risk_label plus the row's top SHAP driver
+    (top_feature, top_abs_phi) — the reference's /predict + explain
+    payload (`fraud_detector.py:185-191`, served by `ml/serving/
+    api.py`) fused into the ingest micro-batch.
+
+    ``tables`` are the per-(tree, branch-pattern) φ6 tables from
+    ext/shap.shap_terms over TRAINING covers — training-time
+    constants, so the per-row attribution is pure CASE literals plus
+    one staged array argmax: stateless, append-safe, zero shuffle,
+    and bit-identical between a streaming micro-batch and its batch
+    twin (tests/test_streaming.py). At 100 TB ingest the explanation
+    adds one codegen projection — no Python, no joins, no state."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
+        GBT_BINS,
+        GBT_ETA,
+        gbt_trained_logit_expr,
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.shap import shap_phi_columns
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    bins = GBT_BINS if bins is None else bins
+    eta = GBT_ETA if eta is None else eta
+    s = det_round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-gbt_trained_logit_expr(trees, feature_cols, bins, eta, scales))
+        ),
+        6,
+    )
+    phis = shap_phi_columns(trees, tables, feature_cols, scales, bins)
+    # stage the |φ| array once (the staged-argmin discipline), then
+    # argmax + element_at read the staged column
+    staged = features.withColumn("fraud_score", s).withColumn(
+        "risk_label", risk_label(F.col("fraud_score"))
+    ).withColumn("__absarr", F.array(*[F.abs(c) for c in phis]))
+    idx = F.array_position(F.col("__absarr"), F.array_max(F.col("__absarr")))
+    top = None
+    for i, fname in enumerate(feature_cols):
+        cond = F.col("__idx") == i + 1
+        top = F.when(cond, F.lit(fname)) if top is None else top.when(cond, F.lit(fname))
+    return (
+        staged.withColumn("__idx", idx)
+        .withColumn("top_feature", top)
+        .withColumn(
+            "top_abs_phi",
+            F.element_at(F.col("__absarr"), F.col("__idx").cast("int"))
+            .cast("double")
+            / F.lit(1000000.0),
+        )
+        .drop("__absarr", "__idx")
+    )

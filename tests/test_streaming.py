@@ -1533,3 +1533,91 @@ def test_stream_scoring_matches_batch_and_alert_rollup(spark, tmp_path):
     for k, v in got_a.items():
         assert want_a[k] == v, (k, v, want_a)
     assert got_a["2024-01-01T10:00:00"][0] == 2  # events 1 and 3
+
+
+def test_stream_explained_scoring_matches_batch(spark, tmp_path):
+    """Streaming GBT serving WITH per-row attribution
+    (streaming/scoring.explain_stream): the fitted booster's score,
+    band, top SHAP driver, and its |φ| ride the micro-batch as pure
+    CASE-literal projections (φ tables are training-time constants),
+    so every stream row is bit-identical to the batch twin — the
+    reference's /predict + explain payload with the REST hop removed."""
+    import numpy as np
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_ETA, train_gbt
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.shap import shap_terms
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import explain_stream
+    from pyspark.sql import functions as F
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_BINS, _bin_expr
+
+    # train on a separable batch frame over the stream's value column
+    rng = np.random.RandomState(5)
+    v = rng.uniform(0, 500, 400).round(2)
+    y = ((v > 280) ^ (rng.uniform(0, 1, 400) < 0.1)).astype(int)
+    train = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(v, y)], "value double, label int"
+    )
+    feats = ("value",)
+    scales = {"value": 500.0}
+    trees = train_gbt(train, features=feats, scales=scales)
+    # covers from the training frame (the q_gbt_shap recipe)
+    tables = []
+    for tr in trees:
+        i_a = _bin_expr("value", scales, GBT_BINS) <= tr["root"][1]
+        i_b = _bin_expr("value", scales, GBT_BINS) <= tr["left"][1]
+        i_c = _bin_expr("value", scales, GBT_BINS) <= tr["right"][1]
+        row = train.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(i_a.cast("long")).alias("nl"),
+            F.sum((i_a & i_b).cast("long")).alias("nll"),
+            F.sum(((~i_a) & i_c).cast("long")).alias("nrl"),
+        ).first()
+        n, nl = int(row["n"]), int(row["nl"])
+        covers = (n, nl, n - nl, int(row["nll"]), nl - int(row["nll"]),
+                  int(row["nrl"]), (n - nl) - int(row["nrl"]))
+        tables.append(shap_terms(tr, covers, GBT_ETA))
+
+    src = tmp_path / "explain_src"
+    src.mkdir()
+    now = time.time()
+    rows = [
+        _ev(1, "2024-01-01 10:05:00", value=480.0),
+        _ev(2, "2024-01-01 10:20:00", value=30.0),
+        _ev(3, "2024-01-01 10:40:00", value=290.0),
+        _ev(4, "2024-01-01 11:10:00", value=120.0),
+    ]
+    _write_json(str(src / "b0.json"), rows[:2], now - 120)
+    _write_json(str(src / "b1.json"), rows[2:], now - 60)
+
+    stream = explain_stream(
+        read_file_stream(spark, str(src), max_files_per_trigger=1),
+        trees, tables, feats, scales,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("explained_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (
+            r["fraud_score"], r["risk_label"], r["top_feature"], r["top_abs_phi"]
+        )
+        for r in spark.table("explained_stream").collect()
+    }
+    batch = explain_stream(
+        spark.read.schema(EVENTS_SCHEMA).json(str(src)), trees, tables, feats, scales
+    )
+    want = {
+        r["event_id"]: (
+            r["fraud_score"], r["risk_label"], r["top_feature"], r["top_abs_phi"]
+        )
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 4  # bit-identical score+explanation
+    # the single-feature booster attributes everything to `value`,
+    # and the high-value row carries a strictly positive driver
+    assert all(g[2] == "value" for g in got.values())
+    assert got[1][3] > 0.0
