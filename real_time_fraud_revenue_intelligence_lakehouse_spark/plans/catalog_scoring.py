@@ -1543,3 +1543,85 @@ def q_retrain_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val_logloss double, metric string, value double, "
         "min_required double, ok int, promoted int",
     )
+
+
+# --- r14: calibration for the booster (family completeness) -------------------
+
+
+def _calibration_agg(scored: DataFrame) -> DataFrame:
+    """The q_calibration tail over any (label, s) frame: 10 fixed-
+    width bins, per-bin mean score / event rate / gap / Brier, all
+    det-rounded and decimal-folded."""
+    b = scored.select(
+        F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("long").alias("bin"),
+        "label",
+        "s",
+    )
+    sq = det_round((F.col("s") - F.col("label")) * (F.col("s") - F.col("label")), 8)
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        det_round(
+            F.sum(F.col("s").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score"),
+        det_round(
+            F.sum("label").cast("double") / F.count(F.lit(1)), 6
+        ).alias("event_rate"),
+        det_round(
+            F.sum(F.col("s").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))
+            - F.sum("label").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("calib_gap"),
+        det_round(
+            F.sum(sq.cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("brier"),
+    )
+
+
+def _gbt_calibration_oracle() -> str:
+    ctes, rows_k = _gbt_ctes(_FV_SQL)
+    s = _R6.format(c="1.0 / (1.0 + exp(-f))")
+    r6_mean = _R6.format(c="CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*)")
+    r6_rate = _R6.format(c="CAST(sum(label) AS DOUBLE) / count(*)")
+    r6_gap = _R6.format(
+        c="CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*) "
+        "- CAST(sum(label) AS DOUBLE) / count(*)"
+    )
+    sq = "(floor(((s - label) * (s - label)) * 100000000.0 + 0.5) / 100000000.0)"
+    r6_brier = _R6.format(
+        c=f"CAST(sum(CAST({sq} AS DECIMAL(28,8))) AS DOUBLE) / count(*)"
+    )
+    return f"""WITH {ctes},
+    scored AS (SELECT label, {s} AS s FROM {rows_k}),
+    binned AS (
+      SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, label, s FROM scored
+    )
+    SELECT bin, count(*) AS n,
+           {r6_mean} AS mean_score,
+           {r6_rate} AS event_rate,
+           {r6_gap} AS calib_gap,
+           {r6_brier} AS brier
+    FROM binned GROUP BY 1"""
+
+
+@query(
+    "q_gbt_calibration",
+    oracle=_gbt_calibration_oracle(),
+    tags=("training", "evaluation", "calibration", "trees"),
+)
+def q_gbt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier for the TRAINED booster —
+    q_calibration's artifact for the reference's own model family
+    (`_evaluate`'s probability outputs, `fraud_detector.py:278-320`):
+    compiled-CASE ensemble scores bin into 10 fixed-width cells
+    (row-local floor, no ranking stage), each reporting mean predicted
+    probability vs realized event rate and its Brier contribution,
+    det-rounded and decimal-folded so the probabilistic artifact
+    hash-gates. One scoring scan + one 10-group agg on the warm tree
+    memo; the oracle re-trains via the unrolled rounds then runs the
+    identical tail."""
+    fv = _logreg_fv(spark, sf_dir)
+    trees = _trained_gbt(spark, sf_dir)
+    s = det_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees))), 6
+    )
+    return _calibration_agg(fv.select("label", s.alias("s")))

@@ -63,12 +63,12 @@ def _load_all() -> None:
 # id is green in the r01-r13 union), so ids needing a fresh driver row
 # come FIRST. Recomputed at round 14 per VERDICT r13 #1 — lead with the
 # stale blocks. Layout of this head:
-#   1-3:   round-14's NEW ids (no driver row can exist yet; VERDICT's
+#   1-6:   round-14's NEW ids (no driver row can exist yet; VERDICT's
 #          'done = CORRECTNESS-green' conditions require they be
 #          inside the 50-cap);
-#   4-10:  the seven ids whose last driver row is r06;
-#   11-55: the 45 ids whose last driver row is r07 (the tail past the
-#          50-cap — judge-selfchecked green at r13 HEAD — leads the
+#   7-13:  the seven ids whose last driver row is r06;
+#   14-58: the 45 ids whose last driver row is r07 (the tail past the
+#          50-cap — judge-selfchecked green at r14 HEAD — leads the
 #          r15 rotation).
 # Names not listed keep their registration order after these (the
 # r09-r13 blocks rotated out: all driver-green at r12/r13).
@@ -81,6 +81,7 @@ _FRONT: tuple[str, ...] = (
     "q_gbt_shap",
     "q_gbt_shap_top",
     "q_retrain_best",
+    "q_gbt_calibration",
     # — last driver row r06 (judge-selfchecked green at r13 HEAD) —
     "q_cusum",
     "q_fd_discovery",
