@@ -19,6 +19,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+#: The host-drift sentinel pair and their RECORDED baseline rows.
+#: These mirror the `q_clean_filter` / `q_pricing_summary` rows in
+#: BASELINE.md's per-query table — tests/test_bench_contract.py
+#: asserts the two stay equal (ADVICE r14: a re-recorded row must not
+#: leave the sentinel_ratio gate silently grading against stale
+#: constants). Module-level so the test can import them.
+SENTINEL_ROWS = {"q_clean_filter": 0.257, "q_pricing_summary": 1.051}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,11 +115,10 @@ def main() -> None:
     # vs their recorded rows calibrates this run's host speed; perf
     # flags are graded against 2 * max(1, sentinel_ratio) rather than
     # a bare 2x, so uniform machine drift can't trip per-query gates.
-    _SENTINEL_ROWS = {"q_clean_filter": 0.257, "q_pricing_summary": 1.051}
     sentinel_ratio = None
-    if all(timings.get(n, -1) > 0 for n in _SENTINEL_ROWS):
+    if all(timings.get(n, -1) > 0 for n in SENTINEL_ROWS):
         prod = 1.0
-        for n, row_s in _SENTINEL_ROWS.items():
+        for n, row_s in SENTINEL_ROWS.items():
             prod *= timings[n] / row_s
         sentinel_ratio = round(prod ** 0.5, 3)
     # The harness that records this run keeps only a bounded tail of

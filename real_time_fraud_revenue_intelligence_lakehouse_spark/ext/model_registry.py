@@ -55,11 +55,14 @@ def list_models(path: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(path):
-        # \d{6,}: the writer's :06d padding is a minimum, not a cap —
-        # version 1,000,000 formats to 7 digits and must stay visible,
-        # or the next writer recomputes the same number and every
-        # commit after it fails put-if-absent forever (ADVICE r13).
-        m = re.fullmatch(r"v(\d{6,})\.json", name)
+        # (\d{6}|[1-9]\d{6,}): exactly the names _doc_path's :06d
+        # padding can produce — 6 digits zero-padded, or 7+ digits
+        # with no leading zero (version 1,000,000 stays visible, per
+        # ADVICE r13). A non-canonical zero-padded 7-digit name like
+        # v0000007.json is NOT listed: it would report version 7 while
+        # _doc_path resolves 7 to v000007.json, so load_model(7) on a
+        # listed version would raise FileNotFoundError (ADVICE r14).
+        m = re.fullmatch(r"v(\d{6}|[1-9]\d{6,})\.json", name)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
@@ -81,6 +84,7 @@ def save_model(
     reference writes as metrics.json (q_model_card's row, typically).
     """
     os.makedirs(path, exist_ok=True)
+    _sweep_stale_tmps(path)
     versions = list_models(path)
     version = (versions[-1] + 1) if versions else 0
     doc = {
@@ -104,12 +108,47 @@ def save_model(
     try:
         os.link(tmp, target)
     except FileExistsError as e:
-        os.remove(tmp)
         raise ModelExistsError(
             f"version {version} already committed at {path}"
         ) from e
-    os.remove(tmp)
+    finally:
+        # The temp name is garbage the moment link() returns OR
+        # raises — remove it on every exit path so a lost race can't
+        # leave an orphan (ADVICE r14); crashes BETWEEN write and
+        # here are covered by _sweep_stale_tmps on the next save.
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
     return version
+
+
+#: Temp documents older than this are crash debris — no writer holds
+#: a commit open for minutes; the sweep must never race a LIVE temp
+#: (written moments ago by a concurrent save_model), hence the
+#: generous threshold rather than "delete all".
+_TMP_STALE_SECONDS = 3600.0
+
+
+def _sweep_stale_tmps(path: str) -> None:
+    """Best-effort GC of `_tmp_*.json` left by writers that died
+    between writing the temp document and the link/remove pair
+    (ADVICE r14) — otherwise they accumulate unboundedly under
+    repeated crashes. Errors are swallowed: GC must never fail a
+    commit, and a concurrent sweep may legitimately win the remove."""
+    try:
+        now = time.time()
+        for name in os.listdir(path):
+            if not (name.startswith("_tmp_") and name.endswith(".json")):
+                continue
+            full = os.path.join(path, name)
+            try:
+                if now - os.path.getmtime(full) > _TMP_STALE_SECONDS:
+                    os.remove(full)
+            except OSError:
+                pass
+    except OSError:
+        pass
 
 
 def load_model(path: str, version: int | None = None) -> dict:

@@ -64,10 +64,13 @@ def list_versions(path: str) -> list[int]:
         # strict match: a stray 'vfinal.json' or editor backup in
         # _manifests must not brick every read/history call with a
         # ValueError (ADVICE r12) — non-conforming names are ignored.
-        # \d{6,}: the writer's :06d padding is a minimum, not a cap —
-        # version 1,000,000 emits 7 digits and must stay listed, or
-        # every later commit collides put-if-absent (ADVICE r13).
-        m = re.fullmatch(r"v(\d{6,})\.json", name)
+        # (\d{6}|[1-9]\d{6,}): exactly the names :06d can produce —
+        # 6 digits zero-padded, or 7+ with no leading zero (version
+        # 1,000,000 stays listed, ADVICE r13) — and nothing else: a
+        # non-canonical v0000007.json would list as version 7 while
+        # _manifest_path resolves 7 to v000007.json, so reads of a
+        # listed version would FileNotFoundError (ADVICE r14).
+        m = re.fullmatch(r"v(\d{6}|[1-9]\d{6,})\.json", name)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)

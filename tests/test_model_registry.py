@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -212,3 +213,55 @@ def test_seven_digit_versions_stay_visible(tmp_path):
     with open(mdir / "v1000000.json", "w") as fh:
         json.dump({"version": 1000000, "files": []}, fh)
     assert V.list_versions(str(tmp_path / "tbl")) == [1000000]
+
+
+def test_noncanonical_zero_padded_names_are_not_listed(tmp_path):
+    """ADVICE r14: v0000007.json is a name the writer can NEVER
+    produce ({:06d} pads to 6, and 7+ digit versions have no leading
+    zero). Listing it as version 7 while _doc_path resolves 7 to
+    v000007.json makes load_model(7) raise on a LISTED version — so
+    the lister must ignore it, same as any other stray file."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import model_registry as MR
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.sources import versioned as V
+
+    p = str(tmp_path / "reg")
+    os.makedirs(p)
+    with open(os.path.join(p, "v0000007.json"), "w") as fh:
+        json.dump({"version": 7}, fh)
+    assert MR.list_models(p) == []
+    # canonical names on either side of the boundary still list
+    with open(os.path.join(p, "v000007.json"), "w") as fh:
+        json.dump({"version": 7, "kind": "gbt", "params": {"trees": []},
+                   "features": [], "metrics": {}}, fh)
+    assert MR.list_models(p) == [7]
+    assert MR.load_model(p, 7)["version"] == 7
+
+    mdir = tmp_path / "tbl" / "_manifests"
+    mdir.mkdir(parents=True)
+    with open(mdir / "v0000007.json", "w") as fh:
+        json.dump({"version": 7, "files": []}, fh)
+    assert V.list_versions(str(tmp_path / "tbl")) == []
+
+
+def test_stale_tmp_files_are_swept_on_save(tmp_path):
+    """ADVICE r14: a writer that dies between writing _tmp_*.json and
+    the link/remove pair leaves an orphan; repeated crashes grow the
+    directory unboundedly. save_model GCs stale temps (older than the
+    threshold) but must NEVER touch a fresh one — that could be a
+    concurrent writer's live commit."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext import model_registry as MR
+
+    p = str(tmp_path / "reg")
+    os.makedirs(p)
+    stale = os.path.join(p, "_tmp_deadbeef.json")
+    fresh = os.path.join(p, "_tmp_cafebabe.json")
+    for f in (stale, fresh):
+        with open(f, "w") as fh:
+            fh.write("{}")
+    old = time.time() - 2 * MR._TMP_STALE_SECONDS
+    os.utime(stale, (old, old))
+    MR.save_model(p, "gbt", {"trees": []}, [])
+    assert not os.path.exists(stale), "stale orphan must be GC'd"
+    assert os.path.exists(fresh), "fresh temp may be a live concurrent commit"
+    # registry itself is intact
+    assert MR.list_models(p) == [0]
