@@ -1,0 +1,833 @@
+"""Depth-d histogram gradient boosting + deterministic row/column
+subsampling — the rest of the XGBoost space the reference tunes.
+
+ext/gbt.py fixes the tree shape at depth 2; the reference's Optuna
+study sweeps ``max_depth`` 3-9 and the stochastic dimensions
+``subsample`` / ``colsample_bytree`` 0.6-1.0
+(`ml/models/fraud_detector.py:258-266`, called from `train.py:201`).
+This module generalizes the SAME machinery to arbitrary depth and
+adds both sampling axes without RNG:
+
+- **Depth**: a complete binary tree with heap-indexed nodes (root=1,
+  children of n are 2n/2n+1; internal nodes 1..2^d-1, leaves
+  2^d..2^(d+1)-1). Per boosting round the trainer runs ``d``
+  distributed aggregates — level L's histogram groups
+  (node, feature, bin) with ≤ 2^L·d·B integer cells (bytes, not
+  rows, cross the wire; at depth 3 the widest level is 4·8·16 cells).
+  Split finding, gains, and leaf values reuse ext/gbt.py's exact
+  integer-micro arithmetic, so trees stay bit-identical across
+  partition layouts — and at depth=2 the generalized trainer
+  reproduces :func:`ext.gbt.train_gbt`'s trees EXACTLY (law-pinned
+  in tests/test_gbt_deep.py).
+- **Row subsample** (XGBoost ``subsample``): per-round row selection
+  by content hash — ``hash60(o_orderkey || '#r<t>') % 100 <
+  round(100·subsample)`` (the q_train_test_split discipline with a
+  round salt, so each round sees a different-but-deterministic
+  subset). Histograms and leaf values are computed over the selected
+  rows ONLY; the ensemble update applies to every row (XGBoost's
+  semantics). RNG-free: append-stable, layout-independent, and the
+  SQL oracle applies the IDENTICAL predicate.
+- **Column subsample** (XGBoost ``colsample_bytree``): per round,
+  features rank by ``md5(feature || '#r<t>')`` and the first
+  ``max(1, floor(colsample·d))`` are eligible for splits. The
+  schedule is a pure function of (feature names, round) computed at
+  plan time — both engine and generated oracle enumerate the same
+  subsets, no data dependence.
+
+Degenerate-frame contract (inherited from ext/gbt.py): if any node
+at any level receives ZERO (selected) rows, the trainer raises
+ValueError and the generated oracle calls DuckDB ``error()`` — both
+engines refuse to fabricate structure for inputs outside the gated
+domain, rather than silently disagreeing.
+
+Cites: reference `ml/models/fraud_detector.py:249-276` (the Optuna
+space: max_depth, subsample, colsample_bytree), `:36,154`
+(XGBClassifier(tree_method=hist)), `ml/models/train.py:201` (fit) —
+semantics reproduced, execution re-architected as Spark aggregates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
+    GBT_BINS,
+    GBT_ETA,
+    GBT_LAMBDA,
+    GBT_ROUNDS,
+    _bin_expr,
+    _bin_sql,
+    _gain,
+    _gain_sql,
+    _leaf_w,
+    _MICRO,
+    _R6,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import _x_sql  # noqa: F401  (oracle twin of _bin_expr)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+#: The deep default: one level past ext/gbt.py, the floor of the
+#: reference's max_depth range (3-9). Deeper is the same machinery
+#: with more (bounded) histogram cells per level.
+GBT_DEPTH = 3
+
+
+def _r6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+# --- deterministic sampling schedules -----------------------------------------
+
+
+def col_subset(
+    features: tuple[str, ...], t: int, colsample: float | None
+) -> tuple[int, ...]:
+    """The round-``t`` eligible feature INDICES under
+    ``colsample_bytree``: rank by md5(feature || '#r<t>'), keep the
+    first max(1, floor(colsample·d)), return in ascending original
+    index order (the argmax tie-break iterates original order). Pure
+    plan-time function — engine and oracle call the same code."""
+    if colsample is None or colsample >= 1.0:
+        return tuple(range(len(features)))
+    k = max(1, math.floor(colsample * len(features)))
+    ranked = sorted(
+        range(len(features)),
+        key=lambda i: hashlib.md5(
+            f"{features[i]}#r{t}".encode()
+        ).hexdigest(),
+    )
+    return tuple(sorted(ranked[:k]))
+
+
+def _sub_pct(subsample: float) -> int:
+    return int(round(subsample * 100))
+
+
+def _sub_pred_expr(t: int, subsample: float) -> Column:
+    """Round-``t`` row-selection predicate, Spark side — the exact
+    twin of :func:`_sub_pred_sql` (hash60 ≡ the H60 SQL form)."""
+    key = F.concat(F.col("o_orderkey").cast("string"), F.lit(f"#r{t}"))
+    return (hash60(key) % 100) < F.lit(_sub_pct(subsample))
+
+
+def _sub_pred_sql(t: int, subsample: float) -> str:
+    return (
+        f"(('0x' || substr(md5(o_orderkey::VARCHAR || '#r{t}'), 1, 15))::BIGINT"
+        f" % 100) < {_sub_pct(subsample)}"
+    )
+
+
+# --- split finding over a feature subset ---------------------------------------
+
+
+def _argmax_split_sub(
+    cells: list[tuple[int, int, int, int]],
+    active: tuple[int, ...],
+    lam: float,
+) -> tuple[int, int, int, int, int, int, float]:
+    """ext/gbt._argmax_split over an eligible-feature subset:
+    (fidx, bin, gl_m, hl_m, g_m, h_m, gain). Node totals come from
+    the smallest eligible feature's cells (every row carries every
+    feature, so any one feature's cells partition the node — exact
+    integer sums are feature-independent). Strictly-greater gain
+    wins, so ties keep the smallest (fidx, bin) — matching
+    ORDER BY gain DESC, fidx, bin LIMIT 1."""
+    by_f: dict[int, list[tuple[int, int, int]]] = {}
+    for fidx, b, gs, hs in cells:
+        by_f.setdefault(fidx, []).append((b, gs, hs))
+    f0 = min(active)
+    g_m = sum(gs for _b, gs, _hs in by_f[f0])
+    h_m = sum(hs for _b, _gs, hs in by_f[f0])
+    best = None
+    for fidx in active:
+        glm = 0
+        hlm = 0
+        for b, gs, hs in sorted(by_f.get(fidx, [])):
+            glm += gs
+            hlm += hs
+            gain = _gain(glm, hlm, g_m, h_m, lam)
+            if best is None or gain > best[0]:
+                best = (gain, fidx, b, glm, hlm)
+    gain_v, fidx, b, glm, hlm = best
+    return fidx, b, glm, hlm, g_m, h_m, gain_v
+
+
+# --- tree expression compilers --------------------------------------------------
+
+
+def deep_tree_logit_on_bins(tree: dict, features: tuple[str, ...]) -> Column:
+    """Tree value over the working frame's b_<feature> bin columns
+    (the trainer's inner loop)."""
+
+    def node_expr(n: int) -> Column:
+        if n in tree["leaves"]:
+            return F.lit(float(tree["leaves"][n]))
+        fidx, b = tree["splits"][n]
+        return F.when(
+            F.col(f"b_{features[fidx]}") <= b, node_expr(2 * n)
+        ).otherwise(node_expr(2 * n + 1))
+
+    return node_expr(1)
+
+
+def deep_tree_logit_raw(
+    tree: dict,
+    features: tuple[str, ...],
+    bins: int = GBT_BINS,
+    scales: dict[str, float] | None = None,
+) -> Column:
+    """Tree value over RAW feature columns (bins recomputed
+    row-locally) — the serving form."""
+
+    def node_expr(n: int) -> Column:
+        if n in tree["leaves"]:
+            return F.lit(float(tree["leaves"][n]))
+        fidx, b = tree["splits"][n]
+        return F.when(
+            _bin_expr(features[fidx], scales, bins) <= b, node_expr(2 * n)
+        ).otherwise(node_expr(2 * n + 1))
+
+    return node_expr(1)
+
+
+def gbt_deep_logit_expr(
+    trees: list[dict],
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    eta: float = GBT_ETA,
+    scales: dict[str, float] | None = None,
+) -> Column:
+    """The trained deep ensemble's logit over raw features —
+    left-associated, term order = tree order (the determinism
+    contract shared with the oracle's rows{t} fold)."""
+    z: Column = F.lit(0.0)
+    for tr in trees:
+        z = z + F.lit(float(eta)) * deep_tree_logit_raw(tr, features, bins, scales)
+    return z
+
+
+# --- the trainer ---------------------------------------------------------------
+
+
+def train_gbt_deep(
+    fv: DataFrame,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+    depth: int = GBT_DEPTH,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+    subsample: float | None = None,
+    colsample: float | None = None,
+) -> list[dict]:
+    """Fit ``rounds`` depth-``depth`` trees by histogram gradient
+    boosting — ext/gbt.train_gbt generalized one axis at a time.
+
+    Per round: compile the partial ensemble to a row-local logit,
+    micro-floor gradients/hessians (over the round's hash-selected
+    row subset when ``subsample`` is set), then ``depth`` distributed
+    aggregates — level L groups (node, feature, bin) over the
+    round's eligible features, collecting ≤ 2^L·d·B integer cells.
+    Tree dicts are heap-indexed::
+
+        {"depth": d, "splits": {node: (fidx, bin)},
+         "gains": {node: gain}, "leaves": {leaf: w}}
+
+    At depth=2 (full sample, all columns) the returned trees are
+    bit-identical to :func:`ext.gbt.train_gbt`'s modulo
+    representation (root=splits[1], left=splits[2], right=splits[3],
+    w_ll..w_rr = leaves[4..7])."""
+    sampling = subsample is not None and subsample < 1.0
+    binned = fv.select(
+        F.col(label).alias("label"),
+        # the subsample predicate keys on o_orderkey; exact fits
+        # don't need an id column (synthetic test frames omit it)
+        *([F.col("o_orderkey")] if sampling else []),
+        *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+    )
+    trees: list[dict] = []
+    first_leaf = 2**depth
+    for t in range(rounds):
+        z: Column = F.lit(0.0)
+        for tr in trees:
+            z = z + F.lit(float(eta)) * deep_tree_logit_on_bins(tr, features)
+        staged = binned.withColumn(
+            "__p", det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        )
+        p = F.col("__p")
+        g = p - F.col("label").cast("double")
+        h = p * (F.lit(1.0) - p)
+        work = staged.select(
+            "*",
+            F.floor(g * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("gm"),
+            F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("hm"),
+        )
+        hist_src = work.filter(_sub_pred_expr(t, subsample)) if sampling else work
+        active = col_subset(features, t, colsample)
+        pairs = ", ".join(f"{i}, b_{features[i]}" for i in active)
+        n_act = len(active)
+        tree = {"depth": depth, "splits": {}, "gains": {}, "leaves": {}}
+        node: Column = F.lit(1)
+        for lvl in range(depth):
+            nodes_at = list(range(2**lvl, 2 ** (lvl + 1)))
+            stacked = hist_src.withColumn("node", node).selectExpr(
+                "node", "gm", "hm", f"stack({n_act}, {pairs}) AS (fidx, bin)"
+            )
+            rows = (
+                stacked.groupBy("node", "fidx", "bin")
+                .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+                .collect()
+            )
+            by_node: dict[int, list] = {}
+            for r in rows:
+                by_node.setdefault(r["node"], []).append(
+                    (r["fidx"], r["bin"], r["gs"], r["hs"])
+                )
+            if sorted(by_node) != nodes_at:
+                raise ValueError(
+                    f"degenerate split in round {t} level {lvl}: node(s) "
+                    f"{sorted(set(nodes_at) - set(by_node))} received no "
+                    f"{'selected ' if subsample else ''}rows — the input is "
+                    f"outside the gated depth-{depth} GBT domain"
+                )
+            branch = None
+            for n_id in nodes_at:
+                fidx, b, glm, hlm, g_m, h_m, gain = _argmax_split_sub(
+                    by_node[n_id], active, lam
+                )
+                tree["splits"][n_id] = (fidx, b)
+                tree["gains"][n_id] = gain
+                if lvl == depth - 1:
+                    tree["leaves"][2 * n_id] = _leaf_w(glm, hlm, lam)
+                    tree["leaves"][2 * n_id + 1] = _leaf_w(
+                        g_m - glm, h_m - hlm, lam
+                    )
+                else:
+                    side = F.when(
+                        F.col(f"b_{features[fidx]}") <= b, 0
+                    ).otherwise(1)
+                    cond = node == n_id  # noqa: E712  (Column equality)
+                    branch = (
+                        F.when(cond, side)
+                        if branch is None
+                        else branch.when(cond, side)
+                    )
+            if lvl < depth - 1:
+                node = node * 2 + branch
+        assert len(tree["splits"]) == first_leaf - 1
+        trees.append(tree)
+    return trees
+
+
+# --- generated DuckDB oracle -----------------------------------------------------
+
+
+def _gbt_deep_ctes(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+    depth: int = GBT_DEPTH,
+    subsample: float | None = None,
+    colsample: float | None = None,
+    prefix: str = "",
+) -> tuple[str, str]:
+    """(cte_block, final_rows_cte): the unrolled deep boosting rounds
+    — ext/gbt._gbt_ctes generalized by level. Per round t and level
+    L the chain is nd{t}_L (heap node assignment) → hh{t}_L
+    (histogram over the round's selected rows and eligible features)
+    → tt{t}_L (node totals) → ck{t}_L (all 2^L nodes materialized,
+    else error() — the ValueError twin) → cm{t}_L (cumulative bins)
+    → b{t}_L (argmax per node); the last level adds lw{t} (leaf
+    weights), sd{t} (leaf sides), rows{t} (ensemble update over ALL
+    rows). Every arithmetic step mirrors :func:`train_gbt_deep`
+    token for token."""
+    p_ = prefix
+    bin_cols = ", ".join(f"{_bin_sql(f, bins)} AS b_{f}" for f in features)
+    stack_case = " ".join(
+        f"WHEN {i} THEN g.b_{f}" for i, f in enumerate(features)
+    )
+    b_star = ", ".join(f"b_{f}" for f in features)
+    parts = [
+        f"{p_}fv AS ({fv_sql})",
+        (
+            f"{p_}rows0 AS MATERIALIZED (SELECT o_orderkey, label, "
+            f"{bin_cols}, CAST(0.0 AS DOUBLE) AS f FROM {p_}fv)"
+        ),
+    ]
+    for t in range(1, rounds + 1):
+        active = col_subset(features, t - 1, colsample)
+        fidx_vals = ", ".join(f"({i})" for i in active)
+        p = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        gc = f"(({p}) - CAST(label AS DOUBLE))"
+        hc = f"(({p}) * (1.0 - ({p})))"
+        if subsample is not None and subsample < 1.0:
+            insub = f"CASE WHEN {_sub_pred_sql(t - 1, subsample)} THEN 1 ELSE 0 END"
+        else:
+            insub = "1"
+        parts.append(
+            f"{p_}gh{t} AS MATERIALIZED (SELECT o_orderkey, label, {b_star}, f, "
+            f"{insub} AS insub, "
+            f"CAST(floor({gc} * 1000000.0 + 0.5) AS BIGINT) AS gm, "
+            f"CAST(floor({hc} * 1000000.0 + 0.5) AS BIGINT) AS hm "
+            f"FROM {p_}rows{t - 1})"
+        )
+        parts.append(
+            f"{p_}st{t} AS MATERIALIZED (SELECT g.o_orderkey, g.insub, g.gm, g.hm, "
+            f"fe.fidx, CASE fe.fidx {stack_case} END AS bin "
+            f"FROM {p_}gh{t} g CROSS JOIN (VALUES {fidx_vals}) fe(fidx))"
+        )
+        parts.append(
+            f"{p_}nd{t}_0 AS (SELECT o_orderkey, 1 AS node FROM {p_}gh{t})"
+        )
+        f0 = min(active)
+        for lvl in range(depth):
+            parts.append(
+                f"{p_}hh{t}_{lvl} AS MATERIALIZED (SELECT n.node, s.fidx, s.bin, "
+                f"sum(s.gm) AS gs, sum(s.hm) AS hs "
+                f"FROM {p_}st{t} s JOIN {p_}nd{t}_{lvl} n "
+                f"ON n.o_orderkey = s.o_orderkey "
+                f"WHERE s.insub = 1 GROUP BY 1, 2, 3)"
+            )
+            parts.append(
+                f"{p_}tt{t}_{lvl} AS (SELECT node, sum(gs) AS g_m, sum(hs) AS h_m "
+                f"FROM {p_}hh{t}_{lvl} WHERE fidx = {f0} GROUP BY 1)"
+            )
+            parts.append(
+                f"{p_}ck{t}_{lvl} AS (SELECT CASE WHEN "
+                f"(SELECT count(*) FROM {p_}tt{t}_{lvl}) = {2 ** lvl} THEN 1 "
+                f"ELSE CAST(error('degenerate split in round {t - 1} level "
+                f"{lvl}: a node received no selected rows - outside the "
+                f"gated depth-{depth} GBT domain (train_gbt_deep raises "
+                f"ValueError)') AS INTEGER) END AS ok)"
+            )
+            parts.append(
+                f"{p_}cm{t}_{lvl} AS (SELECT node, fidx, bin, "
+                f"sum(gs) OVER (PARTITION BY node, fidx ORDER BY bin) AS gl_m, "
+                f"sum(hs) OVER (PARTITION BY node, fidx ORDER BY bin) AS hl_m "
+                f"FROM {p_}hh{t}_{lvl})"
+            )
+            gain = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
+            parts.append(
+                f"{p_}b{t}_{lvl} AS MATERIALIZED (SELECT node, fidx, bin, gl_m, hl_m, gain "
+                f"FROM (SELECT c.node, c.fidx, c.bin, c.gl_m, c.hl_m, "
+                f"{gain} AS gain, row_number() OVER (PARTITION BY c.node "
+                f"ORDER BY {gain} DESC, c.fidx, c.bin) AS rn "
+                f"FROM {p_}cm{t}_{lvl} c JOIN {p_}tt{t}_{lvl} t ON t.node = c.node) "
+                # ok rides in the WHERE so the error() actually
+                # evaluates on degenerate frames (the gbt.py trick)
+                f"CROSS JOIN {p_}ck{t}_{lvl} WHERE rn = 1 AND ok = 1)"
+            )
+            if lvl < depth - 1:
+                parts.append(
+                    f"{p_}nd{t}_{lvl + 1} AS MATERIALIZED (SELECT n.o_orderkey, "
+                    f"n.node * 2 + CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS node "
+                    f"FROM {p_}nd{t}_{lvl} n "
+                    f"JOIN {p_}b{t}_{lvl} b ON b.node = n.node "
+                    f"JOIN {p_}st{t} s ON s.o_orderkey = n.o_orderkey "
+                    f"AND s.fidx = b.fidx)"
+                )
+        last = depth - 1
+        wl = (
+            "-(CAST(b.gl_m AS DOUBLE) / 1000000.0)"
+            f" / ((CAST(b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
+        )
+        wr = (
+            "-(CAST(t.g_m - b.gl_m AS DOUBLE) / 1000000.0)"
+            f" / ((CAST(t.h_m - b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
+        )
+        parts.append(
+            f"{p_}lw{t} AS MATERIALIZED (SELECT b.node, s.side, "
+            f"CASE s.side WHEN 0 THEN {wl} ELSE {wr} END AS w "
+            f"FROM {p_}b{t}_{last} b JOIN {p_}tt{t}_{last} t ON t.node = b.node "
+            f"CROSS JOIN (VALUES (0), (1)) s(side))"
+        )
+        parts.append(
+            f"{p_}sd{t} AS (SELECT n.o_orderkey, n.node, "
+            f"CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS side "
+            f"FROM {p_}nd{t}_{last} n JOIN {p_}b{t}_{last} b ON b.node = n.node "
+            f"JOIN {p_}st{t} s ON s.o_orderkey = n.o_orderkey AND s.fidx = b.fidx)"
+        )
+        parts.append(
+            f"{p_}rows{t} AS MATERIALIZED (SELECT r.o_orderkey, r.label, {b_star}, "
+            f"r.f + {eta!r} * l.w AS f "
+            f"FROM {p_}rows{t - 1} r "
+            f"JOIN {p_}sd{t} sd ON sd.o_orderkey = r.o_orderkey "
+            f"JOIN {p_}lw{t} l ON l.node = sd.node AND l.side = sd.side)"
+        )
+    return ",\n    ".join(parts), f"{p_}rows{rounds}"
+
+
+def gbt_train_deep_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+    depth: int = GBT_DEPTH,
+    subsample: float | None = None,
+    colsample: float | None = None,
+) -> str:
+    """Complete oracle for q_gbt_train_deep / q_gbt_train_subsample:
+    one row per (tree, internal node) — heap node id, split feature
+    by NAME, split bin, round6 gain, and (for the last internal
+    level, whose children are leaves) the two round6 leaf values.
+    NULL-free by construction: non-terminal split rows carry
+    w_left = w_right = 0.0 and is_leaf_parent = 0."""
+    ctes, _ = _gbt_deep_ctes(
+        fv_sql, features, rounds, bins, lam, eta, depth, subsample, colsample
+    )
+    fname_case = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(features)
+    )
+    g6 = _R6.format(c="b.gain")
+    w6 = _R6.format(c="w")
+    arms = []
+    for t in range(1, rounds + 1):
+        for lvl in range(depth - 1):
+            arms.append(
+                f"SELECT CAST({t - 1} AS INTEGER) AS tree, "
+                f"CAST(b.node AS BIGINT) AS node, "
+                f"CASE b.fidx {fname_case} END AS feature, "
+                f"CAST(b.bin AS BIGINT) AS split_bin, {g6} AS gain, "
+                f"CAST(0.0 AS DOUBLE) AS w_left, CAST(0.0 AS DOUBLE) AS w_right, "
+                f"CAST(0 AS INTEGER) AS is_leaf_parent FROM b{t}_{lvl} b"
+            )
+        last = depth - 1
+        arms.append(
+            f"SELECT CAST({t - 1} AS INTEGER) AS tree, "
+            f"CAST(b.node AS BIGINT) AS node, "
+            f"CASE b.fidx {fname_case} END AS feature, "
+            f"CAST(b.bin AS BIGINT) AS split_bin, {g6} AS gain, "
+            f"(SELECT {w6} FROM lw{t} l WHERE l.node = b.node AND l.side = 0) AS w_left, "
+            f"(SELECT {w6} FROM lw{t} l WHERE l.node = b.node AND l.side = 1) AS w_right, "
+            f"CAST(1 AS INTEGER) AS is_leaf_parent FROM b{t}_{last} b"
+        )
+    return f"WITH {ctes}\n    " + "\n    UNION ALL ".join(arms)
+
+
+def gbt_deep_score_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+    depth: int = GBT_DEPTH,
+) -> str:
+    """Oracle for q_gbt_deep_score: re-train the deep booster via the
+    unrolled rounds, score every row, band 3-way — the
+    gbt_score_band_sql shape at depth 3 (train→serve closure)."""
+    ctes, rows_k = _gbt_deep_ctes(
+        fv_sql, features, rounds, bins, lam, eta, depth
+    )
+    s = _R6.format(c="1.0 / (1.0 + exp(-f))")
+    mean_s = _R6.format(
+        c="CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*)"
+    )
+    rate = _R6.format(c="CAST(sum(label) AS DOUBLE) / count(*)")
+    return f"""WITH {ctes},
+    scored AS (SELECT label, {s} AS s FROM {rows_k}),
+    banded AS (
+      SELECT label, s,
+             CASE WHEN s >= 0.7 THEN 'high'
+                  WHEN s >= 0.4 THEN 'medium'
+                  ELSE 'low' END AS risk_label
+      FROM scored
+    )
+    SELECT risk_label, count(*) AS n, {mean_s} AS mean_score,
+           {rate} AS event_rate
+    FROM banded GROUP BY 1"""
+
+
+# --- holdout split-replay (deep) -------------------------------------------------
+
+
+def _gbt_deep_holdout_ctes(
+    prefix: str,
+    holdout_from: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    eta: float = GBT_ETA,
+    depth: int = GBT_DEPTH,
+    colsample: float | None = None,
+) -> tuple[str, str]:
+    """(cte_block, final_holdout_cte): replay the trained deep splits
+    on a holdout frame — walk each round's b{t}_L tables level by
+    level (heap node descent), then accumulate f += eta·w from lw{t}
+    in the exact operation order rows{t} uses."""
+    p_ = prefix
+    bin_cols = ", ".join(f"{_bin_sql(f, bins)} AS b_{f}" for f in features)
+    stack_case = " ".join(
+        f"WHEN {i} THEN g.b_{f}" for i, f in enumerate(features)
+    )
+    all_fidx = ", ".join(f"({i})" for i in range(len(features)))
+    parts = [
+        (
+            f"{p_}hr0 AS MATERIALIZED (SELECT o_orderkey, label, "
+            f"{bin_cols}, CAST(0.0 AS DOUBLE) AS f FROM {holdout_from})"
+        ),
+        (
+            f"{p_}hst AS MATERIALIZED (SELECT g.o_orderkey, fe.fidx, "
+            f"CASE fe.fidx {stack_case} END AS bin "
+            f"FROM {p_}hr0 g CROSS JOIN (VALUES {all_fidx}) fe(fidx))"
+        ),
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"{p_}hnd{t}_0 AS (SELECT o_orderkey, 1 AS node FROM {p_}hr{t - 1})"
+        )
+        for lvl in range(depth - 1):
+            parts.append(
+                f"{p_}hnd{t}_{lvl + 1} AS (SELECT n.o_orderkey, "
+                f"n.node * 2 + CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS node "
+                f"FROM {p_}hnd{t}_{lvl} n "
+                f"JOIN {p_}b{t}_{lvl} b ON b.node = n.node "
+                f"JOIN {p_}hst s ON s.o_orderkey = n.o_orderkey "
+                f"AND s.fidx = b.fidx)"
+            )
+        last = depth - 1
+        parts.append(
+            f"{p_}hsd{t} AS (SELECT n.o_orderkey, n.node, "
+            f"CASE WHEN s.bin <= b.bin THEN 0 ELSE 1 END AS side "
+            f"FROM {p_}hnd{t}_{last} n JOIN {p_}b{t}_{last} b ON b.node = n.node "
+            f"JOIN {p_}hst s ON s.o_orderkey = n.o_orderkey AND s.fidx = b.fidx)"
+        )
+        parts.append(
+            f"{p_}hr{t} AS MATERIALIZED (SELECT r.o_orderkey, r.label, "
+            f"r.f + {eta!r} * l.w AS f "
+            f"FROM {p_}hr{t - 1} r "
+            f"JOIN {p_}hsd{t} sd ON sd.o_orderkey = r.o_orderkey "
+            f"JOIN {p_}lw{t} l ON l.node = sd.node AND l.side = sd.side)"
+        )
+    return ",\n    ".join(parts), f"{p_}hr{rounds}"
+
+
+# --- depth-axis grid (fused) ------------------------------------------------------
+
+#: The depth grid: (config id, rounds, eta, lam, depth) — max_depth
+#: added as a swept axis next to the dimensions GBT_MS_CONFIGS
+#: already covers, per the reference's Optuna space
+#: (`fraud_detector.py:258`: max_depth 3-9; depth 2 is the engine's
+#: production default, so the sweep brackets it).
+GBT_DEPTH_CONFIGS: tuple[tuple[str, int, float, float, int], ...] = (
+    ("d2_r3_e0.3", GBT_ROUNDS, GBT_ETA, GBT_LAMBDA, 2),
+    ("d3_r3_e0.3", GBT_ROUNDS, GBT_ETA, GBT_LAMBDA, 3),
+    ("d3_r2_e0.3", 2, GBT_ETA, GBT_LAMBDA, 3),
+    ("d3_r3_e0.1", GBT_ROUNDS, 0.1, GBT_LAMBDA, 3),
+)
+
+
+def train_gbt_grid_deep(
+    fv: DataFrame,
+    configs: tuple[tuple[str, int, float, float, int], ...] = GBT_DEPTH_CONFIGS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+) -> list[list[dict]]:
+    """Fit every depth-grid config in max(rounds)·max(depth) shared
+    scans — ext/gbt.train_gbt_grid with a level loop: per round, per
+    LEVEL, one stacked aggregate carries every config still active at
+    that (round, level) — each config's gradients from its own staged
+    sigmoid, its node path from its own heap column. Per-config
+    arithmetic is written in the identical operation order as
+    :func:`train_gbt_deep`, so the returned tree lists are
+    bit-identical to the sequential fold (law-pinned in
+    tests/test_gbt_deep.py). At 100 TB each extra config adds
+    ≤ 2^L·d·B integer cells to level L's map-side combine — the scan
+    is shared, the histograms stay bytes."""
+    binned = fv.select(
+        F.col(label).alias("label"),
+        *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+    )
+    k = len(configs)
+    trees_all: list[list[dict]] = [[] for _ in configs]
+    max_rounds = max(r for _n, r, _e, _l, _d in configs)
+    n_f = len(features)
+    all_fidx = tuple(range(n_f))
+    for t in range(max_rounds):
+        round_active = [c for c in range(k) if configs[c][1] > t]
+        staged = binned
+        for c in round_active:
+            eta_c = float(configs[c][2])
+            z: Column = F.lit(0.0)
+            for tr in trees_all[c]:
+                z = z + F.lit(eta_c) * deep_tree_logit_on_bins(tr, features)
+            staged = staged.withColumn(
+                f"__p_{c}",
+                det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+            )
+        cols = ["*"]
+        for c in round_active:
+            p = F.col(f"__p_{c}")
+            g = p - F.col("label").cast("double")
+            h = p * (F.lit(1.0) - p)
+            cols.append(
+                F.floor(g * F.lit(_MICRO) + F.lit(0.5))
+                .cast("long")
+                .alias(f"gm_{c}")
+            )
+            cols.append(
+                F.floor(h * F.lit(_MICRO) + F.lit(0.5))
+                .cast("long")
+                .alias(f"hm_{c}")
+            )
+        work = staged.select(*cols)
+        nodes: dict[int, Column] = {c: F.lit(1) for c in round_active}
+        trees_new: dict[int, dict] = {
+            c: {
+                "depth": configs[c][4],
+                "splits": {},
+                "gains": {},
+                "leaves": {},
+            }
+            for c in round_active
+        }
+        max_depth = max(configs[c][4] for c in round_active)
+        for lvl in range(max_depth):
+            lvl_active = [c for c in round_active if configs[c][4] > lvl]
+            work_l = work
+            for c in lvl_active:
+                work_l = work_l.withColumn(f"node_{c}", nodes[c])
+            entries = ", ".join(
+                f"{c}, node_{c}, {i}, b_{features[i]}, gm_{c}, hm_{c}"
+                for c in lvl_active
+                for i in all_fidx
+            )
+            stacked = work_l.selectExpr(
+                f"stack({len(lvl_active) * n_f}, {entries}) "
+                "AS (cfg, node, fidx, bin, gm, hm)"
+            )
+            rows = (
+                stacked.groupBy("cfg", "node", "fidx", "bin")
+                .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+                .collect()
+            )
+            nodes_at = list(range(2**lvl, 2 ** (lvl + 1)))
+            for c in lvl_active:
+                lam_c = float(configs[c][3])
+                depth_c = configs[c][4]
+                by_node: dict[int, list] = {}
+                for r in rows:
+                    if r["cfg"] == c:
+                        by_node.setdefault(r["node"], []).append(
+                            (r["fidx"], r["bin"], r["gs"], r["hs"])
+                        )
+                if sorted(by_node) != nodes_at:
+                    raise ValueError(
+                        f"degenerate split in round {t} level {lvl} of "
+                        f"config {configs[c][0]}: node(s) "
+                        f"{sorted(set(nodes_at) - set(by_node))} are empty"
+                    )
+                branch = None
+                for n_id in nodes_at:
+                    fidx, b, glm, hlm, g_m, h_m, gain = _argmax_split_sub(
+                        by_node[n_id], all_fidx, lam_c
+                    )
+                    trees_new[c]["splits"][n_id] = (fidx, b)
+                    trees_new[c]["gains"][n_id] = gain
+                    if lvl == depth_c - 1:
+                        trees_new[c]["leaves"][2 * n_id] = _leaf_w(
+                            glm, hlm, lam_c
+                        )
+                        trees_new[c]["leaves"][2 * n_id + 1] = _leaf_w(
+                            g_m - glm, h_m - hlm, lam_c
+                        )
+                    else:
+                        side = F.when(
+                            F.col(f"b_{features[fidx]}") <= b, 0
+                        ).otherwise(1)
+                        cond = nodes[c] == n_id
+                        branch = (
+                            F.when(cond, side)
+                            if branch is None
+                            else branch.when(cond, side)
+                        )
+                if lvl < depth_c - 1:
+                    nodes[c] = nodes[c] * 2 + branch
+        for c in round_active:
+            trees_all[c].append(trees_new[c])
+    return trees_all
+
+
+_H60_OK = "('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100"
+
+
+def gbt_depth_selection_sql(
+    fv_sql: str,
+    configs: tuple[tuple[str, int, float, float, int], ...] = GBT_DEPTH_CONFIGS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+) -> str:
+    """Oracle for q_gbt_depth_selection: hash-split train/holdout
+    (the q_model_selection split), one unrolled DEEP boosting chain
+    per config (namespaced), a deep holdout split-replay per config,
+    per-config decimal-folded holdout log-loss, is_best rank
+    (val_logloss asc, config id tie-break) — gbt_model_selection_sql
+    with max_depth as a swept axis."""
+    parts = [
+        f"base AS ({fv_sql})",
+        f"tr AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} < 80)",
+        f"va AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} >= 80)",
+    ]
+    loss_ctes = []
+    for i, (_name, rounds, eta, lam, depth) in enumerate(configs):
+        p_ = f"d{i}_"
+        ctes, _rk = _gbt_deep_ctes(
+            "SELECT * FROM tr", features, rounds, bins, lam, eta, depth,
+            prefix=p_,
+        )
+        parts.append(ctes)
+        hctes, hk = _gbt_deep_holdout_ctes(
+            p_, "va", features, rounds, bins, eta, depth
+        )
+        parts.append(hctes)
+        p = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        raw = f"CASE WHEN label = 1 THEN -ln({p}) ELSE -ln(1.0 - {p}) END"
+        l6 = _R6.format(c=raw)
+        loss_ctes.append(f"{p_}loss")
+        parts.append(
+            f"{p_}loss AS (SELECT count(*) AS n, "
+            f"sum(CAST({l6} AS DECIMAL(18,6))) AS L FROM {hk})"
+        )
+    joins = " ".join(
+        f"CROSS JOIN {lc} v{i}" for i, lc in enumerate(loss_ctes[1:], 1)
+    )
+    means = ", ".join(
+        f"{_R6.format(c=f'CAST(v{i}.L AS DOUBLE) / v{i}.n')} AS m_{i}"
+        for i in range(len(configs))
+    )
+    parts.append(f"m AS (SELECT {means} FROM {loss_ctes[0]} v0 {joins})")
+    vals = ", ".join(
+        f"('{name}', {rounds}, {eta!r}, {lam!r}, {depth})"
+        for name, rounds, eta, lam, depth in configs
+    )
+    loss_case = " ".join(
+        f"WHEN '{name}' THEN m_{i}"
+        for i, (name, _r, _e, _l, _d) in enumerate(configs)
+    )
+    cte_block = ",\n    ".join(parts)
+    return f"""WITH {cte_block},
+    longf AS (
+      SELECT c.config, c.rounds, c.eta, c.lam, c.depth,
+             CASE c.config {loss_case} END AS val_logloss
+      FROM (VALUES {vals}) c(config, rounds, eta, lam, depth) CROSS JOIN m
+    )
+    SELECT config, CAST(rounds AS INTEGER) AS rounds, eta, lam,
+           CAST(depth AS INTEGER) AS depth, val_logloss,
+           CAST(CASE WHEN row_number() OVER (ORDER BY val_logloss, config) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM longf"""

@@ -36,6 +36,21 @@ the final (band, feature) rollup. The additivity law
 tests/test_shap.py, alongside an independent brute-force Shapley
 replay.
 
+Depth contract (VERDICT r14): this module is DEPTH-2-SPECIFIC by
+design — the closed form enumerates the ≤ 2³ subsets of a depth-2
+tree's ≤ 3 unique features, and the per-row CASE compiler keys on
+the 3 branch indicators (root/left/right). It serves q_gbt_shap /
+q_gbt_shap_top / explain_stream, all of which explain the
+PRODUCTION depth-2 booster (ext/gbt.py's q_gbt_train family). The
+depth-3 trainer (ext/gbt_deep.py, q_gbt_train_deep) is a selection
+/ benchmarking axis, not the served model; explaining a depth-d
+booster exactly means enumerating ≤ 2^(2^d−1) subsets of ≤ 2^d−1
+unique features per tree (128 at depth 3) — the same construction,
+a wider table. Generalize HERE (subset enumeration over heap trees)
+if a deep booster is ever promoted to serving; do not bolt a
+different approximation (e.g. Saabas) onto the serving path, which
+would silently change attribution semantics.
+
 Cites: reference `ml/models/fraud_detector.py:185-191` (explain,
 shap.TreeExplainer) — semantics reproduced, execution re-architected.
 """

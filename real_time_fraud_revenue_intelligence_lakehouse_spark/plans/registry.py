@@ -60,74 +60,28 @@ def _load_all() -> None:
 
 # Verification priority: the driver's correctness gate walks queries()
 # in dict order with a hard 50-entry per-round budget (every registered
-# id is green in the r01-r13 union), so ids needing a fresh driver row
-# come FIRST. Recomputed at round 14 per VERDICT r13 #1 — lead with the
+# id is green in the r01-r14 union), so ids needing a fresh driver row
+# come FIRST. Recomputed at round 15 per VERDICT r14 #5 — lead with the
 # stale blocks. Layout of this head:
-#   1-6:   round-14's NEW ids (no driver row can exist yet; VERDICT's
+#   1-5:   round-15's NEW ids (no driver row can exist yet; VERDICT's
 #          'done = CORRECTNESS-green' conditions require they be
 #          inside the 50-cap);
-#   7-13:  the seven ids whose last driver row is r06;
-#   14-58: the 45 ids whose last driver row is r07 (the tail past the
+#   6-13:  the eight ids whose last driver row is r07;
+#   14-63: the 50 ids whose last driver row is r09 (the tail past the
 #          50-cap — judge-selfchecked green at r14 HEAD — leads the
-#          r15 rotation).
+#          r16 rotation).
 # Names not listed keep their registration order after these (the
-# r09-r13 blocks rotated out: all driver-green at r12/r13).
+# r10-r14 blocks rotated out: all driver-green at r10-r14).
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
 _FRONT: tuple[str, ...] = (
-    # — new in round 14, never driver-verified —
-    "q_gbt_model_selection",
-    "q_gbt_early_stop",
-    "q_gbt_shap",
-    "q_gbt_shap_top",
-    "q_retrain_best",
-    "q_gbt_calibration",
-    # — last driver row r06 (judge-selfchecked green at r13 HEAD) —
-    "q_cusum",
-    "q_fd_discovery",
-    "q_k_anonymity",
-    "q_kfold",
-    "q_ks_test",
-    "q_scd2_lookup",
-    "q_seasonal_anomaly",
-    # — last driver row r07 (45 ids) —
-    "q_ann_recall",
-    "q_auc",
-    "q_augment",
-    "q_basket_lift",
-    "q_bfs_distance",
-    "q_bigram_logprob",
-    "q_bloom_prune",
-    "q_bm25",
-    "q_bootstrap_ci",
-    "q_cheapest_route",
-    "q_correlated_subquery",
-    "q_data_skew_report",
-    "q_dedup_pipeline",
-    "q_diff_in_diff",
-    "q_dup_ngram_ratio",
-    "q_embed_pq",
-    "q_ewma",
-    "q_fuzzy_match",
-    "q_graph_communities",
-    "q_graph_degree",
-    "q_greedy_packing",
-    "q_hll_registers",
-    "q_item_sim",
-    "q_ivfpq_topk",
-    "q_json_roundtrip",
-    "q_kmv_set_ops",
-    "q_knn_label_vote",
-    "q_knn_triangles",
-    "q_latency_sla",
-    "q_lsh_quality",
-    "q_market_share",
-    "q_median_mode",
-    "q_min_cost_supplier",
-    "q_minhash_accuracy",
-    "q_pagerank",
-    "q_pagerank_converge",
-    "q_parent_share",
+    # — new in round 15, never driver-verified —
+    "q_gbt_train_deep",
+    "q_gbt_deep_score",
+    "q_gbt_train_subsample",
+    "q_gbt_depth_selection",
+    "q_model_selection_cv",
+    # — last driver row r07 (judge-selfchecked green at r14 HEAD) —
     "q_prefix_jaccard_join",
     "q_reconciliation",
     "q_sample_limit",
@@ -136,6 +90,57 @@ _FRONT: tuple[str, ...] = (
     "q_stateful_profile",
     "q_weighted_median",
     "q_zorder_key",
+    # — last driver row r09 (50 ids) —
+    "q_active_users",
+    "q_ann_topk",
+    "q_audio_frames",
+    "q_chunk_documents",
+    "q_cms_heavy_hitters",
+    "q_contamination",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dup_clusters",
+    "q_embed_neardup",
+    "q_embed_quantize",
+    "q_embed_top1",
+    "q_embed_topk",
+    "q_event_funnel",
+    "q_feature_hash",
+    "q_fingerprint",
+    "q_full_outer_diff",
+    "q_gopher_quality",
+    "q_holt_winters",
+    "q_important_parts",
+    "q_inverted_index",
+    "q_ivf_topk",
+    "q_lang_id",
+    "q_length_histogram",
+    "q_lsh_pairs",
+    "q_minhash_signature",
+    "q_multimodal_decode",
+    "q_multimodal_meta",
+    "q_ngram_jaccard",
+    "q_ols_trend",
+    "q_paragraph_dedup",
+    "q_phash_neardup",
+    "q_pii_scan",
+    "q_pricing_summary",
+    "q_quality_score",
+    "q_record_linkage",
+    "q_rolling_hash",
+    "q_schema_drift",
+    "q_shipping_priority",
+    "q_simhash",
+    "q_simhash_pairs",
+    "q_source_mix",
+    "q_source_profile",
+    "q_text_cleanup",
+    "q_text_stats",
+    "q_tfidf_terms",
+    "q_top_tokens",
+    "q_unigram_logprob",
+    "q_vector_norms",
+    "q_vocab_coverage",
 )
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -161,3 +161,81 @@ def explain_stream(
         )
         .drop("__absarr", "__idx")
     )
+
+
+def compile_registry_model(doc: dict, feature_cols: tuple[str, ...],
+                           scales: dict[str, float] | None = None):
+    """Registry document → round6 scoring Column — the serving-side
+    twin of the trainer's save: `gbt` documents re-compile through
+    gbt_trained_logit_expr (save → load → score is bit-identical to
+    train → score, the ext/model_registry round-trip law), `logreg`
+    documents through trained_score_expr."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import gbt_trained_logit_expr
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import gbt_from_doc
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+
+    if doc["kind"] == "gbt":
+        z = gbt_trained_logit_expr(gbt_from_doc(doc), feature_cols, scales=scales)
+        return det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    if doc["kind"] == "logreg":
+        return trained_score_expr(doc["params"]["weights"], feature_cols, scales)
+    raise ValueError(f"unknown model kind in registry document: {doc['kind']!r}")
+
+
+def start_hot_reload_scoring(
+    features: DataFrame,
+    registry_path: str,
+    feature_cols: tuple[str, ...],
+    out_path: str,
+    checkpoint: str,
+    scales: dict[str, float] | None = None,
+    trigger_available_now: bool = False,
+):
+    """Streaming scoring that HOT-RELOADS the registry head — the
+    reference's `/model/reload` endpoint (`ml/serving/api.py:
+    279-289`: after a retrain promotes a new version, serving swaps
+    to registry `latest` without a restart), closed into the
+    retrain→serve loop as a foreachBatch sink: each micro-batch
+    re-resolves the registry head (one listdir — the head is DERIVED
+    from committed names, never a mutable `latest` pointer, so a
+    half-published model can't be loaded), recompiles the scoring
+    CASE expression ONLY when the version changed, stamps every row
+    with `model_version`, and appends to partitioned parquet.
+
+    Semantics the test pins (tests/test_streaming.py): rows ingested
+    BEFORE a new version commits score with the old model; rows after
+    score with the new one; each segment is bit-identical to its
+    batch twin scored with that version (score_stream's stream ≡
+    batch law, per segment). Replays after a crash re-score with the
+    CURRENT head — same as the reference, where `/predict` always
+    serves the loaded model, not the model that was live at event
+    time (version provenance is exactly why model_version is stamped
+    on every row).
+
+    At 100 TB ingest: the reload check is one driver-side listdir per
+    micro-batch (no executor work), the recompile happens only on
+    version change, and scoring stays a stateless codegen projection
+    — zero shuffle, zero Python in the row path."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import load_model
+
+    state: dict = {"version": None, "expr": None}
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        doc = load_model(registry_path)
+        if doc["version"] != state["version"]:
+            state["version"] = doc["version"]
+            state["expr"] = compile_registry_model(doc, feature_cols, scales)
+        (
+            batch_df.withColumn("fraud_score", state["expr"])
+            .withColumn("risk_label", risk_label(F.col("fraud_score")))
+            .withColumn("model_version", F.lit(int(state["version"])))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = features.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,330 @@
+"""Depth-d GBT + deterministic subsampling (ext/gbt_deep.py) and
+3-fold CV selection (ext/gbt_cv.py).
+
+The test_gbt.py laws, one axis at a time:
+1. At depth=2 the generalized trainer reproduces ext/gbt.train_gbt's
+   trees BIT-EXACTLY (modulo heap representation) — the old contract
+   is a special case, not a parallel code path drifting apart.
+2. The depth-3 Spark fit is bit-identical to an independent NumPy
+   replay of the same arithmetic — splits, gains, AND leaf doubles.
+3. Tree structure is partition-layout independent at depth 3 and
+   under row/column subsampling (the schedules are content hashes,
+   not RNG).
+4. Subsampling is REAL: the sampled booster differs from the exact
+   fit; the column schedule has the promised size and determinism.
+5. The fused depth-grid trainer returns trees bit-identical to the
+   sequential per-config fold.
+6. Degenerate nodes raise (both engines refuse to fabricate
+   structure) — the gated-domain contract.
+7. CV fold AUCs match an independent NumPy rank-sum replay, and the
+   mean is the exact left-associated round6 fold the oracle writes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
+    GBT_BINS,
+    GBT_ETA,
+    GBT_LAMBDA,
+    GBT_ROUNDS,
+    train_gbt,
+)
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
+    _argmax_split_sub,
+    _leaf_w,
+    col_subset,
+    train_gbt_deep,
+    train_gbt_grid_deep,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _hist(active, B, gm, hm, mask):
+    cells = []
+    for fidx in active:
+        bs = B[mask, fidx]
+        for b in np.unique(bs):
+            sel = mask & (B[:, fidx] == b)
+            cells.append(
+                (int(fidx), int(b), int(gm[sel].sum()), int(hm[sel].sum()))
+            )
+    return cells
+
+
+def _tree_vals(tree, B, n):
+    vals = np.zeros(n)
+
+    def rec(n_id, mask):
+        if n_id in tree["leaves"]:
+            vals[mask] = tree["leaves"][n_id]
+            return
+        fidx, b = tree["splits"][n_id]
+        left = mask & (B[:, fidx] <= b)
+        rec(2 * n_id, left)
+        rec(2 * n_id + 1, mask & ~left)
+
+    rec(1, np.ones(n, dtype=bool))
+    return vals
+
+
+def gbt_deep_numpy_replay(
+    X,
+    y,
+    features,
+    rounds,
+    bins,
+    lam,
+    eta,
+    scales,
+    depth,
+    ids=None,
+    subsample=None,
+    colsample=None,
+):
+    """Independent replay: numpy masking instead of distributed
+    aggregation; shares only the pure-Python argmax/leaf folds."""
+    div = np.array([(scales or {}).get(f, 1.0) for f in features])
+    B = np.minimum(
+        np.maximum(np.floor((X / div) * bins), 0), bins - 1
+    ).astype(np.int64)
+    n, d = X.shape
+    trees = []
+    for t in range(rounds):
+        z = np.zeros(n)
+        for tr in trees:
+            z = z + eta * _tree_vals(tr, B, n)
+        p = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
+        g = p - y
+        h = p * (1.0 - p)
+        gm = np.floor(g * 1e6 + 0.5).astype(np.int64)
+        hm = np.floor(h * 1e6 + 0.5).astype(np.int64)
+        if subsample is not None and subsample < 1.0:
+            pct = int(round(subsample * 100))
+            sel = np.array(
+                [_h60(f"{i}#r{t}") % 100 < pct for i in ids], dtype=bool
+            )
+        else:
+            sel = np.ones(n, dtype=bool)
+        active = col_subset(features, t, colsample)
+        tree = {"depth": depth, "splits": {}, "gains": {}, "leaves": {}}
+        masks = {1: np.ones(n, dtype=bool)}
+        for lvl in range(depth):
+            for n_id in range(2**lvl, 2 ** (lvl + 1)):
+                m = masks[n_id] & sel
+                assert m.any(), "degenerate node in replay"
+                fidx, b, glm, hlm, g_m, h_m, gain = _argmax_split_sub(
+                    _hist(active, B, gm, hm, m), active, lam
+                )
+                tree["splits"][n_id] = (fidx, b)
+                tree["gains"][n_id] = gain
+                left = masks[n_id] & (B[:, fidx] <= b)
+                if lvl == depth - 1:
+                    tree["leaves"][2 * n_id] = _leaf_w(glm, hlm, lam)
+                    tree["leaves"][2 * n_id + 1] = _leaf_w(
+                        g_m - glm, h_m - hlm, lam
+                    )
+                else:
+                    masks[2 * n_id] = left
+                    masks[2 * n_id + 1] = masks[n_id] & ~left
+        trees.append(tree)
+    return trees
+
+
+def _frame(spark, n=900, seed=7):
+    """Two planted boundaries + noise so depth-3 trees stay
+    non-degenerate: y depends on x2 > 0.55 AND x1 > 0.3."""
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 1, n).round(4)
+    x2 = rng.uniform(0, 1, n).round(4)
+    x3 = rng.uniform(0, 1, n).round(4)
+    flip = rng.uniform(0, 1, n) < 0.15
+    y = (((x2 > 0.55) & (x1 > 0.3)) ^ flip).astype(int)
+    ids = np.arange(1, n + 1)
+    rows = [
+        (int(i), float(a), float(b), float(c), int(v))
+        for i, a, b, c, v in zip(ids, x1, x2, x3, y)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, x1 double, x2 double, x3 double, label int"
+    )
+    return df, np.column_stack([x1, x2, x3]), y.astype(float), ids
+
+
+FEATS = ("x1", "x2", "x3")
+
+
+def test_depth2_reproduces_train_gbt_bit_exactly(spark):
+    df, X, y, ids = _frame(spark)
+    old = train_gbt(df, features=FEATS, scales={})
+    new = train_gbt_deep(df, features=FEATS, scales={}, depth=2)
+    for a, b in zip(old, new):
+        assert a["root"] == b["splits"][1]
+        assert a["left"] == b["splits"][2]
+        assert a["right"] == b["splits"][3]
+        assert a["gain_root"] == b["gains"][1]
+        assert a["gain_left"] == b["gains"][2]
+        assert a["gain_right"] == b["gains"][3]
+        assert (a["w_ll"], a["w_lr"], a["w_rl"], a["w_rr"]) == (
+            b["leaves"][4],
+            b["leaves"][5],
+            b["leaves"][6],
+            b["leaves"][7],
+        )
+
+
+def test_depth3_fit_matches_numpy_replay_bit_exactly(spark):
+    df, X, y, ids = _frame(spark)
+    got = train_gbt_deep(df, features=FEATS, scales={}, depth=3)
+    want = gbt_deep_numpy_replay(
+        X, y, FEATS, GBT_ROUNDS, GBT_BINS, GBT_LAMBDA, GBT_ETA, {}, 3
+    )
+    assert got == want
+
+
+def test_depth3_is_layout_independent(spark):
+    df, *_ = _frame(spark)
+    a = train_gbt_deep(df, features=FEATS, scales={}, depth=3)
+    b = train_gbt_deep(df.repartition(17), features=FEATS, scales={}, depth=3)
+    assert a == b
+
+
+def test_subsample_matches_replay_and_differs_from_full_fit(spark):
+    df, X, y, ids = _frame(spark)
+    full = train_gbt_deep(df, features=FEATS, scales={}, depth=2)
+    sub = train_gbt_deep(
+        df, features=FEATS, scales={}, depth=2, subsample=0.7, colsample=0.7
+    )
+    assert sub != full, "subsampling must change the fit"
+    want = gbt_deep_numpy_replay(
+        X, y, FEATS, GBT_ROUNDS, GBT_BINS, GBT_LAMBDA, GBT_ETA, {}, 2,
+        ids=ids, subsample=0.7, colsample=0.7,
+    )
+    assert sub == want
+    # bit-stable across layouts: hash schedules, not RNG
+    again = train_gbt_deep(
+        df.repartition(11), features=FEATS, scales={}, depth=2,
+        subsample=0.7, colsample=0.7,
+    )
+    assert sub == again
+
+
+def test_col_subset_schedule_properties():
+    feats = tuple(f"f{i}" for i in range(8))
+    # full when colsample off / >= 1
+    assert col_subset(feats, 0, None) == tuple(range(8))
+    assert col_subset(feats, 3, 1.0) == tuple(range(8))
+    for t in range(5):
+        s = col_subset(feats, t, 0.75)
+        assert len(s) == 6 and list(s) == sorted(s)
+        assert s == col_subset(feats, t, 0.75)  # deterministic
+    # the round salt actually rotates the subset somewhere
+    assert len({col_subset(feats, t, 0.5) for t in range(6)}) > 1
+    # never empty
+    assert len(col_subset(feats, 0, 0.01)) == 1
+
+
+def test_fused_deep_grid_matches_sequential(spark):
+    df, *_ = _frame(spark)
+    configs = (
+        ("a_d2", 2, 0.3, 1.0, 2),
+        ("b_d3", 2, 0.3, 1.0, 3),
+        ("c_d3_e01", 1, 0.1, 1.0, 3),
+    )
+    grid = train_gbt_grid_deep(df, configs=configs, features=FEATS, scales={})
+    for i, (_n, r, e, lam, d) in enumerate(configs):
+        seq = train_gbt_deep(
+            df, features=FEATS, scales={}, rounds=r, eta=e, lam=lam, depth=d
+        )
+        assert grid[i] == seq
+
+
+def test_degenerate_node_raises(spark):
+    # every feature constant → the root "split" sends all rows left,
+    # level-1 right node is empty → ValueError, not fabricated trees
+    rows = [(i, 0.5, 0.5, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "o_orderkey long, x1 double, x2 double, label int")
+    with pytest.raises(ValueError, match="degenerate"):
+        train_gbt_deep(df, features=("x1", "x2"), scales={}, depth=2)
+
+
+# --- CV selection (ext/gbt_cv.py) ---------------------------------------------
+
+
+def _auc_numpy(scores, labels):
+    """Mann-Whitney with average-rank ties, independent impl."""
+    order = np.argsort(scores)
+    s = scores[order]
+    lab = labels[order]
+    ranks = np.zeros(len(s))
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and s[j + 1] == s[i]:
+            j += 1
+        ranks[i : j + 1] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    n1 = lab.sum()
+    n0 = len(lab) - n1
+    if n1 == 0 or n0 == 0:
+        return 0.0
+    r1 = ranks[lab == 1].sum()
+    raw = (r1 - n1 * (n1 + 1) / 2) / (n1 * n0)
+    return math.floor(raw * 1e6 + 0.5) / 1e6
+
+
+def test_cv_fold_aucs_match_numpy_replay(spark):
+    """End-to-end independence: fold assignment (md5 mod 3), per-fold
+    training (NumPy replay of the fused grid via the grid≡sequential
+    ≡replay laws), held-out scoring, and the rank-sum AUC reduction
+    all recomputed outside Spark — gbt_cv_fold_aucs must agree
+    bit-for-bit."""
+    from test_gbt import gbt_numpy_replay
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_cv import gbt_cv_fold_aucs
+
+    df, X, y, ids = _frame(spark, n=700, seed=23)
+    configs = (("a", 2, 0.3, 1.0), ("b", 1, 0.3, 1.0))
+    got = gbt_cv_fold_aucs(df, configs=configs, features=FEATS, scales={})
+
+    folds = 3
+    fold = np.array([_h60(str(i)) % folds for i in ids])
+    B = np.minimum(
+        np.maximum(np.floor(X * GBT_BINS), 0), GBT_BINS - 1
+    ).astype(np.int64)
+    want = [[None] * folds for _ in configs]
+    for f in range(folds):
+        tr_mask = fold != f
+        va_mask = ~tr_mask
+        for i, (_n, rounds, eta, lam) in enumerate(configs):
+            trees = gbt_numpy_replay(
+                X[tr_mask], y[tr_mask], FEATS, rounds, GBT_BINS, lam, eta, {}
+            )
+            z = np.zeros(int(va_mask.sum()))
+            Bv = B[va_mask]
+            for t_ in trees:
+                rf, rb = t_["root"]
+                lf, lb = t_["left"]
+                rrf, rrb = t_["right"]
+                left = np.where(Bv[:, lf] <= lb, t_["w_ll"], t_["w_lr"])
+                right = np.where(Bv[:, rrf] <= rrb, t_["w_rl"], t_["w_rr"])
+                z = z + eta * np.where(Bv[:, rf] <= rb, left, right)
+            s = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
+            want[i][f] = _auc_numpy(s, y[va_mask])
+    assert got == want
+
+
+def test_cv_mean_is_left_associated_round6():
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_cv import cv_mean
+
+    vals = [0.123456, 0.654321, 0.111111]
+    s = (0.123456 + 0.654321) + 0.111111
+    assert cv_mean(vals) == math.floor((s / 3.0) * 1e6 + 0.5) / 1e6

@@ -1621,3 +1621,100 @@ def test_stream_explained_scoring_matches_batch(spark, tmp_path):
     # and the high-value row carries a strictly positive driver
     assert all(g[2] == "value" for g in got.values())
     assert got[1][3] > 0.0
+
+
+def test_hot_reload_scores_with_the_registry_head_per_microbatch(spark, tmp_path):
+    """The retrain→serve loop (VERDICT r14 #6) — the reference's
+    `/model/reload` (`ml/serving/api.py:279-289`: swap serving to the
+    registry's latest after a promotion, no restart): a model
+    committed MID-STREAM must score every later micro-batch while
+    earlier rows keep the old version's scores, each segment
+    bit-identical to its batch twin (score_stream's stream ≡ batch
+    law, per segment), and every row stamped with the version that
+    scored it."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import save_model
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import (
+        score_stream,
+        start_hot_reload_scoring,
+    )
+
+    src = tmp_path / "reload_src"
+    src.mkdir()
+    reg = str(tmp_path / "registry")
+    out = str(tmp_path / "scored_out")
+    ckpt = str(tmp_path / "reload_ckpt")
+    feats = ("value",)
+    scales = {"value": 500.0}
+    w0 = {"bias": -1.0, "value": 5.0}
+    w1 = {"bias": -2.0, "value": 8.0}
+
+    assert save_model(reg, "logreg", {"weights": w0}, list(feats)) == 0
+    now = time.time()
+    _write_json(str(src / "b0.json"), [
+        _ev(1, "2024-01-01 10:05:00", value=480.0),
+        _ev(2, "2024-01-01 10:20:00", value=30.0),
+        _ev(3, "2024-01-01 10:40:00", value=450.0),
+    ], now - 120)
+
+    stream = read_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = start_hot_reload_scoring(stream, reg, feats, out, ckpt, scales)
+    try:
+        q.processAllAvailable()  # b0 scored with v0
+        # the mid-stream retrain promotion: commit v1, then more data
+        assert save_model(reg, "logreg", {"weights": w1}, list(feats)) == 1
+        _write_json(str(src / "b1.json"), [
+            _ev(4, "2024-01-01 11:10:00", value=480.0),
+            _ev(5, "2024-01-01 11:30:00", value=30.0),
+        ], now - 60)
+        q.processAllAvailable()  # b1 scored with v1
+    finally:
+        q.stop()
+
+    rows = {r["event_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 5
+    assert {rows[i]["model_version"] for i in (1, 2, 3)} == {0}
+    assert {rows[i]["model_version"] for i in (4, 5)} == {1}
+
+    # per-segment batch twins: old rows ≡ w0 scoring, new rows ≡ w1
+    batch = spark.read.schema(EVENTS_SCHEMA).json(str(src))
+    twin0 = {r["event_id"]: (r["fraud_score"], r["risk_label"])
+             for r in score_stream(batch, w0, feats, scales).collect()}
+    twin1 = {r["event_id"]: (r["fraud_score"], r["risk_label"])
+             for r in score_stream(batch, w1, feats, scales).collect()}
+    for i in (1, 2, 3):
+        assert (rows[i]["fraud_score"], rows[i]["risk_label"]) == twin0[i]
+    for i in (4, 5):
+        assert (rows[i]["fraud_score"], rows[i]["risk_label"]) == twin1[i]
+    # and the swap was REAL: the same event value scores differently
+    assert rows[4]["fraud_score"] != rows[1]["fraud_score"]
+
+
+def test_hot_reload_compiles_gbt_documents_roundtrip(spark, tmp_path):
+    """compile_registry_model on a `gbt` document reproduces the
+    trainer's own scores bit-exactly (the save → load → score law,
+    now on the serving path)."""
+    import numpy as np
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import train_gbt, gbt_trained_logit_expr
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import gbt_doc, load_model, save_model
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import compile_registry_model
+
+    rng = np.random.RandomState(3)
+    x1 = rng.uniform(0, 1, 400).round(4)
+    x2 = rng.uniform(0, 1, 400).round(4)
+    y = ((x2 > 0.5) ^ (rng.uniform(0, 1, 400) < 0.1)).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(v)) for a, b, v in zip(x1, x2, y)],
+        "x1 double, x2 double, label int",
+    )
+    trees = train_gbt(df, features=("x1", "x2"), scales={})
+    reg = str(tmp_path / "gbtreg")
+    kind, params = gbt_doc(trees, ("x1", "x2"))
+    save_model(reg, kind, params, ["x1", "x2"])
+    expr = compile_registry_model(load_model(reg), ("x1", "x2"), {})
+    direct = det_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees, ("x1", "x2"), scales={}))), 6
+    )
+    got = df.select(expr.alias("a"), direct.alias("b")).collect()
+    assert all(r["a"] == r["b"] for r in got)
