@@ -136,7 +136,17 @@ def _argmax_split(
     """Greedy best split over histogram cells (fidx, bin, gs, hs):
     returns (fidx, bin, gl_m, hl_m, g_m, h_m, gain). Deterministic
     fold: strictly-greater gain wins, so ties keep the smallest
-    (fidx, bin) — matching ORDER BY gain DESC, fidx, bin LIMIT 1."""
+    (fidx, bin) — matching ORDER BY gain DESC, fidx, bin LIMIT 1.
+
+    Candidates are INTERIOR only — each feature's last occupied bin
+    is excluded (its "split" sends every row left; XGBoost's
+    enumeration never proposes a split with an empty child). Found
+    at r15: on a weak-signal fold a large λ can push every interior
+    gain below the boundary's exact 0.0, so including the boundary
+    turned an over-regularized-but-valid config into a degenerate
+    crash. A node with a single occupied bin in EVERY feature has no
+    admissible split at all → ValueError (the gated-domain
+    contract; the SQL oracles' chk CTEs error() identically)."""
     by_f: dict[int, list[tuple[int, int, int]]] = {}
     for fidx, b, gs, hs in cells:
         by_f.setdefault(fidx, []).append((b, gs, hs))
@@ -148,12 +158,19 @@ def _argmax_split(
     for fidx in range(len(features)):
         glm = 0
         hlm = 0
-        for b, gs, hs in sorted(by_f.get(fidx, [])):
+        occupied = sorted(by_f.get(fidx, []))
+        for b, gs, hs in occupied[:-1]:  # interior candidates only
             glm += gs
             hlm += hs
             gain = _gain(glm, hlm, g_m, h_m, lam)
             if best is None or gain > best[0]:
                 best = (gain, fidx, b, glm, hlm)
+    if best is None:
+        raise ValueError(
+            "unsplittable node: every feature has a single occupied bin "
+            "— no admissible (non-empty-child) split exists; the input "
+            "is outside the gated GBT domain"
+        )
     gain_v, fidx, b, glm, hlm = best
     return fidx, b, glm, hlm, g_m, h_m, gain_v
 
@@ -401,13 +418,31 @@ def _gbt_ctes(
         parts.append(
             f"{p_}cum1_{t} AS (SELECT fidx, bin, "
             f"sum(gs) OVER (PARTITION BY fidx ORDER BY bin) AS gl_m, "
-            f"sum(hs) OVER (PARTITION BY fidx ORDER BY bin) AS hl_m "
+            f"sum(hs) OVER (PARTITION BY fidx ORDER BY bin) AS hl_m, "
+            # each feature's LAST occupied bin is not a candidate —
+            # its "split" sends every row left (the r15 interior-only
+            # rule, mirrored in _argmax_split)
+            f"max(bin) OVER (PARTITION BY fidx) AS maxbin "
             f"FROM {p_}h1_{t})"
+        )
+        # the _argmax_split "unsplittable node" ValueError twin:
+        # admissible candidates exist iff some feature occupies ≥2
+        # bins; evaluated in best1's WHERE, whose input (cum1 × tot)
+        # is non-empty whenever the frame is, so the error() fires
+        parts.append(
+            f"{p_}ck1_{t} AS (SELECT CASE WHEN (SELECT count(*) FROM "
+            f"(SELECT fidx FROM {p_}h1_{t} GROUP BY fidx "
+            f"HAVING count(*) >= 2)) >= 1 THEN 1 "
+            f"ELSE CAST(error('unsplittable root in round {t}: every "
+            f"feature has a single occupied bin - outside the gated GBT "
+            f"domain (train_gbt raises ValueError)') AS INTEGER) END AS ok1)"
         )
         gain1 = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
         parts.append(
             f"{p_}best1_{t} AS MATERIALIZED (SELECT c.fidx, c.bin, {gain1} AS gain "
             f"FROM {p_}cum1_{t} c CROSS JOIN {p_}tot{t} t "
+            f"CROSS JOIN {p_}ck1_{t} "
+            f"WHERE c.bin < c.maxbin AND ok1 = 1 "
             f"ORDER BY {gain1} DESC, c.fidx, c.bin LIMIT 1)"
         )
         parts.append(
@@ -434,10 +469,22 @@ def _gbt_ctes(
             f"node is empty - out of the gated GBT domain (train_gbt "
             f"raises ValueError)') AS INTEGER) END AS ok)"
         )
+        # per-node admissibility twin for the children (some feature
+        # occupies ≥2 bins in BOTH nodes), evaluated in best2's WHERE
+        parts.append(
+            f"{p_}ck2_{t} AS (SELECT CASE WHEN (SELECT count(*) FROM "
+            f"(SELECT node FROM (SELECT node, fidx FROM {p_}h2_{t} "
+            f"GROUP BY node, fidx HAVING count(*) >= 2) GROUP BY node)) = 2 "
+            f"THEN 1 ELSE CAST(error('unsplittable child node in round {t}: "
+            f"every feature has a single occupied bin - outside the gated "
+            f"GBT domain (train_gbt raises ValueError)') AS INTEGER) "
+            f"END AS ok2)"
+        )
         parts.append(
             f"{p_}cum2_{t} AS (SELECT node, fidx, bin, "
             f"sum(gs) OVER (PARTITION BY node, fidx ORDER BY bin) AS gl_m, "
-            f"sum(hs) OVER (PARTITION BY node, fidx ORDER BY bin) AS hl_m "
+            f"sum(hs) OVER (PARTITION BY node, fidx ORDER BY bin) AS hl_m, "
+            f"max(bin) OVER (PARTITION BY node, fidx) AS maxbin "
             f"FROM {p_}h2_{t})"
         )
         gain2 = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
@@ -446,11 +493,15 @@ def _gbt_ctes(
             f"SELECT c.node, c.fidx, c.bin, c.gl_m, c.hl_m, {gain2} AS gain, "
             f"row_number() OVER (PARTITION BY c.node "
             f"ORDER BY {gain2} DESC, c.fidx, c.bin) AS rn "
-            f"FROM {p_}cum2_{t} c JOIN {p_}tot2_{t} t ON t.node = c.node) "
+            # interior-only BEFORE the row_number, so rn=1 is the best
+            # ADMISSIBLE candidate per node
+            f"FROM {p_}cum2_{t} c JOIN {p_}tot2_{t} t ON t.node = c.node "
+            f"WHERE c.bin < c.maxbin) "
             # ok rides in the WHERE (not an unused projection DuckDB
             # would prune away): the filter must evaluate the CASE,
             # so the error() actually fires on degenerate frames
-            f"CROSS JOIN {p_}chk{t} WHERE rn = 1 AND ok = 1)"
+            f"CROSS JOIN {p_}chk{t} CROSS JOIN {p_}ck2_{t} "
+            f"WHERE rn = 1 AND ok = 1 AND ok2 = 1)"
         )
         wl = (
             "-(CAST(b.gl_m AS DOUBLE) / 1000000.0)"

@@ -148,12 +148,21 @@ def _argmax_split_sub(
     for fidx in active:
         glm = 0
         hlm = 0
-        for b, gs, hs in sorted(by_f.get(fidx, [])):
+        occupied = sorted(by_f.get(fidx, []))
+        # interior candidates only — the last occupied bin's "split"
+        # sends every row left (ext/gbt._argmax_split's r15 rule)
+        for b, gs, hs in occupied[:-1]:
             glm += gs
             hlm += hs
             gain = _gain(glm, hlm, g_m, h_m, lam)
             if best is None or gain > best[0]:
                 best = (gain, fidx, b, glm, hlm)
+    if best is None:
+        raise ValueError(
+            "unsplittable node: every eligible feature has a single "
+            "occupied bin — no admissible (non-empty-child) split exists; "
+            "the input is outside the gated GBT domain"
+        )
     gain_v, fidx, b, glm, hlm = best
     return fidx, b, glm, hlm, g_m, h_m, gain_v
 
@@ -411,10 +420,26 @@ def _gbt_deep_ctes(
                 f"gated depth-{depth} GBT domain (train_gbt_deep raises "
                 f"ValueError)') AS INTEGER) END AS ok)"
             )
+            # per-node admissibility (the interior-only rule's
+            # _argmax_split_sub ValueError twin): every node at this
+            # level must have SOME feature occupying ≥2 bins
+            parts.append(
+                f"{p_}ckb{t}_{lvl} AS (SELECT CASE WHEN (SELECT count(*) "
+                f"FROM (SELECT node FROM (SELECT node, fidx FROM "
+                f"{p_}hh{t}_{lvl} GROUP BY node, fidx HAVING count(*) >= 2) "
+                f"GROUP BY node)) = {2 ** lvl} THEN 1 "
+                f"ELSE CAST(error('unsplittable node in round {t - 1} level "
+                f"{lvl}: every feature has a single occupied bin - outside "
+                f"the gated depth-{depth} GBT domain') AS INTEGER) "
+                f"END AS okb)"
+            )
             parts.append(
                 f"{p_}cm{t}_{lvl} AS (SELECT node, fidx, bin, "
                 f"sum(gs) OVER (PARTITION BY node, fidx ORDER BY bin) AS gl_m, "
-                f"sum(hs) OVER (PARTITION BY node, fidx ORDER BY bin) AS hl_m "
+                f"sum(hs) OVER (PARTITION BY node, fidx ORDER BY bin) AS hl_m, "
+                # each feature's last occupied bin is not a candidate
+                # (interior-only, mirrored in _argmax_split_sub)
+                f"max(bin) OVER (PARTITION BY node, fidx) AS maxbin "
                 f"FROM {p_}hh{t}_{lvl})"
             )
             gain = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
@@ -423,10 +448,12 @@ def _gbt_deep_ctes(
                 f"FROM (SELECT c.node, c.fidx, c.bin, c.gl_m, c.hl_m, "
                 f"{gain} AS gain, row_number() OVER (PARTITION BY c.node "
                 f"ORDER BY {gain} DESC, c.fidx, c.bin) AS rn "
-                f"FROM {p_}cm{t}_{lvl} c JOIN {p_}tt{t}_{lvl} t ON t.node = c.node) "
-                # ok rides in the WHERE so the error() actually
+                f"FROM {p_}cm{t}_{lvl} c JOIN {p_}tt{t}_{lvl} t ON t.node = c.node "
+                f"WHERE c.bin < c.maxbin) "
+                # ok/okb ride in the WHERE so the error() actually
                 # evaluates on degenerate frames (the gbt.py trick)
-                f"CROSS JOIN {p_}ck{t}_{lvl} WHERE rn = 1 AND ok = 1)"
+                f"CROSS JOIN {p_}ck{t}_{lvl} CROSS JOIN {p_}ckb{t}_{lvl} "
+                f"WHERE rn = 1 AND ok = 1 AND okb = 1)"
             )
             if lvl < depth - 1:
                 parts.append(

@@ -227,7 +227,15 @@ def q_gbt_depth_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold, law-pinned); ONE holdout scan sums every
     config's decimal-folded log-loss; is_best ranks by (val_logloss,
     config). The oracle re-trains all four via namespaced unrolled
-    deep chains and replays each on the holdout fold."""
+    deep chains and replays each on the holdout fold.
+
+    Domain note: a depth-3 tree needs every level-2 node to have ≥2
+    occupied bins in SOME feature; on the toy sf0.001 frame (~1.2k
+    train-fold rows) one node goes single-bin-everywhere and the
+    gated-domain ValueError fires (the oracle error()s identically).
+    The driver's correctness gate (sf0.01) and bench (sf0.1) are
+    in-domain, as is any realistic scale — the depth axis exists FOR
+    large data."""
     import math
 
     k = _key(spark, sf_dir)

@@ -171,13 +171,16 @@ def test_tree_structure_is_partition_layout_independent(spark):
 
 
 def test_degenerate_frame_raises_cleanly(spark):
-    """A constant frame puts every row in one bin: the root split
-    can't separate anything → a clear ValueError, not a silent
-    nonsense tree (the q_naive_bayes one-class discipline)."""
+    """A constant frame puts every row in one bin: no admissible
+    (non-empty-child) split exists → a clear ValueError, not a silent
+    nonsense tree (the q_naive_bayes one-class discipline). Since the
+    r15 interior-only candidate rule this fires at the argmax itself
+    (no feature has ≥2 occupied bins), instead of surfacing one level
+    later as an empty child."""
     df = spark.createDataFrame(
         [(0.5, 0.5, i % 2) for i in range(50)], "x1 double, x2 double, label int"
     )
-    with pytest.raises(ValueError, match="degenerate"):
+    with pytest.raises(ValueError, match="unsplittable"):
         train_gbt(df, features=("x1", "x2"), scales={})
 
 
@@ -265,9 +268,10 @@ def test_scale_pos_weight_booster_recovers_imbalanced_boundary(spark):
 
 
 def test_oracle_errors_on_degenerate_frame_like_the_engine():
-    """ADVICE r13: train_gbt raises ValueError on a frame with an
-    empty child node; the generated oracle must FAIL TOO (DuckDB
-    error() on the best2 path), not fabricate NULL-structured tree
+    """ADVICE r13 (updated for the r15 interior-only rule): train_gbt
+    raises ValueError on a frame with no admissible split; the
+    generated oracle must FAIL TOO (DuckDB error() via the ck1 guard
+    evaluated on the best1 path), not fabricate NULL-structured tree
     rows — engine and oracle agree on degenerate inputs by both
     failing loudly."""
     import duckdb
@@ -288,7 +292,7 @@ def test_oracle_errors_on_degenerate_frame_like_the_engine():
             }
         ),
     )
-    with pytest.raises(duckdb.Error, match="degenerate root split"):
+    with pytest.raises(duckdb.Error, match="unsplittable root"):
         con.execute(gbt_train_sql("SELECT * FROM deg")).fetchall()
 
 

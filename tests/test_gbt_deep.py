@@ -248,11 +248,11 @@ def test_fused_deep_grid_matches_sequential(spark):
 
 
 def test_degenerate_node_raises(spark):
-    # every feature constant → the root "split" sends all rows left,
-    # level-1 right node is empty → ValueError, not fabricated trees
+    # every feature constant → no admissible (non-empty-child) split
+    # exists → ValueError at the argmax, not fabricated trees
     rows = [(i, 0.5, 0.5, i % 2) for i in range(40)]
     df = spark.createDataFrame(rows, "o_orderkey long, x1 double, x2 double, label int")
-    with pytest.raises(ValueError, match="degenerate"):
+    with pytest.raises(ValueError, match="unsplittable"):
         train_gbt_deep(df, features=("x1", "x2"), scales={}, depth=2)
 
 
