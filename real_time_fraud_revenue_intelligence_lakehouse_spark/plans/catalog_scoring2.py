@@ -323,3 +323,103 @@ def q_model_selection_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "auc_fold0 double, auc_fold1 double, auc_fold2 double, "
         "cv_auc double, is_best int",
     )
+
+
+# --- exact TreeSHAP for the depth-3 booster (ext/shap_deep.py) ----------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.shap_deep import (  # noqa: E402
+    INTERNAL,
+    deep_pattern_expr,
+    deep_shap_phi_columns,
+    gbt_shap_deep_sql,
+    shap_terms_deep,
+)
+
+
+def _deep_covers(fv: DataFrame, trees: list[dict]) -> list[dict[int, int]]:
+    """Per-tree training covers {node: count} for heap nodes 1..15
+    from ONE count aggregate (14 exact integer sums per tree — the
+    fitted splits re-evaluated as row-local bin comparisons, the
+    sanctioned bounded-histogram collect class)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_BINS, _bin_expr
+
+    def bcol(fidx: int):
+        return _bin_expr(SCORE_FEATURES[fidx], None, GBT_BINS)
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for t, tr in enumerate(trees):
+        inds = {}
+        for k in INTERNAL:
+            fidx, b = tr["splits"][k]
+            inds[k] = bcol(fidx) <= b
+        reach = {1: F.lit(True)}
+        for k in INTERNAL:
+            reach[2 * k] = reach[k] & inds[k]
+            reach[2 * k + 1] = reach[k] & ~inds[k]
+        for node in range(2, 16):
+            aggs.append(F.sum(reach[node].cast("long")).alias(f"c{t}_{node}"))
+    row = fv.agg(*aggs).first()
+    out = []
+    for t in range(len(trees)):
+        cov = {1: int(row["n"])}
+        for node in range(2, 16):
+            cov[node] = int(row[f"c{t}_{node}"])
+        out.append(cov)
+    return out
+
+
+@query(
+    "q_gbt_shap_deep",
+    oracle=gbt_shap_deep_sql(_FV_SQL),
+    tags=("training", "evaluation", "explanation", "trees"),
+)
+def q_gbt_shap_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-prediction attribution for the DEPTH-3 booster —
+    VERDICT r14's 'generalize the closed form' option taken: the
+    reference's shap.TreeExplainer (`fraud_detector.py:185-191`) over
+    the deeper trees its study actually tunes (`:258`). The depth-2
+    construction (q_gbt_shap) widens, it does not change: ≤ 2⁷
+    subsets of each tree's ≤ 7 unique features, cover-weighted
+    conditional expectations from training row counts (ONE
+    14-sums-per-tree aggregate), per-(tree, 7-bit branch pattern) φ6
+    tables precomputed driver-side, per-row φ as one element_at into
+    a 128-literal array indexed by the row's staged pattern —
+    row-local, stateless, zero joins. Terms micro-floor before
+    summation, so the (risk band, feature) mean-φ/mean-|φ| artifact
+    is order-independent and hash-gates; the oracle re-trains the
+    deep chain and runs the identical enumeration relationally.
+    Additivity Σφ = tree − base pinned exactly in Fractions against
+    a brute-force 7-player Shapley replay (tests/test_shap_deep.py)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_ETA
+
+    fv = _logreg_fv(spark, sf_dir)
+    trees = _trained_deep(spark, sf_dir)
+    covers = _deep_covers(fv, trees)
+    tables = [shap_terms_deep(tr, cov, GBT_ETA) for tr, cov in zip(trees, covers)]
+    phis = deep_shap_phi_columns(trees, tables, SCORE_FEATURES, None)
+    s = det_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_deep_logit_expr(trees))), 6
+    )
+    scored = fv.select(
+        F.when(s >= 0.7, "high").when(s >= 0.4, "medium").otherwise("low").alias("risk_label"),
+        *phis,
+    )
+    # unpivot the φ6 columns to (risk_label, feature, p6) and roll up
+    pairs = ", ".join(
+        f"'{f}', phi6_{f}" for f in SCORE_FEATURES
+    )
+    longf = scored.selectExpr(
+        "risk_label", f"stack({len(SCORE_FEATURES)}, {pairs}) AS (feature, p6)"
+    )
+    return longf.groupBy("risk_label", "feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        det_round(
+            F.sum("p6").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+        ).alias("mean_phi"),
+        det_round(
+            F.sum(F.abs(F.col("p6"))).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_abs_phi"),
+    )

@@ -63,11 +63,11 @@ def _load_all() -> None:
 # id is green in the r01-r14 union), so ids needing a fresh driver row
 # come FIRST. Recomputed at round 15 per VERDICT r14 #5 — lead with the
 # stale blocks. Layout of this head:
-#   1-5:   round-15's NEW ids (no driver row can exist yet; VERDICT's
+#   1-6:   round-15's NEW ids (no driver row can exist yet; VERDICT's
 #          'done = CORRECTNESS-green' conditions require they be
 #          inside the 50-cap);
-#   6-13:  the eight ids whose last driver row is r07;
-#   14-63: the 50 ids whose last driver row is r09 (the tail past the
+#   7-14:  the eight ids whose last driver row is r07;
+#   15-64: the 50 ids whose last driver row is r09 (the tail past the
 #          50-cap — judge-selfchecked green at r14 HEAD — leads the
 #          r16 rotation).
 # Names not listed keep their registration order after these (the
@@ -81,6 +81,7 @@ _FRONT: tuple[str, ...] = (
     "q_gbt_train_subsample",
     "q_gbt_depth_selection",
     "q_model_selection_cv",
+    "q_gbt_shap_deep",
     # — last driver row r07 (judge-selfchecked green at r14 HEAD) —
     "q_prefix_jaccard_join",
     "q_reconciliation",
