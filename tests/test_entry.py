@@ -23,9 +23,23 @@ def test_every_oracle_has_query():
     assert len(qs) > 0
 
 
+#: Queries whose gated domain excludes the toy smoke frame BY
+#: CONTRACT (documented in their docstrings): they must fail LOUDLY
+#: there — a silent wrong answer would be the bug. Currently only the
+#: depth-3 grid: sf0.001's ~1.2k-row train fold leaves a level-2 node
+#: single-bin in every feature (the oracle error()s identically).
+_SMOKE_OUT_OF_DOMAIN = {"q_gbt_depth_selection": "unsplittable"}
+
+
 def test_queries_run_on_smoke_sf(spark, sf_dir):
+    import pytest
+
     qs = _entry_mod().queries()
     for name, fn in qs.items():
+        if name in _SMOKE_OUT_OF_DOMAIN:
+            with pytest.raises(ValueError, match=_SMOKE_OUT_OF_DOMAIN[name]):
+                fn(spark, sf_dir).count()
+            continue
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
 

@@ -65,13 +65,18 @@ def _dedupe(cells):
 @given(cells=CELLS)
 @SETTINGS
 def test_argmax_split_is_the_brute_force_max(cells):
-    """_argmax_split ≡ brute-force max over every (fidx, bin) split
-    candidate with (gain desc, fidx asc, bin asc) tie-break."""
+    """_argmax_split ≡ brute-force max over every INTERIOR (fidx,
+    bin) split candidate — each feature's last occupied bin is not a
+    candidate since its "split" sends every row left (the r15
+    XGBoost-faithful rule) — with (gain desc, fidx asc, bin asc)
+    tie-break; when NO feature has two occupied bins the fold raises
+    (unsplittable node)."""
+    import pytest
+
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import _argmax_split, _gain
 
     cs = _dedupe(cells)
     lam = 1.0
-    got = _argmax_split(cs, FEATURES, lam)
     by_f = {}
     for fidx, b, gs, hs in cs:
         by_f.setdefault(fidx, []).append((b, gs, hs))
@@ -80,7 +85,7 @@ def test_argmax_split_is_the_brute_force_max(cells):
     best = None
     for fidx in sorted(by_f):
         glm = hlm = 0
-        for b, gs, hs in sorted(by_f[fidx]):
+        for b, gs, hs in sorted(by_f[fidx])[:-1]:  # interior only
             glm += gs
             hlm += hs
             gain = _gain(glm, hlm, g_m, h_m, lam)
@@ -88,6 +93,11 @@ def test_argmax_split_is_the_brute_force_max(cells):
             if best is None or cand < best:
                 best = cand
                 keep = (fidx, b, glm, hlm)
+    if best is None:
+        with pytest.raises(ValueError, match="unsplittable"):
+            _argmax_split(cs, FEATURES, lam)
+        return
+    got = _argmax_split(cs, FEATURES, lam)
     assert got[:4] == keep
     assert got[4:6] == (g_m, h_m)
     assert got[6] == -best[0]
