@@ -126,10 +126,44 @@ def _sub_pred_sql(t: int, subsample: float) -> str:
 # --- split finding over a feature subset ---------------------------------------
 
 
+def _thr(g_micro: int, alpha_micro: int) -> int:
+    """XGBoost's ThresholdL1 on an integer micro gradient sum — EXACT
+    integer arithmetic, identical on both engines: g−α if g>α, g+α if
+    g<−α, else 0. α=0 is the identity (the unregularized path)."""
+    if g_micro > alpha_micro:
+        return g_micro - alpha_micro
+    if g_micro < -alpha_micro:
+        return g_micro + alpha_micro
+    return 0
+
+
+def _gain_l1(
+    glm: int, hlm: int, gm: int, hm: int, lam: float, alpha_micro: int
+) -> float:
+    """ext/gbt._gain with L1-thresholded gradient sums (reg_alpha,
+    `fraud_detector.py:266`) — at α=0 the thresholds are identities
+    and this IS _gain (same operation order, bit-identical)."""
+    gl = _thr(glm, alpha_micro) / 1e6
+    hl = hlm / 1e6
+    gr = _thr(gm - glm, alpha_micro) / 1e6
+    hr = (hm - hlm) / 1e6
+    g = _thr(gm, alpha_micro) / 1e6
+    h = hm / 1e6
+    return (gl * gl) / (hl + lam) + (gr * gr) / (hr + lam) - (g * g) / (h + lam)
+
+
+def _leaf_w_l1(glm: int, hlm: int, lam: float, alpha_micro: int) -> float:
+    """w = −ThresholdL1(G)/(H+λ) — XGBoost's L1-shrunk leaf; α=0 is
+    ext/gbt._leaf_w exactly."""
+    return -(_thr(glm, alpha_micro) / 1e6) / ((hlm / 1e6) + lam)
+
+
 def _argmax_split_sub(
     cells: list[tuple[int, int, int, int]],
     active: tuple[int, ...],
     lam: float,
+    mcw_micro: int = 0,
+    alpha_micro: int = 0,
 ) -> tuple[int, int, int, int, int, int, float]:
     """ext/gbt._argmax_split over an eligible-feature subset:
     (fidx, bin, gl_m, hl_m, g_m, h_m, gain). Node totals come from
@@ -154,14 +188,22 @@ def _argmax_split_sub(
         for b, gs, hs in occupied[:-1]:
             glm += gs
             hlm += hs
-            gain = _gain(glm, hlm, g_m, h_m, lam)
+            # min_child_weight (fraud_detector.py:265): both children
+            # must carry ≥ mcw total hessian — XGBoost's candidate
+            # validity rule, exact in integer micros
+            if mcw_micro and (hlm < mcw_micro or (h_m - hlm) < mcw_micro):
+                continue
+            if alpha_micro:
+                gain = _gain_l1(glm, hlm, g_m, h_m, lam, alpha_micro)
+            else:
+                gain = _gain(glm, hlm, g_m, h_m, lam)
             if best is None or gain > best[0]:
                 best = (gain, fidx, b, glm, hlm)
     if best is None:
         raise ValueError(
-            "unsplittable node: every eligible feature has a single "
-            "occupied bin — no admissible (non-empty-child) split exists; "
-            "the input is outside the gated GBT domain"
+            "unsplittable node: no admissible split exists (every "
+            "eligible feature single-bin, or no candidate satisfies "
+            "min_child_weight) — the input is outside the gated GBT domain"
         )
     gain_v, fidx, b, glm, hlm = best
     return fidx, b, glm, hlm, g_m, h_m, gain_v
@@ -236,9 +278,19 @@ def train_gbt_deep(
     scales: dict[str, float] | None = None,
     subsample: float | None = None,
     colsample: float | None = None,
+    min_child_weight: float = 0.0,
+    reg_alpha: float = 0.0,
 ) -> list[dict]:
     """Fit ``rounds`` depth-``depth`` trees by histogram gradient
     boosting — ext/gbt.train_gbt generalized one axis at a time.
+
+    ``min_child_weight`` (fraud_detector.py:265, swept 1-10): a split
+    candidate is admissible only if BOTH children carry at least this
+    much total hessian — enforced exactly in integer micros.
+    ``reg_alpha`` (fraud_detector.py:266, swept 0-1): L1 shrinkage —
+    every gradient sum passes ThresholdL1 before entering gains and
+    leaf values (exact integer thresholding; α=0 is bit-identical to
+    the unregularized fit).
 
     Per round: compile the partial ensemble to a row-local logit,
     micro-floor gradients/hessians (over the round's hash-selected
@@ -254,6 +306,8 @@ def train_gbt_deep(
     bit-identical to :func:`ext.gbt.train_gbt`'s modulo
     representation (root=splits[1], left=splits[2], right=splits[3],
     w_ll..w_rr = leaves[4..7])."""
+    mcw_micro = int(round(min_child_weight * 1e6))
+    alpha_micro = int(round(reg_alpha * 1e6))
     sampling = subsample is not None and subsample < 1.0
     binned = fv.select(
         F.col(label).alias("label"),
@@ -310,15 +364,23 @@ def train_gbt_deep(
             branch = None
             for n_id in nodes_at:
                 fidx, b, glm, hlm, g_m, h_m, gain = _argmax_split_sub(
-                    by_node[n_id], active, lam
+                    by_node[n_id], active, lam, mcw_micro, alpha_micro
                 )
                 tree["splits"][n_id] = (fidx, b)
                 tree["gains"][n_id] = gain
                 if lvl == depth - 1:
-                    tree["leaves"][2 * n_id] = _leaf_w(glm, hlm, lam)
-                    tree["leaves"][2 * n_id + 1] = _leaf_w(
-                        g_m - glm, h_m - hlm, lam
-                    )
+                    if alpha_micro:
+                        tree["leaves"][2 * n_id] = _leaf_w_l1(
+                            glm, hlm, lam, alpha_micro
+                        )
+                        tree["leaves"][2 * n_id + 1] = _leaf_w_l1(
+                            g_m - glm, h_m - hlm, lam, alpha_micro
+                        )
+                    else:
+                        tree["leaves"][2 * n_id] = _leaf_w(glm, hlm, lam)
+                        tree["leaves"][2 * n_id + 1] = _leaf_w(
+                            g_m - glm, h_m - hlm, lam
+                        )
                 else:
                     side = F.when(
                         F.col(f"b_{features[fidx]}") <= b, 0
@@ -339,6 +401,28 @@ def train_gbt_deep(
 # --- generated DuckDB oracle -----------------------------------------------------
 
 
+def _thr_sql(x: str, a: int) -> str:
+    """SQL twin of :func:`_thr` — exact integer thresholding."""
+    return f"(CASE WHEN {x} > {a} THEN {x} - {a} WHEN {x} < -{a} THEN {x} + {a} ELSE 0 END)"
+
+
+def _gain_l1_sql(
+    glm: str, hlm: str, gm: str, hm: str, lam: float, a: int
+) -> str:
+    """SQL twin of :func:`_gain_l1` — ext/gbt._gain_sql with the
+    three gradient sums L1-thresholded before the double division."""
+    gl = f"(CAST({_thr_sql(glm, a)} AS DOUBLE) / 1000000.0)"
+    hl = f"(CAST({hlm} AS DOUBLE) / 1000000.0)"
+    gr = f"(CAST({_thr_sql(f'({gm} - {glm})', a)} AS DOUBLE) / 1000000.0)"
+    hr = f"(CAST({hm} - {hlm} AS DOUBLE) / 1000000.0)"
+    g = f"(CAST({_thr_sql(gm, a)} AS DOUBLE) / 1000000.0)"
+    h = f"(CAST({hm} AS DOUBLE) / 1000000.0)"
+    return (
+        f"({gl} * {gl}) / ({hl} + {lam!r}) + ({gr} * {gr}) / ({hr} + {lam!r})"
+        f" - ({g} * {g}) / ({h} + {lam!r})"
+    )
+
+
 def _gbt_deep_ctes(
     fv_sql: str,
     features: tuple[str, ...] = SCORE_FEATURES,
@@ -350,6 +434,8 @@ def _gbt_deep_ctes(
     subsample: float | None = None,
     colsample: float | None = None,
     prefix: str = "",
+    min_child_weight: float = 0.0,
+    reg_alpha: float = 0.0,
 ) -> tuple[str, str]:
     """(cte_block, final_rows_cte): the unrolled deep boosting rounds
     — ext/gbt._gbt_ctes generalized by level. Per round t and level
@@ -420,19 +506,6 @@ def _gbt_deep_ctes(
                 f"gated depth-{depth} GBT domain (train_gbt_deep raises "
                 f"ValueError)') AS INTEGER) END AS ok)"
             )
-            # per-node admissibility (the interior-only rule's
-            # _argmax_split_sub ValueError twin): every node at this
-            # level must have SOME feature occupying ≥2 bins
-            parts.append(
-                f"{p_}ckb{t}_{lvl} AS (SELECT CASE WHEN (SELECT count(*) "
-                f"FROM (SELECT node FROM (SELECT node, fidx FROM "
-                f"{p_}hh{t}_{lvl} GROUP BY node, fidx HAVING count(*) >= 2) "
-                f"GROUP BY node)) = {2 ** lvl} THEN 1 "
-                f"ELSE CAST(error('unsplittable node in round {t - 1} level "
-                f"{lvl}: every feature has a single occupied bin - outside "
-                f"the gated depth-{depth} GBT domain') AS INTEGER) "
-                f"END AS okb)"
-            )
             parts.append(
                 f"{p_}cm{t}_{lvl} AS (SELECT node, fidx, bin, "
                 f"sum(gs) OVER (PARTITION BY node, fidx ORDER BY bin) AS gl_m, "
@@ -442,14 +515,40 @@ def _gbt_deep_ctes(
                 f"max(bin) OVER (PARTITION BY node, fidx) AS maxbin "
                 f"FROM {p_}hh{t}_{lvl})"
             )
-            gain = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
+            mcw_micro = int(round(min_child_weight * 1e6))
+            alpha_micro = int(round(reg_alpha * 1e6))
+            mcw_cond = (
+                f" AND c.hl_m >= {mcw_micro} AND (t.h_m - c.hl_m) >= {mcw_micro}"
+                if mcw_micro
+                else ""
+            )
+            # per-node admissibility (the _argmax_split_sub ValueError
+            # twin): every node at this level must have ≥1 admissible
+            # candidate — interior bin AND (when set) min_child_weight
+            # on both children
+            parts.append(
+                f"{p_}ckb{t}_{lvl} AS (SELECT CASE WHEN (SELECT "
+                f"count(DISTINCT c.node) FROM {p_}cm{t}_{lvl} c "
+                f"JOIN {p_}tt{t}_{lvl} t ON t.node = c.node "
+                f"WHERE c.bin < c.maxbin{mcw_cond}) = {2 ** lvl} THEN 1 "
+                f"ELSE CAST(error('unsplittable node in round {t - 1} level "
+                f"{lvl}: no admissible split candidate - outside "
+                f"the gated depth-{depth} GBT domain') AS INTEGER) "
+                f"END AS okb)"
+            )
+            if alpha_micro:
+                gain = _gain_l1_sql(
+                    "c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam, alpha_micro
+                )
+            else:
+                gain = _gain_sql("c.gl_m", "c.hl_m", "t.g_m", "t.h_m", lam)
             parts.append(
                 f"{p_}b{t}_{lvl} AS MATERIALIZED (SELECT node, fidx, bin, gl_m, hl_m, gain "
                 f"FROM (SELECT c.node, c.fidx, c.bin, c.gl_m, c.hl_m, "
                 f"{gain} AS gain, row_number() OVER (PARTITION BY c.node "
                 f"ORDER BY {gain} DESC, c.fidx, c.bin) AS rn "
                 f"FROM {p_}cm{t}_{lvl} c JOIN {p_}tt{t}_{lvl} t ON t.node = c.node "
-                f"WHERE c.bin < c.maxbin) "
+                f"WHERE c.bin < c.maxbin{mcw_cond}) "
                 # ok/okb ride in the WHERE so the error() actually
                 # evaluates on degenerate frames (the gbt.py trick)
                 f"CROSS JOIN {p_}ck{t}_{lvl} CROSS JOIN {p_}ckb{t}_{lvl} "
@@ -465,14 +564,25 @@ def _gbt_deep_ctes(
                     f"AND s.fidx = b.fidx)"
                 )
         last = depth - 1
-        wl = (
-            "-(CAST(b.gl_m AS DOUBLE) / 1000000.0)"
-            f" / ((CAST(b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
-        )
-        wr = (
-            "-(CAST(t.g_m - b.gl_m AS DOUBLE) / 1000000.0)"
-            f" / ((CAST(t.h_m - b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
-        )
+        a_m = int(round(reg_alpha * 1e6))
+        if a_m:
+            wl = (
+                f"-(CAST({_thr_sql('b.gl_m', a_m)} AS DOUBLE) / 1000000.0)"
+                f" / ((CAST(b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
+            )
+            wr = (
+                f"-(CAST({_thr_sql('(t.g_m - b.gl_m)', a_m)} AS DOUBLE) / 1000000.0)"
+                f" / ((CAST(t.h_m - b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
+            )
+        else:
+            wl = (
+                "-(CAST(b.gl_m AS DOUBLE) / 1000000.0)"
+                f" / ((CAST(b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
+            )
+            wr = (
+                "-(CAST(t.g_m - b.gl_m AS DOUBLE) / 1000000.0)"
+                f" / ((CAST(t.h_m - b.hl_m AS DOUBLE) / 1000000.0) + {lam!r})"
+            )
         parts.append(
             f"{p_}lw{t} AS MATERIALIZED (SELECT b.node, s.side, "
             f"CASE s.side WHEN 0 THEN {wl} ELSE {wr} END AS w "
@@ -505,15 +615,19 @@ def gbt_train_deep_sql(
     depth: int = GBT_DEPTH,
     subsample: float | None = None,
     colsample: float | None = None,
+    min_child_weight: float = 0.0,
+    reg_alpha: float = 0.0,
 ) -> str:
-    """Complete oracle for q_gbt_train_deep / q_gbt_train_subsample:
-    one row per (tree, internal node) — heap node id, split feature
-    by NAME, split bin, round6 gain, and (for the last internal
-    level, whose children are leaves) the two round6 leaf values.
-    NULL-free by construction: non-terminal split rows carry
-    w_left = w_right = 0.0 and is_leaf_parent = 0."""
+    """Complete oracle for q_gbt_train_deep / q_gbt_train_subsample /
+    q_gbt_train_mcw / q_gbt_train_l1: one row per (tree, internal
+    node) — heap node id, split feature by NAME, split bin, round6
+    gain, and (for the last internal level, whose children are
+    leaves) the two round6 leaf values. NULL-free by construction:
+    non-terminal split rows carry w_left = w_right = 0.0 and
+    is_leaf_parent = 0."""
     ctes, _ = _gbt_deep_ctes(
-        fv_sql, features, rounds, bins, lam, eta, depth, subsample, colsample
+        fv_sql, features, rounds, bins, lam, eta, depth, subsample, colsample,
+        min_child_weight=min_child_weight, reg_alpha=reg_alpha,
     )
     fname_case = " ".join(
         f"WHEN {i} THEN '{f}'" for i, f in enumerate(features)

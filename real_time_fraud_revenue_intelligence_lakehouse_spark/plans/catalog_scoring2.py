@@ -423,3 +423,70 @@ def q_gbt_shap_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs_phi"),
     )
+
+
+# --- the last two Optuna dimensions: min_child_weight, reg_alpha --------------
+
+#: Mid-range values from the reference's study space
+#: (`fraud_detector.py:265-266`: min_child_weight 1-10, reg_alpha
+#: 0-1). Part of the query identity — the oracles apply the exact
+#: same integer-micro constraints.
+MCW = 5.0
+REG_ALPHA = 0.5
+
+_GBT_MCW: dict = {}
+_GBT_L1: dict = {}
+register_cache(_GBT_MCW)
+register_cache(_GBT_L1)
+
+
+@query(
+    "q_gbt_train_mcw",
+    oracle=gbt_train_deep_sql(_FV_SQL, depth=2, min_child_weight=MCW),
+    tags=("training", "scoring", "iterative", "trees"),
+)
+def q_gbt_train_mcw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_child_weight as XGBoost defines it (`fraud_detector.py:
+    265`, swept 1-10): a split candidate is admissible only if BOTH
+    children carry ≥ 5.0 total hessian — enforced EXACTLY in integer
+    micros on the same cumulative histogram sums the argmax already
+    walks (hl_m ≥ 5e6 and h_m − hl_m ≥ 5e6; no extra pass, no new
+    shuffle). Early in training h ≈ 0.25/row, so this is ≈ a 20-row
+    minimum per child — the overfit guard that matters exactly where
+    deep trees fragment. The oracle applies the identical constraint
+    in its candidate WHERE (plus the per-node admissibility error()
+    twin, since a node can now be non-degenerate yet have no valid
+    candidate). Output: the q_gbt_train_deep row shape at depth 2."""
+    k = _key(spark, sf_dir)
+    if k not in _GBT_MCW:
+        _GBT_MCW[k] = train_gbt_deep(
+            _logreg_fv(spark, sf_dir), depth=2, min_child_weight=MCW
+        )
+    return spark.createDataFrame(_deep_tree_rows(_GBT_MCW[k]), _DEEP_SCHEMA)
+
+
+@query(
+    "q_gbt_train_l1",
+    oracle=gbt_train_deep_sql(_FV_SQL, depth=2, reg_alpha=REG_ALPHA),
+    tags=("training", "scoring", "iterative", "trees"),
+)
+def q_gbt_train_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reg_alpha — XGBoost's L1 leaf regularization
+    (`fraud_detector.py:266`, swept 0-1): every gradient sum passes
+    ThresholdL1 (g−α if g>α, g+α if g<−α, else 0) before entering
+    split gains and leaf values, shrinking leaves toward 0 and
+    zeroing weak ones. The threshold runs on INTEGER MICRO sums, so
+    it is exact and layout-independent on both engines (α=0 is
+    bit-identical to q_gbt_train — law-pinned in
+    tests/test_gbt_deep.py); the oracle's gain and leaf expressions
+    carry the identical CASE thresholds. With this, every dimension
+    of the reference's Optuna space is implemented and hash-gated:
+    n_estimators (rounds), learning_rate (eta), max_depth, subsample,
+    colsample_bytree, min_child_weight, reg_alpha, reg_lambda, and
+    scale_pos_weight."""
+    k = _key(spark, sf_dir)
+    if k not in _GBT_L1:
+        _GBT_L1[k] = train_gbt_deep(
+            _logreg_fv(spark, sf_dir), depth=2, reg_alpha=REG_ALPHA
+        )
+    return spark.createDataFrame(_deep_tree_rows(_GBT_L1[k]), _DEEP_SCHEMA)

@@ -82,6 +82,8 @@ _FRONT: tuple[str, ...] = (
     "q_gbt_depth_selection",
     "q_model_selection_cv",
     "q_gbt_shap_deep",
+    "q_gbt_train_mcw",
+    "q_gbt_train_l1",
     # — last driver row r07 (judge-selfchecked green at r14 HEAD) —
     "q_prefix_jaccard_join",
     "q_reconciliation",
