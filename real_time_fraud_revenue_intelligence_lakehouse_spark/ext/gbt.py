@@ -147,6 +147,14 @@ def _argmax_split(
     crash. A node with a single occupied bin in EVERY feature has no
     admissible split at all → ValueError (the gated-domain
     contract; the SQL oracles' chk CTEs error() identically)."""
+    if not cells:
+        # empty input frame (ADVICE r15): fail with the gated-domain
+        # contract, not a raw KeyError — the SQL oracles' nz guard
+        # error()s identically
+        raise ValueError(
+            "empty feature frame: GBT training needs at least one row "
+            "— outside the gated GBT domain"
+        )
     by_f: dict[int, list[tuple[int, int, int]]] = {}
     for fidx, b, gs, hs in cells:
         by_f.setdefault(fidx, []).append((b, gs, hs))
@@ -381,6 +389,18 @@ def _gbt_ctes(
             f"{p_}rows0 AS MATERIALIZED (SELECT o_orderkey, label, "
             f"{bin_cols}, CAST(0.0 AS DOUBLE) AS f FROM {p_}fv)"
         ),
+        # Empty-frame guard (ADVICE r15): ck1/ck2/chk ride join WHEREs,
+        # so on a fully EMPTY frame no row ever evaluates them and the
+        # oracle would return silent NULL/zero-row trees while
+        # train_gbt raises. This 1-row CTE always exists; consumers
+        # whose final arms are unconditional (gbt_train_sql's per-tree
+        # selects) scan it, so the error() provably fires.
+        (
+            f"{p_}nz AS (SELECT CASE WHEN (SELECT count(*) FROM {p_}rows0) "
+            f">= 1 THEN 1 ELSE CAST(error('empty feature frame: GBT "
+            f"training needs at least one row - outside the gated GBT "
+            f"domain (train_gbt raises ValueError)') AS INTEGER) END AS oknz)"
+        ),
     ]
     if weighted:
         parts.append(
@@ -564,7 +584,11 @@ def gbt_train_sql(
             f"(SELECT CASE fidx {fname_case} END FROM best2_{t} WHERE node = 1) AS r_feature, "
             f"(SELECT bin FROM best2_{t} WHERE node = 1) AS r_bin, "
             f"{w(0, 0)} AS w_ll, {w(0, 1)} AS w_lr, "
-            f"{w(1, 0)} AS w_rl, {w(1, 1)} AS w_rr"
+            f"{w(1, 0)} AS w_rl, {w(1, 1)} AS w_rr "
+            # the empty-frame guard: nz always has exactly 1 row, so
+            # this arm still emits 1 tree row — but the WHERE forces
+            # oknz's CASE to evaluate, erroring loudly on empty input
+            f"FROM nz WHERE oknz = 1"
         )
         if t < rounds:
             tree_sels.append("UNION ALL")

@@ -215,8 +215,27 @@ def promote_model(
 
 
 def gbt_doc(trees: list[dict], features: tuple[str, ...]) -> tuple[str, dict]:
-    """(kind, params) for a fitted booster — tuples JSON-ify to lists,
-    so :func:`gbt_from_doc` restores them on load."""
+    """(kind, params) for a fitted DEPTH-2 booster (ext/gbt.train_gbt
+    shape: root/left/right splits) — tuples JSON-ify to lists, so
+    :func:`gbt_from_doc` restores them on load.
+
+    Shape is VALIDATED at save time (ADVICE r15): a heap-indexed deep
+    tree from ext/gbt_deep.train_gbt_deep used to commit fine here and
+    then brick the hot-reload serving path with a raw KeyError('root')
+    at compile time — a committed model must never fail to load, so
+    the mismatch errors loudly BEFORE it becomes a version. Deep trees
+    go through :func:`gbt_deep_doc`."""
+    for i, tr in enumerate(trees):
+        missing = [k for k in ("root", "left", "right") if k not in tr]
+        if missing:
+            hint = (
+                " (heap-indexed deep tree? use gbt_deep_doc)"
+                if "splits" in tr
+                else ""
+            )
+            raise ValueError(
+                f"gbt_doc: tree {i} lacks depth-2 keys {missing}{hint}"
+            )
     return "gbt", {"trees": trees}
 
 
@@ -226,9 +245,63 @@ def gbt_from_doc(doc: dict) -> list[dict]:
     lists are fine — but tests compare against the trainer's tuples,
     so normalize back)."""
     trees = []
-    for tr in doc["params"]["trees"]:
+    for i, tr in enumerate(doc["params"]["trees"]):
         out = dict(tr)
         for k in ("root", "left", "right"):
+            if k not in out:
+                raise ValueError(
+                    f"gbt document v{doc.get('version')}: tree {i} lacks "
+                    f"depth-2 key {k!r} — not a train_gbt booster "
+                    "(deep models load via gbt_deep_from_doc)"
+                )
             out[k] = tuple(out[k])
         trees.append(out)
+    return trees
+
+
+def gbt_deep_doc(trees: list[dict], features: tuple[str, ...]) -> tuple[str, dict]:
+    """(kind, params) for a HEAP-INDEXED deep booster
+    (ext/gbt_deep.train_gbt_deep shape: depth + splits/gains/leaves
+    keyed by heap node id). JSON objects key by string, so the int
+    node ids are serialized as sorted [node, ...] pair lists;
+    :func:`gbt_deep_from_doc` restores the int-keyed dicts."""
+    out = []
+    for i, tr in enumerate(trees):
+        if not ("depth" in tr and "splits" in tr and "leaves" in tr):
+            raise ValueError(
+                f"gbt_deep_doc: tree {i} lacks heap keys "
+                "(depth/splits/leaves) — depth-2 boosters go through gbt_doc"
+            )
+        out.append(
+            {
+                "depth": int(tr["depth"]),
+                "splits": [
+                    [n, tr["splits"][n][0], tr["splits"][n][1]]
+                    for n in sorted(tr["splits"])
+                ],
+                "gains": [[n, tr["gains"][n]] for n in sorted(tr["gains"])],
+                "leaves": [[n, tr["leaves"][n]] for n in sorted(tr["leaves"])],
+            }
+        )
+    return "gbt_deep", {"trees": out}
+
+
+def gbt_deep_from_doc(doc: dict) -> list[dict]:
+    """Restore train_gbt_deep's int-keyed heap dicts from a loaded
+    `gbt_deep` document (inverse of :func:`gbt_deep_doc`)."""
+    trees = []
+    for i, tr in enumerate(doc["params"]["trees"]):
+        if "splits" not in tr or "depth" not in tr:
+            raise ValueError(
+                f"gbt_deep document v{doc.get('version')}: tree {i} lacks "
+                "heap keys — not a train_gbt_deep booster"
+            )
+        trees.append(
+            {
+                "depth": int(tr["depth"]),
+                "splits": {int(n): (int(f), int(b)) for n, f, b in tr["splits"]},
+                "gains": {int(n): float(g) for n, g in tr["gains"]},
+                "leaves": {int(n): float(w) for n, w in tr["leaves"]},
+            }
+        )
     return trees

@@ -168,14 +168,22 @@ def compile_registry_model(doc: dict, feature_cols: tuple[str, ...],
     """Registry document → round6 scoring Column — the serving-side
     twin of the trainer's save: `gbt` documents re-compile through
     gbt_trained_logit_expr (save → load → score is bit-identical to
-    train → score, the ext/model_registry round-trip law), `logreg`
-    documents through trained_score_expr."""
+    train → score, the ext/model_registry round-trip law), `gbt_deep`
+    heap boosters through gbt_deep_logit_expr (ADVICE r15: a promoted
+    depth-3 model used to brick the hot-reload path with a raw
+    KeyError — now a first-class kind), `logreg` documents through
+    trained_score_expr (whose per-feature scale may be a divisor or a
+    fitted (mean, std) pair — the persisted StandardScaler)."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import gbt_trained_logit_expr
-    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import gbt_from_doc
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import gbt_deep_logit_expr
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import gbt_deep_from_doc, gbt_from_doc
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
     if doc["kind"] == "gbt":
         z = gbt_trained_logit_expr(gbt_from_doc(doc), feature_cols, scales=scales)
+        return det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    if doc["kind"] == "gbt_deep":
+        z = gbt_deep_logit_expr(gbt_deep_from_doc(doc), feature_cols, scales=scales)
         return det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     if doc["kind"] == "logreg":
         return trained_score_expr(doc["params"]["weights"], feature_cols, scales)
@@ -200,7 +208,8 @@ def start_hot_reload_scoring(
     from committed names, never a mutable `latest` pointer, so a
     half-published model can't be loaded), recompiles the scoring
     CASE expression ONLY when the version changed, stamps every row
-    with `model_version`, and appends to partitioned parquet.
+    with `model_version`, and writes each micro-batch to its own
+    batch-id partition of ``out_path`` (idempotent under replay).
 
     Semantics the test pins (tests/test_streaming.py): rows ingested
     BEFORE a new version commits score with the old model; rows after
@@ -212,25 +221,45 @@ def start_hot_reload_scoring(
     time (version provenance is exactly why model_version is stamped
     on every row).
 
+    EXACTLY-ONCE OUTPUT (ADVICE r15): foreachBatch is at-least-once —
+    a crash between the parquet write and the checkpoint commit
+    replays the micro-batch on restart. A blind append would then
+    duplicate every replayed row, so each batch writes to its OWN
+    batch-id-derived partition directory with mode("overwrite"):
+    Spark's deterministic batch ids make the replay land on the same
+    `ingest_batch=<id>` directory and replace, not duplicate, the
+    first attempt. Readers of ``out_path`` see the partition column
+    `ingest_batch` via normal partition discovery (and can prune on
+    it). Idempotence is pinned by a replay test alongside the
+    happy-path one.
+
     At 100 TB ingest: the reload check is one driver-side listdir per
-    micro-batch (no executor work), the recompile happens only on
-    version change, and scoring stays a stateless codegen projection
-    — zero shuffle, zero Python in the row path."""
-    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import load_model
+    micro-batch (no executor work — the head document is read and
+    json-parsed ONLY when the listed head version differs from the
+    compiled one, ADVICE r15), the recompile happens only on version
+    change, and scoring stays a stateless codegen projection — zero
+    shuffle, zero Python in the row path."""
+    import os
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import list_models, load_model
 
     state: dict = {"version": None, "expr": None}
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        doc = load_model(registry_path)
-        if doc["version"] != state["version"]:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        versions = list_models(registry_path)
+        if not versions:
+            raise FileNotFoundError(f"no committed models at {registry_path}")
+        head = versions[-1]
+        if head != state["version"]:
+            doc = load_model(registry_path, head)
             state["version"] = doc["version"]
             state["expr"] = compile_registry_model(doc, feature_cols, scales)
         (
             batch_df.withColumn("fraud_score", state["expr"])
             .withColumn("risk_label", risk_label(F.col("fraud_score")))
             .withColumn("model_version", F.lit(int(state["version"])))
-            .write.mode("append")
-            .parquet(out_path)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, f"ingest_batch={int(batch_id)}"))
         )
 
     writer = features.writeStream.foreachBatch(_process).option(

@@ -547,3 +547,36 @@ def test_retrain_best_ships_the_selection_winner(spark, sf_dir):
         assert r["val_logloss"] == winner["val_logloss"]
         assert r["ok"] == (1 if r["value"] >= r["min_required"] else 0)
         assert r["promoted"] == min(x["ok"] for x in rows)
+
+
+def test_oracle_and_engine_fail_loudly_on_empty_frame(spark):
+    """ADVICE r15: on a fully EMPTY frame the ck1 guard rides a join
+    that has no rows, so its error() never evaluated and the oracle
+    silently emitted NULL trees while train_gbt raised. The nz guard
+    (scanned by the oracle's unconditional per-tree arms) and
+    _argmax_split's explicit empty-cells check close the gap: BOTH
+    engines now fail loudly, with the same gated-domain message."""
+    import duckdb
+    import pandas as pd
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import gbt_train_sql, train_gbt
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
+
+    con = duckdb.connect()
+    con.register(
+        "base_empty",
+        pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64"),
+                **{f: pd.Series([], dtype="float64") for f in SCORE_FEATURES},
+            }
+        ),
+    )
+    with pytest.raises(duckdb.Error, match="empty feature frame"):
+        con.execute(gbt_train_sql("SELECT * FROM base_empty")).fetchall()
+    empty = spark.createDataFrame(
+        [], "x1 double, x2 double, label int"
+    )
+    with pytest.raises(ValueError, match="empty feature frame"):
+        train_gbt(empty, features=("x1", "x2"), scales={})

@@ -265,3 +265,57 @@ def test_stale_tmp_files_are_swept_on_save(tmp_path):
     assert os.path.exists(fresh), "fresh temp may be a live concurrent commit"
     # registry itself is intact
     assert MR.list_models(p) == [0]
+
+
+def test_gbt_doc_rejects_deep_trees_at_save_time(spark):
+    """ADVICE r15: a heap-indexed deep booster used to commit fine
+    through gbt_doc and then brick the hot-reload serving path with a
+    raw KeyError('root') at compile time. The shape mismatch must
+    error loudly BEFORE it becomes a committed version."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import train_gbt_deep
+
+    df, _ = _fit(spark)
+    deep = train_gbt_deep(df, features=("x1", "x2"), scales={}, rounds=1)
+    with pytest.raises(ValueError, match="gbt_deep_doc"):
+        gbt_doc(deep, ("x1", "x2"))
+    # and a hand-corrupted document fails to LOAD with a clear error,
+    # not a KeyError
+    with pytest.raises(ValueError, match="depth-2 key"):
+        gbt_from_doc({"version": 9, "params": {"trees": [{"splits": []}]}})
+
+
+def test_gbt_deep_doc_roundtrip_compiles_on_serving_path(spark, tmp_path):
+    """save → load → score for the DEEP booster kind: the registry
+    document restores train_gbt_deep's int-keyed heap dicts exactly,
+    and compile_registry_model('gbt_deep') reproduces the trainer's
+    own scores bit-for-bit (the round-trip law, extended to the kind
+    ADVICE r15 found missing)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
+        gbt_deep_logit_expr,
+        train_gbt_deep,
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import (
+        gbt_deep_doc,
+        gbt_deep_from_doc,
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import compile_registry_model
+
+    df, _ = _fit(spark)
+    deep = train_gbt_deep(df, features=("x1", "x2"), scales={}, rounds=2)
+    reg = str(tmp_path / "deepreg")
+    kind, params = gbt_deep_doc(deep, ("x1", "x2"))
+    assert kind == "gbt_deep"
+    save_model(reg, kind, params, ["x1", "x2"])
+    doc = load_model(reg)
+    assert gbt_deep_from_doc(doc) == deep  # exact heap-dict restore
+    expr = compile_registry_model(doc, ("x1", "x2"), {})
+    direct = det_round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-gbt_deep_logit_expr(deep, ("x1", "x2"), scales={}))),
+        6,
+    )
+    got = df.select(expr.alias("a"), direct.alias("b")).collect()
+    assert all(r["a"] == r["b"] for r in got)

@@ -1718,3 +1718,60 @@ def test_hot_reload_compiles_gbt_documents_roundtrip(spark, tmp_path):
     )
     got = df.select(expr.alias("a"), direct.alias("b")).collect()
     assert all(r["a"] == r["b"] for r in got)
+
+
+def test_hot_reload_replay_does_not_duplicate_rows(spark, tmp_path):
+    """ADVICE r15: foreachBatch is at-least-once — a crash between
+    the parquet write and the checkpoint commit replays the
+    micro-batch on restart, and a blind append would then duplicate
+    every replayed row. The sink now writes each batch to its own
+    batch-id partition with overwrite, so a FULL replay (checkpoint
+    wiped, identical source → identical batch ids) lands on the same
+    directories and the output row set is unchanged."""
+    import shutil
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.model_registry import save_model
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import start_hot_reload_scoring
+
+    src = tmp_path / "replay_src"
+    src.mkdir()
+    reg = str(tmp_path / "replay_registry")
+    out = str(tmp_path / "replay_out")
+    ckpt = str(tmp_path / "replay_ckpt")
+    feats = ("value",)
+    scales = {"value": 500.0}
+    save_model(reg, "logreg", {"weights": {"bias": -1.0, "value": 5.0}}, list(feats))
+    now = time.time()
+    _write_json(str(src / "b0.json"), [
+        _ev(1, "2024-01-01 10:05:00", value=480.0),
+        _ev(2, "2024-01-01 10:20:00", value=30.0),
+    ], now - 120)
+    _write_json(str(src / "b1.json"), [
+        _ev(3, "2024-01-01 10:40:00", value=450.0),
+    ], now - 60)
+
+    def run_once():
+        stream = read_file_stream(spark, str(src), max_files_per_trigger=1)
+        q = start_hot_reload_scoring(stream, reg, feats, out, ckpt, scales)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    first = sorted(
+        (r["event_id"], r["fraud_score"], r["model_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(first) == 3
+    # the replay: wipe the checkpoint so the SAME source replays from
+    # batch 0 — the worst-case at-least-once scenario
+    shutil.rmtree(ckpt)
+    run_once()
+    replayed = sorted(
+        (r["event_id"], r["fraud_score"], r["model_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first  # no duplicates, bit-identical rows
+    # and the partition column is discoverable for pruning
+    assert "ingest_batch" in spark.read.parquet(out).columns
