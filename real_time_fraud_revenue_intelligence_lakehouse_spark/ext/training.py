@@ -72,15 +72,26 @@ _MICRO = 1_000_000.0
 _R6 = "(floor(({c}) * 1000000.0 + 0.5) / 1000000.0)"
 
 
-def _scale(f: str, scales: dict[str, float] | None) -> float:
+def _scale(f: str, scales: dict | None):
+    """Per-feature scale spec: a float divisor (x/s — the fixed
+    range-bound conditioning), or a fitted (mean, std) pair
+    ((x−mean)/std — the persisted StandardScaler, ext/scaler.py).
+    JSON round-trips tuples as lists, so both sequence shapes are
+    accepted."""
     if scales is None:  # explicit {} means "unscaled", not "default"
         scales = FEATURE_SCALES
-    return float(scales.get(f, 1.0))
+    s = scales.get(f, 1.0)
+    if isinstance(s, (tuple, list)):
+        return float(s[0]), float(s[1])
+    return float(s)
 
 
-def _x_expr(f: str, scales: dict[str, float] | None) -> Column:
+def _x_expr(f: str, scales: dict | None) -> Column:
     s = _scale(f, scales)
     x = F.col(f).cast("double")
+    if isinstance(s, tuple):
+        mean, sd = s
+        return (x - F.lit(mean)) / F.lit(sd)
     return x if s == 1.0 else x / F.lit(s)
 
 
@@ -215,9 +226,12 @@ def trained_score_expr(
 # --- generated DuckDB oracle -------------------------------------------------
 
 
-def _x_sql(f: str, scales: dict[str, float] | None = None) -> str:
+def _x_sql(f: str, scales: dict | None = None) -> str:
     s = _scale(f, scales)
     x = f"CAST({f} AS DOUBLE)"
+    if isinstance(s, tuple):
+        mean, sd = s
+        return f"(({x} - {mean!r}) / {sd!r})"
     return x if s == 1.0 else f"{x} / {s!r}"
 
 
@@ -239,6 +253,7 @@ def logreg_train_ctes(
     iters: int = ITERS,
     weighted: bool = False,
     prefix: str = "",
+    standardized: bool = False,
 ) -> tuple[str, str]:
     """(cte_block, final_weight_cte_name): the K unrolled GD
     iterations as WITH-clauses over the feature CTE. Every arithmetic
@@ -253,10 +268,32 @@ def logreg_train_ctes(
     `n0 + (n0/n1)·n1` — the same expressions (same operation order)
     :func:`scale_pos_weight` + the weighted :func:`train_logreg`
     compute. ``prefix`` namespaces every CTE so several configs can
-    share one statement (q_model_selection)."""
+    share one statement (q_model_selection).
+
+    ``standardized=True`` unrolls the StandardScaler pipeline
+    (`fraud_detector.py:144-145`): a fitted-stats CTE chain
+    (ext/scaler.scaler_ctes — mean/std per feature from the same
+    exact decimal moments the engine aggregates) rides ahead of the
+    iterations, every x becomes `(x − mu_f)/sd_f` referencing that
+    1-row CTE, and each gradient aggregate cross-joins it — so the
+    oracle derives fit AND train end-to-end from the data, with no
+    engine-computed literal smuggled in."""
     names = ["bias"] + list(features)
     p_ = prefix
     parts = [f"{p_}fv AS ({fv_sql})"]
+    if standardized:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scaler import scaler_ctes
+
+        sc_block, sc_name = scaler_ctes(
+            f"SELECT * FROM {p_}fv", features, prefix=p_
+        )
+        parts.append(sc_block)
+
+    def _x_of(f: str) -> str:
+        if standardized:
+            return f"((CAST({f} AS DOUBLE) - mu_{f}) / sd_{f})"
+        return _x_sql(f)
+
     if weighted:
         parts.append(
             f"{p_}cnts AS (SELECT CAST(sum(1 - label) AS DOUBLE) AS n0, "
@@ -267,8 +304,12 @@ def logreg_train_ctes(
         cnts_join = f" CROSS JOIN {p_}cnts"
     zeros = ", ".join(f"CAST(0.0 AS DOUBLE) AS w_{m}" for m in names)
     parts.append(f"{p_}w0 AS (SELECT {zeros})")
+    sc_join = f" CROSS JOIN {sc_name}" if standardized else ""
+    z_terms = " + ".join(
+        ["w_bias"] + [f"w_{f} * ({_x_of(f)})" for f in features]
+    )
     for t in range(1, iters + 1):
-        p = _R6.format(c=f"1.0 / (1.0 + exp(-({_z_sql('', features)})))")
+        p = _R6.format(c=f"1.0 / (1.0 + exp(-({z_terms})))")
         resid = f"({p} - CAST(label AS DOUBLE))"
         bias_c = (
             f"{resid} * 1000000.0" if not weighted else f"{resid} * {wgt} * 1000000.0"
@@ -279,14 +320,14 @@ def logreg_train_ctes(
         ]
         for f in features:
             fc = (
-                f"{resid} * ({_x_sql(f)}) * 1000000.0"
+                f"{resid} * ({_x_of(f)}) * 1000000.0"
                 if not weighted
-                else f"{resid} * ({_x_sql(f)}) * {wgt} * 1000000.0"
+                else f"{resid} * ({_x_of(f)}) * {wgt} * 1000000.0"
             )
             gsel.append(f"sum(CAST(floor({fc} + 0.5) AS DECIMAL(38,0))) AS g_{f}")
         parts.append(
             f"{p_}g{t} AS (SELECT {', '.join(gsel)} FROM {p_}fv "
-            f"CROSS JOIN {p_}w{t - 1}{cnts_join if weighted else ''})"
+            f"CROSS JOIN {p_}w{t - 1}{cnts_join if weighted else ''}{sc_join})"
         )
         d = "n" if not weighted else denom
         wsel = [
@@ -306,6 +347,7 @@ def logreg_weights_sql(
     lr: float = LR,
     iters: int = ITERS,
     weighted: bool = False,
+    standardized: bool = False,
 ) -> str:
     """Complete oracle for q_logreg_train (and its class-weighted
     twin): one (feature, weight) row per model term, weights round6
@@ -313,7 +355,9 @@ def logreg_weights_sql(
     weight CTE exactly ONCE (a VALUES cross join + CASE, not 9 UNION
     ALL arms — DuckDB re-evaluates the whole unrolled CTE chain per
     reference, measured 59 s → 5 s)."""
-    ctes, wk = logreg_train_ctes(fv_sql, features, lr, iters, weighted=weighted)
+    ctes, wk = logreg_train_ctes(
+        fv_sql, features, lr, iters, weighted=weighted, standardized=standardized
+    )
     names = ["bias"] + list(features)
     values = ", ".join(f"('{m}')" for m in names)
     case = " ".join(

@@ -123,6 +123,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_scd2,
     catalog_scoring,
     catalog_scoring2,
+    catalog_scoring3,
     catalog_sql,
     catalog_stream,
     catalog_tpch,

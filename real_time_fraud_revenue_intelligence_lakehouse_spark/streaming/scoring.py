@@ -186,6 +186,16 @@ def compile_registry_model(doc: dict, feature_cols: tuple[str, ...],
         z = gbt_deep_logit_expr(gbt_deep_from_doc(doc), feature_cols, scales=scales)
         return det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     if doc["kind"] == "logreg":
+        sc = doc["params"].get("scaler")
+        if sc is not None:
+            # the persisted StandardScaler (the reference's
+            # scaler.joblib, fraud_detector.py:219): the document's
+            # OWN fitted stats apply at serving — a caller-supplied
+            # `scales` must not silently displace the artifact the
+            # model was trained with
+            from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scaler import scaler_from_params
+
+            scales = scaler_from_params(sc)
         return trained_score_expr(doc["params"]["weights"], feature_cols, scales)
     raise ValueError(f"unknown model kind in registry document: {doc['kind']!r}")
 
