@@ -1133,6 +1133,134 @@ def gbt_early_stop_sql(
     FROM fl f CROSS JOIN sp s"""
 
 
+def gbt_early_stop_auc_sql(
+    fv_sql: str,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    rounds: int = GBT_ROUNDS,
+    bins: int = GBT_BINS,
+    lam: float = GBT_LAMBDA,
+    eta: float = GBT_ETA,
+    patience: int = 2,
+) -> str:
+    """Oracle for q_gbt_early_stop_auc: train on the hash-split train
+    fold, replay the splits on the holdout fold, emit the per-round
+    HOLDOUT rank-sum AUC ladder, then apply the patience-k rule in
+    window form: boosting stops at the first round whose distance to
+    the last improving round reaches ``patience`` (the reference's
+    eval_metric='auc' + early_stopping_rounds, `fraud_detector.py:
+    245-247`); is_best marks the argmax among reached rounds."""
+    p_ = "esa_"
+    parts = [
+        f"base AS ({fv_sql})",
+        f"tr AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} < 80)",
+        f"va AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} >= 80)",
+    ]
+    ctes, _rk = _gbt_ctes(
+        "SELECT * FROM tr", features, rounds, bins, lam, eta, prefix=p_
+    )
+    parts.append(ctes)
+    hctes, _hk = _gbt_holdout_ctes(p_, "va", features, rounds, bins, eta)
+    parts.append(hctes)
+    s6 = _R6.format(c="1.0 / (1.0 + exp(-f))")
+    arms = [
+        f"SELECT CAST({t} AS INTEGER) AS round, {s6} AS s, label "
+        f"FROM {p_}hrows{t}"
+        for t in range(rounds + 1)
+    ]
+    parts.append("sc AS (" + "\n      UNION ALL ".join(arms) + ")")
+    # the q_model_card rank-sum machinery, windowed per round: exact
+    # Mann-Whitney over the bounded distinct-score table
+    parts.append(
+        "grp AS (SELECT round, s, count(*) AS n, sum(label) AS np "
+        "FROM sc GROUP BY 1, 2)"
+    )
+    parts.append(
+        "cum AS (SELECT round, s, n, np, "
+        "coalesce(sum(n) OVER w, 0) AS cum_n FROM grp "
+        "WINDOW w AS (PARTITION BY round ORDER BY s "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+    )
+    auc_raw = (
+        "(CAST(rank_sum AS DOUBLE) "
+        "- CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)"
+        " / (CAST(n_pos AS DOUBLE) * n_neg)"
+    )
+    auc6 = _R6.format(
+        c=f"CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0 ELSE {auc_raw} END"
+    )
+    parts.append(
+        "agg AS (SELECT round, sum(np) AS n_pos, sum(n) - sum(np) AS n_neg, "
+        "sum(CAST(np AS DECIMAL(28,1)) "
+        "* CAST(cum_n + (n + 1) / 2.0 AS DECIMAL(28,1))) AS rank_sum "
+        "FROM cum GROUP BY 1)"
+    )
+    parts.append(f"lad AS (SELECT round, {auc6} AS val_auc FROM agg)")
+    # patience-k in window form: improved = strictly beats the running
+    # best; streak at t = t − (last improving round ≤ t); round 0
+    # improves by definition
+    parts.append(
+        "pb AS (SELECT round, val_auc, "
+        "max(val_auc) OVER (ORDER BY round "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best "
+        "FROM lad)"
+    )
+    parts.append(
+        "fl AS (SELECT round, val_auc, "
+        "CASE WHEN round = 0 OR val_auc > prev_best THEN 1 ELSE 0 END "
+        "AS improved FROM pb)"
+    )
+    parts.append(
+        "st AS (SELECT round, val_auc, "
+        "round - max(CASE WHEN improved = 1 THEN round END) "
+        "OVER (ORDER BY round) AS streak FROM fl)"
+    )
+    parts.append(
+        f"sp AS (SELECT coalesce(min(CASE WHEN streak >= {patience} "
+        f"THEN round END), {rounds}) AS stop_at FROM st)"
+    )
+    cte_block = ",\n    ".join(parts)
+    return f"""WITH {cte_block}
+    SELECT f.round, f.val_auc,
+           CAST(CASE WHEN f.round <= s.stop_at THEN 1 ELSE 0 END AS INTEGER)
+             AS reached,
+           CAST(CASE WHEN f.round <= s.stop_at
+                AND row_number() OVER (
+                  PARTITION BY CASE WHEN f.round <= s.stop_at THEN 1 ELSE 0 END
+                  ORDER BY f.val_auc DESC, f.round) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM st f CROSS JOIN sp s"""
+
+
+def early_stop_decision_auc(
+    aucs: list[float], patience: int = 2
+) -> tuple[int, int]:
+    """(stop_at, best_round) under the patience-k rule over a round6
+    holdout AUC ladder (aucs[t] = holdout AUC after t rounds):
+    boosting stops at the first round that completes ``patience``
+    consecutive failures to improve the running best — the
+    reference's eval_metric='auc' + early_stopping_rounds=20
+    (`fraud_detector.py:245-247`; k=2 at test scale, the same window
+    rule). best_round is the argmax among reached rounds, earliest on
+    ties — the round count a retrain would deploy with. Identical
+    logic to the SQL oracle's last-improving-round window form
+    (gbt_early_stop_auc_sql): the streak at t equals
+    t − last_improving_round."""
+    best = aucs[0]
+    streak = 0
+    stop_at = len(aucs) - 1
+    for t in range(1, len(aucs)):
+        if aucs[t] > best:
+            best = aucs[t]
+            streak = 0
+        else:
+            streak += 1
+            if streak >= patience:
+                stop_at = t
+                break
+    best_round = max(range(stop_at + 1), key=lambda t: (aucs[t], -t))
+    return stop_at, best_round
+
+
 def early_stop_decision(losses: list[float]) -> tuple[int, int]:
     """(stop_at, best_round) under the patience-1 rule over a round6
     holdout loss ladder (losses[t] = holdout log-loss after t rounds):

@@ -580,3 +580,105 @@ def test_oracle_and_engine_fail_loudly_on_empty_frame(spark):
     )
     with pytest.raises(ValueError, match="empty feature frame"):
         train_gbt(empty, features=("x1", "x2"), scales={})
+
+
+def test_early_stop_auc_patience_rule():
+    """Patience-k on an AUC ladder: stop at the k-th CONSECUTIVE
+    failure to strictly improve the running best; ties do not
+    improve; best = argmax among reached rounds, earliest on ties."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import early_stop_decision_auc
+
+    # monotone improvement → never stops, last round deploys
+    assert early_stop_decision_auc([0.5, 0.6, 0.7, 0.8], 2) == (3, 3)
+    # one bad round then recovery → streak resets, no stop
+    assert early_stop_decision_auc([0.5, 0.7, 0.65, 0.75], 2) == (3, 3)
+    # two consecutive non-improving rounds → stop at the round that
+    # COMPLETES the streak
+    assert early_stop_decision_auc([0.5, 0.7, 0.65, 0.66], 2) == (3, 1)
+    # a TIE is not an improvement (strict >)
+    assert early_stop_decision_auc([0.5, 0.7, 0.7, 0.7], 2) == (3, 1)
+    # patience-1 degenerates to the log-loss rule's shape
+    assert early_stop_decision_auc([0.5, 0.7, 0.69, 0.9], 1) == (2, 1)
+    # best is earliest on exact ties among reached rounds
+    assert early_stop_decision_auc([0.7, 0.7, 0.6, 0.6], 2) == (2, 0)
+
+
+def test_loss_and_auc_ladders_can_disagree_on_the_stop_round():
+    """The point of eval_metric being a PARAMETER
+    (`fraud_detector.py:246`): from the SAME planted per-round scores,
+    the log-loss ladder keeps improving (patience-1 never stops)
+    while the AUC ladder degrades twice in a row (patience-2 stops at
+    round 2) — a round can improve calibration while hurting ranking."""
+    import math
+
+    import numpy as np
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
+        early_stop_decision,
+        early_stop_decision_auc,
+    )
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    y = np.array([1] * 6 + [0] * 6)
+    # per-round scores: ten well-calibrated rows keep tightening
+    # (loss ↓ every round) while one positive/negative pair first
+    # TIES, then swaps, then a second pair ties (AUC ↓ from round 1)
+    S = np.array([
+        [0.52] * 6 + [0.48] * 6,                              # AUC 1.0
+        [0.80] * 5 + [0.59] + [0.20] * 5 + [0.59],            # tie: 35.5/36
+        [0.93] * 5 + [0.58] + [0.07] * 5 + [0.60],            # swap: 35/36
+        [0.99] * 4 + [0.60, 0.58] + [0.01] * 5 + [0.60],      # +tie: 34.5/36
+    ])
+
+    def logloss(s):
+        return r6(float(np.mean(np.where(y == 1, -np.log(s), -np.log(1 - s)))))
+
+    def auc(s):
+        pos, neg = s[y == 1], s[y == 0]
+        wins = sum((p > q) + 0.5 * (p == q) for p in pos for q in neg)
+        return r6(wins / (len(pos) * len(neg)))
+
+    losses = [logloss(s) for s in S]
+    aucs = [auc(s) for s in S]
+    assert losses == sorted(losses, reverse=True)  # strictly improving
+    assert aucs[0] > aucs[1] > aucs[2]             # ranking degrades
+    stop_loss, best_loss = early_stop_decision(losses)
+    stop_auc, best_auc = early_stop_decision_auc(aucs, 2)
+    assert stop_loss == 3 and best_loss == 3   # loss rule never stops
+    assert stop_auc == 2 and best_auc == 0     # AUC rule stops early
+    assert stop_loss != stop_auc
+
+
+def test_auc_patience_window_form_matches_python_rule():
+    """The oracle's last-improving-round window form ≡ the driver's
+    streak loop, on randomized ladders (streak(t) = t − last
+    improving round is the loop's counter, proven by sweep)."""
+    import duckdb
+    import numpy as np
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import early_stop_decision_auc
+
+    con = duckdb.connect()
+    rng = np.random.RandomState(42)
+    for k in (1, 2, 3):
+        for _ in range(25):
+            lad = [round(float(v), 3) for v in rng.uniform(0.4, 0.9, 6)]
+            vals = ", ".join(f"({t}, {v!r})" for t, v in enumerate(lad))
+            sql = f"""
+            WITH lad(round, val_auc) AS (VALUES {vals}),
+            pb AS (SELECT round, val_auc,
+                   max(val_auc) OVER (ORDER BY round
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_best FROM lad),
+            fl AS (SELECT round, val_auc,
+                   CASE WHEN round = 0 OR val_auc > prev_best
+                        THEN 1 ELSE 0 END AS improved FROM pb),
+            st AS (SELECT round, val_auc,
+                   round - max(CASE WHEN improved = 1 THEN round END)
+                     OVER (ORDER BY round) AS streak FROM fl)
+            SELECT coalesce(min(CASE WHEN streak >= {k} THEN round END),
+                            {len(lad) - 1}) FROM st
+            """
+            got = con.execute(sql).fetchone()[0]
+            want, _ = early_stop_decision_auc(lad, k)
+            assert got == want, (lad, k, got, want)
