@@ -972,3 +972,194 @@ def gbt_depth_selection_sql(
            CAST(CASE WHEN row_number() OVER (ORDER BY val_logloss, config) = 1
                 THEN 1 ELSE 0 END AS INTEGER) AS is_best
     FROM longf"""
+
+
+# --- hash-sampled random search (the reference's 30-trial study) ---------------
+
+#: Swept ranges for the sampled study — test-scale projections of the
+#: reference's Optuna space (`fraud_detector.py:249-266`:
+#: n_estimators 100-500 → rounds 2-3; learning_rate 0.01-0.3 → eta
+#: 0.1-0.5; reg_lambda 0-5 → λ ∈ {0.5, 1, 2}; max_depth 3-9 →
+#: depth 2-3). Part of the query identity: the oracle is generated
+#: from the identical draws.
+RS_TRIALS = 8
+
+
+def sampled_search_configs(
+    n: int = RS_TRIALS,
+) -> tuple[tuple[str, int, float, float, int], ...]:
+    """The reference's RANDOM hyperparameter search
+    (`fraud_detector.py:274`: study.optimize(n_trials=30)) without an
+    RNG: each trial's draw for each dimension is an md5 bucket of
+    "trial-<i>#<param>" — bit-stable across processes, machines, and
+    reruns (the q_gbt_train_subsample content-hash discipline), so
+    the sampled config list is a CONSTANT of the query and the
+    DuckDB oracle unrolls exactly the same trials. Trials may
+    collide (two draws of the same config) exactly like a real
+    random study; ranking tie-breaks on trial id."""
+    out = []
+    for i in range(n):
+
+        def h(param: str, i=i) -> int:
+            d = hashlib.md5(f"trial-{i}#{param}".encode()).hexdigest()
+            return int(d[:8], 16)
+
+        rounds = 2 + h("n_estimators") % 2
+        eta = (1 + h("learning_rate") % 5) / 10.0
+        lam = (0.5, 1.0, 2.0)[h("reg_lambda") % 3]
+        depth = 2 + h("max_depth") % 2
+        out.append((f"t{i:02d}", rounds, eta, lam, depth))
+    return tuple(out)
+
+
+def grid_holdout_aucs(
+    va: DataFrame,
+    trees_all: list[list[dict]],
+    configs: tuple[tuple[str, int, float, float, int], ...],
+    features: tuple[str, ...] = SCORE_FEATURES,
+    scales: dict[str, float] | None = None,
+) -> list[float]:
+    """Per-config holdout rank-sum AUCs from ONE stacked scan — the
+    gbt_cv machinery on a single hash-split fold: every config's
+    round6 sigmoid is a staged column, the stack unpivots to
+    (cfg, s, label), and one exact Mann-Whitney aggregate (windowed
+    per cfg over the bounded distinct-score table) yields every
+    config's AUC. Driver state: 3·|configs| scalars."""
+    from pyspark.sql import Window
+
+    staged = va.select(
+        "label",
+        *[
+            det_round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -gbt_deep_logit_expr(
+                            trees_all[i],
+                            features=features,
+                            eta=configs[i][2],
+                            scales=scales,
+                        )
+                    )
+                ),
+                6,
+            ).alias(f"s_{i}")
+            for i in range(len(configs))
+        ],
+    )
+    pairs = ", ".join(f"{i}, s_{i}" for i in range(len(configs)))
+    scored = staged.selectExpr(
+        "label", f"stack({len(configs)}, {pairs}) AS (cfg, s)"
+    )
+    grp = scored.groupBy("cfg", "s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("np")
+    )
+    w = (
+        Window.partitionBy("cfg")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grp.withColumn("cum_n", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    avg_rank = (F.col("cum_n") + (F.col("n") + 1) / 2.0).cast("decimal(28,1)")
+    rs = F.col("np").cast("decimal(28,1)") * avg_rank
+    agg = cum.groupBy("cfg").agg(
+        F.sum(rs).alias("rank_sum"),
+        F.sum("np").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).alias("n_neg"),
+    )
+    by_cfg = {r["cfg"]: r for r in agg.collect()}
+    out = []
+    for i in range(len(configs)):
+        r = by_cfg[i]
+        n_pos, n_neg = int(r["n_pos"]), int(r["n_neg"])
+        if n_pos == 0 or n_neg == 0:
+            out.append(0.0)
+        else:
+            raw = (
+                float(r["rank_sum"]) - float(n_pos) * (n_pos + 1) / 2
+            ) / (float(n_pos) * n_neg)
+            out.append(_r6(raw))
+    return out
+
+
+def gbt_random_search_sql(
+    fv_sql: str,
+    configs: tuple[tuple[str, int, float, float, int], ...] | None = None,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+) -> str:
+    """Oracle for q_gbt_random_search: per sampled trial one unrolled
+    DEEP boosting chain on the hash-split train fold + a deep holdout
+    replay + a rank-sum AUC (the gbt_cv tail on one fold); is_best
+    ranks by (val_auc DESC, config)."""
+    configs = sampled_search_configs() if configs is None else configs
+    parts = [
+        f"base AS ({fv_sql})",
+        f"tr AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} < 80)",
+        f"va AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} >= 80)",
+    ]
+    auc_names: list[str] = []
+    for i, (_name, rounds, eta, lam, depth) in enumerate(configs):
+        p_ = f"rs{i}_"
+        ctes, _rk = _gbt_deep_ctes(
+            "SELECT * FROM tr", features, rounds, bins, lam, eta, depth,
+            prefix=p_,
+        )
+        parts.append(ctes)
+        hctes, hk = _gbt_deep_holdout_ctes(
+            p_, "va", features, rounds, bins, eta, depth
+        )
+        parts.append(hctes)
+        s6 = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        parts.append(f"{p_}scored AS (SELECT label, {s6} AS s FROM {hk})")
+        parts.append(
+            f"{p_}grp AS (SELECT s, count(*) AS n, sum(label) AS np "
+            f"FROM {p_}scored GROUP BY 1)"
+        )
+        parts.append(
+            f"{p_}cum AS (SELECT s, n, np, "
+            f"coalesce(sum(n) OVER w, 0) AS cum_n FROM {p_}grp "
+            f"WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND 1 PRECEDING))"
+        )
+        parts.append(
+            f"{p_}t AS (SELECT sum(np) AS n_pos, "
+            f"sum(n) - sum(np) AS n_neg FROM {p_}grp)"
+        )
+        parts.append(
+            f"{p_}agg AS (SELECT n_pos, n_neg, "
+            f"sum(CAST(np AS DECIMAL(28,1)) "
+            f"* CAST(cum_n + (n + 1) / 2.0 AS DECIMAL(28,1))) AS rank_sum "
+            f"FROM {p_}cum CROSS JOIN {p_}t GROUP BY 1, 2)"
+        )
+        auc_raw = (
+            "(CAST(rank_sum AS DOUBLE) "
+            "- CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)"
+            " / (CAST(n_pos AS DOUBLE) * n_neg)"
+        )
+        auc6 = _R6.format(
+            c=f"CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0 ELSE {auc_raw} END"
+        )
+        parts.append(f"{p_}auc AS (SELECT {auc6} AS auc FROM {p_}agg)")
+        auc_names.append(f"{p_}auc")
+    vals = ", ".join(
+        f"('{name}', {rounds}, {eta!r}, {lam!r}, {depth})"
+        for name, rounds, eta, lam, depth in configs
+    )
+    auc_case = " ".join(
+        f"WHEN '{name}' THEN (SELECT auc FROM {auc_names[i]})"
+        for i, (name, _r, _e, _l, _d) in enumerate(configs)
+    )
+    cte_block = ",\n    ".join(parts)
+    return f"""WITH {cte_block},
+    longf AS (
+      SELECT c.config, c.rounds, c.eta, c.lam, c.depth,
+             CASE c.config {auc_case} END AS val_auc
+      FROM (VALUES {vals}) c(config, rounds, eta, lam, depth)
+    )
+    SELECT config, CAST(rounds AS INTEGER) AS rounds, eta, lam,
+           CAST(depth AS INTEGER) AS depth, val_auc,
+           CAST(CASE WHEN row_number() OVER (ORDER BY val_auc DESC, config) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM longf"""

@@ -225,3 +225,63 @@ def q_gbt_early_stop_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, val_auc double, reached int, is_best int"
     )
+
+
+# --- hash-sampled random search through the fused deep grid ---------------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (  # noqa: E402
+    gbt_random_search_sql,
+    grid_holdout_aucs,
+    sampled_search_configs,
+    train_gbt_grid_deep,
+)
+
+RS_CONFIGS = sampled_search_configs()
+
+_RS: dict = {}
+register_cache(_RS)
+
+
+@query(
+    "q_gbt_random_search",
+    oracle=gbt_random_search_sql(_FV_SQL, RS_CONFIGS),
+    tags=("training", "evaluation", "selection", "trees"),
+)
+def q_gbt_random_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SEARCH BREADTH — a 30-trial sampled Optuna
+    study (`fraud_detector.py:274`), not a fixed 4-config grid — as a
+    deterministic random search: 8 trials whose per-dimension draws
+    are md5 buckets of "trial-<i>#<param>" (RNG-free, append-stable;
+    sampled_search_configs), swept over rounds/eta/λ/depth and fit by
+    the FUSED deep grid trainer. The fused fold's cost is
+    CONFIG-WIDTH INDEPENDENT in scan count: per (round, level) ONE
+    shared stacked aggregate carries every active trial (job-count
+    law pinned in tests/test_gbt_deep.py — 8 trials schedule exactly
+    as many Spark jobs as 2), so doubling the study's breadth adds
+    integer histogram cells to the combine, never scans — the claim
+    that makes 30 trials affordable at 100 TB. Trials rank by holdout
+    AUC (the study's scoring='roc_auc') from ONE stacked scan + one
+    rank-sum aggregate (grid_holdout_aucs); is_best = (val_auc DESC,
+    trial id). The oracle unrolls all 8 deep chains + holdout replays
+    + rank-sum AUCs."""
+    k = _key(spark, sf_dir)
+    if k not in _RS:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_scoring import _fold_splits
+
+        tr, va = _fold_splits(spark, sf_dir)
+        trees_all = train_gbt_grid_deep(tr, configs=RS_CONFIGS)
+        _RS[k] = grid_holdout_aucs(va, trees_all, RS_CONFIGS)
+    aucs = _RS[k]
+    best = 0
+    for i in range(1, len(RS_CONFIGS)):
+        if aucs[i] > aucs[best]:
+            best = i
+    out = [
+        (name, rounds, eta, lam, depth, aucs[i], 1 if i == best else 0)
+        for i, (name, rounds, eta, lam, depth) in enumerate(RS_CONFIGS)
+    ]
+    return spark.createDataFrame(
+        out,
+        "config string, rounds int, eta double, lam double, depth int, "
+        "val_auc double, is_best int",
+    )

@@ -413,3 +413,110 @@ def test_reg_alpha_shrinks_leaves_toward_zero(spark):
         df.repartition(7), features=FEATS, scales={}, depth=2, reg_alpha=0.5
     )
     assert l1 == again
+
+
+def test_sampled_search_configs_are_bit_stable_and_in_range():
+    """The study's draws are content hashes, not RNG: re-deriving the
+    list gives the identical tuple, and every dimension lands inside
+    its swept range (the deterministic twin of fraud_detector.py:274's
+    30 sampled trials)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import sampled_search_configs
+
+    cfgs = sampled_search_configs()
+    assert cfgs == sampled_search_configs()
+    assert len(cfgs) == 8 and len({c[0] for c in cfgs}) == 8
+    for _name, rounds, eta, lam, depth in cfgs:
+        assert rounds in (2, 3)
+        assert eta in (0.1, 0.2, 0.3, 0.4, 0.5)
+        assert lam in (0.5, 1.0, 2.0)
+        assert depth in (2, 3)
+    # the sweep is real: more than one value drawn per dimension
+    assert len({c[1] for c in cfgs}) > 1
+    assert len({c[2] for c in cfgs}) > 1
+    assert len({c[3] for c in cfgs}) > 1
+    assert len({c[4] for c in cfgs}) > 1
+
+
+def test_fused_grid_job_count_is_config_width_independent(spark):
+    """The claim that makes 30 trials affordable at 100 TB: the fused
+    deep grid schedules ONE Spark job per (round, level) — 8 sampled
+    trials launch exactly as many jobs as 2 trials with the same
+    (max rounds, max depth) envelope; extra trials only widen the
+    map-side combine's integer histogram, never add scans."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import sampled_search_configs
+
+    df, *_ = _frame(spark)
+    sc = spark.sparkContext
+
+    def jobs_for(configs, group):
+        sc.setJobGroup(group, group)
+        try:
+            train_gbt_grid_deep(df, configs=configs, features=FEATS, scales={})
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    wide = tuple(
+        (name, r, e, l, d)
+        for name, r, e, l, d in sampled_search_configs()
+    )
+    # a 2-config grid with the same (rounds, depth) envelope
+    narrow = (
+        ("n0", max(c[1] for c in wide), 0.3, 1.0, max(c[4] for c in wide)),
+        ("n1", 2, 0.2, 1.0, 2),
+    )
+    n_wide = jobs_for(wide, "rs_wide")
+    n_narrow = jobs_for(narrow, "rs_narrow")
+    assert n_wide == n_narrow, (n_wide, n_narrow)
+    # and the bound itself: one aggregate ACTION per (round, level);
+    # AQE materializes each as ≤2 Spark jobs (shuffle-map + result)
+    assert n_wide <= 2 * max(c[1] for c in wide) * max(c[4] for c in wide)
+
+
+def test_random_search_winner_matches_independent_sweep(spark):
+    """End-to-end check against an independent path: fit every
+    sampled trial SEQUENTIALLY (train_gbt_deep — bit-identical to the
+    fused fold by the grid law), compute each holdout AUC with a
+    NumPy rank-sum, and verify grid_holdout_aucs returns the same
+    round6 AUCs and therefore the same winner."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
+        grid_holdout_aucs,
+        sampled_search_configs,
+        train_gbt_deep,
+        train_gbt_grid_deep,
+    )
+
+    cfgs = sampled_search_configs()
+    df, X, y, ids = _frame(spark, n=1200, seed=19)
+    tr_mask = np.array([_h60(str(i)) % 100 < 80 for i in ids])
+    tr = df.filter("('0x' || substr(md5(CAST(o_orderkey AS STRING)), 1, 15)) % 100 < 80")
+    # build folds via the engine's own hash column to stay exact
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+    from pyspark.sql import functions as F
+
+    b = hash60(F.col("o_orderkey").cast("string")) % 100
+    tr, va = df.filter(b < 80), df.filter(b >= 80)
+
+    fused = train_gbt_grid_deep(tr, configs=cfgs, features=FEATS, scales={})
+    got = grid_holdout_aucs(va, fused, cfgs, features=FEATS, scales={})
+
+    # independent: sequential fits + NumPy AUC on the holdout fold
+    r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    Xva, yva = X[~tr_mask], y[~tr_mask]
+    B = np.floor(Xva * 16).clip(0, 15).astype(int)  # bins=16, scales={}
+    want = []
+    for (_n, rounds, eta, lam, depth) in cfgs:
+        seq = train_gbt_deep(
+            tr, features=FEATS, scales={}, rounds=rounds, eta=eta,
+            lam=lam, depth=depth,
+        )
+        z = np.zeros(len(yva))
+        for t in seq:
+            z = z + eta * _tree_vals(t, B, len(yva))
+        s = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
+        pos, neg = s[yva == 1], s[yva == 0]
+        wins = 0.0
+        for p in pos:
+            wins += (p > neg).sum() + 0.5 * (p == neg).sum()
+        want.append(r6(wins / (len(pos) * len(neg))))
+    assert got == want
