@@ -285,3 +285,81 @@ def q_gbt_random_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "config string, rounds int, eta double, lam double, depth int, "
         "val_auc double, is_best int",
     )
+
+
+# --- pre-scoring validation gate -------------------------------------------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table  # noqa: E402
+from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import (  # noqa: E402
+    GATE_RULES,
+    gate_report,
+    input_gate,
+)
+
+
+def _gate_oracle() -> str:
+    conds = {
+        name: (
+            f"{name} IS NULL OR {name} < {lo!r} OR {name} > {hi!r}"
+            if default is None
+            else f"{name} IS NOT NULL AND ({name} < {lo!r} OR {name} > {hi!r})"
+        )
+        for name, lo, hi, default in GATE_RULES
+    }
+    reason = "CASE " + " ".join(
+        f"WHEN {conds[name]} THEN '{name}'" for name, *_ in GATE_RULES
+    ) + " END"
+    v_sums = ", ".join(
+        f"sum(CASE WHEN gate_reason = '{name}' THEN 1 ELSE 0 END) AS v_{name}"
+        for name, *_ in GATE_RULES
+    )
+    arms = [
+        f"SELECT '{name}' AS field, 'out_of_range' AS outcome, "
+        f"CAST(v_{name} AS BIGINT) AS n FROM a"
+        for name, *_ in GATE_RULES
+    ] + [
+        "SELECT 'hour_of_day', 'defaulted', CAST(d_hour AS BIGINT) FROM a",
+        "SELECT '_all_', 'pass', CAST(n_pass AS BIGINT) FROM a",
+        "SELECT '_all_', 'quarantined', CAST(n_quar AS BIGINT) FROM a",
+    ]
+    return f"""
+    WITH g AS (
+      SELECT CAST(value AS DOUBLE) AS total_amount,
+             CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE)
+               AS velocity_k,
+             CAST(json_extract_string(props, '$.h') AS DOUBLE) AS hour_of_day
+      FROM events
+    ),
+    r AS (SELECT *, {reason} AS gate_reason FROM g),
+    a AS (SELECT {v_sums},
+      sum(CASE WHEN gate_reason IS NULL AND hour_of_day IS NULL
+               THEN 1 ELSE 0 END) AS d_hour,
+      sum(CASE WHEN gate_reason IS NULL THEN 1 ELSE 0 END) AS n_pass,
+      sum(CASE WHEN gate_reason IS NOT NULL THEN 1 ELSE 0 END) AS n_quar
+      FROM r)
+    {" UNION ALL ".join(arms)}"""
+
+
+@query(
+    "q_score_input_gate",
+    oracle=_gate_oracle(),
+    tags=("streaming", "quality", "scoring"),
+)
+def q_score_input_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving contract's request validation
+    (`ml/serving/api.py:92-130`: pydantic ge/le bounds on required
+    fields, documented defaults on optionals) as a pre-scoring gate
+    over the event payload — the piece between ingest's
+    null/corrupt quarantine and the model: out-of-range features →
+    quarantine row with the FIRST violated field as reason
+    (pydantic's field-order error), missing optionals → imputed
+    defaults (hour_of_day → 12.0, `to_feature_row`), survivors
+    score. The gate itself is a stateless codegen projection
+    (streaming/scoring.input_gate — the identical expression gates a
+    micro-batch, stream ≡ batch tested); this query is its audit
+    rollup from ONE conditional aggregate (gate_report, the q_dq_suite
+    fused-scan discipline): per-field violation counts,
+    defaults-applied count among scored rows, pass/quarantine
+    totals."""
+    ev = read_table(spark, sf_dir, "events")
+    return gate_report(input_gate(ev))

@@ -163,6 +163,100 @@ def explain_stream(
     )
 
 
+#: The serving contract's bounds/defaults (the reference's pydantic
+#: request schema, `ml/serving/api.py:92-130`: required fields carry
+#: ge/le bounds, optional fields carry documented defaults that
+#: to_feature_row imputes before scoring). Engine projection of that
+#: contract onto the event payload: (derived field, lo, hi,
+#: default-or-None). Order matters — validation reports the FIRST
+#: violated field, like pydantic's field-order error.
+GATE_RULES: tuple[tuple[str, float, float, float | None], ...] = (
+    ("total_amount", 0.0, 120.0, None),   # Field(..., ge=0) + amount cap
+    ("velocity_k", 0.0, 94.0, None),      # Field(..., ge=0) velocity class
+    ("hour_of_day", 0.0, 23.0, 12.0),     # Optional, ge=0 le=23, default 12.0
+)
+
+
+def input_gate(events: DataFrame) -> DataFrame:
+    """Pre-scoring validation — the serving request contract
+    (`ml/serving/api.py:92-130`) as a stateless row-local projection
+    over the event payload, so the SAME expression gates a streaming
+    micro-batch and its batch twin (stream ≡ batch law, tested):
+
+    - derive the request fields (total_amount from value, velocity_k
+      and hour_of_day from the JSON props — hour is genuinely absent
+      from every payload, the always-omitted optional);
+    - a row QUARANTINES with reason = first field whose REQUIRED
+      value is missing or out of bounds (ingest's quarantine covers
+      nulls/corrupt payloads; this covers feature-range bounds — the
+      dbt accepted_range analog at serving time, VERDICT r15 #4);
+    - passing rows get optionals imputed to their documented
+      defaults (`to_feature_row`'s None → 12.0), then score.
+
+    Zero shuffle, zero Python — pure codegen projection; at 100 TB
+    the gate fuses into the ingest scan like score_stream."""
+    amount = F.col("value").cast("double")
+    vel = F.get_json_object(F.col("props"), "$.k").cast("int").cast("double")
+    hour = F.get_json_object(F.col("props"), "$.h").cast("double")
+    derived = {"total_amount": amount, "velocity_k": vel, "hour_of_day": hour}
+    reason = None
+    for name, lo, hi, default in GATE_RULES:
+        c = derived[name]
+        if default is None:
+            bad = c.isNull() | (c < lo) | (c > hi)
+        else:
+            bad = c.isNotNull() & ((c < lo) | (c > hi))
+        reason = (
+            F.when(bad, F.lit(name)) if reason is None else reason.when(bad, F.lit(name))
+        )
+    out = (
+        events.withColumn("total_amount", amount)
+        .withColumn("velocity_k", vel)
+        .withColumn("gate_reason", reason)
+        .withColumn(
+            "gate_outcome",
+            F.when(F.col("gate_reason").isNull(), "pass").otherwise("quarantined"),
+        )
+        .withColumn("hour_was_defaulted", hour.isNull().cast("int"))
+        .withColumn("hour_of_day", F.coalesce(hour, F.lit(12.0)))
+    )
+    return out
+
+
+def gate_report(gated: DataFrame) -> DataFrame:
+    """The gate's audit rollup from ONE conditional aggregate (the
+    q_dq_suite fused one-scan discipline): per contract field the
+    out-of-range count, the defaults-applied count for optionals
+    (over PASSING rows — the rows that reach scoring), and the
+    pass/quarantine totals. Stays distributed — the stack unpivots
+    the 1-row aggregate, no collect."""
+    is_pass = F.col("gate_outcome") == "pass"
+    agg = gated.agg(
+        *[
+            F.sum((F.col("gate_reason") == name).cast("long")).alias(f"v_{name}")
+            for name, _lo, _hi, _d in GATE_RULES
+        ],
+        F.sum(
+            (is_pass & (F.col("hour_was_defaulted") == 1)).cast("long")
+        ).alias("d_hour"),
+        F.sum(is_pass.cast("long")).alias("n_pass"),
+        F.sum((~is_pass).cast("long")).alias("n_quar"),
+    )
+    arms = ", ".join(
+        [
+            f"'{name}', 'out_of_range', v_{name}"
+            for name, _lo, _hi, _d in GATE_RULES
+        ]
+        + [
+            "'hour_of_day', 'defaulted', d_hour",
+            "'_all_', 'pass', n_pass",
+            "'_all_', 'quarantined', n_quar",
+        ]
+    )
+    n_rows = len(GATE_RULES) + 3
+    return agg.selectExpr(f"stack({n_rows}, {arms}) AS (field, outcome, n)")
+
+
 def compile_registry_model(doc: dict, feature_cols: tuple[str, ...],
                            scales: dict[str, float] | None = None):
     """Registry document → round6 scoring Column — the serving-side

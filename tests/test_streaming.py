@@ -1775,3 +1775,81 @@ def test_hot_reload_replay_does_not_duplicate_rows(spark, tmp_path):
     assert replayed == first  # no duplicates, bit-identical rows
     # and the partition column is discoverable for pruning
     assert "ingest_batch" in spark.read.parquet(out).columns
+
+
+def test_input_gate_stream_equals_batch_and_applies_contract(spark, tmp_path):
+    """The pre-scoring validation gate (VERDICT r15 #4 — the serving
+    contract's pydantic bounds/defaults, `ml/serving/api.py:92-130`)
+    is a stateless projection: a streamed micro-batch carries
+    BIT-IDENTICAL gate columns to the batch twin, quarantine reasons
+    follow field order, and the always-missing optional imputes its
+    documented default."""
+    import json as _json
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import gate_report, input_gate
+
+    src = tmp_path / "gate_src"
+    src.mkdir()
+    out = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "gate_ckpt")
+    now = time.time()
+
+    def ev(i, value, props):
+        return {
+            "event_id": i, "ts": "2024-01-01 10:00:00", "user_id": 1,
+            "event_type": "click", "value": value, "props": _json.dumps(props),
+        }
+
+    rows = [
+        ev(1, 50.0, {"k": 10}),            # pass, hour defaulted
+        ev(2, 130.0, {"k": 10}),           # amount over cap → quarantine
+        ev(3, 50.0, {"k": 99}),            # velocity over cap → quarantine
+        ev(4, 130.0, {"k": 99}),           # both bad → FIRST field wins
+        ev(5, 50.0, {}),                   # required velocity missing
+        ev(6, 50.0, {"k": 10, "h": 25}),   # present optional out of range
+        ev(7, 50.0, {"k": 10, "h": 9}),    # present optional in range
+    ]
+    _write_json(str(src / "b0.json"), rows, now - 60)
+
+    gated_stream = input_gate(read_file_stream(spark, str(src)))
+    q = (
+        gated_stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_id"]: (
+            r["gate_outcome"], r["gate_reason"], r["hour_of_day"],
+            r["hour_was_defaulted"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = input_gate(spark.read.schema(EVENTS_SCHEMA).json(str(src)))
+    want = {
+        r["event_id"]: (
+            r["gate_outcome"], r["gate_reason"], r["hour_of_day"],
+            r["hour_was_defaulted"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 7  # stream ≡ batch, bit-identical
+    assert got[1] == ("pass", None, 12.0, 1)              # default imputed
+    assert got[2][:2] == ("quarantined", "total_amount")
+    assert got[3][:2] == ("quarantined", "velocity_k")
+    assert got[4][:2] == ("quarantined", "total_amount")  # field order
+    assert got[5][:2] == ("quarantined", "velocity_k")    # missing required
+    assert got[6][:2] == ("quarantined", "hour_of_day")   # present + out
+    assert got[7] == ("pass", None, 9.0, 0)               # present + valid
+
+    # and the audit rollup counts the same world
+    rep = {(r["field"], r["outcome"]): r["n"] for r in gate_report(batch).collect()}
+    assert rep[("_all_", "pass")] == 2
+    assert rep[("_all_", "quarantined")] == 5
+    assert rep[("total_amount", "out_of_range")] == 2
+    assert rep[("velocity_k", "out_of_range")] == 2
+    assert rep[("hour_of_day", "out_of_range")] == 1
+    assert rep[("hour_of_day", "defaulted")] == 1
