@@ -60,74 +60,27 @@ def _load_all() -> None:
 
 # Verification priority: the driver's correctness gate walks queries()
 # in dict order with a hard 50-entry per-round budget (every registered
-# id is green in the r01-r14 union), so ids needing a fresh driver row
-# come FIRST. Recomputed at round 15 per VERDICT r14 #5 — lead with the
-# stale blocks. Layout of this head:
-#   1-6:   round-15's NEW ids (no driver row can exist yet; VERDICT's
-#          'done = CORRECTNESS-green' conditions require they be
-#          inside the 50-cap);
-#   7-14:  the eight ids whose last driver row is r07;
-#   15-64: the 50 ids whose last driver row is r09 (the tail past the
-#          50-cap — judge-selfchecked green at r14 HEAD — leads the
-#          r16 rotation).
+# id is green in the r01-r15 union), so ids needing a fresh driver row
+# come FIRST. Recomputed at round 16 (VERDICT r15 #5) from the
+# CORRECTNESS_r01-r15 union. Layout of this head:
+#   1-6:   round-16's NEW ids (no driver row can exist yet);
+#   7-22:  the 16 ids whose last driver row is r09 (the tail past
+#          r15's 50-cap);
+#   23-72: the 50 ids whose last driver row is r10 — the first ~28
+#          fill the rest of r16's 50-cap, the tail leads r17.
 # Names not listed keep their registration order after these (the
-# r10-r14 blocks rotated out: all driver-green at r10-r14).
+# r11-r15 blocks rotated out: all driver-green at r11-r15).
 # Planned-but-not-yet-registered names are harmless: _ordered()
 # filters on membership.
 _FRONT: tuple[str, ...] = (
-    # — new in round 15, never driver-verified —
-    "q_gbt_train_deep",
-    "q_gbt_deep_score",
-    "q_gbt_train_subsample",
-    "q_gbt_depth_selection",
-    "q_model_selection_cv",
-    "q_gbt_shap_deep",
-    "q_gbt_train_mcw",
-    "q_gbt_train_l1",
-    # — last driver row r07 (judge-selfchecked green at r14 HEAD) —
-    "q_prefix_jaccard_join",
-    "q_reconciliation",
-    "q_sample_limit",
-    "q_shard_rebalance",
-    "q_silhouette",
-    "q_stateful_profile",
-    "q_weighted_median",
-    "q_zorder_key",
-    # — last driver row r09 (50 ids) —
-    "q_active_users",
-    "q_ann_topk",
-    "q_audio_frames",
-    "q_chunk_documents",
-    "q_cms_heavy_hitters",
-    "q_contamination",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_dup_clusters",
-    "q_embed_neardup",
-    "q_embed_quantize",
-    "q_embed_top1",
-    "q_embed_topk",
-    "q_event_funnel",
-    "q_feature_hash",
-    "q_fingerprint",
-    "q_full_outer_diff",
-    "q_gopher_quality",
-    "q_holt_winters",
-    "q_important_parts",
-    "q_inverted_index",
-    "q_ivf_topk",
-    "q_lang_id",
-    "q_length_histogram",
-    "q_lsh_pairs",
-    "q_minhash_signature",
-    "q_multimodal_decode",
-    "q_multimodal_meta",
-    "q_ngram_jaccard",
-    "q_ols_trend",
-    "q_paragraph_dedup",
-    "q_phash_neardup",
-    "q_pii_scan",
-    "q_pricing_summary",
+    # — new in round 16, never driver-verified —
+    "q_standard_scale_train",
+    "q_logreg_train_scaled",
+    "q_gbt_early_stop_auc",
+    "q_gbt_random_search",
+    "q_score_input_gate",
+    "q_gbt_train_depth4",
+    # — last driver row r09 (the 16 past r15's 50-cap) —
     "q_quality_score",
     "q_record_linkage",
     "q_rolling_hash",
@@ -144,6 +97,58 @@ _FRONT: tuple[str, ...] = (
     "q_unigram_logprob",
     "q_vector_norms",
     "q_vocab_coverage",
+    # — last driver row r10 (50 ids; the head of this block
+    #   fills the rest of r16's 50-cap, the tail leads r17) —
+    "q_agg_join",
+    "q_bpe_encode",
+    "q_bpe_encode_external",
+    "q_bpe_merges",
+    "q_bucket_tier",
+    "q_casts",
+    "q_clean_filter",
+    "q_country_risk",
+    "q_dashboard_today",
+    "q_dedup_keep_any",
+    "q_derived_flags",
+    "q_dim_dates",
+    "q_dim_users_segments",
+    "q_distinct_count",
+    "q_dup_spans",
+    "q_embed_drift",
+    "q_enum_mapping",
+    "q_enum_whitelist",
+    "q_epoch_ms_to_date",
+    "q_except_check",
+    "q_explode_agg",
+    "q_fact_fraud_events",
+    "q_fact_orders",
+    "q_feature_vector",
+    "q_fillna",
+    "q_grouping_sets",
+    "q_hash_key",
+    "q_hourly_rollup",
+    "q_join_left",
+    "q_join_lookup",
+    "q_json_parse",
+    "q_latest_per_key",
+    "q_lookup_join",
+    "q_misra_gries",
+    "q_percentiles",
+    "q_pivot_status",
+    "q_pmi_collocations",
+    "q_quantile_by_key",
+    "q_quantile_sketch",
+    "q_readability",
+    "q_revenue_daily",
+    "q_route_reconstruct",
+    "q_scalar_math",
+    "q_star_join",
+    "q_stg_payments",
+    "q_string_funcs",
+    "q_time_parts",
+    "q_topk",
+    "q_union_all",
+    "q_user_scores",
 )
 
 def _ordered() -> dict[str, QuerySpec]:

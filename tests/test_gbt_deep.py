@@ -520,3 +520,19 @@ def test_random_search_winner_matches_independent_sweep(spark):
             wins += (p > neg).sum() + 0.5 * (p == neg).sum()
         want.append(r6(wins / (len(pos) * len(neg))))
     assert got == want
+
+
+def test_depth4_fit_matches_numpy_replay_bit_exactly(spark):
+    """The level loop one past r15's ceiling: depth is a PARAMETER —
+    the depth-4 Spark fit (15 splits, 16 leaves per tree) is
+    bit-identical to the independent NumPy replay, splits, gains, AND
+    leaf doubles (q_gbt_train_depth4's engine path)."""
+    df, X, y, _ids = _frame(spark, n=1500, seed=23)
+    got = train_gbt_deep(df, features=FEATS, scales={}, rounds=2, depth=4)
+    want = gbt_deep_numpy_replay(
+        X, y, FEATS, rounds=2, bins=GBT_BINS, lam=GBT_LAMBDA,
+        eta=GBT_ETA, scales={}, depth=4,
+    )
+    assert got == want
+    for t in got:
+        assert len(t["splits"]) == 15 and len(t["leaves"]) == 16
