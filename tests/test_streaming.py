@@ -1853,3 +1853,61 @@ def test_input_gate_stream_equals_batch_and_applies_contract(spark, tmp_path):
     assert rep[("velocity_k", "out_of_range")] == 2
     assert rep[("hour_of_day", "out_of_range")] == 1
     assert rep[("hour_of_day", "defaulted")] == 1
+
+
+def test_gate_then_score_composes_on_the_stream(spark, tmp_path):
+    """The full serving path (`ml/serving/api.py`: validate → impute
+    defaults → predict): input_gate feeds score_stream directly —
+    pass rows score on the gate's derived+imputed fields, quarantined
+    rows never reach the model — and the streamed composition is
+    bit-identical to its batch twin."""
+    import json as _json
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.streaming.scoring import input_gate, score_stream
+
+    src = tmp_path / "gs_src"
+    src.mkdir()
+    out = str(tmp_path / "gs_out")
+    ckpt = str(tmp_path / "gs_ckpt")
+    now = time.time()
+
+    def ev(i, value, props):
+        return {
+            "event_id": i, "ts": "2024-01-01 10:00:00", "user_id": 1,
+            "event_type": "click", "value": value, "props": _json.dumps(props),
+        }
+
+    rows = [
+        ev(1, 50.0, {"k": 10}),          # pass (hour defaulted)
+        ev(2, 130.0, {"k": 10}),         # quarantined
+        ev(3, 90.0, {"k": 80, "h": 3}),  # pass (hour present)
+    ]
+    _write_json(str(src / "b0.json"), rows, now - 60)
+    feats = ("total_amount", "velocity_k", "hour_of_day")
+    w = {"bias": -2.0, "total_amount": 3.0, "velocity_k": 1.0, "hour_of_day": 0.5}
+    scales = {"total_amount": 120.0, "velocity_k": 94.0, "hour_of_day": 23.0}
+
+    def pipeline(df):
+        gated = input_gate(df)
+        return score_stream(gated.filter("gate_outcome = 'pass'"), w, feats, scales)
+
+    q = (
+        pipeline(read_file_stream(spark, str(src)))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["fraud_score"], r["risk_label"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = pipeline(spark.read.schema(EVENTS_SCHEMA).json(str(src)))
+    want = {
+        r["event_id"]: (r["fraud_score"], r["risk_label"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert set(got) == {1, 3}  # the quarantined row never reached the model
