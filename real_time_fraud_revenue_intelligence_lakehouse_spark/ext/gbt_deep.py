@@ -280,6 +280,7 @@ def train_gbt_deep(
     colsample: float | None = None,
     min_child_weight: float = 0.0,
     reg_alpha: float = 0.0,
+    pos_weight: float | None = None,
 ) -> list[dict]:
     """Fit ``rounds`` depth-``depth`` trees by histogram gradient
     boosting — ext/gbt.train_gbt generalized one axis at a time.
@@ -291,6 +292,12 @@ def train_gbt_deep(
     every gradient sum passes ThresholdL1 before entering gains and
     leaf values (exact integer thresholding; α=0 is bit-identical to
     the unregularized fit).
+    ``pos_weight`` (XGBoost's scale_pos_weight, `fraud_detector.py:148`
+    and the study's imbalance axis): positive rows' gradient AND
+    hessian contributions multiply by it before the micro-floor —
+    the exact op order of :func:`ext.gbt.train_gbt`'s weighted fold
+    (g·w·1e6), so depth-2 weighted fits are bit-identical across the
+    two trainers (law-pinned).
 
     Per round: compile the partial ensemble to a row-local logit,
     micro-floor gradients/hessians (over the round's hash-selected
@@ -316,6 +323,13 @@ def train_gbt_deep(
         *([F.col("o_orderkey")] if sampling else []),
         *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
     )
+    wgt: Column | None = (
+        None
+        if pos_weight is None
+        else F.when(F.col("label") == 1, F.lit(float(pos_weight))).otherwise(
+            F.lit(1.0)
+        )
+    )
     trees: list[dict] = []
     first_leaf = 2**depth
     for t in range(rounds):
@@ -328,10 +342,12 @@ def train_gbt_deep(
         p = F.col("__p")
         g = p - F.col("label").cast("double")
         h = p * (F.lit(1.0) - p)
+        gc = g * F.lit(_MICRO) if wgt is None else g * wgt * F.lit(_MICRO)
+        hc = h * F.lit(_MICRO) if wgt is None else h * wgt * F.lit(_MICRO)
         work = staged.select(
             "*",
-            F.floor(g * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("gm"),
-            F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias("hm"),
+            F.floor(gc + F.lit(0.5)).cast("long").alias("gm"),
+            F.floor(hc + F.lit(0.5)).cast("long").alias("hm"),
         )
         hist_src = work.filter(_sub_pred_expr(t, subsample)) if sampling else work
         active = col_subset(features, t, colsample)
@@ -436,6 +452,7 @@ def _gbt_deep_ctes(
     prefix: str = "",
     min_child_weight: float = 0.0,
     reg_alpha: float = 0.0,
+    pos_weight: float | None = None,
 ) -> tuple[str, str]:
     """(cte_block, final_rows_cte): the unrolled deep boosting rounds
     — ext/gbt._gbt_ctes generalized by level. Per round t and level
@@ -466,6 +483,13 @@ def _gbt_deep_ctes(
         p = _R6.format(c="1.0 / (1.0 + exp(-f))")
         gc = f"(({p}) - CAST(label AS DOUBLE))"
         hc = f"(({p}) * (1.0 - ({p})))"
+        if pos_weight is not None:
+            # scale_pos_weight: multiply BEFORE the micro-floor in the
+            # exact token order of train_gbt_deep (g·w·1e6) — the
+            # ext/gbt.py weighted-fold convention with a literal weight
+            wgt = f"(CASE WHEN label = 1 THEN {float(pos_weight)!r} ELSE 1.0 END)"
+            gc = f"{gc} * {wgt}"
+            hc = f"{hc} * {wgt}"
         if subsample is not None and subsample < 1.0:
             insub = f"CASE WHEN {_sub_pred_sql(t - 1, subsample)} THEN 1 ELSE 0 END"
         else:
@@ -1160,6 +1184,333 @@ def gbt_random_search_sql(
     )
     SELECT config, CAST(rounds AS INTEGER) AS rounds, eta, lam,
            CAST(depth AS INTEGER) AS depth, val_auc,
+           CAST(CASE WHEN row_number() OVER (ORDER BY val_auc DESC, config) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM longf"""
+
+
+# --- FULL-SPACE sampled search (every dimension of the study) ---------------------
+
+#: Trial count for the full-space study — the reference samples 30
+#: trials over 9 dimensions (`fraud_detector.py:249-276`); 8 at test
+#: scale, all NINE dimensions swept per trial.
+RS_FULL_TRIALS = 8
+
+#: A full-space trial: (name, rounds, eta, lam, depth, subsample,
+#: colsample, min_child_weight, reg_alpha, pos_weight).
+FullConfig = tuple[str, int, float, float, int, float, float, float, float, float]
+
+
+def sampled_search_configs_full(n: int = RS_FULL_TRIALS) -> tuple[FullConfig, ...]:
+    """:func:`sampled_search_configs` extended to the study's FULL
+    space — every Optuna dimension of `fraud_detector.py:249-267`
+    drawn per trial from an md5 bucket of "trial-<i>#<param>"
+    (RNG-free, bit-stable; the oracle unrolls the identical draws).
+    Bucket sets are test-scale projections of the swept ranges:
+    n_estimators 100-500 → rounds 2-3; learning_rate 0.01-0.3 → eta
+    0.1-0.5; reg_lambda 0-5 → {0.5, 1, 2}; max_depth 3-9 → depth 2-3;
+    subsample 0.6-1.0 → {0.7, 0.85, 1.0}; colsample_bytree 0.6-1.0 →
+    {0.75, 1.0}; min_child_weight 1-10 → {0, 0.5, 1}; reg_alpha 0-1 →
+    {0, 0.25, 0.5}; scale_pos_weight ~n0/n1 → {1, 2, 5}. The
+    stochastic axes draw from the gated domain at the correctness
+    scales (sf0.01/sf0.1) — like every GBT id, the toy sf0.001 frame
+    is out of domain for depth-3 trials."""
+    out = []
+    for i in range(n):
+
+        def h(param: str, i=i) -> int:
+            d = hashlib.md5(f"trial-{i}#{param}".encode()).hexdigest()
+            return int(d[:8], 16)
+
+        rounds = 2 + h("n_estimators") % 2
+        eta = (1 + h("learning_rate") % 5) / 10.0
+        lam = (0.5, 1.0, 2.0)[h("reg_lambda") % 3]
+        depth = 2 + h("max_depth") % 2
+        subsample = (0.7, 0.85, 1.0)[h("subsample") % 3]
+        colsample = (0.75, 1.0)[h("colsample_bytree") % 2]
+        mcw = (0.0, 0.5, 1.0)[h("min_child_weight") % 3]
+        alpha = (0.0, 0.25, 0.5)[h("reg_alpha") % 3]
+        spw = (1.0, 2.0, 5.0)[h("scale_pos_weight") % 3]
+        out.append(
+            (f"f{i:02d}", rounds, eta, lam, depth, subsample, colsample,
+             mcw, alpha, spw)
+        )
+    return tuple(out)
+
+
+def train_gbt_grid_full(
+    fv: DataFrame,
+    configs: tuple[FullConfig, ...],
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+) -> list[list[dict]]:
+    """:func:`train_gbt_grid_deep` widened to the FULL study space —
+    per (round, level) still ONE stacked aggregate shared by every
+    config active there, with each config's stochastic/regularization
+    axes riding the same scan:
+
+    - **subsample**: one shared per-round hash column
+      (hash60(o_orderkey ‖ '#r<t>') % 100 — the salt is per ROUND, so
+      every config reads the SAME hash and differs only in its
+      threshold); a post-stack filter keeps a (cfg, row) pair iff the
+      hash clears that config's percentage, exactly
+      :func:`_sub_pred_expr`'s predicate.
+    - **colsample**: plan-time — config c's stack entries enumerate
+      only col_subset(features, t, colsample_c).
+    - **scale_pos_weight**: per-config gm/hm columns already exist
+      (each config stages its own sigmoid), so the weight multiplies
+      in the train_gbt op order (g·w·1e6) before the micro-floor.
+    - **min_child_weight / reg_alpha**: driver-side, inside the same
+      _argmax_split_sub / _leaf_w_l1 the sequential fold uses.
+
+    Per-config results are bit-identical to the sequential
+    :func:`train_gbt_deep` with the same axes (law-pinned). The scan
+    count stays config-width independent: extra trials only add
+    integer histogram cells (and stack rows) to the map-side combine."""
+    sampling = any(c[5] is not None and c[5] < 1.0 for c in configs)
+    binned = fv.select(
+        F.col(label).alias("label"),
+        *([F.col("o_orderkey")] if sampling else []),
+        *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+    )
+    k = len(configs)
+    trees_all: list[list[dict]] = [[] for _ in configs]
+    max_rounds = max(c[1] for c in configs)
+    pcts = [
+        100 if c[5] is None or c[5] >= 1.0 else _sub_pct(c[5]) for c in configs
+    ]
+    for t in range(max_rounds):
+        round_active = [c for c in range(k) if configs[c][1] > t]
+        staged = binned
+        for c in round_active:
+            eta_c = float(configs[c][2])
+            z: Column = F.lit(0.0)
+            for tr in trees_all[c]:
+                z = z + F.lit(eta_c) * deep_tree_logit_on_bins(tr, features)
+            staged = staged.withColumn(
+                f"__p_{c}",
+                det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+            )
+        cols = ["*"]
+        for c in round_active:
+            p = F.col(f"__p_{c}")
+            g = p - F.col("label").cast("double")
+            h = p * (F.lit(1.0) - p)
+            spw_c = configs[c][9]
+            if spw_c is not None and float(spw_c) != 1.0:
+                wgt = F.when(
+                    F.col("label") == 1, F.lit(float(spw_c))
+                ).otherwise(F.lit(1.0))
+                gc, hc = g * wgt * F.lit(_MICRO), h * wgt * F.lit(_MICRO)
+            else:
+                # spw=1.0 multiplies by exactly 1.0 — skip the branch so
+                # the plan (not the bits) matches the unweighted fold
+                gc, hc = g * F.lit(_MICRO), h * F.lit(_MICRO)
+            cols.append(
+                F.floor(gc + F.lit(0.5)).cast("long").alias(f"gm_{c}")
+            )
+            cols.append(
+                F.floor(hc + F.lit(0.5)).cast("long").alias(f"hm_{c}")
+            )
+        if sampling:
+            key = F.concat(
+                F.col("o_orderkey").cast("string"), F.lit(f"#r{t}")
+            )
+            cols.append((hash60(key) % 100).alias("__h"))
+        work = staged.select(*cols)
+        actives = {
+            c: col_subset(features, t, configs[c][6]) for c in round_active
+        }
+        nodes: dict[int, Column] = {c: F.lit(1) for c in round_active}
+        trees_new: dict[int, dict] = {
+            c: {
+                "depth": configs[c][4],
+                "splits": {},
+                "gains": {},
+                "leaves": {},
+            }
+            for c in round_active
+        }
+        max_depth = max(configs[c][4] for c in round_active)
+        for lvl in range(max_depth):
+            lvl_active = [c for c in round_active if configs[c][4] > lvl]
+            work_l = work
+            for c in lvl_active:
+                work_l = work_l.withColumn(f"node_{c}", nodes[c])
+            entries = ", ".join(
+                f"{c}, node_{c}, {i}, b_{features[i]}, gm_{c}, hm_{c}"
+                for c in lvl_active
+                for i in actives[c]
+            )
+            n_entries = sum(len(actives[c]) for c in lvl_active)
+            stacked = work_l.selectExpr(
+                *(["__h"] if sampling else []),
+                f"stack({n_entries}, {entries}) "
+                "AS (cfg, node, fidx, bin, gm, hm)",
+            )
+            if sampling:
+                thr = F.element_at(
+                    F.array(*[F.lit(p) for p in pcts]), F.col("cfg") + 1
+                )
+                stacked = stacked.filter(F.col("__h") < thr)
+            rows = (
+                stacked.groupBy("cfg", "node", "fidx", "bin")
+                .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+                .collect()
+            )
+            nodes_at = list(range(2**lvl, 2 ** (lvl + 1)))
+            for c in lvl_active:
+                lam_c = float(configs[c][3])
+                depth_c = configs[c][4]
+                mcw_micro = int(round(float(configs[c][7]) * 1e6))
+                alpha_micro = int(round(float(configs[c][8]) * 1e6))
+                by_node: dict[int, list] = {}
+                for r in rows:
+                    if r["cfg"] == c:
+                        by_node.setdefault(r["node"], []).append(
+                            (r["fidx"], r["bin"], r["gs"], r["hs"])
+                        )
+                if sorted(by_node) != nodes_at:
+                    raise ValueError(
+                        f"degenerate split in round {t} level {lvl} of "
+                        f"config {configs[c][0]}: node(s) "
+                        f"{sorted(set(nodes_at) - set(by_node))} received "
+                        "no selected rows"
+                    )
+                branch = None
+                for n_id in nodes_at:
+                    fidx, b, glm, hlm, g_m, h_m, gain = _argmax_split_sub(
+                        by_node[n_id], actives[c], lam_c, mcw_micro,
+                        alpha_micro,
+                    )
+                    trees_new[c]["splits"][n_id] = (fidx, b)
+                    trees_new[c]["gains"][n_id] = gain
+                    if lvl == depth_c - 1:
+                        if alpha_micro:
+                            trees_new[c]["leaves"][2 * n_id] = _leaf_w_l1(
+                                glm, hlm, lam_c, alpha_micro
+                            )
+                            trees_new[c]["leaves"][2 * n_id + 1] = _leaf_w_l1(
+                                g_m - glm, h_m - hlm, lam_c, alpha_micro
+                            )
+                        else:
+                            trees_new[c]["leaves"][2 * n_id] = _leaf_w(
+                                glm, hlm, lam_c
+                            )
+                            trees_new[c]["leaves"][2 * n_id + 1] = _leaf_w(
+                                g_m - glm, h_m - hlm, lam_c
+                            )
+                    else:
+                        side = F.when(
+                            F.col(f"b_{features[fidx]}") <= b, 0
+                        ).otherwise(1)
+                        cond = nodes[c] == n_id
+                        branch = (
+                            F.when(cond, side)
+                            if branch is None
+                            else branch.when(cond, side)
+                        )
+                if lvl < depth_c - 1:
+                    nodes[c] = nodes[c] * 2 + branch
+        for c in round_active:
+            trees_all[c].append(trees_new[c])
+    return trees_all
+
+
+def gbt_random_search_full_sql(
+    fv_sql: str,
+    configs: tuple[FullConfig, ...] | None = None,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+) -> str:
+    """Oracle for q_gbt_random_search_full: per sampled trial one
+    unrolled DEEP boosting chain carrying ALL of that trial's axes
+    (subsample predicate, colsample schedule, min_child_weight
+    admissibility, ThresholdL1, scale_pos_weight) + a deep holdout
+    replay + a rank-sum AUC; is_best ranks by (val_auc DESC, config)."""
+    configs = sampled_search_configs_full() if configs is None else configs
+    parts = [
+        f"base AS ({fv_sql})",
+        f"tr AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} < 80)",
+        f"va AS MATERIALIZED (SELECT * FROM base WHERE {_H60_OK} >= 80)",
+    ]
+    auc_names: list[str] = []
+    for i, (_nm, rounds, eta, lam, depth, sub, csam, mcw, alpha, spw) in enumerate(
+        configs
+    ):
+        p_ = f"rf{i}_"
+        ctes, _rk = _gbt_deep_ctes(
+            "SELECT * FROM tr", features, rounds, bins, lam, eta, depth,
+            subsample=(None if sub is None or sub >= 1.0 else sub),
+            colsample=(None if csam is None or csam >= 1.0 else csam),
+            prefix=p_, min_child_weight=mcw, reg_alpha=alpha,
+            pos_weight=(None if spw is None or float(spw) == 1.0 else spw),
+        )
+        parts.append(ctes)
+        hctes, hk = _gbt_deep_holdout_ctes(
+            p_, "va", features, rounds, bins, eta, depth
+        )
+        parts.append(hctes)
+        s6 = _R6.format(c="1.0 / (1.0 + exp(-f))")
+        parts.append(f"{p_}scored AS (SELECT label, {s6} AS s FROM {hk})")
+        parts.append(
+            f"{p_}grp AS (SELECT s, count(*) AS n, sum(label) AS np "
+            f"FROM {p_}scored GROUP BY 1)"
+        )
+        parts.append(
+            f"{p_}cum AS (SELECT s, n, np, "
+            f"coalesce(sum(n) OVER w, 0) AS cum_n FROM {p_}grp "
+            f"WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND 1 PRECEDING))"
+        )
+        parts.append(
+            f"{p_}t AS (SELECT sum(np) AS n_pos, "
+            f"sum(n) - sum(np) AS n_neg FROM {p_}grp)"
+        )
+        parts.append(
+            f"{p_}agg AS (SELECT n_pos, n_neg, "
+            f"sum(CAST(np AS DECIMAL(28,1)) "
+            f"* CAST(cum_n + (n + 1) / 2.0 AS DECIMAL(28,1))) AS rank_sum "
+            f"FROM {p_}cum CROSS JOIN {p_}t GROUP BY 1, 2)"
+        )
+        auc_raw = (
+            "(CAST(rank_sum AS DOUBLE) "
+            "- CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)"
+            " / (CAST(n_pos AS DOUBLE) * n_neg)"
+        )
+        auc6 = _R6.format(
+            c=f"CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0 ELSE {auc_raw} END"
+        )
+        parts.append(f"{p_}auc AS (SELECT {auc6} AS auc FROM {p_}agg)")
+        auc_names.append(f"{p_}auc")
+    vals = ", ".join(
+        f"('{nm}', {rounds}, {eta!r}, {lam!r}, {depth}, {sub!r}, {csam!r}, "
+        f"{mcw!r}, {alpha!r}, {spw!r})"
+        for nm, rounds, eta, lam, depth, sub, csam, mcw, alpha, spw in configs
+    )
+    auc_case = " ".join(
+        f"WHEN '{c[0]}' THEN (SELECT auc FROM {auc_names[i]})"
+        for i, c in enumerate(configs)
+    )
+    cte_block = ",\n    ".join(parts)
+    return f"""WITH {cte_block},
+    longf AS (
+      SELECT c.config, c.rounds, c.eta, c.lam, c.depth, c.subsample,
+             c.colsample, c.min_child_weight, c.reg_alpha, c.pos_weight,
+             CASE c.config {auc_case} END AS val_auc
+      FROM (VALUES {vals}) c(config, rounds, eta, lam, depth, subsample,
+                             colsample, min_child_weight, reg_alpha,
+                             pos_weight)
+    )
+    SELECT config, CAST(rounds AS INTEGER) AS rounds, eta, lam,
+           CAST(depth AS INTEGER) AS depth,
+           CAST(subsample AS DOUBLE) AS subsample,
+           CAST(colsample AS DOUBLE) AS colsample,
+           CAST(min_child_weight AS DOUBLE) AS min_child_weight,
+           CAST(reg_alpha AS DOUBLE) AS reg_alpha,
+           CAST(pos_weight AS DOUBLE) AS pos_weight, val_auc,
            CAST(CASE WHEN row_number() OVER (ORDER BY val_auc DESC, config) = 1
                 THEN 1 ELSE 0 END AS INTEGER) AS is_best
     FROM longf"""

@@ -290,6 +290,72 @@ def q_gbt_random_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FULL-space sampled search (all nine study dimensions per trial) -------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (  # noqa: E402
+    gbt_random_search_full_sql,
+    sampled_search_configs_full,
+    train_gbt_grid_full,
+)
+
+RS_FULL_CONFIGS = sampled_search_configs_full()
+
+_RS_FULL: dict = {}
+register_cache(_RS_FULL)
+
+
+@query(
+    "q_gbt_random_search_full",
+    oracle=gbt_random_search_full_sql(_FV_SQL, RS_FULL_CONFIGS),
+    tags=("training", "evaluation", "selection", "trees"),
+)
+def q_gbt_random_search_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_gbt_random_search widened to the study's FULL space — every
+    trial draws ALL NINE Optuna dimensions
+    (`fraud_detector.py:249-267`: n_estimators, learning_rate,
+    reg_lambda, max_depth, subsample, colsample_bytree,
+    min_child_weight, reg_alpha, scale_pos_weight) from md5 buckets
+    of "trial-<i>#<param>" and fits through ONE fused fold
+    (train_gbt_grid_full): per (round, level) a single stacked
+    aggregate carries every active trial — subsample rides as ONE
+    shared per-round hash column with per-trial thresholds, colsample
+    as per-trial plan-time stack entries, scale_pos_weight inside
+    each trial's staged gm/hm, min_child_weight/reg_alpha in the
+    driver-side argmax over the same collected cells. Scan count
+    stays config-width independent (the job-count law extends to the
+    full space — pinned in tests/test_gbt_deep.py), which is what
+    makes the reference's 30-trial breadth affordable at 100 TB.
+    Trials rank by holdout rank-sum AUC from one stacked scan; the
+    oracle unrolls all 8 fully-parameterized deep chains + replays.
+    Domain note: depth-3 trials are outside the gated domain on the
+    toy sf0.001 frame (ValueError on both engines); the correctness
+    gate (sf0.01) and bench (sf0.1) are in-domain."""
+    k = _key(spark, sf_dir)
+    if k not in _RS_FULL:
+        from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.catalog_scoring import _fold_splits
+
+        tr, va = _fold_splits(spark, sf_dir)
+        trees_all = train_gbt_grid_full(tr, configs=RS_FULL_CONFIGS)
+        _RS_FULL[k] = grid_holdout_aucs(va, trees_all, RS_FULL_CONFIGS)
+    aucs = _RS_FULL[k]
+    best = 0
+    for i in range(1, len(RS_FULL_CONFIGS)):
+        if aucs[i] > aucs[best]:
+            best = i
+    out = [
+        (nm, rounds, eta, lam, depth, sub, csam, mcw, alpha, spw,
+         aucs[i], 1 if i == best else 0)
+        for i, (nm, rounds, eta, lam, depth, sub, csam, mcw, alpha, spw)
+        in enumerate(RS_FULL_CONFIGS)
+    ]
+    return spark.createDataFrame(
+        out,
+        "config string, rounds int, eta double, lam double, depth int, "
+        "subsample double, colsample double, min_child_weight double, "
+        "reg_alpha double, pos_weight double, val_auc double, is_best int",
+    )
+
+
 # --- pre-scoring validation gate -------------------------------------------------
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table  # noqa: E402

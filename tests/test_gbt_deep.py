@@ -536,3 +536,113 @@ def test_depth4_fit_matches_numpy_replay_bit_exactly(spark):
     assert got == want
     for t in got:
         assert len(t["splits"]) == 15 and len(t["leaves"]) == 16
+
+
+# --- FULL-space sampled search (train_gbt_grid_full) ----------------------------
+
+
+def test_full_sampler_is_bit_stable_and_sweeps_every_dimension():
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import sampled_search_configs_full
+
+    cfgs = sampled_search_configs_full()
+    assert cfgs == sampled_search_configs_full()  # RNG-free
+    assert len(cfgs) == 8
+    for (_n, r, e, lam, d, sub, cs, mcw, a, spw) in cfgs:
+        assert r in (2, 3) and e in (0.1, 0.2, 0.3, 0.4, 0.5)
+        assert lam in (0.5, 1.0, 2.0) and d in (2, 3)
+        assert sub in (0.7, 0.85, 1.0) and cs in (0.75, 1.0)
+        assert mcw in (0.0, 0.5, 1.0) and a in (0.0, 0.25, 0.5)
+        assert spw in (1.0, 2.0, 5.0)
+    # every one of the NINE dimensions actually varies across trials
+    for idx in range(1, 10):
+        assert len({c[idx] for c in cfgs}) > 1, f"dimension {idx} constant"
+
+
+def test_deep_pos_weight_one_is_the_identity(spark):
+    """spw=1.0 multiplies g and h by exactly 1.0 — bit-identical to
+    the unweighted fit (the reg-alpha-zero-identity law's twin)."""
+    df, *_ = _frame(spark)
+    assert train_gbt_deep(
+        df, features=FEATS, scales={}, pos_weight=1.0
+    ) == train_gbt_deep(df, features=FEATS, scales={})
+
+
+def test_deep_pos_weight_depth2_matches_train_gbt_weighted(spark):
+    """The weighted deep fold at depth=2 reproduces ext/gbt.train_gbt's
+    scale_pos_weight fold bit-exactly — the two weighted code paths
+    cannot drift apart."""
+    df, *_ = _frame(spark)
+    old = train_gbt(df, features=FEATS, scales={}, pos_weight=3.0)
+    new = train_gbt_deep(
+        df, features=FEATS, scales={}, depth=2, pos_weight=3.0
+    )
+    for a, b in zip(old, new):
+        assert a["root"] == b["splits"][1]
+        assert a["left"] == b["splits"][2]
+        assert a["right"] == b["splits"][3]
+        assert (a["w_ll"], a["w_lr"], a["w_rl"], a["w_rr"]) == (
+            b["leaves"][4],
+            b["leaves"][5],
+            b["leaves"][6],
+            b["leaves"][7],
+        )
+    # and the weight is REAL: the weighted fit differs from the plain one
+    assert new != train_gbt_deep(df, features=FEATS, scales={}, depth=2)
+
+
+def test_fused_full_grid_matches_sequential(spark):
+    """Every sampled full-space trial fit by the fused fold is
+    bit-identical to the sequential train_gbt_deep with the same nine
+    axes — the law that lets the oracle unroll sequential chains."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
+        sampled_search_configs_full,
+        train_gbt_grid_full,
+    )
+
+    cfgs = sampled_search_configs_full()
+    df, *_ = _frame(spark, n=1200, seed=19)
+    fused = train_gbt_grid_full(df, configs=cfgs, features=FEATS, scales={})
+    for i, (_n, r, e, lam, d, sub, cs, mcw, a, spw) in enumerate(cfgs):
+        seq = train_gbt_deep(
+            df, features=FEATS, scales={}, rounds=r, eta=e, lam=lam,
+            depth=d,
+            subsample=None if sub >= 1.0 else sub,
+            colsample=None if cs >= 1.0 else cs,
+            min_child_weight=mcw, reg_alpha=a,
+            pos_weight=None if spw == 1.0 else spw,
+        )
+        assert fused[i] == seq, f"trial {i} diverged"
+
+
+def test_fused_full_grid_job_count_is_config_width_independent(spark):
+    """The job-count law extends to the full space: 8 fully-
+    parameterized trials schedule exactly as many Spark jobs as 2
+    trials with the same (rounds, depth) envelope — the stochastic
+    axes ride the shared scan (one hash column + a post-stack filter),
+    never add one."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
+        sampled_search_configs_full,
+        train_gbt_grid_full,
+    )
+
+    df, *_ = _frame(spark, n=1200, seed=19)
+    sc = spark.sparkContext
+
+    def jobs_for(configs, group):
+        sc.setJobGroup(group, group)
+        try:
+            train_gbt_grid_full(df, configs=configs, features=FEATS, scales={})
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    wide = sampled_search_configs_full()
+    narrow = (
+        ("n0", max(c[1] for c in wide), 0.3, 1.0, max(c[4] for c in wide),
+         0.7, 0.75, 0.5, 0.25, 2.0),
+        ("n1", 2, 0.2, 1.0, 2, 0.85, 1.0, 0.0, 0.0, 5.0),
+    )
+    n_wide = jobs_for(wide, "rsf_wide")
+    n_narrow = jobs_for(narrow, "rsf_narrow")
+    assert n_wide == n_narrow, (n_wide, n_narrow)
+    assert n_wide <= 2 * max(c[1] for c in wide) * max(c[4] for c in wide)
