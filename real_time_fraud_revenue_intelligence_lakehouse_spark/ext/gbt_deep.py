@@ -6,7 +6,10 @@ study sweeps ``max_depth`` 3-9 and the stochastic dimensions
 ``subsample`` / ``colsample_bytree`` 0.6-1.0
 (`ml/models/fraud_detector.py:258-266`, called from `train.py:201`).
 This module generalizes the SAME machinery to arbitrary depth and
-adds both sampling axes without RNG:
+adds the sampling axes without RNG (plus ``pos_weight`` — XGBoost's
+scale_pos_weight in ext/gbt.py's exact weighted op order — so the
+FULL nine-dimensional study space fits through one fused fold,
+:func:`train_gbt_grid_full`):
 
 - **Depth**: a complete binary tree with heap-indexed nodes (root=1,
   children of n are 2n/2n+1; internal nodes 1..2^d-1, leaves
