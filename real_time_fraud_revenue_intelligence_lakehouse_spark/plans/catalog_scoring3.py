@@ -356,6 +356,77 @@ def q_gbt_random_search_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CV over the full space: the study's exact trial x fold objective ------------
+
+from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_cv import (  # noqa: E402
+    CV_FULL_TRIALS,
+    cv_mean,
+    gbt_cv_fold_aucs_full,
+    gbt_cv_selection_full_sql,
+)
+
+#: The CV'd trials: the first 4 full-space draws — every one of the
+#: nine dimensions still varies across them (asserted in tests), and
+#: 4 trials x 3 folds keeps the oracle at the 12-chain magnitude
+#: q_model_selection_cv already proved tractable.
+CV_FULL_CONFIGS = RS_FULL_CONFIGS[:CV_FULL_TRIALS]
+
+_CV_FULL: dict = {}
+register_cache(_CV_FULL)
+
+
+@query(
+    "q_model_selection_cv_full",
+    oracle=gbt_cv_selection_full_sql(_FV_SQL, CV_FULL_CONFIGS),
+    tags=("training", "evaluation", "selection", "trees"),
+)
+def q_model_selection_cv_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The study's objective at FULL WIDTH — every sampled trial
+    carries all nine Optuna dimensions AND is scored by the
+    reference's actual objective, 3-fold cross-validated ROC AUC
+    (`fraud_detector.py:249-271`: the trial dict feeds
+    cross_val_score(cv=3, scoring='roc_auc').mean()). Composition of
+    two proven folds: per fold the fused FULL-space trainer
+    (train_gbt_grid_full) fits all 4 trials on the complement —
+    subsample/colsample/scale_pos_weight/mcw/L1 riding the shared
+    per-(round, level) scan — then ONE stacked scan per fold and one
+    rank-sum aggregate yield all 12 (fold, trial) AUCs; per trial the
+    round6 left-associated fold mean ranks the study. The oracle
+    unrolls all 12 fully-parameterized deep chains + fold replays.
+    Domain note: depth-3 trials on 2/3-of-sf0.001 complements are
+    outside the gated domain (ValueError both engines); sf0.01+ is
+    in-domain."""
+    k = _key(spark, sf_dir)
+    if k not in _CV_FULL:
+        _CV_FULL[k] = gbt_cv_fold_aucs_full(
+            _logreg_fv(spark, sf_dir), CV_FULL_CONFIGS
+        )
+    aucs = _CV_FULL[k]
+    means = [cv_mean(a) for a in aucs]
+    best = 0
+    for i in range(1, len(CV_FULL_CONFIGS)):
+        if means[i] > means[best] or (
+            means[i] == means[best]
+            and CV_FULL_CONFIGS[i][0] < CV_FULL_CONFIGS[best][0]
+        ):
+            best = i
+    out = [
+        (nm, rounds, eta, lam, depth, sub, csam, mcw, alpha, spw,
+         aucs[i][0], aucs[i][1], aucs[i][2], means[i],
+         1 if i == best else 0)
+        for i, (nm, rounds, eta, lam, depth, sub, csam, mcw, alpha, spw)
+        in enumerate(CV_FULL_CONFIGS)
+    ]
+    return spark.createDataFrame(
+        out,
+        "config string, rounds int, eta double, lam double, depth int, "
+        "subsample double, colsample double, min_child_weight double, "
+        "reg_alpha double, pos_weight double, "
+        "auc_fold0 double, auc_fold1 double, auc_fold2 double, "
+        "cv_auc double, is_best int",
+    )
+
+
 # --- pre-scoring validation gate -------------------------------------------------
 
 from real_time_fraud_revenue_intelligence_lakehouse_spark.sources.tables import read_table  # noqa: E402

@@ -646,3 +646,54 @@ def test_fused_full_grid_job_count_is_config_width_independent(spark):
     n_narrow = jobs_for(narrow, "rsf_narrow")
     assert n_wide == n_narrow, (n_wide, n_narrow)
     assert n_wide <= 2 * max(c[1] for c in wide) * max(c[4] for c in wide)
+
+
+def test_cv_full_fold_aucs_match_independent_replay(spark):
+    """The full-space CV composition (q_model_selection_cv_full):
+    fold assignment, per-fold fused full-space training, held-out
+    stacked scoring, and the one-aggregate rank-sum reduction — all
+    recomputed via an independent path: SEQUENTIAL nine-axis
+    train_gbt_deep per (fold, trial) (bit-identical to the fused fold
+    by the full-grid law), NumPy deep-tree walk for the holdout
+    scores, NumPy rank-sum AUC. Must agree bit-for-bit."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_cv import gbt_cv_fold_aucs_full
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import sampled_search_configs_full
+
+    cfgs = sampled_search_configs_full()[:4]
+    # the CV'd prefix still sweeps every one of the nine dimensions
+    for idx in range(1, 10):
+        assert len({c[idx] for c in cfgs}) > 1, f"dimension {idx} constant"
+
+    df, X, y, ids = _frame(spark, n=1500, seed=29)
+    got = gbt_cv_fold_aucs_full(df, configs=cfgs, features=FEATS, scales={})
+
+    folds = 3
+    fold = np.array([_h60(str(i)) % folds for i in ids])
+    B = np.minimum(
+        np.maximum(np.floor(X * GBT_BINS), 0), GBT_BINS - 1
+    ).astype(np.int64)
+    want = [[None] * folds for _ in cfgs]
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+    from pyspark.sql import functions as F
+
+    fc = F.pmod(hash60(F.col("o_orderkey").cast("string")), F.lit(folds))
+    for f in range(folds):
+        tr = df.filter(fc != f)
+        va_mask = fold == f
+        for i, (_n, r, e, lam, d, sub, cs, mcw, a, spw) in enumerate(cfgs):
+            seq = train_gbt_deep(
+                tr, features=FEATS, scales={}, rounds=r, eta=e, lam=lam,
+                depth=d,
+                subsample=None if sub >= 1.0 else sub,
+                colsample=None if cs >= 1.0 else cs,
+                min_child_weight=mcw, reg_alpha=a,
+                pos_weight=None if spw == 1.0 else spw,
+            )
+            n_va = int(va_mask.sum())
+            Bv = B[va_mask]
+            z = np.zeros(n_va)
+            for t_ in seq:
+                z = z + e * _tree_vals(t_, Bv, n_va)
+            s = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
+            want[i][f] = _auc_numpy(s, y[va_mask])
+    assert got == want
