@@ -63,10 +63,10 @@ def _load_all() -> None:
 # id is green in the r01-r15 union), so ids needing a fresh driver row
 # come FIRST. Recomputed at round 16 (VERDICT r15 #5) from the
 # CORRECTNESS_r01-r15 union. Layout of this head:
-#   1-6:   round-16's NEW ids (no driver row can exist yet);
-#   7-22:  the 16 ids whose last driver row is r09 (the tail past
+#   1-8:   round-16's NEW ids (no driver row can exist yet);
+#   9-24:  the 16 ids whose last driver row is r09 (the tail past
 #          r15's 50-cap);
-#   23-72: the 50 ids whose last driver row is r10 — the first ~28
+#   25-74: the 50 ids whose last driver row is r10 — the first ~26
 #          fill the rest of r16's 50-cap, the tail leads r17.
 # Names not listed keep their registration order after these (the
 # r11-r15 blocks rotated out: all driver-green at r11-r15).
@@ -80,6 +80,8 @@ _FRONT: tuple[str, ...] = (
     "q_gbt_random_search",
     "q_score_input_gate",
     "q_gbt_train_depth4",
+    "q_gbt_random_search_full",
+    "q_model_selection_cv_full",
     # — last driver row r09 (the 16 past r15's 50-cap) —
     "q_quality_score",
     "q_record_linkage",
