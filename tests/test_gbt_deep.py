@@ -697,3 +697,36 @@ def test_cv_full_fold_aucs_match_independent_replay(spark):
             s = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
             want[i][f] = _auc_numpy(s, y[va_mask])
     assert got == want
+
+
+def test_sampled_study_identities_are_pinned_literally():
+    """The engine AND the generated oracle share the sampler, so an
+    accidental edit to the bucket sets would move both sides together
+    and the hash gate would stay green while the study silently
+    changed. Pin the exact draws as literals — changing the study is
+    an explicit, reviewed decision."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
+        sampled_search_configs,
+        sampled_search_configs_full,
+    )
+
+    assert sampled_search_configs() == (
+        ("t00", 2, 0.2, 2.0, 2),
+        ("t01", 3, 0.1, 2.0, 3),
+        ("t02", 3, 0.1, 2.0, 2),
+        ("t03", 3, 0.1, 1.0, 3),
+        ("t04", 2, 0.4, 0.5, 3),
+        ("t05", 3, 0.3, 0.5, 2),
+        ("t06", 2, 0.5, 2.0, 2),
+        ("t07", 3, 0.5, 1.0, 2),
+    )
+    assert sampled_search_configs_full() == (
+        ("f00", 2, 0.2, 2.0, 2, 0.7, 1.0, 0.5, 0.5, 5.0),
+        ("f01", 3, 0.1, 2.0, 3, 0.85, 0.75, 0.0, 0.25, 2.0),
+        ("f02", 3, 0.1, 2.0, 2, 1.0, 1.0, 0.0, 0.5, 5.0),
+        ("f03", 3, 0.1, 1.0, 3, 0.7, 1.0, 0.0, 0.5, 2.0),
+        ("f04", 2, 0.4, 0.5, 3, 0.7, 0.75, 0.0, 0.5, 5.0),
+        ("f05", 3, 0.3, 0.5, 2, 0.7, 0.75, 1.0, 0.5, 2.0),
+        ("f06", 2, 0.5, 2.0, 2, 1.0, 0.75, 0.5, 0.0, 1.0),
+        ("f07", 3, 0.5, 1.0, 2, 0.85, 1.0, 0.5, 0.25, 5.0),
+    )
