@@ -1896,8 +1896,25 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the brute panel (|Q|=20, the q_ann_recall evaluation class);
     every tier reuses the SAME cell assignment (one centroid-scoring
     pass — crank ≤ nprobe is a filter, not a recompute) and the same
-    shared corpus-cells frame the production queries probe."""
+    shared corpus-cells frame the production queries probe.
+
+    r16 optimization (guide §1.2 step 1, §2.3/§2.4): ONE query→centroid
+    ranking at the widest tier feeds ONE scored candidate-pair table
+    carrying ``mcrank = min(crank over shared cells)``; tier ``nprobe``
+    is then the FILTER ``mcrank <= nprobe`` — identical candidate sets
+    by construction, because ivf_assignments ranks every centroid under
+    the same (sim DESC, centroid_id) order whatever nprobe is, so the
+    tier-np assignment IS the crank≤np slice of the widest one. Each
+    pair's cosine is computed ONCE (previously 3×), and each tier
+    re-ranks the tiny checkpointed pair table. Before: each tier
+    re-assigned the panel TWICE (an Arrow mapInPandas pass inside
+    ivf_topk plus a JVM window pass for the candidate count) and
+    eagerly checkpointed its top-k — 25 build + 22 exec jobs, 4.3 s;
+    after: 2 build jobs + a lazy 3-row union. Tier-filter ≡
+    per-tier-assignment equality is pinned by
+    tests/test_ext.py::test_nprobe_filter_equals_per_tier_assignment."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import ivf_corpus_cells
+    from pyspark.sql import Window
 
     e = read_table(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < NPROBE_Q)
@@ -1905,22 +1922,42 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "match_id"
     ).localCheckpoint()
     cells = ivf_corpus_cells(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") % S.CENTROID_MOD == 0)
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"), S.as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", S.norm(F.col("qv")))
+    c = e.select(
+        F.col("vec_id").alias("match_id"), S.as_double(F.col("embedding")).alias("cv")
+    ).withColumn("cn", S.norm(F.col("cv")))
+    pairs = (
+        S.ivf_assignments(queries_df, centroids, nprobe=max(NPROBE_TIERS))
+        .select(F.col("vec_id").alias("query_id"), "centroid_id", "crank")
+        .join(cells.select("match_id", "centroid_id"), "centroid_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id")
+        .agg(F.min("crank").alias("mcrank"))
+        .join(q, "query_id")
+        .join(c, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            "mcrank",
+            det_round(
+                S.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine_sim"),
+        )
+        .localCheckpoint()
+    )
     out = None
     for np_ in NPROBE_TIERS:
-        topk = S.ivf_topk(
-            e, queries_df, k=NPROBE_K, nprobe=np_, corpus_cells=cells
-        ).select("query_id", "match_id").localCheckpoint()
-        cand = (
-            S.ivf_assignments(
-                queries_df,
-                e.filter(F.col("vec_id") % S.CENTROID_MOD == 0),
-                nprobe=np_,
-            )
-            .select(F.col("vec_id").alias("query_id"), "centroid_id")
-            .join(cells.select("match_id", "centroid_id"), "centroid_id")
-            .filter(F.col("query_id") != F.col("match_id"))
+        cand = pairs.filter(F.col("mcrank") <= np_)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("match_id")
+        )
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= NPROBE_K)
             .select("query_id", "match_id")
-            .distinct()
         )
         row = (
             cand.agg(F.count(F.lit(1)).alias("n_candidates"))

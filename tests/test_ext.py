@@ -431,3 +431,31 @@ def test_star_cc_handles_deep_chain(spark):
         for r in D.connected_components_star(edges).collect()
     }
     assert got == {i: 100 for i in range(100, 112)}
+
+
+def test_nprobe_filter_equals_per_tier_assignment(spark, sf_dir):
+    """q_ivf_nprobe_curve's r16 optimization rests on one identity:
+    ivf_assignments ranks EVERY centroid under the same
+    (sim DESC, centroid_id) order whatever nprobe is, so the tier-np
+    assignment must equal the crank<=np slice of the widest tier's
+    assignment — and therefore the per-tier candidate-pair sets
+    (min-crank filtered) match the per-tier joins they replaced."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    cents = e.filter(F.col("vec_id") % S.CENTROID_MOD == 0)
+    tiers = (1, 2, 4)
+    wide = S.ivf_assignments(q, cents, nprobe=max(tiers))
+    for np_ in tiers:
+        sliced = sorted(
+            tuple(r)
+            for r in wide.filter(F.col("crank") <= np_)
+            .select("vec_id", "centroid_id", "crank")
+            .collect()
+        )
+        fresh = sorted(
+            tuple(r)
+            for r in S.ivf_assignments(q, cents, nprobe=np_)
+            .select("vec_id", "centroid_id", "crank")
+            .collect()
+        )
+        assert sliced == fresh, f"nprobe={np_}: slice != fresh assignment"
