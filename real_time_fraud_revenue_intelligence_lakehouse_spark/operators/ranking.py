@@ -43,6 +43,16 @@ from pyspark.sql import functions as F
 _BAND = "__rank_band"
 _LOCAL_RN = "__local_rn"
 
+#: percentile_approx accuracy for the band-boundary sketches. Band
+#: boundaries only shape band SIZES — every operator here is exact for
+#: any boundary quality (ties share a band by construction; selection
+#: and offsets are positional) — so the sketch does not need the
+#: 10000-default precision. 1000 still bounds band-size error well
+#: under the band width (bands ≤ 64 ≪ 1000) and cuts the dominant
+#: sketch-update cost of the eager boundary job ~2-3x (measured on
+#: q_theil_sen's 2.9M-slope multiset: 10.8 s → 4.5 s build).
+SKETCH_ACC = 1000
+
 
 def distributed_row_number(
     df: DataFrame,
@@ -63,8 +73,9 @@ def distributed_row_number(
     """
     qs = [j / bands for j in range(1, bands)]
     row = df.select(
-        F.percentile_approx(F.col(score).cast("double"), F.array(*[F.lit(q) for q in qs]))
-        .alias("b")
+        F.percentile_approx(
+            F.col(score).cast("double"), F.array(*[F.lit(q) for q in qs]), F.lit(SKETCH_ACC)
+        ).alias("b")
     ).first()
     raw = row["b"] if row is not None and row["b"] is not None else []
     # Duplicate boundaries (heavy ties) collapse into one band.
@@ -185,7 +196,7 @@ def distributed_cumsum(
     qs = [j / bands for j in range(1, bands)]
     row = df.select(
         F.percentile_approx(
-            F.col(order_col).cast("double"), F.array(*[F.lit(q) for q in qs])
+            F.col(order_col).cast("double"), F.array(*[F.lit(q) for q in qs]), F.lit(SKETCH_ACC)
         ).alias("b")
     ).first()
     raw = row["b"] if row is not None and row["b"] is not None else []
@@ -248,8 +259,9 @@ def select_kth(
     qs = [j / bands for j in range(1, bands)]
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile_approx(F.col(col).cast("double"), F.array(*[F.lit(q) for q in qs]))
-        .alias("b"),
+        F.percentile_approx(
+            F.col(col).cast("double"), F.array(*[F.lit(q) for q in qs]), F.lit(SKETCH_ACC)
+        ).alias("b"),
     ).first()
     n = row["n"] if n is None else n
     if row["n"] == 0:

@@ -817,7 +817,15 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.datediff("d", F.lit("1970-01-01").cast("date")).alias("x"), "y")
         .localCheckpoint()
     )
-    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    # r16 (guide §2.5 input-skew rule): the checkpointed daily agg
+    # AQE-coalesces to ONE partition, so without a re-spread the
+    # |days|²-pair BNLJ, the slope projection and the boundary sketch
+    # all run single-threaded. Round-robin the STREAM side to the
+    # core count first — pair content, det_round slopes and both
+    # medians are partition-layout-free, so results are bit-identical
+    # (measured 8.8 s → ~3.5 s build at sf0.1/local[32]).
+    par = spark.sparkContext.defaultParallelism
+    a = daily.repartition(par).select(F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
     slopes = a.join(b, F.col("xa") < F.col("xb")).select(
         det_round((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")), 8).alias("s")

@@ -272,8 +272,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: localCheckpoint every ~5 rounds to cap lineage (the
     dup_clusters pattern), keep edges bucketed by src."""
     edges, nodes, stats, deg, ranks = _trade_graph(spark, sf_dir)
+    # r16 (guide §2.4/§1.2): collect |nodes| once, prejoin outdeg
+    # once, checkpoint round-0 ranks — each round is then one BHJ +
+    # one agg over the dst-partitioned resident edges with NO
+    # stats/nodes subtree re-execution and (thanks to the partitioned
+    # persist) no per-round Exchange. 23 → 10 jobs, same output hash.
+    n = stats.first()["n"]
+    e2 = edges.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n if n else 0.0).alias("rank")
+    ).localCheckpoint()
     for _ in range(PR_ITERS):
-        ranks = _pr_round(edges, stats, deg, ranks)
+        ranks = _pr_round(e2, n, deg, ranks)
     return ranks.select("node", det_round(F.col("rank"), 8).alias("pagerank"))
 
 
@@ -307,11 +317,21 @@ def _trade_graph(spark, sf_dir, year: int | None = None):
                 )
                 .distinct()
             )
-        return pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
-            pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        # r16: hash-partition the resident edge table by dst (the
+        # per-round aggregation key of every PageRank round) so each
+        # round's groupBy(dst) reuses the layout instead of adding an
+        # Exchange per round (guide §2.4). storage="persist" keeps the
+        # partitioning visible to Catalyst (a localCheckpoint would
+        # surface as UnknownPartitioning). Results are proven
+        # layout-independent (decimal-quantized contributions), and
+        # the 100 TB analog is the same table bucketed by dst.
+        return (
+            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+            .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
+            .repartition(spark.sparkContext.defaultParallelism, "dst")
         )
 
-    edges = shared_frame(spark, sf_dir, f"trade_edges_{year}", build_edges)
+    edges = shared_frame(spark, sf_dir, f"trade_edges_{year}", build_edges, storage="persist")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     stats = nodes.agg(F.count(F.lit(1)).alias("n"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
@@ -329,7 +349,16 @@ def _pr_round(edges, stats, deg, ranks, damp: float = PR_DAMP, teleport: float =
     decimal(28,14) for layout-independent sums. ``teleport`` is passed
     as its own literal (not computed as 1-damp) because 1.0-0.85
     differs from the literal 0.15 in the last ulp — and the oracle
-    hash sees that ulp."""
+    hash sees that ulp.
+
+    r16: ``stats`` may be the node-count frame OR the collected int.
+    As an int the teleport term becomes ``lit(teleport)/lit(n)`` —
+    the same bigint→double division, bit-identical — and each round
+    drops the stats-subtree BroadcastNestedLoopJoin, whose
+    nodes-distinct lineage AQE re-ran as extra query-stage jobs per
+    action (measured on q_pagerank: 23 → 10 jobs, identical output
+    hash). Collecting one count per query is the sanctioned tiny
+    scalar collect (the select_kth/IVF-centroid class)."""
     if "outdeg" not in edges.columns:
         # prejoining deg once (q_pagerank_converge) skips this
         # per-round broadcast; the division below is identical either
@@ -342,10 +371,22 @@ def _pr_round(edges, stats, deg, ranks, damp: float = PR_DAMP, teleport: float =
             (F.col("rank") / F.col("outdeg")).cast("decimal(28,14)").alias("c"),
         )
     )
+    agg = contrib.groupBy(F.col("dst").alias("node")).agg(
+        F.sum("c").cast("double").alias("_s")
+    )
+    if isinstance(stats, int):
+        # Python-side double division = the same IEEE op as the old
+        # per-row lit/col form; n == 0 (empty graph) is guarded — the
+        # frame is rowless there, so the value is unreachable, and a
+        # folded 0-division literal would raise where the per-row
+        # form never evaluated.
+        tele_n = teleport / stats if stats else 0.0
+        return agg.select(
+            "node",
+            (F.lit(tele_n) + F.lit(damp) * F.col("_s")).alias("rank"),
+        )
     return (
-        contrib.groupBy(F.col("dst").alias("node"))
-        .agg(F.sum("c").cast("double").alias("_s"))
-        .crossJoin(F.broadcast(stats))
+        agg.crossJoin(F.broadcast(stats))
         .select(
             "node",
             (F.lit(teleport) / F.col("n") + F.lit(damp) * F.col("_s")).alias("rank"),
@@ -454,19 +495,28 @@ def q_pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"trade_edges_{PR_CONV_YEAR}_outdeg",
         # outdegrees prejoined ONCE into the resident edge table;
         # small table, many rounds: fewer partitions beat per-task
-        # overhead; on a cluster this would match the edge bucketing
+        # overhead. r16: hash-partitioned by dst (was coalesce(8)) and
+        # persisted so every round's groupBy(dst) reuses the layout —
+        # zero per-round Exchange (guide §2.4; the bucketed-edge
+        # layout SCALE.md already argues for at 100 TB).
         lambda: base_edges.join(
             F.broadcast(deg.withColumnRenamed("node", "src")), "src"
-        ).coalesce(8),
+        ).repartition(8, "dst"),
+        storage="persist",
     )
-    ranks = ranks.localCheckpoint()
+    # r16: node count as a collected literal (see _pr_round) — drops
+    # the per-round stats BNLJ and its nodes-distinct re-execution.
+    n = stats.first()["n"]
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n if n else 0.0).alias("rank")
+    ).localCheckpoint()
     done = 0
     converged = False
     while done < PR_MAX_ITERS:
         new_ranks = ranks
         for _ in range(PR_CHECK_EVERY):
             new_ranks = _pr_round(
-                edges, stats, deg, new_ranks, PR_CONV_DAMP, teleport=0.5
+                edges, n, deg, new_ranks, PR_CONV_DAMP, teleport=0.5
             )
         new_ranks = new_ranks.localCheckpoint()
         done += PR_CHECK_EVERY
@@ -784,7 +834,12 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            # r16: the visited set is ≤|nodes| checkpointed rows with
+            # unknown stats — without the hint the anti-join was a
+            # sort-merge that re-shuffled the frontier every round
+            # (the docstring's "anti-joins shuffle-free while it
+            # broadcasts" claim, now actually in the plan).
+            .join(F.broadcast(dist.select("node")), "node", "left_anti")
             .select("node", F.lit(i).alias("dist"))
             .localCheckpoint()
         )
@@ -889,8 +944,16 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw frame is the pagerank_converge discipline: per-round
         # state is tiny, the edge table stays resident.
         raw = (
+            # r16: the score frame is |nodes|-sized (the documented
+            # broadcast-class state) but reaches here as a
+            # localCheckpoint with UNKNOWN size stats, so the planner
+            # was sort-merge-joining — shuffling the edge table every
+            # half-round. An explicit broadcast makes each half-round
+            # one streamed pass over the resident edges (guide §3.1:
+            # size estimates are often wrong after checkpoints — hint
+            # when you know a side is small).
             edges.join(
-                frontier.withColumnRenamed("node", join_col), join_col
+                F.broadcast(frontier.withColumnRenamed("node", join_col)), join_col
             )
             .groupBy(F.col(out_col).alias("node"))
             .agg(F.sum(d14(F.col("score"))).cast("double").alias("raw"))
@@ -987,17 +1050,27 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == PPR_NATION
     )
     snodes = sup.select((-(F.col("s_suppkey") + 1)).alias("node")).distinct()
-    sstats = snodes.agg(F.count(F.lit(1)).alias("sn"))
-    tele = snodes.crossJoin(F.broadcast(sstats)).select(
-        "node", (F.lit(0.15) / F.col("sn")).alias("tele")
-    )
-    ranks = snodes.crossJoin(F.broadcast(sstats)).select(
-        "node", (F.lit(1.0) / F.col("sn")).alias("rank")
-    )
+    # r16 (same as q_pagerank): |S| as a collected literal and the
+    # |S|-row teleport/seed frames checkpointed once — the supplier
+    # scan + distinct no longer re-executes inside every round's
+    # union branch and broadcast build (sn is a bigint count, so
+    # lit(0.15)/lit(sn) is the identical double division).
+    sn = snodes.count()
+    # Python-side division of doubles is the same IEEE op the old
+    # per-row lit/col division ran; guard sn == 0 (empty seed set —
+    # both frames are rowless, the value is unreachable) because a
+    # folded literal 0.15/0 would raise where the per-row form
+    # simply never evaluated.
+    tele = snodes.select(
+        "node", F.lit(0.15 / sn if sn else 0.0).alias("tele")
+    ).localCheckpoint()
+    ranks = snodes.select(
+        "node", F.lit(1.0 / sn if sn else 0.0).alias("rank")
+    ).localCheckpoint()
+    e2 = edges.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
-            .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            e2.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .select(
                 "dst",
                 (F.col("rank") / F.col("outdeg")).cast("decimal(28,14)").alias("c"),

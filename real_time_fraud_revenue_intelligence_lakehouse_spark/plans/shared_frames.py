@@ -94,6 +94,10 @@ def _unpersist_frame(df: DataFrame) -> None:
         sc = df.sparkSession.sparkContext
         if sc._jsc is None or sc._jsc.sc().isStopped():
             return
+        # storage="persist" frames (partitioned iterative edge tables)
+        # free through the public cache API; checkpointed frames are
+        # untouched by it (not in the cache manager).
+        df.unpersist(False)
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass  # racing a concurrent session stop — blocks already gone
@@ -149,7 +153,8 @@ def clear_cache() -> None:
 
 
 def shared_frame(
-    spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
+    spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame],
+    storage: str = "checkpoint",
 ) -> DataFrame:
     """Return the memoized, localCheckpointed result of ``build()``.
 
@@ -158,7 +163,18 @@ def shared_frame(
     from dead sessions are dropped (and their blocks freed, a no-op
     for stopped contexts) on the next miss so long-lived test
     processes can't accumulate orphaned references.
-    """
+
+    ``storage="persist"`` memoizes via ``.persist()`` + an eager
+    materialization instead of ``localCheckpoint()``. Same content,
+    same lifecycle — the difference is PLAN-side: a localCheckpoint
+    surfaces as ``Scan ExistingRDD [UnknownPartitioning]``, so a
+    build that ends in ``repartition(n, key)`` loses its partitioning
+    in the eyes of every downstream query, while an InMemoryRelation
+    keeps it — which is what lets the iterative graph queries run
+    their per-round ``groupBy(key)`` without a per-round Exchange
+    (guide §2.4: two operations keyed the same way share one
+    exchange; the 100 TB analog is a bucketed edge table). Use it for
+    frames whose BUILD pins a reusable partitioning."""
     app = spark.sparkContext.applicationId
     k = (app, os.path.realpath(sf_dir), key)
     with _LOCK:
@@ -168,7 +184,11 @@ def shared_frame(
         stale = [_CACHE.pop(c) for c in list(_CACHE) if c[0] != app]
     for old in stale:
         _unpersist_frame(old)
-    df = build().localCheckpoint()
+    if storage == "persist":
+        df = build().persist()
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df = build().localCheckpoint()
     with _LOCK:
         winner = _CACHE.setdefault(k, df)
     if winner is not df:  # lost a build race — free the duplicate
