@@ -84,7 +84,18 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector. Ties break on corpus id so
     results are deterministic; similarity is rounded *before* ranking
-    so the order the oracle sees is the order Spark ranked by."""
+    so the order the oracle sees is the order Spark ranked by.
+
+    r16 (guide §3.1): the pair stage STREAMS the corpus and
+    BROADCASTS the query panel — the 100 TB shape this module's
+    docstring promises ("a broadcast of the (small) query set against
+    a bucketed scan"). The previous ``q.crossJoin(c)`` did the
+    opposite: Catalyst built/broadcast the corpus side and streamed
+    the ≤50-row panel, so the whole O(|Q|·n) dot stage ran in the
+    panel scan's SINGLE task. The corpus is round-robined to
+    ``defaultParallelism`` first (a one-file panel corpus otherwise
+    scans as one split); pair values are row-local and det-rounded
+    before ranking, so results are layout-free, bit-identical."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.functions.scalars import det_round
 
     # Norms projected once per side: the O(|Q|·n) stage then runs ONE
@@ -93,11 +104,13 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(
         F.col(id_col).alias("match_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
     scored = (
-        q.crossJoin(c)
+        c.repartition(par)
+        .crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
@@ -162,8 +175,15 @@ def brute_force_top1(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
     )
     seq_dot = seq_dot_pandas_udf()  # Arrow batches, same sequential fold bits
+    # r16 (guide §3.1): stream the corpus (re-spread to the core
+    # count — a one-file corpus scans as a single split), broadcast
+    # the panel; the old q.crossJoin(c) built the CORPUS broadcast
+    # and ran every pair dot in the panel scan's one task. Values are
+    # row-local + det-rounded and top-1 is a max-struct — layout-free.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     scored = (
-        q.crossJoin(c)
+        c.repartition(par)
+        .crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",

@@ -53,6 +53,27 @@ _LOCAL_RN = "__local_rn"
 #: q_theil_sen's 2.9M-slope multiset: 10.8 s → 4.5 s build).
 SKETCH_ACC = 1000
 
+#: r16 (guide §1.2 step 1): the boundary sketch also does not need
+#: every ROW — a deterministic 1/16 value-hash sample skews band
+#: sizes by at most a few percent while cutting the eager boundary
+#: job's sketch-update cost 16x. Sampling by xxhash64 of the VALUE
+#: keeps the predicate deterministic across retries and plan
+#: branches (ties sample together — they already share a band). A
+#: sample too small to yield boundaries degrades to fewer (at worst
+#: one) bands — still positionally exact, just less parallel, and
+#: only reachable for inputs of a few dozen rows.
+_SAMPLE_MOD = 16
+
+
+def _boundary_sketch(col: Column, qs: list[float]) -> Column:
+    """Sketch over the hash-sampled values: non-sampled rows feed
+    NULL (percentile_approx skips nulls), so the sample rides the
+    same aggregate job as any sibling accumulators."""
+    sampled = F.when(F.pmod(F.xxhash64(col), F.lit(_SAMPLE_MOD)) == 0, col)
+    return F.percentile_approx(
+        sampled, F.array(*[F.lit(q) for q in qs]), F.lit(SKETCH_ACC)
+    )
+
 
 def distributed_row_number(
     df: DataFrame,
@@ -73,9 +94,7 @@ def distributed_row_number(
     """
     qs = [j / bands for j in range(1, bands)]
     row = df.select(
-        F.percentile_approx(
-            F.col(score).cast("double"), F.array(*[F.lit(q) for q in qs]), F.lit(SKETCH_ACC)
-        ).alias("b")
+        _boundary_sketch(F.col(score).cast("double"), qs).alias("b")
     ).first()
     raw = row["b"] if row is not None and row["b"] is not None else []
     # Duplicate boundaries (heavy ties) collapse into one band.
@@ -195,9 +214,7 @@ def distributed_cumsum(
     the global first row). Output columns: ``prefix + value_col``."""
     qs = [j / bands for j in range(1, bands)]
     row = df.select(
-        F.percentile_approx(
-            F.col(order_col).cast("double"), F.array(*[F.lit(q) for q in qs]), F.lit(SKETCH_ACC)
-        ).alias("b")
+        _boundary_sketch(F.col(order_col).cast("double"), qs).alias("b")
     ).first()
     raw = row["b"] if row is not None and row["b"] is not None else []
     bounds = sorted(set(raw), reverse=descending)
@@ -259,9 +276,7 @@ def select_kth(
     qs = [j / bands for j in range(1, bands)]
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile_approx(
-            F.col(col).cast("double"), F.array(*[F.lit(q) for q in qs]), F.lit(SKETCH_ACC)
-        ).alias("b"),
+        _boundary_sketch(F.col(col).cast("double"), qs).alias("b"),
     ).first()
     n = row["n"] if n is None else n
     if row["n"] == 0:

@@ -832,7 +832,14 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     from real_time_fraud_revenue_intelligence_lakehouse_spark.operators.ranking import select_kth
 
-    n_pairs = slopes.count()
+    # r16 (guide §1.2): n_pairs is C(d, 2) by construction — the x
+    # values are DISTINCT epoch days, so the xa < xb join emits
+    # exactly d·(d−1)/2 rows. Counting the 2.4k-row daily frame
+    # replaces a full pass over the 2.9M-row slope table (the
+    # select_kth call re-counts internally anyway and still validates
+    # k against the actual count).
+    d_days = daily.count()
+    n_pairs = d_days * (d_days - 1) // 2
     slope = select_kth(slopes, "s", n=n_pairs)
     resid = daily.select(
         det_round(F.col("y") - F.lit(slope) * F.col("x"), 4).alias("r")

@@ -1099,15 +1099,41 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(conv(substr(md5('bs-' || cast(o_orderkey as string)), 1, 15), 16, 10) as bigint)"
         ).alias("h1"),
     )
-    reps = spark.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
-    mem = h.crossJoin(F.broadcast(reps)).filter(
-        F.expr("(shiftright(h1, b) & 1) = 0")
+    # r16 (guide §2.3 "aggregate before you shuffle"): the old plan
+    # expanded every order {BOOT_B}-ways (crossJoin + bit filter ≈
+    # B/2 · |orders| rows into the hash aggregate); membership is a
+    # pure bit test, so one scan with {BOOT_B} conditional (sum,
+    # count) accumulator pairs computes every replicate's moments
+    # map-side — the shuffle is ONE row of 2·{BOOT_B} cells, and the
+    # replicate means unstack from it. The per-replicate sums
+    # accumulate as LONG CENTS (decimal(18,2)·100 is exactly integral;
+    # 96 long buffers codegen, 96 Decimal buffers measured ~3x slower)
+    # and re-scale through an exact decimal division, so rep_mean sees
+    # the identical rational → the identical double as the old
+    # decimal-sum path (equality checked in-engine: exp log r16).
+    # Empty replicates — impossible at |orders| ≫ B — would drop from
+    # the old groupBy, mirrored by the c > 0 filter.
+    hc = h.select((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"), "h1")
+    cond = lambda b: F.expr(f"(shiftright(h1, {b}) & 1) = 0")
+    one = hc.agg(
+        *[
+            a
+            for b in range(BOOT_B)
+            for a in (
+                F.sum(F.when(cond(b), F.col("cents"))).alias(f"s{b}"),
+                F.count(F.when(cond(b), F.lit(1))).alias(f"c{b}"),
+            )
+        ]
     )
-    m = mem.groupBy("b").agg(
-        (
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("rep_mean")
+    stacked = ", ".join(f"{b}, s{b}, c{b}" for b in range(BOOT_B))
+    m = (
+        one.selectExpr(f"stack({BOOT_B}, {stacked}) AS (b, s, c)")
+        .filter(F.col("c") > 0)
+        .select(
+            (
+                (F.col("s").cast("decimal(38,2)") / 100).cast("double") / F.col("c")
+            ).alias("rep_mean")
+        )
     )
     g = m.agg(det_round(F.sum("rep_mean") / F.lit(float(BOOT_B)), 6).alias("grand"))
     dev2 = (F.col("rep_mean") - F.col("grand")) * (F.col("rep_mean") - F.col("grand"))

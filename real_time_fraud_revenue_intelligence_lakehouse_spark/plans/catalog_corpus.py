@@ -1002,7 +1002,10 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
     ex = toks.select(
         "doc_id", F.size("toks").cast("long").alias("dl"), F.explode("toks").alias("tok")
-    ).filter(F.col("dl") > 0)
+    ).filter(F.col("dl") > 0).localCheckpoint()
+    # ^ r16 (guide §2.4/§5): the token stream feeds the vocab build
+    # AND the scoring join (whose stats subtree derives from vocab
+    # again) — un-checkpointed, tokenize + explode ran 3x per action.
     vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     stats = vocab.agg(
         F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("v_size")
@@ -1274,6 +1277,12 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("tk") - 1).alias("nb"),
             F.explode(X.shingles_of(F.col("tk"), 2)).alias("bg"),
         )
+        # r16 (guide §2.4/§5): the bigram-instance stream feeds THREE
+        # subtrees (bigram counts, context counts, the scoring join);
+        # un-checkpointed, the tokenize + shingle + explode pass ran
+        # once per subtree. Materialized once, the three branches read
+        # the ~token-stream-sized intermediate instead.
+        .localCheckpoint()
     )
     bc = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
     w1 = F.substring_index(F.col("bg"), " ", 1)

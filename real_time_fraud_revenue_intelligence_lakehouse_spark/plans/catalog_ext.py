@@ -1767,8 +1767,18 @@ def q_embed_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         *[F.col(f"u{d}").alias(f"q{d}") for d in dims],
     )
-    pairs = q.crossJoin(proj.withColumnRenamed("vec_id", "match_id")).filter(
-        F.col("match_id") != F.col("query_id")
+    # r16 (guide §3.1): stream the CORPUS side re-spread to the core
+    # count and broadcast the 20-row query panel — the checkpointed
+    # proj frame is one partition (one-split scan), so the old
+    # q.crossJoin(proj) ran all |Q|·n dot folds in a single task.
+    # Pair values are row-local and det-rounded before ranking:
+    # layout-free, bit-identical.
+    par = spark.sparkContext.defaultParallelism
+    pairs = (
+        proj.withColumnRenamed("vec_id", "match_id")
+        .repartition(par)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
     )
     sims = pairs.select(
         "query_id",

@@ -557,13 +557,14 @@ def q_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert BF_ROUNDS % 2 == 0
     for _ in range(BF_ROUNDS // 2):
         for _ in range(2):
-            # r16: the distance frame is node-sized but checkpointed
-            # (unknown stats), so the planner sort-merge-joined —
-            # shuffling the resident edge table by src twice per
-            # checkpoint cycle. Broadcasting the small state side
-            # streams ew unshuffled (guide §3.1); min() is order-free,
-            # so the bits are unchanged.
-            relax = F.broadcast(dist).join(ew, dist.node == ew.src).select(
+            # r16 measured BOTH join shapes here (guide §1.2: the
+            # empirical loop wins): a per-round broadcast(dist) hint
+            # turns the lazily fused 2-round cycle into serial
+            # broadcast barriers — 2.9 s → 4.2 s at sf0.1 — because
+            # each hint materializes the round chain on the driver,
+            # while the SMJ of two tiny frames AQE-coalesces for
+            # free. Kept: the sort-merge join of the fused rounds.
+            relax = dist.join(ew, dist.node == ew.src).select(
                 F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
             )
             dist = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
@@ -687,12 +688,12 @@ def q_route_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert BF_ROUNDS % 2 == 0
     for _ in range(BF_ROUNDS // 2):
         for _ in range(2):
-            # r16: same broadcast hint as q_cheapest_route — the
-            # node-sized state frame was sort-merge-joined against the
-            # resident edge table (unknown checkpoint stats), paying
-            # two ew shuffles per checkpoint cycle; min(struct) is
-            # order-free, bits unchanged.
-            relax = F.broadcast(state).join(ew, state.node == ew.src).select(
+            # r16: the broadcast(state) hint was measured and
+            # REJECTED, same verdict as q_cheapest_route — per-round
+            # broadcast materialization of the fused relaxation chain
+            # cost ~0.7 s over the AQE-coalesced sort-merge join of
+            # these node-sized frames at sf0.1.
+            relax = state.join(ew, state.node == ew.src).select(
                 F.col("dst").alias("node"),
                 (F.col("dist") + F.col("w")).alias("dist"),
                 state.node.alias("pred"),

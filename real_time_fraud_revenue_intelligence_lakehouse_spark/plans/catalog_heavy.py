@@ -318,20 +318,34 @@ def _trade_graph(spark, sf_dir, year: int | None = None):
                 .distinct()
             )
         # r16: hash-partition the resident edge table by dst (the
-        # per-round aggregation key of every PageRank round) so each
-        # round's groupBy(dst) reuses the layout instead of adding an
-        # Exchange per round (guide §2.4). storage="persist" keeps the
-        # partitioning visible to Catalyst (a localCheckpoint would
-        # surface as UnknownPartitioning). Results are proven
-        # layout-independent (decimal-quantized contributions), and
-        # the 100 TB analog is the same table bucketed by dst.
+        # per-round aggregation key of every PageRank round) and A/B
+        # the storage mode (guide §1.2 empirical loop). persist keeps
+        # the dst layout visible to Catalyst (no per-round Exchange),
+        # but at bench scale the InMemoryRelation re-scan per round
+        # measured SLOWER than the checkpointed RDD + one tiny
+        # AQE-coalesced exchange per round (pagerank 2.3 s checkpoint
+        # vs 2.5-3.0 s persist; PPR likewise) — so checkpoint is the
+        # default and the conf flips it where the no-Exchange layout
+        # wins (the 100 TB analog is a dst-bucketed edge table, where
+        # it always does; q_pagerank_converge's 40-round table keeps
+        # persist for exactly that reason).
+        # Partition count: ClusteredDistribution is satisfied by ANY
+        # hash-partition count on dst, so the per-round groupBy(dst)
+        # skips its Exchange at 8 just as at 32 — and the node-sized
+        # rounds then run 8 tasks instead of 32 mostly-empty ones
+        # (the q_pagerank_converge table already used 8; measured
+        # q_pagerank 4.07 s at 32 vs 2.6x baseline-neutral at 8).
+        # On a cluster the analog is the edge table's bucket count —
+        # surfaced as a conf, never the local core count.
+        n_parts = int(spark.conf.get("spark.rtfril.graph.edge.partitions", "8"))
         return (
             pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
             .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
-            .repartition(spark.sparkContext.defaultParallelism, "dst")
+            .repartition(n_parts, "dst")
         )
 
-    edges = shared_frame(spark, sf_dir, f"trade_edges_{year}", build_edges, storage="persist")
+    storage = spark.conf.get("spark.rtfril.graph.edge.storage", "checkpoint")
+    edges = shared_frame(spark, sf_dir, f"trade_edges_{year}", build_edges, storage=storage)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     stats = nodes.agg(F.count(F.lit(1)).alias("n"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))

@@ -947,7 +947,11 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).select("o_orderkey", "o_orderpriority")
-    bits = bloom_build(o, "o_orderkey")
+    # r16 (guide §2.4): materialize the ≤16k-row bit table once —
+    # the operator docstring's own advice — instead of letting the
+    # k=3 semi-joins each re-execute the build subtree (3 extra
+    # orders scans + distinct shuffles in the before plan).
+    bits = bloom_build(o, "o_orderkey").localCheckpoint()
     pruned = bloom_prune(li, "l_orderkey", bits)
     return (
         pruned.join(o, pruned.l_orderkey == o.o_orderkey)

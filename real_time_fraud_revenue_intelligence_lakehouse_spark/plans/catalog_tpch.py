@@ -615,6 +615,21 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit price makes the double equality join bit-safe on both
     engines."""
     li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    # r16 (guide §3.2): the part predicate keeps ~1% of parts and the
+    # whole query is per-partkey — correlated min included — so the
+    # broadcast part semi-join prunes LINEITEM before the big
+    # aggregation instead of after it. min(cost) per (partkey,
+    # suppkey) and the per-partkey min_cost are unchanged for every
+    # surviving partkey (both are functions of that partkey's rows
+    # only). Previously the full 600k-row agg ran — TWICE (the
+    # eligible subtree fed both mn and the final join) — and 99% of
+    # it was discarded by the part join at the end.
+    li = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
     up = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(
             det_round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
@@ -627,13 +642,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    eligible = up.join(F.broadcast(s), up.l_suppkey == F.col("s_suppkey"))
+    eligible = up.join(F.broadcast(s), up.l_suppkey == F.col("s_suppkey")).localCheckpoint()
     mn = eligible.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.min("cost").alias("min_cost")
     )
-    p = read_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
-    ).select("p_partkey", "p_brand")
     return (
         eligible.join(mn, (eligible.l_partkey == mn.pk) & (eligible.cost == mn.min_cost))
         .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)

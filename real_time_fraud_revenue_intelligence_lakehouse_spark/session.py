@@ -27,6 +27,26 @@ RUNTIME_CONFS = {
     # convert in sources.tables.read_table (µs truncation, matching
     # DuckDB's internal µs representation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # r16 (guide §1.2 step 2 / §4 boundary of codegen): the fused
+    # multi-accumulator aggregates (q_bootstrap_ci's 96 replicate
+    # cells, the GBT histogram arms — up to 512 integer cells per
+    # level, stacked across rounds/levels) exceed the default
+    # 100-field WholeStageCodegen cutoff and silently fall back to
+    # interpreted evaluation. Measured: 96-cell bootstrap aggregate
+    # 3x faster in codegen; q_gbt_train cold descent 11.8 s → 3.9 s;
+    # q_gbt_depth_selection 23 s → 16 s going 1024 → 4096. The limit
+    # is scale-independent (it bounds generated-code size, not data);
+    # Spark splits oversized generated functions itself.
+    "spark.sql.codegen.maxFields": "4096",
+    # r16 (guide §6): the default 4 MB per-file open charge caps scan
+    # parallelism of a single-file table at size/4MB tasks — at bench
+    # scale the 2.6 MB orders table scans as ONE task under a 32-core
+    # session. 256 KB models an NVMe-class open cost honestly and let
+    # Spark's own bytesPerCore floor (leaf parallelism = default
+    # parallelism) spread small scans; at cluster scale with 128 MB-1 GB
+    # files the charge is noise either way. Measured -6% on a 36-query
+    # mixed slate (min-of-3 interleaved), no structural regression.
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
 }
 
 
