@@ -177,6 +177,11 @@ def deep_shap_phi_columns(
     CASE-cascaded because the pattern space is 16× wider)."""
     from pyspark.sql import functions as F
 
+    # r16 (guide §1 driver-overhead rule): the 128-literal arrays were
+    # built as 128 individual F.lit() py4j calls per (tree, feature) —
+    # ~2700 driver round-trips ≈ 1.9 s of build time per query. One
+    # F.expr over the rendered integer list parses the identical
+    # literal array in a single call (same plan, same values).
     pats = [deep_pattern_expr(tr, features, scales, bins) for tr in trees]
     cols = []
     for fidx in range(len(features)):
@@ -185,11 +190,10 @@ def deep_shap_phi_columns(
             tree_feats = {tr["splits"][k][0] for k in INTERNAL}
             if fidx not in tree_feats:
                 continue
-            arr = F.array(
-                *[
-                    F.lit(int(tables[t][p].get(fidx, 0)))
-                    for p in range(128)
-                ]
+            arr = F.expr(
+                "array("
+                + ",".join(str(int(tables[t][p].get(fidx, 0))) for p in range(128))
+                + ")"
             )
             col = col + F.element_at(arr, pats[t] + F.lit(1)).cast("long")
         cols.append(col.alias(f"phi6_{features[fidx]}"))

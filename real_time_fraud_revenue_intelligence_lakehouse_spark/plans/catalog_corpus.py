@@ -1071,6 +1071,10 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.explode(F.transform(idx, variant)).alias("_v"),
     ).select("c_custkey", "c_name", F.xxhash64("_v").alias("v"))
+    # r16 (guide §1.2): both join sides derive from vs, so the variant
+    # explode + substring building + xxhash64 ran twice; materialize
+    # the ~|names|·(len+1) variant table once.
+    vs = vs.localCheckpoint()
     # EXPLICIT repartition on the join key: the variant shuffle is
     # bytes-tiny but compute-heavy downstream (millions of levenshtein
     # evals hang off the join output); left to AQE, the ~10 MB sides
@@ -1086,15 +1090,19 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(n_parts, "v")
     return (
         a.join(b, "v")
-        .filter(
-            (F.col("a_key") < F.col("b_key"))
-            & (F.levenshtein("a_name", "b_name") <= 1)
-        )
+        # (Catalyst pushes the dist predicate back into the join with
+        # the levenshtein inlined — verified in the optimized plan —
+        # so the verify still runs inside the join filter; the split
+        # form here just documents the intent. The only rows that pay
+        # a second levenshtein are the ≤ edit-1 survivors, ~0.1% of
+        # join output.)
+        .filter(F.col("a_key") < F.col("b_key"))
         .select(
             "a_key",
             "b_key",
             F.levenshtein("a_name", "b_name").cast("long").alias("dist"),
         )
+        .filter(F.col("dist") <= 1)
         .distinct()
     )
 

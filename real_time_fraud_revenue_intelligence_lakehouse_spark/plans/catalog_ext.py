@@ -1759,10 +1759,13 @@ def q_embed_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = F.sqrt(F.aggregate(sl, F.lit(0.0), lambda a, x: a + x * x))
         return F.transform(sl, lambda x: x / n)
 
+    # r16: no checkpoint — with the single fused ranking pass below the
+    # projection has one streamed consumer plus the broadcast panel, and
+    # recomputing the 20-row panel slice is cheaper than an eager job.
     dims = (*TRUNC_DIMS, 64)
     proj = v.select(
         "vec_id", *[unit_slice(F.col("v"), d).alias(f"u{d}") for d in dims]
-    ).localCheckpoint()
+    )
     q = proj.filter(F.col("vec_id") < TRUNC_Q).select(
         F.col("vec_id").alias("query_id"),
         *[F.col(f"u{d}").alias(f"q{d}") for d in dims],
@@ -1787,36 +1790,46 @@ def q_embed_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(S.dot(F.col(f"q{d}"), F.col(f"u{d}")), 6).alias(f"s{d}")
             for d in dims
         ],
-    ).localCheckpoint()
+    )
 
-    def topk(col):
-        from pyspark.sql import Window
+    # r16 (guide §1.2/§2.3): the truth topk was re-derived per tier and
+    # each tier ran its own window + join + aggregate (3 joins, 4 window
+    # jobs over a checkpointed sims). All four per-query rankings share
+    # the partitioning key, so ONE pass computes every tier's rank and
+    # the truth rank side by side — a hit is simply rn_d ≤ k AND
+    # rn_64 ≤ k on the same row (set membership in both topk sets, the
+    # exact predicate the old join expressed). One exchange + one
+    # aggregate replace the checkpoint, the truth frame, and the three
+    # hit joins; per-tier hit counts and recalls are value-identical.
+    from pyspark.sql import Window
 
+    def rn(col):
         w = Window.partitionBy("query_id").orderBy(F.desc(col), F.asc("match_id"))
-        return (
-            sims.select("query_id", "match_id", col)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= TRUNC_K)
-            .select("query_id", "match_id")
-        )
+        return F.row_number().over(w)
 
-    truth = topk("s64")
-    out = None
-    for d in TRUNC_DIMS:
-        hits = (
-            topk(f"s{d}")
-            .join(truth, ["query_id", "match_id"])
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-            .select(
-                F.lit(d).cast("long").alias("d"),
-                F.col("n_hits").cast("long").alias("n_hits"),
-                det_round(
-                    F.col("n_hits").cast("double") / (TRUNC_Q * TRUNC_K), 4
-                ).alias(f"recall_at_{TRUNC_K}"),
-            )
-        )
-        out = hits if out is None else out.unionByName(hits)
-    return out
+    ranked = sims.select(
+        *[rn(f"s{d}").alias(f"rn{d}") for d in dims],
+    )
+    hits = ranked.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col(f"rn{d}") <= TRUNC_K) & (F.col("rn64") <= TRUNC_K), 1
+                ).otherwise(0)
+            ).alias(f"h{d}")
+            for d in TRUNC_DIMS
+        ]
+    )
+    stack = ", ".join(f"CAST({d} AS BIGINT), h{d}" for d in TRUNC_DIMS)
+    return hits.select(
+        F.expr(f"stack({len(TRUNC_DIMS)}, {stack}) AS (d, n_hits)")
+    ).select(
+        "d",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        det_round(F.col("n_hits").cast("double") / (TRUNC_Q * TRUNC_K), 4).alias(
+            f"recall_at_{TRUNC_K}"
+        ),
+    )
 
 
 # --- IVF nprobe tuning curve ---------------------------------------------------
@@ -1958,37 +1971,68 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    out = None
-    for np_ in NPROBE_TIERS:
-        cand = pairs.filter(F.col("mcrank") <= np_)
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cosine_sim"), F.asc("match_id")
+    # r16 second fusion (guide §2.3, the q_embed_dim_truncation shape):
+    # the remaining per-tier branches (3 filters × window + count +
+    # truth join + broadcast crossJoin over the checkpointed pairs)
+    # collapse into ONE pass. A tier's row_number over its mcrank ≤ np
+    # slice equals the conditional running count of in-tier rows under
+    # the SHARED (sim DESC, match_id) order, so one window computes
+    # every tier's rank; truth membership becomes a left-join flag; and
+    # one aggregate emits each tier's candidate count and hit count —
+    # value-identical, 3 branch subtrees → 1 window + 1 agg.
+    marked = pairs.join(
+        F.broadcast(truth.withColumn("_t", F.lit(1))),
+        ["query_id", "match_id"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_tier = {
+        np_: F.when(F.col("mcrank") <= np_, 1).otherwise(0) for np_ in NPROBE_TIERS
+    }
+    ranked = marked.select(
+        "mcrank",
+        "_t",
+        *[F.sum(in_tier[np_]).over(w).alias(f"rk{np_}") for np_ in NPROBE_TIERS],
+    )
+    agg = ranked.agg(
+        *[
+            F.coalesce(F.sum(in_tier[np_]), F.lit(0)).alias(f"nc{np_}")
+            for np_ in NPROBE_TIERS
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("mcrank") <= np_)
+                        & (F.col(f"rk{np_}") <= NPROBE_K)
+                        & F.col("_t").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias(f"nh{np_}")
+            for np_ in NPROBE_TIERS
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({np_} AS BIGINT), nc{np_}, nh{np_}" for np_ in NPROBE_TIERS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(NPROBE_TIERS)}, {stack}) AS (nprobe, n_candidates, n_hits)"
         )
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= NPROBE_K)
-            .select("query_id", "match_id")
-        )
-        row = (
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(
-                F.broadcast(
-                    topk.join(truth, ["query_id", "match_id"]).agg(
-                        F.count(F.lit(1)).alias("n_hits")
-                    )
-                )
-            )
-            .select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                F.col("n_candidates").cast("long").alias("n_candidates"),
-                F.col("n_hits").cast("long").alias("n_hits"),
-                det_round(
-                    F.col("n_hits").cast("double") / (NPROBE_Q * NPROBE_K), 4
-                ).alias(f"recall_at_{NPROBE_K}"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    ).select(
+        "nprobe",
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        det_round(F.col("n_hits").cast("double") / (NPROBE_Q * NPROBE_K), 4).alias(
+            f"recall_at_{NPROBE_K}"
+        ),
+    )
 
 
 # --- intra-document repetition (Gopher-style filter, round 12) ---------------

@@ -550,25 +550,26 @@ def q_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.lit(0.0).alias("dist"))
     )
     dist = src.localCheckpoint()
-    # Two relaxations fused per checkpointed job (the star-CC round-
-    # fusing trick, ext/dedup): min-plus rounds compose lazily without
-    # changing the arithmetic — costs still add in round order — so
-    # half the driver actions buy the same bits.
-    assert BF_ROUNDS % 2 == 0
-    for _ in range(BF_ROUNDS // 2):
-        for _ in range(2):
-            # r16 measured BOTH join shapes here (guide §1.2: the
-            # empirical loop wins): a per-round broadcast(dist) hint
-            # turns the lazily fused 2-round cycle into serial
-            # broadcast barriers — 2.9 s → 4.2 s at sf0.1 — because
-            # each hint materializes the round chain on the driver,
-            # while the SMJ of two tiny frames AQE-coalesces for
-            # free. Kept: the sort-merge join of the fused rounds.
-            relax = dist.join(ew, dist.node == ew.src).select(
-                F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
-            )
-            dist = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
-        dist = dist.localCheckpoint()
+    # Relaxation rounds compose LAZILY (the star-CC round-fusing
+    # trick, ext/dedup): min-plus arithmetic is unchanged — costs
+    # still add in round order — so every checkpoint dropped is one
+    # fewer driver barrier buying the same bits. r16 interleaved A/B
+    # (guide §1.2): checkpoint every 2 rounds 3.17 s vs every 4
+    # rounds 2.76 s at sf0.1 — the 4-round horizon fuses into ONE
+    # lazy DAG. The cadence stays a conf for longer horizons (lineage
+    # must stay capped when BF_ROUNDS grows at scale).
+    # Also measured and REJECTED here (r16): a per-round
+    # broadcast(dist) hint — it materializes the fused round chain on
+    # the driver per round, 2.9 s → 4.2 s, while the SMJ of two tiny
+    # frames AQE-coalesces for free.
+    cadence = int(spark.conf.get("spark.rtfril.graph.ckpt.rounds", "4"))
+    for r in range(BF_ROUNDS):
+        relax = dist.join(ew, dist.node == ew.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+        if (r + 1) % cadence == 0 and (r + 1) < BF_ROUNDS:
+            dist = dist.localCheckpoint()
     from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import note_dropped_checkpoints
 
     note_dropped_checkpoints(dist.sparkSession)  # per-round-pair checkpoints dropped
@@ -683,30 +684,32 @@ def q_route_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    # two argmin rounds fused per checkpointed job (the q_cheapest_route
-    # trick): rounds compose lazily without changing the arithmetic
-    assert BF_ROUNDS % 2 == 0
-    for _ in range(BF_ROUNDS // 2):
-        for _ in range(2):
-            # r16: the broadcast(state) hint was measured and
-            # REJECTED, same verdict as q_cheapest_route — per-round
-            # broadcast materialization of the fused relaxation chain
-            # cost ~0.7 s over the AQE-coalesced sort-merge join of
-            # these node-sized frames at sf0.1.
-            relax = state.join(ew, state.node == ew.src).select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("w")).alias("dist"),
-                state.node.alias("pred"),
-            )
-            state = (
-                state.unionByName(relax)
-                .groupBy("node")
-                .agg(F.min(F.struct("dist", "pred")).alias("b"))
-                .select("node", "b.dist", "b.pred")
-            )
-        # node-sized state, many tiny stages: fewer partitions beat
-        # per-task overhead (the q_pagerank coalesce rationale)
-        state = state.coalesce(4).localCheckpoint()
+    # argmin rounds compose lazily without changing the arithmetic
+    # (the q_cheapest_route trick) — r16 fuses the whole 4-round
+    # horizon into one DAG, checkpoint cadence conf'd for longer
+    # horizons at scale. The per-round broadcast(state) hint was
+    # measured and REJECTED (≈0.7 s worse at sf0.1): it materializes
+    # the fused relaxation chain on the driver per round, while the
+    # AQE-coalesced sort-merge join of node-sized frames is free.
+    cadence = int(spark.conf.get("spark.rtfril.graph.ckpt.rounds", "4"))
+    for r in range(BF_ROUNDS):
+        relax = state.join(ew, state.node == ew.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            state.node.alias("pred"),
+        )
+        state = (
+            state.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "pred")).alias("b"))
+            .select("node", "b.dist", "b.pred")
+        )
+        if (r + 1) % cadence == 0 or (r + 1) == BF_ROUNDS:
+            # final state always checkpoints: the pred walk below
+            # re-reads it 7x (6 broadcast steps + the walk spine).
+            # node-sized state, many tiny stages: fewer partitions
+            # beat per-task overhead (the q_pagerank coalesce rationale)
+            state = state.coalesce(4).localCheckpoint()
     from real_time_fraud_revenue_intelligence_lakehouse_spark.plans.shared_frames import note_dropped_checkpoints
 
     note_dropped_checkpoints(state.sparkSession)  # per-round checkpoints dropped

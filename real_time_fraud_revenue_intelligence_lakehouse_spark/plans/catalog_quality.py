@@ -371,12 +371,23 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("rev"),
     )
+    # r16 (guide §2.3 partial aggregation): reduce lineitem to one row
+    # per order BEFORE the join — the join shuffles |orders| rows
+    # instead of |lineitem| (~4x fewer), and the month rollup's
+    # countDistinct(orderkey) (a two-phase dedup shuffle) degenerates
+    # to a plain count because orderkeys are unique after the pre-agg.
+    # Decimal sums are exact, so sum-of-per-order-sums is
+    # value-identical to the flat sum.
+    per_order = li.groupBy("l_orderkey").agg(F.sum("rev").alias("rev"))
     lm = (
-        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        per_order.join(
+            o.select("o_orderkey", "o_orderdate"),
+            per_order.l_orderkey == F.col("o_orderkey"),
+        )
         .groupBy(F.date_trunc("month", F.to_date("o_orderdate")).alias("month"))
         .agg(
             F.sum("rev").cast("double").alias("lineitem_total"),
-            F.countDistinct("l_orderkey").alias("n_li_orders"),
+            F.count(F.lit(1)).alias("n_li_orders"),
         )
     )
     j = om.join(lm, "month", "left")
