@@ -396,10 +396,20 @@ def shap_phi_columns(
     (streaming/scoring.explain_stream rides them inside ingest)."""
     from pyspark.sql import functions as F
 
-    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import _bin_expr
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.training import _x_sql
 
-    def bcol(fidx: int):
-        return _bin_expr(features[fidx], scales, bins)
+    # r16 (guide §1 driver-overhead rule): the CASE cascade was built
+    # as hundreds of individual py4j when()/&/~ calls per query (~1 s
+    # of measured driver time); rendering the SAME expression as SQL
+    # text and parsing it with one F.expr per (tree, feature) keeps the
+    # plan and values identical (the bin text below is byte-for-byte
+    # _bin_sql / the oracle's binning; NOT/AND mirror ~/& null
+    # semantics).
+    def bsql(fidx: int) -> str:
+        return (
+            f"CAST(least(greatest(floor(({_x_sql(features[fidx], scales)})"
+            f" * {float(bins)!r}), 0), {bins - 1}) AS BIGINT)"
+        )
 
     cols = []
     for fidx in range(len(features)):
@@ -410,18 +420,20 @@ def shap_phi_columns(
             rf, rb = tr["root"]
             lf, lb = tr["left"]
             rrf, rrb = tr["right"]
-            i_a = bcol(rf) <= rb
-            i_b = bcol(lf) <= lb
-            i_c = bcol(rrf) <= rrb
-            expr = None
+            i_a = f"({bsql(rf)} <= {int(rb)})"
+            i_b = f"({bsql(lf)} <= {int(lb)})"
+            i_c = f"({bsql(rrf)} <= {int(rrb)})"
+            arms = []
             for (a, b, c), phis in tables[t].items():
-                cond = (
-                    (i_a if a else ~i_a)
-                    & (i_b if b else ~i_b)
-                    & (i_c if c else ~i_c)
+                cond = " AND ".join(
+                    ind if on else f"(NOT {ind})"
+                    for ind, on in ((i_a, a), (i_b, b), (i_c, c))
                 )
-                val = F.lit(phis.get(fidx, 0)).cast("long")
-                expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-            col = col + expr.otherwise(F.lit(0).cast("long"))
+                arms.append(
+                    f"WHEN {cond} THEN CAST({int(phis.get(fidx, 0))} AS BIGINT)"
+                )
+            col = col + F.expr(
+                "CASE " + " ".join(arms) + " ELSE CAST(0 AS BIGINT) END"
+            )
         cols.append(col)
     return cols

@@ -174,12 +174,18 @@ def brute_force_top1(
     c = unit_vectors(corpus, id_col, vec_col).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
     )
-    seq_dot = seq_dot_pandas_udf()  # Arrow batches, same sequential fold bits
     # r16 (guide §3.1): stream the corpus (re-spread to the core
     # count — a one-file corpus scans as a single split), broadcast
     # the panel; the old q.crossJoin(c) built the CORPUS broadcast
     # and ran every pair dot in the panel scan's one task. Values are
     # row-local + det-rounded and top-1 is a max-struct — layout-free.
+    # r16 batch 3 (guide §4): the pair dot is the JVM fold, not the
+    # Arrow seq_dot twin — at 64 dims the Python hop costs more than
+    # the interpreted fold saves (interleaved A/B 1.79 s Arrow vs
+    # 1.36 s JVM on the |Q|=50 panel, identical output hash; the
+    # brute_force_topk tier made the same call), and it was also the
+    # suite bench's most Python-worker-contention-sensitive row. The
+    # Arrow twin stays bit-parity-tested for wide-vector use.
     par = corpus.sparkSession.sparkContext.defaultParallelism
     scored = (
         c.repartition(par)
@@ -188,7 +194,7 @@ def brute_force_top1(
         .select(
             "query_id",
             "match_id",
-            det_round(seq_dot(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+            det_round(dot(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
         )
     )
     best = scored.groupBy("query_id").agg(

@@ -273,6 +273,28 @@ def select_kth(
     ``n`` when the caller already counted (skips nothing — the count
     rides the boundary aggregate — but keeps k consistent with the
     caller's bookkeeping)."""
+    if n is not None and 0 < n <= 100_000:
+        # r16 (guide §1.2): when the caller already knows n (Theil-Sen
+        # counted the 2.4k-day frame) and the input is small-path
+        # sized, the count+sketch aggregate buys nothing — one
+        # sorted-array agg IS the selection AND the validation: the
+        # collected length is the true count, checked against the
+        # caller's n before indexing (the ADVICE r11 #4 guard, just
+        # enforced from the same single job).
+        kk = (n + 1) // 2 if k is None else k
+        row = df.agg(F.sort_array(F.collect_list(col)).alias("arr")).first()
+        arr = row["arr"] if row is not None else []
+        if len(arr) != n:
+            raise ValueError(
+                f"select_kth: caller-supplied n={n} outside actual row "
+                f"count {len(arr)}"
+            )
+        if not 1 <= kk <= n:
+            raise ValueError(
+                f"select_kth: k={kk} outside actual row count {n} "
+                f"(caller-supplied n={n})"
+            )
+        return arr[kk - 1]
     qs = [j / bands for j in range(1, bands)]
     row = df.agg(
         F.count(F.lit(1)).alias("n"),

@@ -844,7 +844,10 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = daily.select(
         det_round(F.col("y") - F.lit(slope) * F.col("x"), 4).alias("r")
     )
-    intercept = select_kth(resid, "r")
+    # r16: pass the known count — the residual median then runs as ONE
+    # sorted-array job (select_kth's n-trusting small path validates
+    # the collected length against d_days before indexing).
+    intercept = select_kth(resid, "r", n=d_days)
     return daily.agg(
         F.count(F.lit(1)).alias("n_days"),
         F.lit(n_pairs).cast("long").alias("n_pairs"),

@@ -1332,7 +1332,20 @@ def _gbt_covers(fv: DataFrame, trees: list[dict]) -> list[tuple[int, ...]]:
     return out
 
 
-def _shap_phi_columns(fv: DataFrame, trees: list[dict]) -> list:
+#: r16: per-process memo of the training covers (and the φ6 tables
+#: derived from them) — q_gbt_shap AND q_gbt_shap_top both re-ran the
+#: identical covers aggregate for the identical memoized booster every
+#: bench pass. Covers are training-derived statistics of the memoized
+#: model, so this is the same registered-cache class as the trained
+#: trees themselves: clear_cache() empties it, so the bench's
+#: trainer_cold series still reports the full cache-cleared descent.
+_SHAP_COVERS: dict = {}
+register_cache(_SHAP_COVERS)
+
+
+def _shap_phi_columns(
+    fv: DataFrame, trees: list[dict], memo_key: tuple | None = None
+) -> list:
     """Per-feature φ6 columns for the fitted ensemble: covers from
     one aggregate, per-(tree, branch-pattern) values precomputed
     driver-side (shap_terms), compiled by the generic
@@ -1340,7 +1353,12 @@ def _shap_phi_columns(fv: DataFrame, trees: list[dict]) -> list:
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import GBT_ETA
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.shap import shap_phi_columns
 
-    covers = _gbt_covers(fv, trees)
+    if memo_key is not None and memo_key in _SHAP_COVERS:
+        covers = _SHAP_COVERS[memo_key]
+    else:
+        covers = _gbt_covers(fv, trees)
+        if memo_key is not None:
+            _SHAP_COVERS[memo_key] = covers
     tables = [shap_terms(tr, cov, GBT_ETA) for tr, cov in zip(trees, covers)]
     return shap_phi_columns(trees, tables, SCORE_FEATURES, None)
 
@@ -1370,7 +1388,14 @@ def q_gbt_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the identical enumeration relationally."""
     fv = _logreg_fv(spark, sf_dir)
     trees = _trained_gbt(spark, sf_dir)
-    cols = [c.alias(f"p6_{i}") for i, c in enumerate(_shap_phi_columns(fv, trees))]
+    cols = [
+        c.alias(f"p6_{i}")
+        for i, c in enumerate(
+            _shap_phi_columns(
+                fv, trees, memo_key=("shap", spark.sparkContext.applicationId, sf_dir)
+            )
+        )
+    ]
     s = det_round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees))), 6
     )
@@ -1418,7 +1443,9 @@ def q_gbt_shap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gates."""
     fv = _logreg_fv(spark, sf_dir)
     trees = _trained_gbt(spark, sf_dir)
-    phis = _shap_phi_columns(fv, trees)
+    phis = _shap_phi_columns(
+        fv, trees, memo_key=("shap", spark.sparkContext.applicationId, sf_dir)
+    )
     s = det_round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-gbt_trained_logit_expr(trees))), 6
     )

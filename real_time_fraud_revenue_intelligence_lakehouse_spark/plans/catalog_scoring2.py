@@ -57,6 +57,8 @@ _GBT_DEEP: dict = {}
 _GBT_SUB: dict = {}
 _GBT_DEPTH_GRID: dict = {}
 _GBT_CV: dict = {}
+_DEEP_COVERS: dict = {}
+register_cache(_DEEP_COVERS)
 register_cache(_GBT_DEEP)
 register_cache(_GBT_SUB)
 register_cache(_GBT_DEPTH_GRID)
@@ -394,7 +396,13 @@ def q_gbt_shap_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fv = _logreg_fv(spark, sf_dir)
     trees = _trained_deep(spark, sf_dir)
-    covers = _deep_covers(fv, trees)
+    # r16: covers memoized per process beside the trained trees they
+    # derive from (registered cache — clear_cache() empties it, so
+    # trainer_cold still reports the full cache-cleared descent).
+    ck = ("deep_covers", *_key(spark, sf_dir))
+    if ck not in _DEEP_COVERS:
+        _DEEP_COVERS[ck] = _deep_covers(fv, trees)
+    covers = _DEEP_COVERS[ck]
     tables = [shap_terms_deep(tr, cov, GBT_ETA) for tr, cov in zip(trees, covers)]
     phis = deep_shap_phi_columns(trees, tables, SCORE_FEATURES, None)
     s = det_round(

@@ -292,3 +292,11 @@ def test_select_kth_matches_sorted_indexing(spark):
 
     with _pytest.raises(ValueError, match="outside actual row count"):
         select_kth(df, "v", k=n + 500, n=n + 1000, bands=8)
+    # r16 n-trusting small path: exact n → same answers as the
+    # counted path in ONE job; a merely-overstated n (valid k) still
+    # errors loudly instead of selecting against the wrong rank base.
+    for k in (1, (n + 1) // 2, n):
+        assert select_kth(df, "v", k, n=n, bands=8) == sv[k - 1], k
+    assert select_kth(df, "v", n=n, bands=8) == sv[(n + 1) // 2 - 1]
+    with _pytest.raises(ValueError, match="outside actual row count"):
+        select_kth(df, "v", n=n + 1, bands=8)
