@@ -199,7 +199,8 @@ def distributed_cumsum(
     bands: int = 32,
     exclusive: bool = False,
     prefix: str = "cum_",
-) -> DataFrame:
+    total_sums: list[str] | None = None,
+):
     """Exact global cumulative sums of ``value_cols`` in ``order_col``
     order without a single-partition window — the prefix-sum sibling
     of :func:`distributed_row_number` (CDFs, rank sums, gains curves):
@@ -211,11 +212,26 @@ def distributed_cumsum(
     tables — the KS/AUC reductions); with ties an inclusive running
     sum is not well-defined independently of sort stability.
     ``exclusive=True`` gives the sum of STRICTLY-preceding rows (0 for
-    the global first row). Output columns: ``prefix + value_col``."""
+    the global first row). Output columns: ``prefix + value_col``.
+
+    ``total_sums`` (r16, guide §1.2): column names whose GRAND totals
+    the caller needs anyway (AUC's n_pos/n_neg, KS's class counts) —
+    they ride the already-eager boundary-sketch job as extra exact
+    sums and come back as Python scalars, so the caller folds them in
+    as literals instead of growing the plan a totals subtree + a
+    broadcast crossJoin over the same input. Returns
+    ``(DataFrame, {col: total})`` when given, a bare DataFrame
+    otherwise."""
     qs = [j / bands for j in range(1, bands)]
-    row = df.select(
-        _boundary_sketch(F.col(order_col).cast("double"), qs).alias("b")
-    ).first()
+    aggs = [_boundary_sketch(F.col(order_col).cast("double"), qs).alias("b")]
+    for v in total_sums or []:
+        aggs.append(F.sum(v).alias(f"__tot_{v}"))
+    row = df.select(*aggs).first()
+    total_vals = (
+        {v: (row[f"__tot_{v}"] if row is not None else None) for v in total_sums}
+        if total_sums is not None
+        else None
+    )
     raw = row["b"] if row is not None and row["b"] is not None else []
     bounds = sorted(set(raw), reverse=descending)
     od = F.col(order_col).cast("double")
@@ -251,7 +267,10 @@ def distributed_cumsum(
     for v in value_cols:
         out = out.withColumn(prefix + v, F.col(f"__off_{v}") + F.col(f"__local_{v}"))
     drop = [_BAND] + [f"__local_{v}" for v in value_cols] + [f"__off_{v}" for v in value_cols]
-    return out.drop(*drop)
+    out = out.drop(*drop)
+    if total_vals is not None:
+        return out, total_vals
+    return out
 
 
 def select_kth(

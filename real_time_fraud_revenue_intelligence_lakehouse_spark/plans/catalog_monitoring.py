@@ -161,23 +161,28 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("y") == PSI_YEAR_A, 1).otherwise(0)).alias("a"),
         F.sum(F.when(F.col("y") == PSI_YEAR_B, 1).otherwise(0)).alias("bb"),
     ).localCheckpoint()
-    t = c.agg(F.sum("a").alias("na"), F.sum("bb").alias("nb"))
-    cum = distributed_cumsum(c, "v", ["a", "bb"]).select(
-        F.col("cum_a").alias("ca"), F.col("cum_bb").alias("cb")
-    )
+    # r16 (guide §1.2): the per-class totals ride distributed_cumsum's
+    # already-eager boundary job as exact integer sums and fold back
+    # in as literals (the q_auc treatment) — drops the totals subtree
+    # and its broadcast crossJoin; the CDF divisions see the identical
+    # exact-int-derived doubles.
+    cum, tot = distributed_cumsum(c, "v", ["a", "bb"], total_sums=["a", "bb"])
+    cum = cum.select(F.col("cum_a").alias("ca"), F.col("cum_bb").alias("cb"))
+    na, nb = int(tot["a"] or 0), int(tot["bb"] or 0)
     diff = F.abs(
-        F.col("ca").cast("double") / F.col("na")
-        - F.col("cb").cast("double") / F.col("nb")
+        F.col("ca").cast("double") / F.lit(na)
+        - F.col("cb").cast("double") / F.lit(nb)
     )
     return (
-        cum.crossJoin(F.broadcast(t))
-        .groupBy("na", "nb")
-        .agg(det_round(F.max(diff), 6).alias("ks_stat"))
+        cum.agg(det_round(F.max(diff), 6).alias("ks_stat"))
         .select(
-            F.col("na").cast("long").alias("n_a"),
-            F.col("nb").cast("long").alias("n_b"),
+            F.lit(na).cast("long").alias("n_a"),
+            F.lit(nb).cast("long").alias("n_b"),
             "ks_stat",
         )
+        # empty-input parity with the old groupBy form: zero rows, not
+        # one null row, when there is no data at all
+        .where(F.lit(na + nb) > 0)
     )
 
 
@@ -241,27 +246,29 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = s.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
     ).localCheckpoint()
-    cum = distributed_cumsum(c, "score", ["n"], exclusive=True).select(
-        "score", "n", "np", F.col("cum_n").alias("before")
+    # r16 (guide §1.2): the class totals ride distributed_cumsum's
+    # already-eager boundary-sketch job as two exact integer sums and
+    # fold back in as LITERALS — the old totals subtree re-scanned the
+    # checkpointed c and crossJoined back; values are the same exact
+    # ints, so the final three float divisions see identical doubles.
+    cum, tot = distributed_cumsum(
+        c, "score", ["n"], exclusive=True, total_sums=["n", "np"]
     )
-    t = c.agg(
-        F.sum("np").alias("n_pos"), (F.sum("n") - F.sum("np")).alias("n_neg")
-    )
+    cum = cum.select("score", "n", "np", F.col("cum_n").alias("before"))
+    n_pos = int(tot["np"] or 0)
+    n_neg = int((tot["n"] or 0) - n_pos)
     avg_rank = (F.col("before") + (F.col("n") + 1) / 2.0).cast("decimal(28,1)")
     r = cum.select(
         (F.col("np").cast("decimal(28,1)") * avg_rank).alias("rs")
     ).agg(F.sum("rs").alias("rank_sum"))
     auc = (
         F.col("rank_sum").cast("double")
-        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2
-    ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
-    return (
-        r.crossJoin(F.broadcast(t))
-        .select(
-            F.col("n_pos").cast("long").alias("n_pos"),
-            F.col("n_neg").cast("long").alias("n_neg"),
-            det_round(auc, 6).alias("auc"),
-        )
+        - F.lit(n_pos).cast("double") * (F.lit(n_pos) + 1) / 2
+    ) / (F.lit(n_pos).cast("double") * F.lit(n_neg))
+    return r.select(
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+        det_round(auc, 6).alias("auc"),
     )
 
 
