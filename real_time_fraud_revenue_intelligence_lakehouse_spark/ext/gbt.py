@@ -82,6 +82,29 @@ def _r6(x: float) -> float:
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound trainer working frame to the session's full
+    parallelism when its input arrives narrower (r17, guide §2.6/§1.2
+    step 2). Used ONLY by the fold-fused CV trainers, whose stacked
+    scans carry folds × configs × features entries per row (~14M
+    generated rows/level at bench scale) — there the 4-partition fv
+    layout leaves 7/8 of a local[32] session idle and spreading
+    measured 19 vs 31 s on q_model_selection_cv_full. The single-fold
+    trainers measured FASTER without it (grid_full 5.9 vs 7-10 s,
+    depth-2 grid 2.4 vs 4.2 s: with the partial-logit __f columns
+    their scans are scheduling-bound, and 32 tasks × 2 stages per
+    tiny aggregate cost more than the 4-way compute saves) — rejected
+    there after interleaved A/B. Exact integer micro-sums make every
+    downstream histogram layout-independent, so the trees are
+    bit-identical either way (law-pinned). On a cluster whose fv
+    already carries ≥ defaultParallelism partitions this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 def _bin_expr(f: str, scales: dict[str, float] | None, bins: int) -> Column:
     """least(greatest(floor(x_scaled·B), 0), B−1) — identical text in
     :func:`_bin_sql`; features are scaled into [0,1] so the clamp only
@@ -239,15 +262,20 @@ def train_gbt(
         )
     )
     trees: list[dict] = []
+    # r17 (guide §3.3 plan truncation / §1.2): the partial ensemble's
+    # logit rides as a materialized __f column in a per-round persisted
+    # frame — the SQL oracle's own rows{t} discipline — so no plan ever
+    # holds more than ONE tree cascade and both level jobs (root +
+    # children histograms) read the computed gm/hm once. f accumulates
+    # left-associated in the identical op order (f + η·tree): the
+    # doubles — and the trees — are bit-identical (law-pinned).
+    state = binned
+    prev_work = None
     for _t in range(rounds):
-        z: Column = F.lit(0.0)
-        for tr in trees:
-            z = z + F.lit(float(eta)) * _tree_logit_on_bins(tr, features)
+        z: Column = F.col("__f") if trees else F.lit(0.0)
         # stage p as a real column (the q_kmeans_train staged-argmin
         # discipline): gm and hm both read ONE computed sigmoid value
-        # per row instead of two inlined copies of the full ensemble
-        # CASE cascade — halves the codegen surface per round
-        staged = binned.withColumn(
+        staged = state.withColumn(
             "__p", det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
         )
         p = F.col("__p")
@@ -256,10 +284,12 @@ def train_gbt(
         gc = g * F.lit(_MICRO) if wgt is None else g * wgt * F.lit(_MICRO)
         hc = h * F.lit(_MICRO) if wgt is None else h * wgt * F.lit(_MICRO)
         work = staged.select(
-            "*",
+            "label",
+            *[f"b_{f}" for f in features],
+            *([F.col("__f")] if trees else []),
             F.floor(gc + F.lit(0.5)).cast("long").alias("gm"),
             F.floor(hc + F.lit(0.5)).cast("long").alias("hm"),
-        )
+        ).persist()
         n_f = len(features)
         pairs = ", ".join(f"{i}, b_{f}" for i, f in enumerate(features))
         stacked = work.selectExpr(
@@ -284,6 +314,9 @@ def train_gbt(
             .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
             .collect()
         )
+        if prev_work is not None:
+            prev_work.unpersist()
+        prev_work = work
         by_node: dict[int, list] = {}
         for r in h2:
             by_node.setdefault(r["node"], []).append(
@@ -308,7 +341,19 @@ def train_gbt(
                 tree["w_ll"], tree["w_lr"] = wl, wr
             else:
                 tree["w_rl"], tree["w_rr"] = wl, wr
+        had_trees = bool(trees)
         trees.append(tree)
+        if _t + 1 < rounds:
+            state = work.select(
+                "label",
+                *[f"b_{f}" for f in features],
+                (
+                    (F.col("__f") if had_trees else F.lit(0.0))
+                    + F.lit(float(eta)) * _tree_logit_on_bins(tree, features)
+                ).alias("__f"),
+            )
+    if prev_work is not None:
+        prev_work.unpersist()
     return trees
 
 
@@ -772,18 +817,29 @@ def train_gbt_grid(
     trees_all: list[list[dict]] = [[] for _ in configs]
     max_rounds = max(r for _n, r, _e, _l in configs)
     n_f = len(features)
+    # r17: partial-logit __f_<c> columns + per-round persisted frame —
+    # the rows{t} plan-truncation discipline (see train_gbt's comment);
+    # every plan holds at most one tree per config.
+    state = binned
+    carried: list[int] = []
+    prev_work = None
     for t in range(max_rounds):
         active = [c for c in range(k) if configs[c][1] > t]
-        staged = binned
+
+        def f_expr(c: int) -> Column:
+            return F.col(f"__f_{c}") if c in carried else F.lit(0.0)
+
+        staged = state
         for c in active:
-            eta_c = float(configs[c][2])
-            z: Column = F.lit(0.0)
-            for tr in trees_all[c]:
-                z = z + F.lit(eta_c) * _tree_logit_on_bins(tr, features)
             staged = staged.withColumn(
-                f"__p_{c}", det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+                f"__p_{c}",
+                det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-f_expr(c))), 6),
             )
-        cols = ["*"]
+        cols = [
+            "label",
+            *[f"b_{f}" for f in features],
+            *[F.col(f"__f_{c}") for c in carried if c in active],
+        ]
         for c in active:
             p = F.col(f"__p_{c}")
             g = p - F.col("label").cast("double")
@@ -794,7 +850,7 @@ def train_gbt_grid(
             cols.append(
                 F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias(f"hm_{c}")
             )
-        work = staged.select(*cols)
+        work = staged.select(*cols).persist()
         entries = ", ".join(
             f"{c}, {i}, b_{f}, gm_{c}, hm_{c}"
             for c in active
@@ -838,6 +894,9 @@ def train_gbt_grid(
             .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
             .collect()
         )
+        if prev_work is not None:
+            prev_work.unpersist()
+        prev_work = work
         for c in active:
             lam_c = float(configs[c][3])
             rfidx, rbin, rgain = roots[c]
@@ -867,6 +926,23 @@ def train_gbt_grid(
                 else:
                     tree["w_rl"], tree["w_rr"] = wl, wr
             trees_all[c].append(tree)
+        if t + 1 < max_rounds:
+            nxt = [c for c in range(k) if configs[c][1] > t + 1]
+            state = work.select(
+                "label",
+                *[f"b_{f}" for f in features],
+                *[
+                    (
+                        f_expr(c)
+                        + F.lit(float(configs[c][2]))
+                        * _tree_logit_on_bins(trees_all[c][-1], features)
+                    ).alias(f"__f_{c}")
+                    for c in nxt
+                ],
+            )
+            carried = nxt
+    if prev_work is not None:
+        prev_work.unpersist()
     return trees_all
 
 

@@ -52,10 +52,14 @@ from pyspark.sql import functions as F
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
     GBT_BINS,
     GBT_MS_CONFIGS,
+    _argmax_split,
+    _bin_expr,
     _gbt_ctes,
     _gbt_holdout_ctes,
+    _leaf_w,
+    _spread,
+    _tree_logit_on_bins,
     gbt_trained_logit_expr,
-    train_gbt_grid,
 )
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
@@ -71,6 +75,201 @@ def _r6(x: float) -> float:
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 
+def train_gbt_grid_cv(
+    fv: DataFrame,
+    fold_col,
+    configs: tuple[tuple[str, int, float, float], ...] = GBT_MS_CONFIGS,
+    folds: int = CV_FOLDS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+) -> list[list[list[dict]]]:
+    """Fit EVERY (fold, config) depth-2 model in max(rounds)·2 shared
+    scans — ext/gbt.train_gbt_grid with the CV FOLD LOOP fused into
+    the same stacked aggregate (guide §1.2/§2.3: the fold loop re-ran
+    the whole grid trainer per complement, 3× the scans and 3× the
+    eager jobs for sums a single pass can produce side by side).
+
+    Per (round, level) ONE stacked aggregate carries every
+    (fold, config) pair: each pair's gradients come from its own
+    partial ensemble staged as its own sigmoid column, and a
+    post-stack ``fold != __fold`` filter keeps exactly the complement
+    rows — model (f, c) therefore sums the identical integer micros
+    over the identical row set as ``train_gbt_grid(fv.filter(fold_col
+    != f))``, so the returned tree lists are bit-identical to the
+    per-fold loop (law-pinned in tests/test_gbt_deep.py). Returns
+    ``trees[fold][cfg]``.
+
+    Scale: stacked rows grow (folds−1)/folds · folds / 1 = ×(folds−1)
+    per scan versus one fold's scan, but the SCAN COUNT drops ×folds
+    and every byte stays in the same map-side combine — at 100 TB the
+    histograms remain ≤ folds·k·2·d·B integer cells."""
+    binned = _spread(
+        fv.select(
+            F.col(label).alias("label"),
+            fold_col.cast("int").alias("__fold"),
+            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+        )
+    )
+    k = len(configs)
+    trees_cv: list[list[list[dict]]] = [[[] for _ in configs] for _ in range(folds)]
+    max_rounds = max(r for _n, r, _e, _l in configs)
+    n_f = len(features)
+    # r17: partial-logit __f_<fold>_<cfg> columns + per-round persisted
+    # frame — the rows{t} plan-truncation discipline (see
+    # ext/gbt.train_gbt's comment); every plan holds at most one tree
+    # per (fold, config) model.
+    state = binned
+    carried: list[tuple[int, int]] = []
+    prev_work = None
+    for t in range(max_rounds):
+        active = [c for c in range(k) if configs[c][1] > t]
+
+        def f_expr(f: int, c: int):
+            return (
+                F.col(f"__f_{f}_{c}") if (f, c) in carried else F.lit(0.0)
+            )
+
+        staged = state
+        for f in range(folds):
+            for c in active:
+                staged = staged.withColumn(
+                    f"__p_{f}_{c}",
+                    det_round(
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-f_expr(f, c))), 6
+                    ),
+                )
+        cols = [
+            "label",
+            "__fold",
+            *[f"b_{feat}" for feat in features],
+            *[F.col(f"__f_{f}_{c}") for (f, c) in carried if c in active],
+        ]
+        for f in range(folds):
+            for c in active:
+                p = F.col(f"__p_{f}_{c}")
+                g = p - F.col("label").cast("double")
+                h = p * (F.lit(1.0) - p)
+                cols.append(
+                    F.floor(g * F.lit(1e6) + F.lit(0.5))
+                    .cast("long")
+                    .alias(f"gm_{f}_{c}")
+                )
+                cols.append(
+                    F.floor(h * F.lit(1e6) + F.lit(0.5))
+                    .cast("long")
+                    .alias(f"hm_{f}_{c}")
+                )
+        work = staged.select(*cols).persist()
+        entries = ", ".join(
+            f"{f}, {c}, {i}, b_{feat}, gm_{f}_{c}, hm_{f}_{c}"
+            for f in range(folds)
+            for c in active
+            for i, feat in enumerate(features)
+        )
+        stacked = work.selectExpr(
+            "__fold",
+            f"stack({folds * len(active) * n_f}, {entries}) "
+            "AS (fold, cfg, fidx, bin, gm, hm)",
+        ).filter("fold != __fold")
+        h1 = (
+            stacked.groupBy("fold", "cfg", "fidx", "bin")
+            .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+            .collect()
+        )
+        roots: dict[tuple[int, int], tuple[int, int, float]] = {}
+        for f in range(folds):
+            for c in active:
+                lam_c = float(configs[c][3])
+                cells = [
+                    (r["fidx"], r["bin"], r["gs"], r["hs"])
+                    for r in h1
+                    if r["fold"] == f and r["cfg"] == c
+                ]
+                rfidx, rbin, _glm, _hlm, _gm, _hm, rgain = _argmax_split(
+                    cells, features, lam_c
+                )
+                roots[(f, c)] = (rfidx, rbin, rgain)
+        work2 = work
+        for f in range(folds):
+            for c in active:
+                rfidx, rbin, _g = roots[(f, c)]
+                work2 = work2.withColumn(
+                    f"node_{f}_{c}",
+                    F.when(F.col(f"b_{features[rfidx]}") <= rbin, 0).otherwise(1),
+                )
+        entries2 = ", ".join(
+            f"{f}, {c}, node_{f}_{c}, {i}, b_{feat}, gm_{f}_{c}, hm_{f}_{c}"
+            for f in range(folds)
+            for c in active
+            for i, feat in enumerate(features)
+        )
+        stacked2 = work2.selectExpr(
+            "__fold",
+            f"stack({folds * len(active) * n_f}, {entries2}) "
+            "AS (fold, cfg, node, fidx, bin, gm, hm)",
+        ).filter("fold != __fold")
+        h2 = (
+            stacked2.groupBy("fold", "cfg", "node", "fidx", "bin")
+            .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+            .collect()
+        )
+        if prev_work is not None:
+            prev_work.unpersist()
+        prev_work = work
+        for f in range(folds):
+            for c in active:
+                lam_c = float(configs[c][3])
+                rfidx, rbin, rgain = roots[(f, c)]
+                by_node: dict[int, list] = {}
+                for r in h2:
+                    if r["fold"] == f and r["cfg"] == c:
+                        by_node.setdefault(r["node"], []).append(
+                            (r["fidx"], r["bin"], r["gs"], r["hs"])
+                        )
+                if sorted(by_node) != [0, 1]:
+                    raise ValueError(
+                        f"degenerate root split in round {t} of config "
+                        f"{configs[c][0]} fold {f}: child node(s) "
+                        f"{sorted({0, 1} - set(by_node))} are empty"
+                    )
+                tree = {"root": (rfidx, rbin), "gain_root": rgain}
+                for n_id, side in ((0, "left"), (1, "right")):
+                    cfidx, cbin, glm, hlm, g_m, h_m, cgain = _argmax_split(
+                        by_node[n_id], features, lam_c
+                    )
+                    tree[side] = (cfidx, cbin)
+                    tree[f"gain_{side}"] = cgain
+                    wl = _leaf_w(glm, hlm, lam_c)
+                    wr = _leaf_w(g_m - glm, h_m - hlm, lam_c)
+                    if n_id == 0:
+                        tree["w_ll"], tree["w_lr"] = wl, wr
+                    else:
+                        tree["w_rl"], tree["w_rr"] = wl, wr
+                trees_cv[f][c].append(tree)
+        if t + 1 < max_rounds:
+            nxt = [c for c in range(k) if configs[c][1] > t + 1]
+            state = work.select(
+                "label",
+                "__fold",
+                *[f"b_{feat}" for feat in features],
+                *[
+                    (
+                        f_expr(f, c)
+                        + F.lit(float(configs[c][2]))
+                        * _tree_logit_on_bins(trees_cv[f][c][-1], features)
+                    ).alias(f"__f_{f}_{c}")
+                    for f in range(folds)
+                    for c in nxt
+                ],
+            )
+            carried = [(f, c) for f in range(folds) for c in nxt]
+    if prev_work is not None:
+        prev_work.unpersist()
+    return trees_cv
+
+
 def gbt_cv_fold_aucs(
     fv: DataFrame,
     configs: tuple[tuple[str, int, float, float], ...] = GBT_MS_CONFIGS,
@@ -80,21 +279,23 @@ def gbt_cv_fold_aucs(
 ) -> list[list[float]]:
     """Per-config per-fold round6 holdout AUCs: ``out[cfg][fold]``.
 
-    Trains the fused grid on each fold complement, scores each
-    held-out fold in one stacked scan, and reduces all
-    folds × configs AUCs through ONE distributed rank-sum aggregate
-    (3·|configs| scalar rows to the driver — the sanctioned bounded
-    collect class)."""
+    Trains ALL folds × configs through the fold-fused grid trainer
+    (one stacked aggregate per round-level — r17, guide §1.2/§2.3;
+    bit-identical trees to the per-fold loop), scores each held-out
+    fold in one stacked scan, and reduces all folds × configs AUCs
+    through ONE distributed rank-sum aggregate (3·|configs| scalar
+    rows to the driver — the sanctioned bounded collect class)."""
     fold_col = F.pmod(
         hash60(F.col("o_orderkey").cast("string")), F.lit(folds)
     )
+    trees_cv = train_gbt_grid_cv(
+        fv, fold_col, configs=configs, folds=folds, features=features,
+        scales=scales,
+    )
     scored_parts = []
     for f in range(folds):
-        tr = fv.filter(fold_col != f)
         va = fv.filter(fold_col == f)
-        trees_all = train_gbt_grid(
-            tr, configs=configs, features=features, scales=scales
-        )
+        trees_all = trees_cv[f]
         staged = va.select(
             "label",
             *[
@@ -286,6 +487,241 @@ def gbt_cv_selection_sql(
 CV_FULL_TRIALS = 4
 
 
+def train_gbt_grid_full_cv(
+    fv: DataFrame,
+    fold_col,
+    configs,
+    folds: int = CV_FOLDS,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+) -> list[list[list[dict]]]:
+    """:func:`train_gbt_grid_cv` over FULL nine-axis trials —
+    ext/gbt_deep.train_gbt_grid_full with the CV fold loop fused into
+    the shared per-(round, level) stacked aggregate. Every stochastic
+    / regularization axis rides exactly as in the single-fold fused
+    trainer (subsample = the shared per-round hash column + per-trial
+    post-stack threshold; colsample = per-trial plan-time stack
+    entries; scale_pos_weight inside each (fold, trial)'s staged
+    gm/hm; mcw/L1 driver-side), and the ``fold != __fold`` post-stack
+    filter restricts model (f, c) to its complement rows — the sums
+    are the identical integer micros over the identical row sets, so
+    the trees are bit-identical to the per-fold loop. Returns
+    ``trees[fold][cfg]``."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
+        _argmax_split_sub,
+        _leaf_w_l1,
+        _sub_pct,
+        col_subset,
+        deep_tree_logit_on_bins,
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import _leaf_w
+
+    sampling = any(c[5] is not None and c[5] < 1.0 for c in configs)
+    binned = _spread(
+        fv.select(
+            F.col(label).alias("label"),
+            fold_col.cast("int").alias("__fold"),
+            *([F.col("o_orderkey")] if sampling else []),
+            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+        )
+    )
+    k = len(configs)
+    trees_cv: list[list[list[dict]]] = [[[] for _ in configs] for _ in range(folds)]
+    max_rounds = max(c[1] for c in configs)
+    pcts = [
+        100 if c[5] is None or c[5] >= 1.0 else _sub_pct(c[5]) for c in configs
+    ]
+    # r17: partial-logit __f_<fold>_<cfg> columns + per-round persisted
+    # frame — the rows{t} plan-truncation discipline; see
+    # ext/gbt.train_gbt's comment.
+    state = binned
+    carried: list[tuple[int, int]] = []
+    prev_work = None
+    for t in range(max_rounds):
+        round_active = [c for c in range(k) if configs[c][1] > t]
+
+        def f_expr(f: int, c: int):
+            return (
+                F.col(f"__f_{f}_{c}") if (f, c) in carried else F.lit(0.0)
+            )
+
+        staged = state
+        for f in range(folds):
+            for c in round_active:
+                staged = staged.withColumn(
+                    f"__p_{f}_{c}",
+                    det_round(
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-f_expr(f, c))), 6
+                    ),
+                )
+        cols = [
+            "label",
+            "__fold",
+            *(["o_orderkey"] if sampling else []),
+            *[f"b_{feat}" for feat in features],
+            *[F.col(f"__f_{f}_{c}") for (f, c) in carried if c in round_active],
+        ]
+        for f in range(folds):
+            for c in round_active:
+                p = F.col(f"__p_{f}_{c}")
+                g = p - F.col("label").cast("double")
+                h = p * (F.lit(1.0) - p)
+                spw_c = configs[c][9]
+                if spw_c is not None and float(spw_c) != 1.0:
+                    wgt = F.when(
+                        F.col("label") == 1, F.lit(float(spw_c))
+                    ).otherwise(F.lit(1.0))
+                    gc, hc = g * wgt * F.lit(1e6), h * wgt * F.lit(1e6)
+                else:
+                    gc, hc = g * F.lit(1e6), h * F.lit(1e6)
+                cols.append(
+                    F.floor(gc + F.lit(0.5)).cast("long").alias(f"gm_{f}_{c}")
+                )
+                cols.append(
+                    F.floor(hc + F.lit(0.5)).cast("long").alias(f"hm_{f}_{c}")
+                )
+        if sampling:
+            key = F.concat(
+                F.col("o_orderkey").cast("string"), F.lit(f"#r{t}")
+            )
+            cols.append((hash60(key) % 100).alias("__h"))
+        # sigmoid cascades + micro-floors computed once per round; the
+        # depth levels re-read the cached columns (within-query persist)
+        work = staged.select(*cols).persist()
+        actives = {
+            c: col_subset(features, t, configs[c][6]) for c in round_active
+        }
+        nodes: dict[tuple[int, int], object] = {
+            (f, c): F.lit(1) for f in range(folds) for c in round_active
+        }
+        trees_new: dict[tuple[int, int], dict] = {
+            (f, c): {
+                "depth": configs[c][4],
+                "splits": {},
+                "gains": {},
+                "leaves": {},
+            }
+            for f in range(folds)
+            for c in round_active
+        }
+        max_depth = max(configs[c][4] for c in round_active)
+        for lvl in range(max_depth):
+            lvl_active = [c for c in round_active if configs[c][4] > lvl]
+            work_l = work
+            for f in range(folds):
+                for c in lvl_active:
+                    work_l = work_l.withColumn(f"node_{f}_{c}", nodes[(f, c)])
+            entries = ", ".join(
+                f"{f}, {c}, node_{f}_{c}, {i}, b_{features[i]}, gm_{f}_{c}, hm_{f}_{c}"
+                for f in range(folds)
+                for c in lvl_active
+                for i in actives[c]
+            )
+            n_entries = folds * sum(len(actives[c]) for c in lvl_active)
+            stacked = work_l.selectExpr(
+                "__fold",
+                *(["__h"] if sampling else []),
+                f"stack({n_entries}, {entries}) "
+                "AS (fold, cfg, node, fidx, bin, gm, hm)",
+            ).filter("fold != __fold")
+            if sampling:
+                thr = F.element_at(
+                    F.array(*[F.lit(p) for p in pcts]), F.col("cfg") + 1
+                )
+                stacked = stacked.filter(F.col("__h") < thr)
+            rows = (
+                stacked.groupBy("fold", "cfg", "node", "fidx", "bin")
+                .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
+                .collect()
+            )
+            nodes_at = list(range(2**lvl, 2 ** (lvl + 1)))
+            for f in range(folds):
+                for c in lvl_active:
+                    lam_c = float(configs[c][3])
+                    depth_c = configs[c][4]
+                    mcw_micro = int(round(float(configs[c][7]) * 1e6))
+                    alpha_micro = int(round(float(configs[c][8]) * 1e6))
+                    by_node: dict[int, list] = {}
+                    for r in rows:
+                        if r["fold"] == f and r["cfg"] == c:
+                            by_node.setdefault(r["node"], []).append(
+                                (r["fidx"], r["bin"], r["gs"], r["hs"])
+                            )
+                    if sorted(by_node) != nodes_at:
+                        raise ValueError(
+                            f"degenerate split in round {t} level {lvl} of "
+                            f"config {configs[c][0]} fold {f}: node(s) "
+                            f"{sorted(set(nodes_at) - set(by_node))} received "
+                            "no selected rows"
+                        )
+                    branch = None
+                    for n_id in nodes_at:
+                        fidx, b, glm, hlm, g_m, h_m, gain = _argmax_split_sub(
+                            by_node[n_id], actives[c], lam_c, mcw_micro,
+                            alpha_micro,
+                        )
+                        trees_new[(f, c)]["splits"][n_id] = (fidx, b)
+                        trees_new[(f, c)]["gains"][n_id] = gain
+                        if lvl == depth_c - 1:
+                            if alpha_micro:
+                                trees_new[(f, c)]["leaves"][2 * n_id] = _leaf_w_l1(
+                                    glm, hlm, lam_c, alpha_micro
+                                )
+                                trees_new[(f, c)]["leaves"][2 * n_id + 1] = (
+                                    _leaf_w_l1(
+                                        g_m - glm, h_m - hlm, lam_c, alpha_micro
+                                    )
+                                )
+                            else:
+                                trees_new[(f, c)]["leaves"][2 * n_id] = _leaf_w(
+                                    glm, hlm, lam_c
+                                )
+                                trees_new[(f, c)]["leaves"][2 * n_id + 1] = _leaf_w(
+                                    g_m - glm, h_m - hlm, lam_c
+                                )
+                        else:
+                            side = F.when(
+                                F.col(f"b_{features[fidx]}") <= b, 0
+                            ).otherwise(1)
+                            cond = nodes[(f, c)] == n_id
+                            branch = (
+                                F.when(cond, side)
+                                if branch is None
+                                else branch.when(cond, side)
+                            )
+                    if lvl < depth_c - 1:
+                        nodes[(f, c)] = nodes[(f, c)] * 2 + branch
+        if prev_work is not None:
+            prev_work.unpersist()
+        prev_work = work
+        for f in range(folds):
+            for c in round_active:
+                trees_cv[f][c].append(trees_new[(f, c)])
+        if t + 1 < max_rounds:
+            nxt = [c for c in range(k) if configs[c][1] > t + 1]
+            state = work.select(
+                "label",
+                "__fold",
+                *(["o_orderkey"] if sampling else []),
+                *[f"b_{feat}" for feat in features],
+                *[
+                    (
+                        f_expr(f, c)
+                        + F.lit(float(configs[c][2]))
+                        * deep_tree_logit_on_bins(trees_cv[f][c][-1], features)
+                    ).alias(f"__f_{f}_{c}")
+                    for f in range(folds)
+                    for c in nxt
+                ],
+            )
+            carried = [(f, c) for f in range(folds) for c in nxt]
+    if prev_work is not None:
+        prev_work.unpersist()
+    return trees_cv
+
+
 def gbt_cv_fold_aucs_full(
     fv: DataFrame,
     configs,
@@ -293,27 +729,25 @@ def gbt_cv_fold_aucs_full(
     features: tuple[str, ...] = SCORE_FEATURES,
     scales: dict[str, float] | None = None,
 ) -> list[list[float]]:
-    """:func:`gbt_cv_fold_aucs` over FULL nine-axis trials: per fold
-    the fused full-space trainer (ext/gbt_deep.train_gbt_grid_full)
-    fits every trial on the complement — subsample/colsample/
-    scale_pos_weight/mcw/L1 all riding the shared per-(round, level)
-    scan — then the SAME one-aggregate rank-sum tail yields all
-    folds x trials AUCs."""
+    """:func:`gbt_cv_fold_aucs` over FULL nine-axis trials: ALL
+    folds × trials fit through the fold-fused full-space trainer
+    (one stacked aggregate per round-level — r17, guide §1.2/§2.3;
+    bit-identical trees to the per-fold loop), then the SAME
+    one-aggregate rank-sum tail yields all folds x trials AUCs."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
         gbt_deep_logit_expr,
-        train_gbt_grid_full,
     )
 
     fold_col = F.pmod(
         hash60(F.col("o_orderkey").cast("string")), F.lit(folds)
     )
+    trees_cv = train_gbt_grid_full_cv(
+        fv, fold_col, configs, folds=folds, features=features, scales=scales
+    )
     scored_parts = []
     for f in range(folds):
-        tr = fv.filter(fold_col != f)
         va = fv.filter(fold_col == f)
-        trees_all = train_gbt_grid_full(
-            tr, configs=configs, features=features, scales=scales
-        )
+        trees_all = trees_cv[f]
         staged = va.select(
             "label",
             *[

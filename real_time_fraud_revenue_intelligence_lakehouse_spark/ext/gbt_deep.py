@@ -335,11 +335,14 @@ def train_gbt_deep(
     )
     trees: list[dict] = []
     first_leaf = 2**depth
+    # r17: partial-logit __f column + per-round persisted frame — the
+    # rows{t} plan-truncation discipline (see train_gbt_grid_deep);
+    # every plan holds at most one tree.
+    state = binned
+    prev_work = None
     for t in range(rounds):
-        z: Column = F.lit(0.0)
-        for tr in trees:
-            z = z + F.lit(float(eta)) * deep_tree_logit_on_bins(tr, features)
-        staged = binned.withColumn(
+        z: Column = F.col("__f") if trees else F.lit(0.0)
+        staged = state.withColumn(
             "__p", det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
         )
         p = F.col("__p")
@@ -348,10 +351,13 @@ def train_gbt_deep(
         gc = g * F.lit(_MICRO) if wgt is None else g * wgt * F.lit(_MICRO)
         hc = h * F.lit(_MICRO) if wgt is None else h * wgt * F.lit(_MICRO)
         work = staged.select(
-            "*",
+            "label",
+            *(["o_orderkey"] if sampling else []),
+            *[f"b_{f}" for f in features],
+            *([F.col("__f")] if trees else []),
             F.floor(gc + F.lit(0.5)).cast("long").alias("gm"),
             F.floor(hc + F.lit(0.5)).cast("long").alias("hm"),
-        )
+        ).persist()
         hist_src = work.filter(_sub_pred_expr(t, subsample)) if sampling else work
         active = col_subset(features, t, colsample)
         pairs = ", ".join(f"{i}, b_{features[i]}" for i in active)
@@ -412,8 +418,24 @@ def train_gbt_deep(
                     )
             if lvl < depth - 1:
                 node = node * 2 + branch
+        if prev_work is not None:
+            prev_work.unpersist()
+        prev_work = work
         assert len(tree["splits"]) == first_leaf - 1
+        had_trees = bool(trees)
         trees.append(tree)
+        if t + 1 < rounds:
+            state = work.select(
+                "label",
+                *(["o_orderkey"] if sampling else []),
+                *[f"b_{f}" for f in features],
+                (
+                    (F.col("__f") if had_trees else F.lit(0.0))
+                    + F.lit(float(eta)) * deep_tree_logit_on_bins(tree, features)
+                ).alias("__f"),
+            )
+    if prev_work is not None:
+        prev_work.unpersist()
     return trees
 
 
@@ -826,19 +848,40 @@ def train_gbt_grid_deep(
     max_rounds = max(r for _n, r, _e, _l, _d in configs)
     n_f = len(features)
     all_fidx = tuple(range(n_f))
+    # r17 (guide §3.3 plan truncation / §1.2 re-execution): the round-t
+    # ensemble logit is carried as a materialized __f_<c> column in a
+    # per-round persisted working frame — the SQL oracle's own rows{t}
+    # discipline. Without it every level job re-plans and re-evaluates
+    # the whole prior-tree CASE cascade (measured: round cost grew
+    # 2.6 → 2.2 → 3.2+ s across 3 rounds); with it every plan holds at
+    # most ONE tree. The persist materializes inside the level-0 job
+    # (no dedicated checkpoint job); the previous round's frame — the
+    # current one's lineage parent — unpersists only after the level
+    # loop materialized its successor. f accumulates left-associated
+    # in the identical op order (f + η·tree), so the doubles — and the
+    # trees — are bit-identical (law-pinned).
+    state = binned
+    carried: list[int] = []
+    prev_work = None
     for t in range(max_rounds):
         round_active = [c for c in range(k) if configs[c][1] > t]
-        staged = binned
+
+        def f_expr(c: int) -> Column:
+            return F.col(f"__f_{c}") if c in carried else F.lit(0.0)
+
+        staged = state
         for c in round_active:
-            eta_c = float(configs[c][2])
-            z: Column = F.lit(0.0)
-            for tr in trees_all[c]:
-                z = z + F.lit(eta_c) * deep_tree_logit_on_bins(tr, features)
             staged = staged.withColumn(
                 f"__p_{c}",
-                det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+                det_round(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-f_expr(c))), 6
+                ),
             )
-        cols = ["*"]
+        cols = [
+            "label",
+            *[f"b_{f}" for f in features],
+            *[F.col(f"__f_{c}").alias(f"__f_{c}") for c in carried if c in round_active],
+        ]
         for c in round_active:
             p = F.col(f"__p_{c}")
             g = p - F.col("label").cast("double")
@@ -853,7 +896,7 @@ def train_gbt_grid_deep(
                 .cast("long")
                 .alias(f"hm_{c}")
             )
-        work = staged.select(*cols)
+        work = staged.select(*cols).persist()
         nodes: dict[int, Column] = {c: F.lit(1) for c in round_active}
         trees_new: dict[int, dict] = {
             c: {
@@ -926,8 +969,28 @@ def train_gbt_grid_deep(
                         )
                 if lvl < depth_c - 1:
                     nodes[c] = nodes[c] * 2 + branch
+        if prev_work is not None:
+            prev_work.unpersist()
+        prev_work = work
         for c in round_active:
             trees_all[c].append(trees_new[c])
+        if t + 1 < max_rounds:
+            nxt = [c for c in range(k) if configs[c][1] > t + 1]
+            state = work.select(
+                "label",
+                *[f"b_{f}" for f in features],
+                *[
+                    (
+                        f_expr(c)
+                        + F.lit(float(configs[c][2]))
+                        * deep_tree_logit_on_bins(trees_new[c], features)
+                    ).alias(f"__f_{c}")
+                    for c in nxt
+                ],
+            )
+            carried = nxt
+    if prev_work is not None:
+        prev_work.unpersist()
     return trees_all
 
 
@@ -1284,19 +1347,32 @@ def train_gbt_grid_full(
     pcts = [
         100 if c[5] is None or c[5] >= 1.0 else _sub_pct(c[5]) for c in configs
     ]
+    # r17: partial-logit __f_<c> columns + per-round persisted frame —
+    # the rows{t} plan-truncation discipline of train_gbt_grid_deep
+    # (see its comment); every plan holds at most one tree per trial.
+    state = binned
+    carried: list[int] = []
+    prev_work = None
     for t in range(max_rounds):
         round_active = [c for c in range(k) if configs[c][1] > t]
-        staged = binned
+
+        def f_expr(c: int) -> Column:
+            return F.col(f"__f_{c}") if c in carried else F.lit(0.0)
+
+        staged = state
         for c in round_active:
-            eta_c = float(configs[c][2])
-            z: Column = F.lit(0.0)
-            for tr in trees_all[c]:
-                z = z + F.lit(eta_c) * deep_tree_logit_on_bins(tr, features)
             staged = staged.withColumn(
                 f"__p_{c}",
-                det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+                det_round(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-f_expr(c))), 6
+                ),
             )
-        cols = ["*"]
+        cols = [
+            "label",
+            *(["o_orderkey"] if sampling else []),
+            *[f"b_{f}" for f in features],
+            *[F.col(f"__f_{c}") for c in carried if c in round_active],
+        ]
         for c in round_active:
             p = F.col(f"__p_{c}")
             g = p - F.col("label").cast("double")
@@ -1322,7 +1398,7 @@ def train_gbt_grid_full(
                 F.col("o_orderkey").cast("string"), F.lit(f"#r{t}")
             )
             cols.append((hash60(key) % 100).alias("__h"))
-        work = staged.select(*cols)
+        work = staged.select(*cols).persist()
         actives = {
             c: col_subset(features, t, configs[c][6]) for c in round_active
         }
@@ -1417,8 +1493,29 @@ def train_gbt_grid_full(
                         )
                 if lvl < depth_c - 1:
                     nodes[c] = nodes[c] * 2 + branch
+        if prev_work is not None:
+            prev_work.unpersist()
+        prev_work = work
         for c in round_active:
             trees_all[c].append(trees_new[c])
+        if t + 1 < max_rounds:
+            nxt = [c for c in range(k) if configs[c][1] > t + 1]
+            state = work.select(
+                "label",
+                *(["o_orderkey"] if sampling else []),
+                *[f"b_{f}" for f in features],
+                *[
+                    (
+                        f_expr(c)
+                        + F.lit(float(configs[c][2]))
+                        * deep_tree_logit_on_bins(trees_new[c], features)
+                    ).alias(f"__f_{c}")
+                    for c in nxt
+                ],
+            )
+            carried = nxt
+    if prev_work is not None:
+        prev_work.unpersist()
     return trees_all
 
 

@@ -468,9 +468,13 @@ def test_fused_grid_job_count_is_config_width_independent(spark):
     n_wide = jobs_for(wide, "rs_wide")
     n_narrow = jobs_for(narrow, "rs_narrow")
     assert n_wide == n_narrow, (n_wide, n_narrow)
-    # and the bound itself: one aggregate ACTION per (round, level);
-    # AQE materializes each as ≤2 Spark jobs (shuffle-map + result)
-    assert n_wide <= 2 * max(c[1] for c in wide) * max(c[4] for c in wide)
+    # and the bound itself: one aggregate ACTION per (round, level) at
+    # ≤2 Spark jobs each (shuffle-map + result), plus ≤1 job per round
+    # for the r17 spread/persist materialization of the shared
+    # gradient frame (the within-query cache every level re-reads)
+    assert n_wide <= max(c[1] for c in wide) * (
+        2 * max(c[4] for c in wide) + 1
+    )
 
 
 def test_random_search_winner_matches_independent_sweep(spark):
@@ -645,7 +649,11 @@ def test_fused_full_grid_job_count_is_config_width_independent(spark):
     n_wide = jobs_for(wide, "rsf_wide")
     n_narrow = jobs_for(narrow, "rsf_narrow")
     assert n_wide == n_narrow, (n_wide, n_narrow)
-    assert n_wide <= 2 * max(c[1] for c in wide) * max(c[4] for c in wide)
+    # ≤2 jobs per (round, level) aggregate action, plus ≤1 job per
+    # round for the r17 spread/persist gradient-frame materialization
+    assert n_wide <= max(c[1] for c in wide) * (
+        2 * max(c[4] for c in wide) + 1
+    )
 
 
 def test_cv_full_fold_aucs_match_independent_replay(spark):
@@ -730,3 +738,47 @@ def test_sampled_study_identities_are_pinned_literally():
         ("f06", 2, 0.5, 2.0, 2, 1.0, 0.75, 0.5, 0.0, 1.0),
         ("f07", 3, 0.5, 1.0, 2, 0.85, 1.0, 0.5, 0.25, 5.0),
     )
+
+
+def test_fold_fused_cv_trainers_match_per_fold_loop(spark):
+    """r17: the CV fold loop is fused into ONE stacked aggregate per
+    (round, level) (train_gbt_grid_cv / train_gbt_grid_full_cv); the
+    trees must be bit-identical to training each fold's complement
+    separately through the single-fold fused trainers — splits, gains
+    AND leaf doubles."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import train_gbt_grid
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_cv import (
+        train_gbt_grid_cv,
+        train_gbt_grid_full_cv,
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
+        train_gbt_grid_full,
+    )
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
+
+    df, *_ = _frame(spark, n=1200, seed=19)
+    fold_col = F.pmod(hash60(F.col("o_orderkey").cast("string")), F.lit(3))
+
+    cfgs2 = (("a", 2, 0.3, 1.0), ("b", 1, 0.3, 1.0), ("c", 2, 0.1, 5.0))
+    fused2 = train_gbt_grid_cv(df, fold_col, configs=cfgs2, features=FEATS, scales={})
+    for f in range(3):
+        seq = train_gbt_grid(
+            df.filter(fold_col != f), configs=cfgs2, features=FEATS, scales={}
+        )
+        assert fused2[f] == seq, f"depth-2 fold {f} diverged"
+
+    # full space: every axis exercised (subsample, colsample, mcw,
+    # alpha, pos_weight, mixed depths/rounds)
+    cfgsF = (
+        ("f0", 2, 0.3, 1.0, 2, 0.7, 0.75, 0.5, 0.25, 2.0),
+        ("f1", 1, 0.2, 1.0, 3, 1.0, 1.0, 0.0, 0.0, 1.0),
+        ("f2", 2, 0.4, 0.5, 2, 0.85, 1.0, 0.0, 0.5, 5.0),
+    )
+    fusedF = train_gbt_grid_full_cv(df, fold_col, cfgsF, features=FEATS, scales={})
+    for f in range(3):
+        seqF = train_gbt_grid_full(
+            df.filter(fold_col != f), configs=cfgsF, features=FEATS, scales={}
+        )
+        assert fusedF[f] == seqF, f"full-space fold {f} diverged"
