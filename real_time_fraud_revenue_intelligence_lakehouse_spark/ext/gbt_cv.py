@@ -59,7 +59,6 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
     _leaf_w,
     _spread,
     _tree_logit_on_bins,
-    gbt_trained_logit_expr,
 )
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.text import hash60
@@ -296,23 +295,30 @@ def gbt_cv_fold_aucs(
     for f in range(folds):
         va = fv.filter(fold_col == f)
         trees_all = trees_cv[f]
-        staged = va.select(
+        # r17: stage the bin columns once and run every config's
+        # cascade on them — the raw-feature form re-derived each
+        # feature's bin at every split node (configs × trees × nodes
+        # derivations per row, and as many extra expression nodes for
+        # Catalyst/codegen). Same long bins → same comparisons → same
+        # leaf doubles, bit-identical scores.
+        vab = va.select(
+            "label",
+            *[_bin_expr(f_, scales, GBT_BINS).alias(f"b_{f_}") for f_ in features],
+        )
+
+        def ens(i: int):
+            z = F.lit(0.0)
+            for tr_ in trees_all[i]:
+                z = z + F.lit(float(configs[i][2])) * _tree_logit_on_bins(
+                    tr_, features
+                )
+            return z
+
+        staged = vab.select(
             "label",
             *[
                 det_round(
-                    F.lit(1.0)
-                    / (
-                        F.lit(1.0)
-                        + F.exp(
-                            -gbt_trained_logit_expr(
-                                trees_all[i],
-                                features=features,
-                                eta=configs[i][2],
-                                scales=scales,
-                            )
-                        )
-                    ),
-                    6,
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-ens(i))), 6
                 ).alias(f"s_{i}")
                 for i in range(len(configs))
             ],
@@ -735,7 +741,7 @@ def gbt_cv_fold_aucs_full(
     bit-identical trees to the per-fold loop), then the SAME
     one-aggregate rank-sum tail yields all folds x trials AUCs."""
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import (
-        gbt_deep_logit_expr,
+        deep_tree_logit_on_bins,
     )
 
     fold_col = F.pmod(
@@ -748,23 +754,26 @@ def gbt_cv_fold_aucs_full(
     for f in range(folds):
         va = fv.filter(fold_col == f)
         trees_all = trees_cv[f]
-        staged = va.select(
+        # r17: bins staged once, cascades on bin columns (see
+        # gbt_cv_fold_aucs) — bit-identical scores, far smaller plans.
+        vab = va.select(
+            "label",
+            *[_bin_expr(f_, scales, GBT_BINS).alias(f"b_{f_}") for f_ in features],
+        )
+
+        def ens(i: int):
+            z = F.lit(0.0)
+            for tr_ in trees_all[i]:
+                z = z + F.lit(float(configs[i][2])) * deep_tree_logit_on_bins(
+                    tr_, features
+                )
+            return z
+
+        staged = vab.select(
             "label",
             *[
                 det_round(
-                    F.lit(1.0)
-                    / (
-                        F.lit(1.0)
-                        + F.exp(
-                            -gbt_deep_logit_expr(
-                                trees_all[i],
-                                features=features,
-                                eta=configs[i][2],
-                                scales=scales,
-                            )
-                        )
-                    ),
-                    6,
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-ens(i))), 6
                 ).alias(f"s_{i}")
                 for i in range(len(configs))
             ],

@@ -1117,23 +1117,30 @@ def grid_holdout_aucs(
     config's AUC. Driver state: 3·|configs| scalars."""
     from pyspark.sql import Window
 
-    staged = va.select(
+    # r17: stage the bin columns once and run every config's cascade
+    # on them — the raw-feature form re-derived each feature's bin at
+    # every split node (configs × trees × nodes derivations per row,
+    # and as many extra expression nodes for Catalyst/codegen). Same
+    # long bins → same comparisons → same leaf doubles, bit-identical
+    # scores.
+    vab = va.select(
+        "label",
+        *[_bin_expr(f, scales, GBT_BINS).alias(f"b_{f}") for f in features],
+    )
+
+    def ens(i: int) -> Column:
+        z: Column = F.lit(0.0)
+        for tr_ in trees_all[i]:
+            z = z + F.lit(float(configs[i][2])) * deep_tree_logit_on_bins(
+                tr_, features
+            )
+        return z
+
+    staged = vab.select(
         "label",
         *[
             det_round(
-                F.lit(1.0)
-                / (
-                    F.lit(1.0)
-                    + F.exp(
-                        -gbt_deep_logit_expr(
-                            trees_all[i],
-                            features=features,
-                            eta=configs[i][2],
-                            scales=scales,
-                        )
-                    )
-                ),
-                6,
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-ens(i))), 6
             ).alias(f"s_{i}")
             for i in range(len(configs))
         ],
