@@ -118,6 +118,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.plans import (  # noqa
     catalog_heavy,
     catalog_incremental,
     catalog_quality,
+    catalog_scale,
     catalog_relational,
     catalog_sampling,
     catalog_scd2,
