@@ -105,6 +105,59 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _compress_binned(binned: DataFrame, wide: bool = False) -> DataFrame:
+    """Collapse a trainer's binned working frame to ONE row per
+    distinct column vector with an exact ``__cnt`` multiplicity (r17,
+    guide §2.3 "shuffle keys and metadata instead of payloads" applied
+    to the trainer's own scans). Every per-row quantity the descent
+    computes — the staged sigmoid, gradients, hessians, node paths,
+    partial logits — is a pure function of the frame's columns (label,
+    bin vector, and any fold/sample keys the caller kept), so rows
+    with equal vectors contribute IDENTICAL integer micros to every
+    histogram cell; summing ``__cnt·gm`` over the distinct rows is the
+    same integer as summing ``gm`` over the raw rows — the trees are
+    bit-identical (NumPy-replay- and law-pinned). At bench scale this
+    is a 43× row cut (600k → 14,022 distinct (label, 8-bin) vectors),
+    taken once up front by one exchange of the un-amplified rows;
+    every subsequent (round, level) histogram job then scans the
+    compressed frame. At 100 TB the compression ratio is the
+    cardinality of the binned feature space (≤ label·B^d, data-bounded
+    by the distinct vectors actually present) over the row count —
+    histogram boosting's standard weighted-instance form.
+
+    The compressed frame coalesces to defaultParallelism/8 partitions
+    (override: ``spark.rtfril.gbt.compress.parts``): after the 40×
+    row cut every (round, level) histogram job is task-launch-bound,
+    and 32 shuffle partitions × 2 stages of setup cost more than the
+    remaining compute (measured on train_gbt_deep at local[32]:
+    4.9 s at 32 parts → 2.2 s at 4). The divisor keeps the setting
+    scale-adaptive — a 1000-core cluster still fans the (possibly
+    millions-of-rows) compressed frame across 125 tasks.
+
+    ``wide=True`` (the fold-fused CV trainers) keeps the frame at full
+    defaultParallelism instead: their stacks multiply every row by
+    folds × configs × features (~200 arms), so even the compressed
+    frame feeds a compute-bound generate+aggregate — there narrow
+    layouts measured 25 s vs 17 s on q_model_selection_cv_full."""
+    spark = binned.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    parts = (
+        dp
+        if wide
+        else int(
+            spark.conf.get(
+                "spark.rtfril.gbt.compress.parts",
+                str(max(1, dp // 8)),
+            )
+        )
+    )
+    return (
+        binned.groupBy(*binned.columns)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .coalesce(parts)
+    )
+
+
 def _bin_expr(f: str, scales: dict[str, float] | None, bins: int) -> Column:
     """least(greatest(floor(x_scaled·B), 0), B−1) — identical text in
     :func:`_bin_sql`; features are scaled into [0,1] so the clamp only
@@ -250,9 +303,11 @@ def train_gbt(
     −G/(H+λ) are naturally weighted (no n_eff: the weights flow
     through both numerator and denominator).
     """
-    binned = fv.select(
-        F.col(label).alias("label"),
-        *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+    binned = _compress_binned(
+        fv.select(
+            F.col(label).alias("label"),
+            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+        )
     )
     wgt: Column | None = (
         None
@@ -286,9 +341,12 @@ def train_gbt(
         work = staged.select(
             "label",
             *[f"b_{f}" for f in features],
+            "__cnt",
             *([F.col("__f")] if trees else []),
-            F.floor(gc + F.lit(0.5)).cast("long").alias("gm"),
-            F.floor(hc + F.lit(0.5)).cast("long").alias("hm"),
+            # gm/hm carry the row's multiplicity: cnt·floor(g·1e6+.5)
+            # sums to the exact raw-row total (see _compress_binned)
+            (F.floor(gc + F.lit(0.5)).cast("long") * F.col("__cnt")).alias("gm"),
+            (F.floor(hc + F.lit(0.5)).cast("long") * F.col("__cnt")).alias("hm"),
         ).persist()
         n_f = len(features)
         pairs = ", ".join(f"{i}, b_{f}" for i, f in enumerate(features))
@@ -347,6 +405,7 @@ def train_gbt(
             state = work.select(
                 "label",
                 *[f"b_{f}" for f in features],
+                "__cnt",
                 (
                     (F.col("__f") if had_trees else F.lit(0.0))
                     + F.lit(float(eta)) * _tree_logit_on_bins(tree, features)
@@ -813,6 +872,7 @@ def train_gbt_grid(
         F.col(label).alias("label"),
         *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
     )
+    binned = _compress_binned(binned)
     k = len(configs)
     trees_all: list[list[dict]] = [[] for _ in configs]
     max_rounds = max(r for _n, r, _e, _l in configs)
@@ -838,17 +898,22 @@ def train_gbt_grid(
         cols = [
             "label",
             *[f"b_{f}" for f in features],
+            "__cnt",
             *[F.col(f"__f_{c}") for c in carried if c in active],
         ]
         for c in active:
             p = F.col(f"__p_{c}")
             g = p - F.col("label").cast("double")
             h = p * (F.lit(1.0) - p)
+            # ×__cnt: the distinct row stands for cnt identical raw
+            # rows (see _compress_binned) — sums stay exact integers
             cols.append(
-                F.floor(g * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias(f"gm_{c}")
+                (F.floor(g * F.lit(_MICRO) + F.lit(0.5)).cast("long")
+                 * F.col("__cnt")).alias(f"gm_{c}")
             )
             cols.append(
-                F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long").alias(f"hm_{c}")
+                (F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long")
+                 * F.col("__cnt")).alias(f"hm_{c}")
             )
         work = staged.select(*cols).persist()
         entries = ", ".join(
@@ -931,6 +996,7 @@ def train_gbt_grid(
             state = work.select(
                 "label",
                 *[f"b_{f}" for f in features],
+                "__cnt",
                 *[
                     (
                         f_expr(c)

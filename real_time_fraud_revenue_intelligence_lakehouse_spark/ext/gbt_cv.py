@@ -54,10 +54,10 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
     GBT_MS_CONFIGS,
     _argmax_split,
     _bin_expr,
+    _compress_binned,
     _gbt_ctes,
     _gbt_holdout_ctes,
     _leaf_w,
-    _spread,
     _tree_logit_on_bins,
 )
 from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.scoring import SCORE_FEATURES
@@ -104,12 +104,17 @@ def train_gbt_grid_cv(
     per scan versus one fold's scan, but the SCAN COUNT drops ×folds
     and every byte stays in the same map-side combine — at 100 TB the
     histograms remain ≤ folds·k·2·d·B integer cells."""
-    binned = _spread(
+    # _compress_binned folds the frame to distinct (label, fold, bins)
+    # rows with exact __cnt multiplicities (see its docstring); its
+    # groupBy exchange also lands the frame on shuffle_partitions
+    # partitions, which subsumes the former _spread repartition.
+    binned = _compress_binned(
         fv.select(
             F.col(label).alias("label"),
             fold_col.cast("int").alias("__fold"),
             *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
-        )
+        ),
+        wide=True,
     )
     k = len(configs)
     trees_cv: list[list[list[dict]]] = [[[] for _ in configs] for _ in range(folds)]
@@ -143,6 +148,7 @@ def train_gbt_grid_cv(
             "label",
             "__fold",
             *[f"b_{feat}" for feat in features],
+            "__cnt",
             *[F.col(f"__f_{f}_{c}") for (f, c) in carried if c in active],
         ]
         for f in range(folds):
@@ -150,15 +156,15 @@ def train_gbt_grid_cv(
                 p = F.col(f"__p_{f}_{c}")
                 g = p - F.col("label").cast("double")
                 h = p * (F.lit(1.0) - p)
+                # ×__cnt: the distinct row stands for cnt identical
+                # raw rows (_compress_binned) — sums stay exact ints
                 cols.append(
-                    F.floor(g * F.lit(1e6) + F.lit(0.5))
-                    .cast("long")
-                    .alias(f"gm_{f}_{c}")
+                    (F.floor(g * F.lit(1e6) + F.lit(0.5)).cast("long")
+                     * F.col("__cnt")).alias(f"gm_{f}_{c}")
                 )
                 cols.append(
-                    F.floor(h * F.lit(1e6) + F.lit(0.5))
-                    .cast("long")
-                    .alias(f"hm_{f}_{c}")
+                    (F.floor(h * F.lit(1e6) + F.lit(0.5)).cast("long")
+                     * F.col("__cnt")).alias(f"hm_{f}_{c}")
                 )
         work = staged.select(*cols).persist()
         entries = ", ".join(
@@ -253,6 +259,7 @@ def train_gbt_grid_cv(
                 "label",
                 "__fold",
                 *[f"b_{feat}" for feat in features],
+                "__cnt",
                 *[
                     (
                         f_expr(f, c)
@@ -525,20 +532,44 @@ def train_gbt_grid_full_cv(
     from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import _leaf_w
 
     sampling = any(c[5] is not None and c[5] < 1.0 for c in configs)
-    binned = _spread(
-        fv.select(
-            F.col(label).alias("label"),
-            fold_col.cast("int").alias("__fold"),
-            *([F.col("o_orderkey")] if sampling else []),
-            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
-        )
-    )
     k = len(configs)
     trees_cv: list[list[list[dict]]] = [[[] for _ in configs] for _ in range(folds)]
     max_rounds = max(c[1] for c in configs)
     pcts = [
         100 if c[5] is None or c[5] >= 1.0 else _sub_pct(c[5]) for c in configs
     ]
+    # Per-round subsample BUCKET instead of the raw hash (see
+    # ext/gbt_deep.train_gbt_grid_full): h < thr_j ⟺ bucket(h) < j,
+    # so the buckets carry every per-(row, trial, round) decision bit
+    # and _compress_binned can fold rows agreeing on (label, fold,
+    # buckets, bins). The compression's groupBy exchange also lands
+    # the frame on shuffle_partitions partitions, subsuming _spread.
+    thrs = sorted({p for p in pcts if p < 100})
+    ranks = [
+        (thrs.index(p) + 1) if p < 100 else (len(thrs) + 1) for p in pcts
+    ]
+
+    def _bucket(t_: int):
+        key = F.concat(F.col("o_orderkey").cast("string"), F.lit(f"#r{t_}"))
+        h = hash60(key) % 100
+        b = F.lit(0)
+        for thr in thrs:
+            b = b + (h >= F.lit(thr)).cast("int")
+        return b
+
+    binned = _compress_binned(
+        fv.select(
+            F.col(label).alias("label"),
+            fold_col.cast("int").alias("__fold"),
+            *(
+                [_bucket(t_).alias(f"__k_{t_}") for t_ in range(max_rounds)]
+                if sampling
+                else []
+            ),
+            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+        ),
+        wide=True,
+    )
     # r17: partial-logit __f_<fold>_<cfg> columns + per-round persisted
     # frame — the rows{t} plan-truncation discipline; see
     # ext/gbt.train_gbt's comment.
@@ -565,8 +596,13 @@ def train_gbt_grid_full_cv(
         cols = [
             "label",
             "__fold",
-            *(["o_orderkey"] if sampling else []),
+            *(
+                [f"__k_{t_}" for t_ in range(t, max_rounds)]
+                if sampling
+                else []
+            ),
             *[f"b_{feat}" for feat in features],
+            "__cnt",
             *[F.col(f"__f_{f}_{c}") for (f, c) in carried if c in round_active],
         ]
         for f in range(folds):
@@ -582,17 +618,16 @@ def train_gbt_grid_full_cv(
                     gc, hc = g * wgt * F.lit(1e6), h * wgt * F.lit(1e6)
                 else:
                     gc, hc = g * F.lit(1e6), h * F.lit(1e6)
+                # ×__cnt: the distinct row stands for cnt identical
+                # raw rows (_compress_binned) — sums stay exact ints
                 cols.append(
-                    F.floor(gc + F.lit(0.5)).cast("long").alias(f"gm_{f}_{c}")
+                    (F.floor(gc + F.lit(0.5)).cast("long")
+                     * F.col("__cnt")).alias(f"gm_{f}_{c}")
                 )
                 cols.append(
-                    F.floor(hc + F.lit(0.5)).cast("long").alias(f"hm_{f}_{c}")
+                    (F.floor(hc + F.lit(0.5)).cast("long")
+                     * F.col("__cnt")).alias(f"hm_{f}_{c}")
                 )
-        if sampling:
-            key = F.concat(
-                F.col("o_orderkey").cast("string"), F.lit(f"#r{t}")
-            )
-            cols.append((hash60(key) % 100).alias("__h"))
         # sigmoid cascades + micro-floors computed once per round; the
         # depth levels re-read the cached columns (within-query persist)
         work = staged.select(*cols).persist()
@@ -628,15 +663,16 @@ def train_gbt_grid_full_cv(
             n_entries = folds * sum(len(actives[c]) for c in lvl_active)
             stacked = work_l.selectExpr(
                 "__fold",
-                *(["__h"] if sampling else []),
+                *([f"__k_{t}"] if sampling else []),
                 f"stack({n_entries}, {entries}) "
                 "AS (fold, cfg, node, fidx, bin, gm, hm)",
             ).filter("fold != __fold")
             if sampling:
-                thr = F.element_at(
-                    F.array(*[F.lit(p) for p in pcts]), F.col("cfg") + 1
+                # h < pct_c ⟺ bucket < rank_c (see _bucket above)
+                rnk = F.element_at(
+                    F.array(*[F.lit(r_) for r_ in ranks]), F.col("cfg") + 1
                 )
-                stacked = stacked.filter(F.col("__h") < thr)
+                stacked = stacked.filter(F.col(f"__k_{t}") < rnk)
             rows = (
                 stacked.groupBy("fold", "cfg", "node", "fidx", "bin")
                 .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
@@ -710,8 +746,13 @@ def train_gbt_grid_full_cv(
             state = work.select(
                 "label",
                 "__fold",
-                *(["o_orderkey"] if sampling else []),
+                *(
+                    [f"__k_{t_}" for t_ in range(t + 1, max_rounds)]
+                    if sampling
+                    else []
+                ),
                 *[f"b_{feat}" for feat in features],
+                "__cnt",
                 *[
                     (
                         f_expr(f, c)

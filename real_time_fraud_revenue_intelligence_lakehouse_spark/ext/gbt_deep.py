@@ -64,6 +64,7 @@ from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt import (
     GBT_ROUNDS,
     _bin_expr,
     _bin_sql,
+    _compress_binned,
     _gain,
     _gain_sql,
     _leaf_w,
@@ -321,11 +322,23 @@ def train_gbt_deep(
     sampling = subsample is not None and subsample < 1.0
     binned = fv.select(
         F.col(label).alias("label"),
-        # the subsample predicate keys on o_orderkey; exact fits
-        # don't need an id column (synthetic test frames omit it)
-        *([F.col("o_orderkey")] if sampling else []),
+        # subsample keys on o_orderkey, but the descent only ever
+        # reads the per-round MEMBERSHIP BIT — stage all rounds' bits
+        # up front so the id itself never enters the working frame and
+        # _compress_binned can fold rows that agree on (label, bins,
+        # s_0..s_{T-1}); exact fits don't need an id column (synthetic
+        # test frames omit it)
+        *(
+            [
+                _sub_pred_expr(t_, subsample).alias(f"__s_{t_}")
+                for t_ in range(rounds)
+            ]
+            if sampling
+            else []
+        ),
         *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
     )
+    binned = _compress_binned(binned)
     wgt: Column | None = (
         None
         if pos_weight is None
@@ -352,13 +365,16 @@ def train_gbt_deep(
         hc = h * F.lit(_MICRO) if wgt is None else h * wgt * F.lit(_MICRO)
         work = staged.select(
             "label",
-            *(["o_orderkey"] if sampling else []),
+            *([f"__s_{t_}" for t_ in range(t, rounds)] if sampling else []),
             *[f"b_{f}" for f in features],
+            "__cnt",
             *([F.col("__f")] if trees else []),
-            F.floor(gc + F.lit(0.5)).cast("long").alias("gm"),
-            F.floor(hc + F.lit(0.5)).cast("long").alias("hm"),
+            # ×__cnt: the distinct row stands for cnt identical raw
+            # rows (see _compress_binned) — sums stay exact integers
+            (F.floor(gc + F.lit(0.5)).cast("long") * F.col("__cnt")).alias("gm"),
+            (F.floor(hc + F.lit(0.5)).cast("long") * F.col("__cnt")).alias("hm"),
         ).persist()
-        hist_src = work.filter(_sub_pred_expr(t, subsample)) if sampling else work
+        hist_src = work.filter(F.col(f"__s_{t}")) if sampling else work
         active = col_subset(features, t, colsample)
         pairs = ", ".join(f"{i}, b_{features[i]}" for i in active)
         n_act = len(active)
@@ -427,8 +443,9 @@ def train_gbt_deep(
         if t + 1 < rounds:
             state = work.select(
                 "label",
-                *(["o_orderkey"] if sampling else []),
+                *([f"__s_{t_}" for t_ in range(t + 1, rounds)] if sampling else []),
                 *[f"b_{f}" for f in features],
+                "__cnt",
                 (
                     (F.col("__f") if had_trees else F.lit(0.0))
                     + F.lit(float(eta)) * deep_tree_logit_on_bins(tree, features)
@@ -839,9 +856,11 @@ def train_gbt_grid_deep(
     tests/test_gbt_deep.py). At 100 TB each extra config adds
     ≤ 2^L·d·B integer cells to level L's map-side combine — the scan
     is shared, the histograms stay bytes."""
-    binned = fv.select(
-        F.col(label).alias("label"),
-        *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+    binned = _compress_binned(
+        fv.select(
+            F.col(label).alias("label"),
+            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+        )
     )
     k = len(configs)
     trees_all: list[list[dict]] = [[] for _ in configs]
@@ -880,21 +899,22 @@ def train_gbt_grid_deep(
         cols = [
             "label",
             *[f"b_{f}" for f in features],
+            "__cnt",
             *[F.col(f"__f_{c}").alias(f"__f_{c}") for c in carried if c in round_active],
         ]
         for c in round_active:
             p = F.col(f"__p_{c}")
             g = p - F.col("label").cast("double")
             h = p * (F.lit(1.0) - p)
+            # ×__cnt: the distinct row stands for cnt identical raw
+            # rows (see _compress_binned) — sums stay exact integers
             cols.append(
-                F.floor(g * F.lit(_MICRO) + F.lit(0.5))
-                .cast("long")
-                .alias(f"gm_{c}")
+                (F.floor(g * F.lit(_MICRO) + F.lit(0.5)).cast("long")
+                 * F.col("__cnt")).alias(f"gm_{c}")
             )
             cols.append(
-                F.floor(h * F.lit(_MICRO) + F.lit(0.5))
-                .cast("long")
-                .alias(f"hm_{c}")
+                (F.floor(h * F.lit(_MICRO) + F.lit(0.5)).cast("long")
+                 * F.col("__cnt")).alias(f"hm_{c}")
             )
         work = staged.select(*cols).persist()
         nodes: dict[int, Column] = {c: F.lit(1) for c in round_active}
@@ -979,6 +999,7 @@ def train_gbt_grid_deep(
             state = work.select(
                 "label",
                 *[f"b_{f}" for f in features],
+                "__cnt",
                 *[
                     (
                         f_expr(c)
@@ -1343,17 +1364,42 @@ def train_gbt_grid_full(
     count stays config-width independent: extra trials only add
     integer histogram cells (and stack rows) to the map-side combine."""
     sampling = any(c[5] is not None and c[5] < 1.0 for c in configs)
-    binned = fv.select(
-        F.col(label).alias("label"),
-        *([F.col("o_orderkey")] if sampling else []),
-        *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
-    )
     k = len(configs)
     trees_all: list[list[dict]] = [[] for _ in configs]
     max_rounds = max(c[1] for c in configs)
     pcts = [
         100 if c[5] is None or c[5] >= 1.0 else _sub_pct(c[5]) for c in configs
     ]
+    # Per-round subsample BUCKET instead of the raw hash: the descent
+    # only ever compares h against the configs' distinct thresholds,
+    # so bucket(h) = #{thr ≤ h} carries every decision bit — h < thr_j
+    # ⟺ bucket < j (thresholds ascending; pct=100 maps past the last
+    # bucket, always true). Staging all rounds' buckets up front lets
+    # _compress_binned fold rows agreeing on (label, bins, buckets)
+    # and drops o_orderkey from the working frame entirely.
+    thrs = sorted({p for p in pcts if p < 100})
+    ranks = [
+        (thrs.index(p) + 1) if p < 100 else (len(thrs) + 1) for p in pcts
+    ]
+
+    def _bucket(t_: int) -> Column:
+        key = F.concat(F.col("o_orderkey").cast("string"), F.lit(f"#r{t_}"))
+        h = hash60(key) % 100
+        b: Column = F.lit(0)
+        for thr in thrs:
+            b = b + (h >= F.lit(thr)).cast("int")
+        return b
+
+    binned = fv.select(
+        F.col(label).alias("label"),
+        *(
+            [_bucket(t_).alias(f"__k_{t_}") for t_ in range(max_rounds)]
+            if sampling
+            else []
+        ),
+        *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+    )
+    binned = _compress_binned(binned)
     # r17: partial-logit __f_<c> columns + per-round persisted frame —
     # the rows{t} plan-truncation discipline of train_gbt_grid_deep
     # (see its comment); every plan holds at most one tree per trial.
@@ -1376,8 +1422,13 @@ def train_gbt_grid_full(
             )
         cols = [
             "label",
-            *(["o_orderkey"] if sampling else []),
+            *(
+                [f"__k_{t_}" for t_ in range(t, max_rounds)]
+                if sampling
+                else []
+            ),
             *[f"b_{f}" for f in features],
+            "__cnt",
             *[F.col(f"__f_{c}") for c in carried if c in round_active],
         ]
         for c in round_active:
@@ -1394,17 +1445,16 @@ def train_gbt_grid_full(
                 # spw=1.0 multiplies by exactly 1.0 — skip the branch so
                 # the plan (not the bits) matches the unweighted fold
                 gc, hc = g * F.lit(_MICRO), h * F.lit(_MICRO)
+            # ×__cnt: the distinct row stands for cnt identical raw
+            # rows (see _compress_binned) — sums stay exact integers
             cols.append(
-                F.floor(gc + F.lit(0.5)).cast("long").alias(f"gm_{c}")
+                (F.floor(gc + F.lit(0.5)).cast("long")
+                 * F.col("__cnt")).alias(f"gm_{c}")
             )
             cols.append(
-                F.floor(hc + F.lit(0.5)).cast("long").alias(f"hm_{c}")
+                (F.floor(hc + F.lit(0.5)).cast("long")
+                 * F.col("__cnt")).alias(f"hm_{c}")
             )
-        if sampling:
-            key = F.concat(
-                F.col("o_orderkey").cast("string"), F.lit(f"#r{t}")
-            )
-            cols.append((hash60(key) % 100).alias("__h"))
         work = staged.select(*cols).persist()
         actives = {
             c: col_subset(features, t, configs[c][6]) for c in round_active
@@ -1432,15 +1482,16 @@ def train_gbt_grid_full(
             )
             n_entries = sum(len(actives[c]) for c in lvl_active)
             stacked = work_l.selectExpr(
-                *(["__h"] if sampling else []),
+                *([f"__k_{t}"] if sampling else []),
                 f"stack({n_entries}, {entries}) "
                 "AS (cfg, node, fidx, bin, gm, hm)",
             )
             if sampling:
-                thr = F.element_at(
-                    F.array(*[F.lit(p) for p in pcts]), F.col("cfg") + 1
+                # h < pct_c ⟺ bucket < rank_c (see _bucket above)
+                rnk = F.element_at(
+                    F.array(*[F.lit(r_) for r_ in ranks]), F.col("cfg") + 1
                 )
-                stacked = stacked.filter(F.col("__h") < thr)
+                stacked = stacked.filter(F.col(f"__k_{t}") < rnk)
             rows = (
                 stacked.groupBy("cfg", "node", "fidx", "bin")
                 .agg(F.sum("gm").alias("gs"), F.sum("hm").alias("hs"))
@@ -1509,8 +1560,13 @@ def train_gbt_grid_full(
             nxt = [c for c in range(k) if configs[c][1] > t + 1]
             state = work.select(
                 "label",
-                *(["o_orderkey"] if sampling else []),
+                *(
+                    [f"__k_{t_}" for t_ in range(t + 1, max_rounds)]
+                    if sampling
+                    else []
+                ),
                 *[f"b_{f}" for f in features],
+                "__cnt",
                 *[
                     (
                         f_expr(c)

@@ -470,11 +470,13 @@ def test_fused_grid_job_count_is_config_width_independent(spark):
     assert n_wide == n_narrow, (n_wide, n_narrow)
     # and the bound itself: one aggregate ACTION per (round, level) at
     # ≤2 Spark jobs each (shuffle-map + result), plus ≤1 job per round
-    # for the r17 spread/persist materialization of the shared
-    # gradient frame (the within-query cache every level re-reads)
+    # for the persist materialization of the shared gradient frame
+    # (the within-query cache every level re-reads), plus 1 for the
+    # r17 _compress_binned groupBy that folds the frame to distinct
+    # weighted (label, bins) rows before round 0
     assert n_wide <= max(c[1] for c in wide) * (
         2 * max(c[4] for c in wide) + 1
-    )
+    ) + 1
 
 
 def test_random_search_winner_matches_independent_sweep(spark):
@@ -650,10 +652,11 @@ def test_fused_full_grid_job_count_is_config_width_independent(spark):
     n_narrow = jobs_for(narrow, "rsf_narrow")
     assert n_wide == n_narrow, (n_wide, n_narrow)
     # ≤2 jobs per (round, level) aggregate action, plus ≤1 job per
-    # round for the r17 spread/persist gradient-frame materialization
+    # round for the persist gradient-frame materialization, plus 1
+    # for the r17 _compress_binned groupBy before round 0
     assert n_wide <= max(c[1] for c in wide) * (
         2 * max(c[4] for c in wide) + 1
-    )
+    ) + 1
 
 
 def test_cv_full_fold_aucs_match_independent_replay(spark):
