@@ -74,6 +74,31 @@ def _r6(x: float) -> float:
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 
+def cv_binned_frame(
+    fv: DataFrame,
+    fold_col,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+) -> DataFrame:
+    """The depth-2 CV working frame: distinct (label, fold, bins)
+    vectors with exact __cnt multiplicities (see _compress_binned).
+    Built ONCE per CV selection and shared by the fold-fused trainer
+    AND the holdout scorer — the scorer's per-(fold, cfg, score)
+    group counts are Σ __cnt / Σ __cnt·label over the same vectors,
+    the identical integers the raw rows would count (r17, guide
+    §1.2: one pass for sums several consumers need)."""
+    return _compress_binned(
+        fv.select(
+            F.col(label).alias("label"),
+            fold_col.cast("int").alias("__fold"),
+            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+        ),
+        wide=True,
+    )
+
+
 def train_gbt_grid_cv(
     fv: DataFrame,
     fold_col,
@@ -83,6 +108,7 @@ def train_gbt_grid_cv(
     bins: int = GBT_BINS,
     label: str = "label",
     scales: dict[str, float] | None = None,
+    binned: DataFrame | None = None,
 ) -> list[list[list[dict]]]:
     """Fit EVERY (fold, config) depth-2 model in max(rounds)·2 shared
     scans — ext/gbt.train_gbt_grid with the CV FOLD LOOP fused into
@@ -107,15 +133,11 @@ def train_gbt_grid_cv(
     # _compress_binned folds the frame to distinct (label, fold, bins)
     # rows with exact __cnt multiplicities (see its docstring); its
     # groupBy exchange also lands the frame on shuffle_partitions
-    # partitions, which subsumes the former _spread repartition.
-    binned = _compress_binned(
-        fv.select(
-            F.col(label).alias("label"),
-            fold_col.cast("int").alias("__fold"),
-            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
-        ),
-        wide=True,
-    )
+    # partitions, which subsumes the former _spread repartition. The
+    # caller may pass the (persisted) frame in so the holdout scorer
+    # reads the same vectors without re-scanning fv.
+    if binned is None:
+        binned = cv_binned_frame(fv, fold_col, features, bins, label, scales)
     k = len(configs)
     trees_cv: list[list[list[dict]]] = [[[] for _ in configs] for _ in range(folds)]
     max_rounds = max(r for _n, r, _e, _l in configs)
@@ -294,25 +316,24 @@ def gbt_cv_fold_aucs(
     fold_col = F.pmod(
         hash60(F.col("o_orderkey").cast("string")), F.lit(folds)
     )
+    # ONE compressed (label, fold, bins, __cnt) frame feeds both the
+    # fold-fused trainer and the holdout scorer (r17): the scorer's
+    # group counts become Σ __cnt / Σ __cnt·label over the distinct
+    # vectors — the identical integers — and the per-fold raw fv
+    # re-scans disappear.
+    binned = cv_binned_frame(fv, fold_col, features, GBT_BINS, "label", scales).persist()
     trees_cv = train_gbt_grid_cv(
         fv, fold_col, configs=configs, folds=folds, features=features,
-        scales=scales,
+        scales=scales, binned=binned,
     )
     scored_parts = []
     for f in range(folds):
-        va = fv.filter(fold_col == f)
+        va = binned.filter(F.col("__fold") == f)
         trees_all = trees_cv[f]
-        # r17: stage the bin columns once and run every config's
-        # cascade on them — the raw-feature form re-derived each
-        # feature's bin at every split node (configs × trees × nodes
-        # derivations per row, and as many extra expression nodes for
-        # Catalyst/codegen). Same long bins → same comparisons → same
-        # leaf doubles, bit-identical scores.
-        vab = va.select(
-            "label",
-            *[_bin_expr(f_, scales, GBT_BINS).alias(f"b_{f_}") for f_ in features],
-        )
 
+        # r17: cascades run on the staged bin columns (same long bins
+        # → same comparisons → same leaf doubles, bit-identical
+        # scores), over the compressed vectors.
         def ens(i: int):
             z = F.lit(0.0)
             for tr_ in trees_all[i]:
@@ -321,8 +342,9 @@ def gbt_cv_fold_aucs(
                 )
             return z
 
-        staged = vab.select(
+        staged = va.select(
             "label",
+            "__cnt",
             *[
                 det_round(
                     F.lit(1.0) / (F.lit(1.0) + F.exp(-ens(i))), 6
@@ -335,6 +357,7 @@ def gbt_cv_fold_aucs(
             staged.selectExpr(
                 f"{f} AS fold",
                 "label",
+                "__cnt",
                 f"stack({len(configs)}, {pairs}) AS (cfg, s)",
             )
         )
@@ -342,7 +365,8 @@ def gbt_cv_fold_aucs(
     for part in scored_parts[1:]:
         scored = scored.unionAll(part)
     grp = scored.groupBy("fold", "cfg", "s").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("label").alias("np")
+        F.sum("__cnt").alias("n"),
+        F.sum(F.col("label").cast("long") * F.col("__cnt")).alias("np"),
     )
     w = (
         Window.partitionBy("fold", "cfg")
@@ -359,6 +383,7 @@ def gbt_cv_fold_aucs(
         (F.sum("n") - F.sum("np")).alias("n_neg"),
     )
     by_key = {(r["fold"], r["cfg"]): r for r in agg.collect()}
+    binned.unpersist()
     out: list[list[float]] = []
     for i in range(len(configs)):
         row = []
@@ -500,6 +525,56 @@ def gbt_cv_selection_sql(
 CV_FULL_TRIALS = 4
 
 
+def cv_full_binned_frame(
+    fv: DataFrame,
+    fold_col,
+    configs,
+    features: tuple[str, ...] = SCORE_FEATURES,
+    bins: int = GBT_BINS,
+    label: str = "label",
+    scales: dict[str, float] | None = None,
+) -> DataFrame:
+    """The full-space CV working frame (see :func:`cv_binned_frame`):
+    distinct (label, fold, subsample-buckets, bins) vectors with
+    exact __cnt multiplicities. Per-round subsample BUCKET instead of
+    the raw hash (see ext/gbt_deep.train_gbt_grid_full): h < thr_j ⟺
+    bucket(h) < j, so the buckets carry every per-(row, trial, round)
+    decision bit and _compress_binned can fold rows that agree on
+    them. Shared by the fold-fused full trainer AND the holdout
+    scorer (scores never read the buckets, so the frame is merely
+    less compressed for scoring — still exact)."""
+    from real_time_fraud_revenue_intelligence_lakehouse_spark.ext.gbt_deep import _sub_pct
+
+    sampling = any(c[5] is not None and c[5] < 1.0 for c in configs)
+    max_rounds = max(c[1] for c in configs)
+    pcts = [
+        100 if c[5] is None or c[5] >= 1.0 else _sub_pct(c[5]) for c in configs
+    ]
+    thrs = sorted({p for p in pcts if p < 100})
+
+    def _bucket(t_: int):
+        key = F.concat(F.col("o_orderkey").cast("string"), F.lit(f"#r{t_}"))
+        h = hash60(key) % 100
+        b = F.lit(0)
+        for thr in thrs:
+            b = b + (h >= F.lit(thr)).cast("int")
+        return b
+
+    return _compress_binned(
+        fv.select(
+            F.col(label).alias("label"),
+            fold_col.cast("int").alias("__fold"),
+            *(
+                [_bucket(t_).alias(f"__k_{t_}") for t_ in range(max_rounds)]
+                if sampling
+                else []
+            ),
+            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
+        ),
+        wide=True,
+    )
+
+
 def train_gbt_grid_full_cv(
     fv: DataFrame,
     fold_col,
@@ -509,6 +584,7 @@ def train_gbt_grid_full_cv(
     bins: int = GBT_BINS,
     label: str = "label",
     scales: dict[str, float] | None = None,
+    binned: DataFrame | None = None,
 ) -> list[list[list[dict]]]:
     """:func:`train_gbt_grid_cv` over FULL nine-axis trials —
     ext/gbt_deep.train_gbt_grid_full with the CV fold loop fused into
@@ -538,38 +614,14 @@ def train_gbt_grid_full_cv(
     pcts = [
         100 if c[5] is None or c[5] >= 1.0 else _sub_pct(c[5]) for c in configs
     ]
-    # Per-round subsample BUCKET instead of the raw hash (see
-    # ext/gbt_deep.train_gbt_grid_full): h < thr_j ⟺ bucket(h) < j,
-    # so the buckets carry every per-(row, trial, round) decision bit
-    # and _compress_binned can fold rows agreeing on (label, fold,
-    # buckets, bins). The compression's groupBy exchange also lands
-    # the frame on shuffle_partitions partitions, subsuming _spread.
     thrs = sorted({p for p in pcts if p < 100})
     ranks = [
         (thrs.index(p) + 1) if p < 100 else (len(thrs) + 1) for p in pcts
     ]
-
-    def _bucket(t_: int):
-        key = F.concat(F.col("o_orderkey").cast("string"), F.lit(f"#r{t_}"))
-        h = hash60(key) % 100
-        b = F.lit(0)
-        for thr in thrs:
-            b = b + (h >= F.lit(thr)).cast("int")
-        return b
-
-    binned = _compress_binned(
-        fv.select(
-            F.col(label).alias("label"),
-            fold_col.cast("int").alias("__fold"),
-            *(
-                [_bucket(t_).alias(f"__k_{t_}") for t_ in range(max_rounds)]
-                if sampling
-                else []
-            ),
-            *[_bin_expr(f, scales, bins).alias(f"b_{f}") for f in features],
-        ),
-        wide=True,
-    )
+    if binned is None:
+        binned = cv_full_binned_frame(
+            fv, fold_col, configs, features, bins, label, scales
+        )
     # r17: partial-logit __f_<fold>_<cfg> columns + per-round persisted
     # frame — the rows{t} plan-truncation discipline; see
     # ext/gbt.train_gbt's comment.
@@ -788,20 +840,23 @@ def gbt_cv_fold_aucs_full(
     fold_col = F.pmod(
         hash60(F.col("o_orderkey").cast("string")), F.lit(folds)
     )
+    # ONE compressed frame shared by trainer and scorer (see
+    # gbt_cv_fold_aucs): the scorer's group counts become weighted
+    # sums over the distinct vectors — identical integers.
+    binned = cv_full_binned_frame(
+        fv, fold_col, configs, features, GBT_BINS, "label", scales
+    ).persist()
     trees_cv = train_gbt_grid_full_cv(
-        fv, fold_col, configs, folds=folds, features=features, scales=scales
+        fv, fold_col, configs, folds=folds, features=features, scales=scales,
+        binned=binned,
     )
     scored_parts = []
     for f in range(folds):
-        va = fv.filter(fold_col == f)
+        va = binned.filter(F.col("__fold") == f)
         trees_all = trees_cv[f]
-        # r17: bins staged once, cascades on bin columns (see
-        # gbt_cv_fold_aucs) — bit-identical scores, far smaller plans.
-        vab = va.select(
-            "label",
-            *[_bin_expr(f_, scales, GBT_BINS).alias(f"b_{f_}") for f_ in features],
-        )
 
+        # r17: cascades on the staged bin columns (bit-identical
+        # scores), over the compressed vectors.
         def ens(i: int):
             z = F.lit(0.0)
             for tr_ in trees_all[i]:
@@ -810,8 +865,9 @@ def gbt_cv_fold_aucs_full(
                 )
             return z
 
-        staged = vab.select(
+        staged = va.select(
             "label",
+            "__cnt",
             *[
                 det_round(
                     F.lit(1.0) / (F.lit(1.0) + F.exp(-ens(i))), 6
@@ -824,6 +880,7 @@ def gbt_cv_fold_aucs_full(
             staged.selectExpr(
                 f"{f} AS fold",
                 "label",
+                "__cnt",
                 f"stack({len(configs)}, {pairs}) AS (cfg, s)",
             )
         )
@@ -831,7 +888,8 @@ def gbt_cv_fold_aucs_full(
     for part in scored_parts[1:]:
         scored = scored.unionAll(part)
     grp = scored.groupBy("fold", "cfg", "s").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("label").alias("np")
+        F.sum("__cnt").alias("n"),
+        F.sum(F.col("label").cast("long") * F.col("__cnt")).alias("np"),
     )
     w = (
         Window.partitionBy("fold", "cfg")
@@ -847,6 +905,7 @@ def gbt_cv_fold_aucs_full(
         (F.sum("n") - F.sum("np")).alias("n_neg"),
     )
     by_key = {(r["fold"], r["cfg"]): r for r in agg.collect()}
+    binned.unpersist()
     out: list[list[float]] = []
     for i in range(len(configs)):
         row = []
